@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": <sf>}
+
+Each query materializes its (small) result via collect(); session/JVM
+startup is excluded. Queries run once after a warm-up scan so the
+numbers reflect plan execution, not classloading.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if REPO_DIR not in sys.path:
+    sys.path.insert(0, REPO_DIR)
+
+from flink_mingo_tail_spark.queries import load_registry
+from flink_mingo_tail_spark.session import build_session
+from flink_mingo_tail_spark.tables import TABLE_NAMES, load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative, scale-sensitive subset: scans/filters, fact-fact and
+# broadcast joins, aggregation families, windows, set ops, CDC analogs.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_filter_project_topk",
+    "q10_inner_join_agg",
+    "q11_broadcast_dim_join",
+    "q12_left_outer_join",
+    "q17_range_join",
+    "q20_groupby_battery",
+    "q21_rollup",
+    "q27_exact_percentile",
+    "q30_rank_topn_per_group",
+    "q33_running_sum",
+    "q37_asof_join",
+    "q44_intersect_all",
+    "q55_explode_posexplode",
+    "q62_cdc_quorum_dedup",
+]
+
+
+def main() -> None:
+    registry = load_registry()
+    spark = build_session("fmts-bench")
+
+    # Warm-up: touch every table once so the first timed query doesn't
+    # pay one-time FileIndex/codegen costs.
+    for name in TABLE_NAMES:
+        load_table(spark, SF_DIR, name).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = registry.get(name)
+        if qd is None:
+            continue
+        start = time.perf_counter()
+        qd.fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,176 @@
+"""CDC-domain queries: batch-checkable analogs of the reference's
+streaming semantics (SURVEY.md §2A A3/A6/A7/A11), expressed over the
+`events` table so the DuckDB oracle can verify them. The true streaming
+twins (Structured Streaming with watermarks/state) live in
+``flink_mingo_tail_spark/streaming`` and are exercised by tests.
+
+Reference seeds:
+* pushed-down conjunctive filter — MongoOplogTailMapper.java:90-98
+* quorum dedup (emit on Nth replica arrival) — MongoDBOplogSource.java:116-128
+* per-host checkpoint high-water mark — MongoDBOplogSource.java:130-139
+* `{"data": doc}` envelope projection — ElasticsearchEmbeddedNodeSink.java:60-63
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_mingo_tail_spark.queries import query
+from flink_mingo_tail_spark.session import prepare_session
+from flink_mingo_tail_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prepare_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q60_cdc_filter_pushdown",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts
+    FROM events
+    WHERE event_type <> 'error'
+      AND ts > TIMESTAMP '2024-01-15 00:00:00'
+      AND props IS NOT NULL
+    ORDER BY event_id
+    LIMIT 2000
+    """,
+)
+def q60_cdc_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's oplog filter re-expressed: exclude no-ops
+    (event_type <> 'error' stands in for op <> 'n'), resume after a
+    checkpoint timestamp (ts > X), require a payload. All three
+    predicates reach the Parquet scan as PushedFilters — the Spark
+    equivalent of the reference evaluating its $match server-side."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(
+            (F.col("event_type") != "error")
+            & (F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
+            & F.col("props").isNotNull()
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+        .orderBy("event_id")
+        .limit(2000)
+    )
+
+
+@query(
+    "q61_cdc_envelope",
+    oracle="""
+    SELECT event_id,
+           to_json(struct_pack(event_id := event_id, event_type := event_type,
+                               user_id := user_id)) AS data
+    FROM events
+    ORDER BY event_id
+    LIMIT 1000
+    """,
+)
+def q61_cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `{"data": <doc>}` sink envelope (ref A11) as a computed JSON
+    column — integer/string fields only so both engines serialize
+    byte-identically."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.to_json(F.struct("event_id", "event_type", "user_id")).alias("data"),
+        )
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
+# Replica simulation shared by the quorum queries: every event is "seen"
+# by replicas 0 and 1; replica 2 misses events of users divisible by 10
+# (a lagging/dead member). Majority quorum (>=2) must still emit those.
+_REPLICAS_SQL = """
+    SELECT event_id, user_id, r.replica
+    FROM events, (SELECT unnest([0, 1, 2]) AS replica) r
+    WHERE NOT (r.replica = 2 AND user_id % 10 = 0)
+"""
+
+
+@query(
+    "q62_cdc_quorum_dedup",
+    oracle=f"""
+    WITH replicas AS ({_REPLICAS_SQL})
+    SELECT event_id, count(*) AS n_seen
+    FROM replicas
+    GROUP BY event_id
+    HAVING count(*) >= 2
+    ORDER BY event_id
+    """,
+)
+def q62_cdc_quorum_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quorum dedup, batch analog of ref A6: each op arrives once per
+    replica member; emit exactly once when a MAJORITY has delivered it
+    (the reference requires ALL members — SURVEY §4.3.1 explains why
+    that deadlocks on a dead member; majority is the fix). The streaming
+    version keyed by op id with state TTL is streaming/quorum.py."""
+    e = _t(spark, sf_dir, "events")
+    replicas = (
+        e.select("event_id", "user_id")
+        .crossJoin(F.broadcast(spark.range(3).withColumnRenamed("id", "replica")))
+        .filter(~((F.col("replica") == 2) & (F.col("user_id") % 10 == 0)))
+    )
+    return (
+        replicas.groupBy("event_id")
+        .agg(F.count("*").alias("n_seen"))
+        .filter(F.col("n_seen") >= 2)
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q63_cdc_checkpoint_highwater",
+    oracle="""
+    SELECT user_id AS _id, max(ts) AS last_ts, count(*) AS n_ops
+    FROM events
+    GROUP BY user_id
+    ORDER BY _id
+    """,
+)
+def q63_cdc_checkpoint_highwater(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition checkpoint high-water mark: the `time_d.repl_time`
+    table (ref A7) computed as a batch aggregate — one row per source
+    partition (user stands in for replica host) with its last-seen ts."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.col("user_id").alias("_id"))
+        .agg(F.max("ts").alias("last_ts"), F.count("*").alias("n_ops"))
+        .orderBy("_id")
+    )
+
+
+@query(
+    "q64_cdc_resume_after_checkpoint",
+    oracle="""
+    WITH checkpoint AS (
+        SELECT user_id, max(ts) AS ck_ts
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY user_id
+    )
+    SELECT e.user_id, count(*) AS n_new
+    FROM events e JOIN checkpoint c
+      ON e.user_id = c.user_id AND e.ts > c.ck_ts
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+    """,
+)
+def q64_cdc_resume_after_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume-from-checkpoint (ref A3's `ts > last_ts` bound, per member):
+    compute each partition's checkpoint, then count strictly-newer ops.
+    The join is an equi-join on the partition key plus a range predicate —
+    exactly how incremental re-ingest is planned at scale."""
+    e = _t(spark, sf_dir, "events")
+    ck = (
+        e.filter(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("ck_ts"))
+    )
+    newer = e.join(ck, "user_id").filter(F.col("ts") > F.col("ck_ts"))
+    return newer.groupBy("user_id").agg(F.count("*").alias("n_new")).orderBy("user_id")

@@ -1,0 +1,616 @@
+"""Relational core: filter/project, joins (all variants), aggregations.
+
+Capability closure of SURVEY.md §2B "Projections / filters", "Joins",
+"Aggregations". The reference seeds: conjunctive pushed-down filters
+(``MongoOplogTailMapper.java:90-98``), projection/envelope
+(``ElasticsearchEmbeddedNodeSink.java:60-62``); every join/agg shape is
+declared surface with no reference counterpart (SURVEY.md §2A note).
+
+Scale notes (100 TB): filters/projections push to the Parquet scan via
+Catalyst; region/nation joins are explicitly broadcast (fixed-size dims);
+fact-fact joins (orders⋈lineitem) shuffle on the join key and rely on AQE
+skew splitting; every aggregate is partial+final (map-side combine) by
+construction of ``groupBy().agg()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_mingo_tail_spark.functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from flink_mingo_tail_spark.queries import query
+from flink_mingo_tail_spark.session import prepare_session
+from flink_mingo_tail_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prepare_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Filters / projections
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty', 0)},
+           {sql_dsum('l_extendedprice', 'sum_base_price', 2)},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price', 4)},
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge', 6)},
+           {sql_davg('l_quantity', 'avg_qty', 0)},
+           {sql_davg('l_extendedprice', 'avg_price', 2)},
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter → hash-agg (partial+final) → sort.
+
+    Flagship batch aggregate; the groupBy keys have tiny cardinality so
+    the shuffle moves only #groups × #partitions rows after map-side
+    combine — scale-safe at any SF.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty", 0),
+            dsum("l_extendedprice", "sum_base_price", 2),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price", 4),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+                "sum_charge",
+                6,
+            ),
+            davg("l_quantity", "avg_qty", 0),
+            davg("l_extendedprice", "avg_price", 2),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q02_filter_project_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem
+    WHERE l_quantity >= 45 AND l_discount > 0.05
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      AND l_returnflag <> 'A'
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def q02_filter_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive filter + projection + top-k (ref A3/A5 batch analog).
+
+    Mirrors the reference's pushed-down conjunction
+    (MongoOplogTailMapper.java:90-98): every predicate reaches the
+    Parquet scan (PushedFilters), projection prunes to 5 of 11 columns,
+    and orderBy+limit compiles to TakeOrderedAndProject (no global sort).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") >= 45)
+            & (F.col("l_discount") > 0.05)
+            & F.col("l_shipdate").between(
+                F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+            )
+            & (F.col("l_returnflag") != "A")
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@query(
+    "q03_isnull_in_between",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           count(CASE WHEN o_totalprice BETWEEN 50000 AND 150000 THEN 1 END) AS n_mid
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_orderdate IS NOT NULL
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q03_isnull_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / IS NULL / BETWEEN predicate battery (ref A3 closure)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus").isin("O", "F") & F.col("o_orderdate").isNotNull())
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count(F.when(F.col("o_totalprice").between(50000, 150000), 1)).alias("n_mid"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q10_inner_join_agg",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           {sql_dsum('o.o_totalprice', 'revenue', 2)}
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def q10_inner_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders⋈customer + agg. Catalyst picks the physical
+    join; at 100 TB both sides are large → sort-merge/shuffled-hash on
+    the shuffled key, with AQE free to demote to broadcast at small SF."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "revenue", 2))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q11_broadcast_dim_join",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           count(*) AS n_customers,
+           {sql_dsum('c.c_acctbal', 'total_acctbal', 2)}
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r.r_name, n.n_name
+    """,
+)
+def q11_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join through two fixed-size dims, explicitly broadcast.
+
+    region/nation are constant-size regardless of SF (25/5 rows), so at
+    100 TB the only scan that matters is customer; broadcast removes both
+    shuffles entirely (SURVEY.md §2B "broadcast join")."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal", "total_acctbal", 2))
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
+    "q12_left_outer_join",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    ORDER BY n_orders
+    """,
+)
+def q12_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders (TPC-H Q13
+    shape): count-of-counts histogram, two-level aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers")).orderBy("n_orders")
+
+
+@query(
+    "q13_right_full_outer",
+    oracle="""
+    SELECT
+      count(*) AS n_rows,
+      count(CASE WHEN s.s_suppkey IS NULL THEN 1 END) AS nation_only,
+      count(CASE WHEN n.n_nationkey IS NULL THEN 1 END) AS supplier_only
+    FROM supplier s FULL OUTER JOIN nation n
+      ON s.s_nationkey = n.n_nationkey AND s.s_acctbal > 5000
+    """,
+)
+def q13_right_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with a non-key condition in the ON clause — both
+    unmatched sides survive; checks null-extension semantics exactly."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    joined = s.join(n, (s.s_nationkey == n.n_nationkey) & (s.s_acctbal > 5000), "full")
+    return joined.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("s_suppkey").isNull(), 1)).alias("nation_only"),
+        F.count(F.when(F.col("n_nationkey").isNull(), 1)).alias("supplier_only"),
+    )
+
+
+@query(
+    "q14_semi_join",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+          AND o.o_totalprice > 100000
+    )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def q14_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS). Semi joins never duplicate the left side,
+    so the shuffle carries customer once regardless of order count."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big_f = o.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000))
+    return (
+        c.join(big_f, c.c_custkey == big_f.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q15_anti_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c.c_custkey
+    """,
+)
+def q15_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers that never ordered."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q16_cross_theta_join",
+    oracle="""
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b
+    FROM nation a CROSS JOIN nation b
+    WHERE a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+    ORDER BY nation_a, nation_b
+    """,
+)
+def q16_cross_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join + theta predicate (nested-loop shape) on the fixed-size
+    dim — the one join family where a broadcast nested loop is the right
+    physical plan at any scale (both sides constant)."""
+    n = _t(spark, sf_dir, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter((F.col("a.n_regionkey") == F.col("b.n_regionkey")) & (F.col("a.n_name") < F.col("b.n_name")))
+        .select(F.col("a.n_name").alias("nation_a"), F.col("b.n_name").alias("nation_b"))
+        .orderBy("nation_a", "nation_b")
+    )
+
+
+@query(
+    "q17_range_join",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lineitems,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'early_revenue', 4)}
+    FROM orders o JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <  o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q17_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range join: lineitems shipped within 30 days of the order.
+
+    The equi key carries the shuffle (co-partitioned on orderkey); the
+    range predicate evaluates post-match, so no nested-loop blowup —
+    the scale-correct way to phrase an interval join when an equi key
+    exists (pure interval joins are in q18)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < F.date_add(o.o_orderdate, 30).cast("timestamp"))
+    )
+    return (
+        o.join(li, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "early_revenue", 4),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q20_groupby_battery",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           {sql_dsum('value', 'total_value', 2)},
+           {sql_davg('value', 'avg_value', 2)},
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q20_groupby_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate battery: count/distinct/sum/avg/min/max in one pass
+    (distinct agg expands to a two-phase plan automatically)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", "total_value", 2),
+            davg("value", "avg_value", 2),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q21_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+           sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q21_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (SURVEY §2B grouping sets family)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"), F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@query(
+    "q22_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q22_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+@query(
+    "q23_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, count(*) AS n, grouping(c_mktsegment) AS g_seg,
+           grouping(c_nationkey) AS g_nat
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+    """,
+)
+def q23_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() markers, via SQL (the
+    DataFrame API has no grouping-sets verb; Catalyst plan is identical)."""
+    prepare_session(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, count(*) AS n, grouping(c_mktsegment) AS g_seg,
+               grouping(c_nationkey) AS g_nat
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+        """
+    )
+
+
+@query(
+    "q24_dedup_batch",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, l_shipdate
+    FROM (SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate FROM lineitem)
+    ORDER BY l_returnflag, l_linestatus, l_shipdate
+    LIMIT 500
+    """,
+)
+def q24_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch dropDuplicates (ref A6's batch analog; SURVEY §2B dedup)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus", "l_shipdate")
+        .dropDuplicates()
+        .orderBy("l_returnflag", "l_linestatus", "l_shipdate")
+        .limit(500)
+    )
+
+
+@query(
+    "q25_collect_list_set",
+    oracle="""
+    SELECT n.n_name,
+           list_sort(list(DISTINCT c.c_mktsegment)) AS segments,
+           count(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def q25_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set aggregation (sorted for determinism — collect order is
+    partition-dependent, so normalize with sort_array)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.count("*").alias("n_customers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query("q26_approx_count_distinct", oracle=None)
+def q26_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++). No oracle entry: sketch estimates
+    are engine-specific (Spark HLL++ vs DuckDB HLL differ by design), so
+    the driver records the weaker rows-only check; the accuracy bound vs
+    the exact count is asserted in tests/test_relational.py."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q27_exact_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q27_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentile (Spark `percentile` == DuckDB
+    quantile_cont: both sort and linearly interpolate — deterministic,
+    unlike percentile_approx which stays available for the scale path)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("p50_qty"),
+            F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q28_having_scalar_subquery",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n_rich
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    GROUP BY c_nationkey
+    HAVING count(*) >= 10
+    ORDER BY c_nationkey
+    """,
+)
+def q28_having_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + HAVING, in SQL form (Catalyst decorrelates).
+
+    avg() here is only a filter bound (not an output), so cross-engine
+    float drift cannot affect the result unless a customer sits within
+    1e-12 of the mean — the synthetic data does not."""
+    prepare_session(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_nationkey, count(*) AS n_rich
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        GROUP BY c_nationkey
+        HAVING count(*) >= 10
+        ORDER BY c_nationkey
+        """
+    )
+
+
+@query(
+    "q29_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_F,
+           sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q29_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list so no extra distinct pass — required
+    practice at scale; implicit pivot scans the column twice)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("long")))
+        .na.fill(0)
+    )
+    return pivoted.select(
+        "l_returnflag", F.col("F").alias("qty_F"), F.col("O").alias("qty_O")
+    ).orderBy("l_returnflag")

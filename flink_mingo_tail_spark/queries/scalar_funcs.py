@@ -1,0 +1,372 @@
+"""Scalar function batteries: string / date / math / array / map / json /
+conditional (SURVEY.md §2B "Scalar functions"; ref-domain seed: opaque
+JSON payload access, SURVEY §1.2-§1.3).
+
+All expressions are JVM built-ins (whole-stage codegen) — no Python UDFs
+anywhere in this module. Each battery picks functions whose semantics are
+identical in Spark and DuckDB so the oracle hash matches exactly; where
+the engines' spellings differ (e.g. get_json_object vs json_extract_string)
+the oracle uses DuckDB's spelling of the same ANSI semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_mingo_tail_spark.queries import query
+from flink_mingo_tail_spark.session import prepare_session
+from flink_mingo_tail_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prepare_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q50_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           lower(p_type) AS type_lower,
+           length(p_name) AS name_len,
+           substr(p_name, 1, 8) AS name_prefix,
+           concat(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size,
+           trim(p_name) AS name_trim,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+           replace(p_type, ' ', '_') AS type_snake,
+           CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS is_green,
+           strpos(p_name, 'a') AS first_a
+    FROM part
+    ORDER BY p_partkey
+    LIMIT 1000
+    """,
+)
+def q50_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String battery: upper/lower/length/substr/concat/trim/lpad/replace/
+    LIKE/instr — all codegen'd, all ANSI-identical across engines."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.lower("p_type").alias("type_lower"),
+            F.length("p_name").alias("name_len"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string")).alias("brand_size"),
+            F.trim(F.col("p_name")).alias("name_trim"),
+            F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+            F.when(F.col("p_name").like("%green%"), 1).otherwise(0).alias("is_green"),
+            F.instr(F.col("p_name"), "a").alias("first_a"),
+        )
+        .orderBy("p_partkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "q51_regex_split",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+           len(string_split(p_name, ' ')) AS n_words,
+           string_split(p_name, ' ')[1] AS word1
+    FROM part
+    WHERE regexp_matches(p_name, '^[a-z]')
+    ORDER BY p_partkey
+    LIMIT 1000
+    """,
+)
+def q51_regex_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex + split battery. Spark regexp_replace is global by default
+    (DuckDB needs the 'g' flag for the same semantics); split() here uses
+    a literal separator so both engines tokenize identically."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").rlike("^[a-z]"))
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+            F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+            F.size(F.split("p_name", " ", -1)).alias("n_words"),
+            F.split("p_name", " ", -1).getItem(0).alias("word1"),
+        )
+        .orderBy("p_partkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "q52_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           dayofweek(o_orderdate) + 1 AS order_dow,
+           date_trunc('month', o_orderdate) AS month_start,
+           strftime(CAST(o_orderdate + INTERVAL 90 DAY AS DATE), '%Y-%m-%d') AS due_date,
+           datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
+           CAST(epoch(o_orderdate) AS BIGINT) AS unix_ts,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 1000
+    """,
+)
+def q52_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time battery. DuckDB dayofweek is 0=Sunday while Spark's is
+    1=Sunday — the oracle adds 1 to align. DATE-typed outputs are
+    formatted as ISO strings: pandas exports of DATE differ between
+    engines (midnight timestamp vs date object), which would break the
+    value hash even though the dates are equal."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.dayofweek("o_orderdate").alias("order_dow"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            F.date_format(F.date_add(F.to_date("o_orderdate"), 90), "yyyy-MM-dd").alias("due_date"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+                "days_since_epoch_start"
+            ),
+            F.unix_timestamp("o_orderdate").alias("unix_ts"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "q53_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / 7, 2) AS price_div,
+           floor(l_extendedprice / 1000) AS price_k_floor,
+           ceil(l_discount * 100) AS disc_pct_ceil,
+           abs(l_quantity - 25) AS qty_dev,
+           CAST(pow(l_quantity, 2) AS DOUBLE) AS qty_sq,
+           round(sqrt(l_quantity), 6) AS qty_sqrt,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           mod(CAST(l_quantity AS BIGINT), 7) AS qty_mod7,
+           sign(l_quantity - 25.0) AS qty_sign,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_tax, l_discount) AS min_rate
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT 1000
+    """,
+)
+def q53_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery. sqrt/ln rounded to 6dp: libm implementations agree
+    to well under 1e-12 relative error, so 6dp is collision-safe; pow of
+    integers and round-of-exact-quotients are IEEE-identical unrounded."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") / 7, 2).alias("price_div"),
+            F.floor(F.col("l_extendedprice") / 1000).alias("price_k_floor"),
+            F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+            F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+            F.pow("l_quantity", 2).alias("qty_sq"),
+            F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+            F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+            (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
+            F.signum(F.col("l_quantity") - 25.0).alias("qty_sign"),
+            F.greatest("l_tax", "l_discount").alias("max_rate"),
+            F.least("l_tax", "l_discount").alias("min_rate"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(1000)
+    )
+
+
+@query(
+    "q54_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           tokens[1] AS first_token,
+           len(tokens) AS n_tokens,
+           len(list_distinct(tokens)) AS n_distinct_tokens,
+           list_contains(tokens, 'spark') AS has_spark,
+           list_sort(list_distinct(tokens))[1:5] AS first5_sorted,
+           list_sort(list_transform(list_distinct(tokens), t -> upper(t)))[1] AS first_upper
+    FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    ORDER BY doc_id
+    LIMIT 400
+    """,
+)
+def q54_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array battery over tokenized documents: element access, size,
+    distinct, contains, slice, sort, and a lambda transform — all native
+    Catalyst array expressions (no UDF; SURVEY §2B array family)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ", -1).alias("tokens"))
+    return (
+        toks.select(
+            "doc_id",
+            F.col("tokens").getItem(0).alias("first_token"),
+            F.size("tokens").alias("n_tokens"),
+            F.size(F.array_distinct("tokens")).alias("n_distinct_tokens"),
+            F.array_contains("tokens", "spark").alias("has_spark"),
+            F.slice(F.sort_array(F.array_distinct("tokens")), 1, 5).alias("first5_sorted"),
+            F.sort_array(F.transform(F.array_distinct("tokens"), lambda t: F.upper(t)))
+            .getItem(0)
+            .alias("first_upper"),
+        )
+        .orderBy("doc_id")
+        .limit(400)
+    )
+
+
+@query(
+    "q55_explode_posexplode",
+    oracle="""
+    SELECT t.token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+    WHERE t.token <> ''
+    GROUP BY t.token
+    ORDER BY n DESC, t.token
+    LIMIT 50
+    """,
+)
+def q55_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode → term frequency (the array-to-rows lateral pattern)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ", -1)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )
+
+
+@query(
+    "q56_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+           json_valid(props) AS is_valid
+    FROM events
+    ORDER BY event_id
+    LIMIT 2000
+    """,
+)
+def q56_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload access (ref §1.2: the oplog's `o`/`o2` documents are
+    carried as JSON strings; get_json_object is the pushdown-friendly
+    accessor for dynamic payloads, SURVEY §1.3)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+            F.get_json_object("props", "$").isNotNull().alias("is_valid"),
+        )
+        .orderBy("event_id")
+        .limit(2000)
+    )
+
+
+@query(
+    "q57_map_funcs",
+    oracle="""
+    SELECT event_type,
+           map_extract(map {'click': 1, 'view': 2, 'purchase': 3, 'signup': 4, 'error': 5},
+                       event_type)[1] AS type_code,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q57_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + element_at lookup (SURVEY §2B map family)."""
+    e = _t(spark, sf_dir, "events")
+    code_map = F.create_map(
+        F.lit("click"), F.lit(1),
+        F.lit("view"), F.lit(2),
+        F.lit("purchase"), F.lit(3),
+        F.lit("signup"), F.lit(4),
+        F.lit("error"), F.lit(5),
+    )
+    return (
+        e.select("event_type", F.element_at(code_map, F.col("event_type")).alias("type_code"))
+        .groupBy("event_type", "type_code")
+        .agg(F.count("*").alias("n"))
+        .select("event_type", "type_code", "n")
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q58_conditional_null",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END AS urgent_price
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 2000
+    """,
+)
+def q58_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise, coalesce, nullif battery."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") > 200000, "big")
+            .when(F.col("o_totalprice") > 100000, "mid")
+            .otherwise("small")
+            .alias("bucket"),
+            F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+                "status_norm"
+            ),
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")).alias(
+                "urgent_price"
+            ),
+        )
+        .orderBy("o_orderkey")
+        .limit(2000)
+    )
+
+
+@query(
+    "q59_hash_funcs",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 400
+    """,
+)
+def q59_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash parity (md5/sha2 are bit-identical across
+    engines — the foundation for the dedup family in queries/dedup.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.md5("text").alias("text_md5"),
+            F.sha2("text", 256).alias("text_sha256"),
+        )
+        .orderBy("doc_id")
+        .limit(400)
+    )

@@ -1,0 +1,286 @@
+"""Window functions: ranking, analytic, frames, running aggregates,
+as-of join (SURVEY.md §2B "Window functions" + "as-of join").
+
+Scale notes: every window here partitions by a high-cardinality key
+(custkey/user_id), so the single shuffle distributes evenly; none uses
+an un-partitioned global window (which would serialize on one task at
+100 TB). Running sums use the scaled-long trick (functions.deterministic)
+so cumulative doubles stay bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_mingo_tail_spark.operators.asof import asof_join
+from flink_mingo_tail_spark.queries import query
+from flink_mingo_tail_spark.session import prepare_session
+from flink_mingo_tail_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prepare_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q30_rank_topn_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def q30_rank_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number (deterministic tiebreak
+    on orderkey). Catalyst runs this as a single shuffle + per-partition
+    sort; AQE handles any hot customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "q31_rank_dense_ntile",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_nationkey, rnk, c_custkey
+    LIMIT 1000
+    """,
+)
+def q31_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile battery over one shared window spec."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("c_nationkey", "rnk", "c_custkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "q32_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           lag(event_id, 2) OVER w AS prev2_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    LIMIT 2000
+    """,
+)
+def q32_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics per user session stream (ref-domain: per-member
+    ordered oplog scan, SURVEY §2A A4 ordering guarantee)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            F.lag("event_id", 2).over(w).alias("prev2_event"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(2000)
+    )
+
+
+@query(
+    "q33_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+               AS running_spend,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS order_seq
+    FROM orders
+    ORDER BY o_custkey, order_seq
+    LIMIT 5000
+    """,
+)
+def q33_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer (scaled-long cumsum => bit-exact)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaled = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            (F.sum(scaled).over(cum) / 100.0).alias("running_spend"),
+            F.row_number().over(w).alias("order_seq"),
+        )
+        .orderBy("o_custkey", "order_seq")
+        .limit(5000)
+    )
+
+
+@query(
+    "q34_moving_avg_rows_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           sum(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             / (100.0 * count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+               AS moving_avg
+    FROM events
+    ORDER BY user_id, event_id
+    LIMIT 2000
+    """,
+)
+def q34_moving_avg_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average via explicit ROWS frame (exact arithmetic)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, Window.currentRow)
+    scaled = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            (F.sum(scaled).over(w) / (F.count("*").over(w) * F.lit(100.0))).alias("moving_avg"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(2000)
+    )
+
+
+@query(
+    "q35_range_frame",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           count(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+                          RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS n_within_500
+    FROM customer
+    ORDER BY c_nationkey, c_acctbal, c_custkey
+    LIMIT 2000
+    """,
+)
+def q35_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric order key — value-based neighborhoods."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal").rangeBetween(-500, Window.currentRow)
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.count("*").over(w).alias("n_within_500"),
+        )
+        .orderBy("c_nationkey", "c_acctbal", "c_custkey")
+        .limit(2000)
+    )
+
+
+@query(
+    "q36_first_last_value",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER w AS last_order,
+           count(*) OVER (PARTITION BY o_custkey) AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey
+    """,
+)
+def q36_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last over an unbounded frame, reduced to one row per key."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("last_order"),
+            F.count("*").over(Window.partitionBy("o_custkey")).alias("n_orders"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "q37_asof_join",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, 0 AS side, event_id,
+               CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS TIMESTAMP) AS purchase_ts
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, 1 AS side, CAST(NULL AS BIGINT),
+               event_id, ts
+        FROM events WHERE event_type = 'purchase'
+    ), filled AS (
+        SELECT side, purchase_id, purchase_ts, user_id,
+               last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, side, coalesce(event_id, purchase_id)
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id_asof
+        FROM u
+    )
+    SELECT purchase_id, user_id, purchase_ts, click_id_asof
+    FROM filled WHERE side = 1
+    ORDER BY purchase_id
+    """,
+)
+def q37_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click at-or-before it by
+    the same user (operators/asof.py — union + one keyed window, a single
+    shuffle; no merge_asof-in-pandas). Ref-domain analog: resuming each
+    member's tail from its latest checkpoint <= now
+    (MongoOplogTailMapper.java:82-88)."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_time="purchase_ts",
+        right_time="ts",
+        right_values=["click_id"],
+        left_tiebreak="purchase_id",
+        right_tiebreak="click_id",
+    ).orderBy("purchase_id")

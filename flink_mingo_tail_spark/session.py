@@ -1,0 +1,50 @@
+"""SparkSession construction tuned for this engine.
+
+Local test boxes run ``local[32]``; production target is a large
+multi-executor cluster reading ~100 TB, so every knob here is chosen to
+also make sense at that scale (AQE on, skew-join handling on, sane
+shuffle parallelism, Arrow for the Python boundary).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults sized for the local[32] test box; on a real cluster these are
+# overridden by spark-submit conf (shuffle partitions ~ 2-3x total cores).
+_LOCAL_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def build_session(app_name: str = "flink-mingo-tail-spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    """Create (or fetch) a SparkSession with scale-aware defaults."""
+    builder = (
+        SparkSession.builder.master(f"local[{_LOCAL_CPUS}]")
+        .appName(app_name)
+        # AQE: runtime coalescing, skew-join splitting, join re-planning.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _LOCAL_CPUS))
+        # Deterministic timestamp semantics for the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for any pandas_udf / toPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def prepare_session(spark: SparkSession) -> SparkSession:
+    """Normalize an externally supplied session (e.g. the driver's).
+
+    Queries must produce identical values regardless of who built the
+    session, so pin the semantics-affecting confs here. Idempotent.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
