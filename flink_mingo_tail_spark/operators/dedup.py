@@ -1,0 +1,149 @@
+"""Deduplication operator family (north-star extension, SURVEY.md §2B):
+exact dedup, content-hash dedup, MinHash signatures + LSH candidate
+generation, SimHash.
+
+Everything here is a *pure Catalyst expression builder* — no Python UDFs,
+no explode-join for signatures. Signatures are computed per-row with
+array lambdas (`transform`/`filter`/`aggregate`), so the only shuffle in
+the whole family is the final LSH bucket join / group. That is the
+100 TB-shape: O(rows) narrow work, then a shuffle keyed on band buckets
+whose fan-in is controlled by the banding parameters.
+
+Hash function: the low 60 bits of md5 (hex-prefix → bigint). md5 is
+bit-identical in every engine (unlike xxhash64/murmur whose seeds and
+variants differ), which is what lets the DuckDB oracle reproduce the
+exact signatures. Rehashing per band index j is done by salting the
+input with ``j:``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_long(col: Column) -> Column:
+    """60-bit deterministic hash: bigint from the first 15 hex digits of
+    md5. Oracle twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def salted_md5_long(col: Column, salt: int) -> Column:
+    return md5_long(F.concat(F.lit(f"{salt}:"), col))
+
+
+def sql_md5_long(expr: str, salt: int | None = None) -> str:
+    inner = expr if salt is None else f"concat('{salt}:', {expr})"
+    return f"('0x' || substr(md5({inner}), 1, 15))::BIGINT"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace unigram tokens (documents use single-space separators)."""
+    return F.split(text, " ", -1)
+
+
+def word_shingles(toks: Column, n: int) -> Column:
+    """Word n-gram shingles as strings, built with array lambdas only."""
+    if n == 1:
+        return toks
+    # positions 1..size-n+1, each joined n-gram via slice+concat
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def _salted_hasher(j: int):
+    # NB: must return a SINGLE-parameter lambda — PySpark interprets a
+    # two-parameter lambda (even with a default) as (element, index).
+    return lambda s: salted_md5_long(s, j)
+
+
+def minhash_signature(shingle_col: Column, k: int) -> Column:
+    """k-permutation MinHash signature: per row, k array_min folds over
+    salted hashes of the shingles. No shuffle, no explode."""
+    return F.array(
+        *[F.array_min(F.transform(shingle_col, _salted_hasher(j))) for j in range(k)]
+    )
+
+
+def sql_minhash_signature(shingles_expr: str, k: int) -> str:
+    parts = ", ".join(
+        f"list_min(list_transform({shingles_expr}, s -> {sql_md5_long('s', j)}))" for j in range(k)
+    )
+    return f"[{parts}]"
+
+
+def lsh_band_keys(sig: Column, rows_per_band: int, k: int) -> Column:
+    """Band the signature into k/rows_per_band keys; docs sharing any
+    band key become candidate pairs. Key = 'band_index:v1:v2:...'."""
+    assert k % rows_per_band == 0
+    bands = []
+    for b in range(k // rows_per_band):
+        vals = [sig.getItem(b * rows_per_band + r).cast("string") for r in range(rows_per_band)]
+        bands.append(F.concat_ws(":", F.lit(str(b)), *vals))
+    return F.array(*bands)
+
+
+def sql_lsh_band_keys(sig_expr: str, rows_per_band: int, k: int) -> str:
+    bands = []
+    for b in range(k // rows_per_band):
+        vals = " , ".join(
+            f"CAST({sig_expr}[{b * rows_per_band + r + 1}] AS VARCHAR)" for r in range(rows_per_band)
+        )
+        bands.append(f"concat_ws(':', '{b}', {vals})")
+    return "[" + ", ".join(bands) + "]"
+
+
+def signature_agreement(sig_a: Column, sig_b: Column, k: int) -> Column:
+    """Estimated Jaccard: fraction of agreeing signature components."""
+    matches = F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda m: m))
+    return matches / F.lit(float(k))
+
+
+def simhash(toks: Column, bits: int = 16) -> Column:
+    """SimHash over distinct tokens: bit b is set iff the majority of
+    token hashes have bit b set. Pure array expressions per row."""
+    distinct = F.array_distinct(toks)
+    hashes = F.transform(distinct, md5_long)
+    n = F.size(hashes)
+
+    def bit_set(b: int):
+        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+
+    acc = F.lit(0)
+    for b in range(bits):
+        ones = F.size(F.filter(hashes, bit_set(b)))
+        acc = acc + F.when(ones * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
+    return acc
+
+
+def sql_token_hashes(toks_expr: str) -> str:
+    """Oracle list of per-distinct-token hashes (pair with sql_simhash_bits
+    via a CTE so the hash list is computed once)."""
+    return f"list_transform(list_distinct({toks_expr}), t -> {sql_md5_long('t')})"
+
+
+def sql_simhash_bits(hash_col: str, bits: int = 16) -> str:
+    """Oracle bit-assembly over a precomputed hash-list column."""
+    terms = []
+    for b in range(bits):
+        ones = f"len(list_filter({hash_col}, x -> (x >> {b}) & 1 = 1))"
+        terms.append(f"(CASE WHEN {ones} * 2 > len({hash_col}) THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
+    """Exact dedup keeping the first row per key under a deterministic
+    order (row_number window — the scalable idiom; dropDuplicates picks
+    an arbitrary row, which breaks replay determinism)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )

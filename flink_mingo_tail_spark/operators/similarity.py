@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (north-star extension,
+SURVEY.md §2B "near-dup / similarity search").
+
+Two tiers, same API:
+
+* ``knn_bruteforce`` — exact cosine top-k. The small-query-set baseline:
+  broadcast the queries, scan the corpus once, per-partition top-k via a
+  window. Correct at any scale when the query set is small (the corpus
+  is never collected).
+* ``knn_lsh`` — random-hyperplane LSH (sign-bit buckets). The 100 TB
+  path: corpus hashed once to integer buckets, candidate set = bucket
+  (+ optional multi-probe Hamming-1 neighbors), exact cosine re-rank
+  only within candidates. Hyperplanes are seeded → deterministic plans.
+
+All vector math is Catalyst array expressions (`zip_with` + `aggregate`
+fold — sequential, hence bit-reproducible); no UDF in either path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic summation order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def rounded_cosine(a: Column, b: Column, digits: int = 6) -> Column:
+    """Cosine rounded for cross-engine comparison: double-fold drift is
+    ~1e-15 for 64-dim vectors, so 6 digits is collision-safe."""
+    return F.round(cosine(a, b), digits)
+
+
+SQL_COSINE = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+    "sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qv",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector by cosine (desc), id-tiebroken.
+
+    Plan shape: broadcast-nested-loop of a SMALL query set against the
+    corpus scan, then TopK per query via window — one pass over the
+    corpus, no corpus-side shuffle of vectors."""
+    joined = corpus.crossJoin(F.broadcast(queries)).filter(F.col(corpus_id) != F.col(query_id))
+    scored = joined.select(
+        query_id,
+        corpus_id,
+        rounded_cosine(F.col(query_vec), F.col(corpus_vec)).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id, "rank")
+    )
+
+
+def hyperplanes(n_bits: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes for sign-bit LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def hyperplane_tables(n_tables: int, n_bits: int, dim: int, seed: int = 42) -> list[np.ndarray]:
+    """L independent hyperplane sets (multi-table LSH). Recall for a
+    neighbor with per-bit agreement p is 1-(1-p^b)^L — tune L up for
+    recall, b up for selectivity; memory/shuffle cost scales with L."""
+    rng = np.random.default_rng(seed)
+    return [rng.standard_normal((n_bits, dim)) for _ in range(n_tables)]
+
+
+def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Integer LSH bucket: bit j = sign(vec · plane_j). Pure expressions —
+    the plane components are literals folded into codegen."""
+    acc = F.lit(0)
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        acc = acc + F.when(dot(vec, lit_plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return acc
+
+
+def knn_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    tables: list[np.ndarray],
+    multiprobe: bool = True,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qv",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH: bucket the corpus once
+    per table (narrow map, L int keys per row), equi-join queries to
+    corpus on (table, bucket), exact cosine re-rank within candidates.
+
+    Recall comes from two standard knobs: L independent tables
+    (1-(1-p^b)^L) and Hamming-1 multi-probe on the query side (b extra
+    probes per table — query-side only, so corpus storage stays L keys).
+    At scale this is the IVF-style sublinear path: the join touches only
+    colliding buckets, the shuffle key is a small int pair, and skewed
+    buckets split under AQE."""
+    n_bits = len(tables[0])
+    corpus_b = corpus.select(
+        F.col(corpus_id),
+        F.col(corpus_vec),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        lsh_bucket(F.col(corpus_vec), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(corpus_id, corpus_vec, "tb.table", "tb.bucket")
+
+    probe_structs = []
+    for t, planes in enumerate(tables):
+        b0 = lsh_bucket(F.col(query_vec), planes)
+        probe_structs.append(F.struct(F.lit(t).alias("table"), b0.alias("bucket")))
+        if multiprobe:
+            probe_structs.extend(
+                F.struct(F.lit(t).alias("table"), b0.bitwiseXOR(F.lit(1 << j)).alias("bucket"))
+                for j in range(n_bits)
+            )
+    q_probes = queries.select(
+        F.col(query_id), F.col(query_vec), F.explode(F.array(*probe_structs)).alias("tb")
+    ).select(query_id, query_vec, "tb.table", "tb.bucket")
+
+    joined = corpus_b.join(F.broadcast(q_probes), ["table", "bucket"]).filter(
+        F.col(corpus_id) != F.col(query_id)
+    )
+    scored = joined.select(
+        query_id,
+        corpus_id,
+        rounded_cosine(F.col(query_vec), F.col(corpus_vec)).alias("cos_sim"),
+    ).dropDuplicates([query_id, corpus_id])
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id, "rank")
+    )

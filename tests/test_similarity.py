@@ -1,0 +1,49 @@
+"""LSH ANN quality: recall of q78 (approximate) vs q76 (exact top-k).
+
+The LSH path has no SQL oracle (approximate by construction), so this
+test is its correctness gate: with 8-bit sign-LSH + Hamming-1 multiprobe
+on 64-dim near-random vectors, candidate buckets cover a large share of
+true neighbors; we assert a conservative floor and exactness of the
+scores it does return.
+"""
+
+from __future__ import annotations
+
+from flink_mingo_tail_spark.queries import load_registry
+
+from .conftest import SF_ORACLE
+
+REGISTRY = load_registry()
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    exact = REGISTRY["q76_knn_bruteforce"].fn(spark, SF_ORACLE).collect()
+    approx = REGISTRY["q78_knn_lsh"].fn(spark, SF_ORACLE).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    approx_scores = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+        approx_scores[(r.query_id, r.vec_id)] = r.cos_sim
+
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    recall = hits / total
+    assert recall >= 0.5, f"LSH recall collapsed: {recall:.2f} ({hits}/{total})"
+
+    # Scores for returned pairs must equal the exact cosine (re-rank is exact).
+    exact_scores = {(r.query_id, r.vec_id): r.cos_sim for r in exact}
+    for key, score in approx_scores.items():
+        if key in exact_scores:
+            assert score == exact_scores[key], f"score drift for {key}"
+
+
+def test_lsh_returns_k_per_query(spark):
+    approx = REGISTRY["q78_knn_lsh"].fn(spark, SF_ORACLE).collect()
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), f"rank gaps for query {q}"
