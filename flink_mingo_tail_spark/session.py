@@ -31,6 +31,9 @@ def build_session(app_name: str = "flink-mingo-tail-spark", *, shuffle_partition
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for any pandas_udf / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Allow custom Python data sources to receive pushed filters
+        # (sources/oplog.py implements the reference's server-side $match).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
@@ -47,4 +50,8 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # static conf on some builds; only the custom source needs it
     return spark

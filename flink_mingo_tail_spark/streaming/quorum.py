@@ -1,0 +1,177 @@
+"""Quorum deduplication — the reference's core stateful operator.
+
+Semantics (ref MongoDBOplogSource.java:116-128): every logical op
+arrives once per replica member of its shard; the operator emits each op
+EXACTLY ONCE, as soon as it has been confirmed by a quorum of members,
+and never again (while its state lives — see TTL below).
+
+Three deliberate fixes over the reference (SURVEY.md §4.3):
+
+* **majority quorum, not all-members** — the reference requires
+  `replicaDepth` arrivals, so one dead replica stalls emission forever
+  and strands its counter entries. Quorum here defaults to
+  ``replica_depth // 2 + 1``.
+* **event-time state TTL** — keys that never reach quorum are evicted
+  once the watermark passes (op event time + ttl), instead of leaking
+  (`documentCounter` in the reference grows unboundedly). Event-time
+  timers keep micro-batches purely data-driven (processing-time timers
+  would spin empty cleanup batches).
+* **offsets commit after sink commit** — inherited from Structured
+  Streaming's checkpoint protocol, fixing the reference's
+  checkpoint-before-emit loss window.
+
+Spark mapping: keyed state via ``applyInPandasWithState`` on the op id
+``h`` with ``EventTimeTimeout``. State = (arrivals seen, emitted?, first
+payload). The operator sits directly downstream of the source — before
+any wide transformation — mirroring the reference's "dedup before
+fan-out" plan shape (SURVEY.md §4.1), which shrinks the stream
+replica_depth× before any shuffle. Like dropDuplicatesWithinWatermark,
+exactly-once holds for deliveries within the TTL horizon; stragglers
+beyond it restart the count (documented at-least-once tail).
+
+Batch twin: ``quorum_dedup_batch`` (used by the oracle-checked q62 and
+the replay tests).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Envelope of a logical op flowing out of the (simulated) oplog source.
+# Field names follow the oplog schema (FIXTURES.md A1; names from the
+# reference's MongoDBConstants.java:24-28).
+OP_SCHEMA = StructType(
+    [
+        StructField("h", LongType(), False),
+        StructField("ts_t", IntegerType(), False),
+        StructField("ts_i", IntegerType(), False),
+        StructField("op", StringType(), False),
+        StructField("ns", StringType(), False),
+        StructField("o", StringType(), True),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("seen", IntegerType(), False),
+        StructField("emitted", BooleanType(), False),
+        StructField("ts_t", IntegerType(), True),
+        StructField("ts_i", IntegerType(), True),
+        StructField("op", StringType(), True),
+        StructField("ns", StringType(), True),
+        StructField("o", StringType(), True),
+    ]
+)
+
+_OUT_COLS = [f.name for f in OP_SCHEMA.fields]
+
+
+def _quorum_fn(quorum: int, state_ttl_ms: int):
+    """Build the per-key stateful function (module-level factory so Spark
+    can pickle the closure to executors)."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # Sub-quorum straggler (or long-emitted key): evict — the fix
+            # for the reference's unbounded documentCounter leak.
+            state.remove()
+            return
+        (h,) = key
+        seen, emitted, ts_t, ts_i, op, ns, o = (
+            state.get if state.exists else (0, False, None, None, None, None, None)
+        )
+        n_new = 0
+        max_event_ms = 0
+        for pdf in pdfs:
+            if len(pdf):
+                if ts_t is None:
+                    first = pdf.iloc[0]
+                    ts_t, ts_i, op, ns, o = (
+                        int(first["ts_t"]),
+                        int(first["ts_i"]),
+                        first["op"],
+                        first["ns"],
+                        first["o"],
+                    )
+                max_event_ms = max(max_event_ms, int(pdf["ts_t"].max()) * 1000)
+                n_new += len(pdf)
+        seen += n_new
+        if not emitted and seen >= quorum:
+            emitted = True
+            yield pd.DataFrame([[h, ts_t, ts_i, op, ns, o]], columns=_OUT_COLS)
+        state.update((seen, emitted, ts_t, ts_i, op, ns, o))
+        # Event-time TTL: state lives until watermark > op time + ttl.
+        # Guard: Spark requires the timeout to sit beyond the watermark.
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(max_event_ms + state_ttl_ms, wm + 1))
+
+    return fn
+
+
+def quorum_dedup_stream(
+    ops: DataFrame,
+    replica_depth: int,
+    quorum: int | None = None,
+    state_ttl_ms: int = 60_000,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming quorum dedup keyed by op id `h`.
+
+    ``ops`` must carry the OP_SCHEMA columns (extra columns such as
+    member_host are dropped — they only exist to multiply deliveries).
+    The oplog timestamp seconds (`ts_t`) provide the event-time clock
+    for the watermark and state TTL.
+    """
+    q = quorum if quorum is not None else replica_depth // 2 + 1
+    with_time = ops.select(*_OUT_COLS).withColumn(
+        "event_ts", F.timestamp_seconds(F.col("ts_t"))
+    )
+    return (
+        with_time.withWatermark("event_ts", watermark_delay)
+        .groupBy("h")
+        .applyInPandasWithState(
+            _quorum_fn(q, state_ttl_ms),
+            outputStructType=OP_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def quorum_dedup_batch(ops: DataFrame, replica_depth: int, quorum: int | None = None) -> DataFrame:
+    """Batch twin (same emission set on a bounded replay): group by op id,
+    emit the first-delivered payload of every op with >= quorum arrivals.
+    One hash-shuffle on `h` — the replay/backfill path at scale."""
+    q = quorum if quorum is not None else replica_depth // 2 + 1
+    w_first = F.struct(
+        F.col("member_host"), F.col("ts_t"), F.col("ts_i"), F.col("op"), F.col("ns"), F.col("o")
+    )
+    agg = (
+        ops.groupBy("h")
+        .agg(F.count("*").alias("seen"), F.min(w_first).alias("first"))
+        .filter(F.col("seen") >= q)
+    )
+    return agg.select(
+        "h",
+        F.col("first.ts_t").alias("ts_t"),
+        F.col("first.ts_i").alias("ts_i"),
+        F.col("first.op").alias("op"),
+        F.col("first.ns").alias("ns"),
+        F.col("first.o").alias("o"),
+    )
