@@ -1,0 +1,138 @@
+"""Multimodal column handling (north-star extension, SURVEY.md §2B
+"multimodal columns"): image/audio/video as opaque `binary` columns with
+typed metadata, processed by Arrow-batched pandas functions.
+
+The Spark-side plumbing here is REAL and load-bearing at scale:
+
+* a typed envelope schema (binary payload + metadata struct) that
+  partitions and prunes like any other column;
+* `mapInPandas` operators that stream Arrow batches through Python
+  without ever materializing a partition;
+* deterministic, per-row pure transforms => safe under task retry.
+
+The codecs are NOT real: this container has no image/audio libraries, so
+decode/resize/frame-sample use a clearly-marked deterministic fake
+(`_FAKE_CODEC`) and raise ``NotImplementedError`` when a real codec is
+requested. Swapping in PIL/ffmpeg later changes only the inside of the
+batch functions — schema, batching, and plan shape stay identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, duration_ms:int, format:string>"
+)
+
+FEATURE_DIM = 16
+
+_FAKE_CODEC = True  # no PIL/ffmpeg in this environment — see module docstring
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """Deterministic fake media corpus derived from the documents table:
+    payload bytes = sha256 stream of the text (stable across runs/engines),
+    alternating image/audio kinds with plausible metadata."""
+    payload = F.sha2(F.col("text"), 256).cast("binary")  # hex string bytes, 64 B
+    kind = F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio")
+    meta = F.struct(
+        F.when(F.col("doc_id") % 2 == 0, (F.col("doc_id") % 8 + 1) * 64).otherwise(None).cast("int").alias("width"),
+        F.when(F.col("doc_id") % 2 == 0, (F.col("doc_id") % 4 + 1) * 64).otherwise(None).cast("int").alias("height"),
+        F.when(F.col("doc_id") % 2 == 1, 16000).otherwise(None).cast("int").alias("sample_rate"),
+        F.when(F.col("doc_id") % 2 == 1, (F.col("doc_id") % 30 + 1) * 1000).otherwise(None).cast("int").alias("duration_ms"),
+        F.when(F.col("doc_id") % 2 == 0, "png").otherwise("wav").alias("format"),
+    )
+    return documents.select(
+        F.col("doc_id").alias("media_id"), kind.alias("kind"), payload.alias("payload"), meta.alias("meta")
+    )
+
+
+def _feature_vector(payload: bytes) -> list[float]:
+    """Deterministic fake featurizer: normalized 16-bin byte histogram.
+    Stands in for a CNN/audio embedding; same signature, same batch shape."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+    total = float(hist.sum()) or 1.0
+    return [round(float(h) / total, 6) for h in hist]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """media -> (media_id, kind, feature array<float>) via mapInPandas:
+    Arrow batches in, Arrow batches out; nothing row-at-a-time, nothing
+    collected. This is the decode/featurize plan shape for binary columns
+    at 100 TB (pair with spark.sql.files.maxPartitionBytes tuning so a
+    batch of payloads fits executor memory)."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": pdf["payload"].map(_feature_vector),
+                }
+            )
+            yield out
+
+    return media.mapInPandas(featurize, schema=f"media_id long, kind string, feature array<double>")
+
+
+def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:
+    """Decode image payloads to (width, height, n_pixel_bytes).
+
+    ``codec='fake'`` derives dimensions deterministically from metadata
+    (real plumbing, fake pixels). Any real codec raises until an imaging
+    library is available."""
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r}: no imaging library in this environment; "
+            "only the deterministic 'fake' codec is wired (see module docstring)"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["meta"]
+            width = meta.map(lambda m: m["width"] if m is not None else None)
+            height = meta.map(lambda m: m["height"] if m is not None else None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "n_pixel_bytes": (width.fillna(0) * height.fillna(0) * 3).astype("int64"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        decode, schema="media_id long, width int, height int, n_pixel_bytes long"
+    )
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000, codec: str = "fake") -> DataFrame:
+    """Audio/video frame sampling: one output row per sampled frame
+    offset — the explode-shaped multimodal operator. Fake codec emits
+    deterministic frame checksums from (payload sha, offset)."""
+    if codec != "fake":
+        raise NotImplementedError("only the deterministic 'fake' codec is wired")
+    audio = media.filter(F.col("kind") == "audio")
+    offsets = F.sequence(F.lit(0), F.col("meta.duration_ms") - 1, F.lit(every_ms))
+    frame = audio.select(
+        "media_id",
+        F.explode(offsets).alias("frame_ms"),
+        F.sha2(F.concat(F.hex(F.col("payload")), F.lit(":"), F.col("meta.duration_ms").cast("string")), 256).alias("_base"),
+    )
+    return frame.select(
+        "media_id",
+        "frame_ms",
+        F.substring(F.sha2(F.concat(F.col("_base"), F.lit("@"), F.col("frame_ms").cast("string")), 256), 1, 16).alias(
+            "frame_checksum"
+        ),
+    )

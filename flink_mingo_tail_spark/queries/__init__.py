@@ -61,6 +61,7 @@ _MODULES = (
     "similarity",
     "text",
     "streaming_batch",
+    "multimodal_udf",
 )
 
 

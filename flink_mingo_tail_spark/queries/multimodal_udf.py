@@ -1,0 +1,174 @@
+"""Multimodal-column queries (q94/q95) and the UDF/UDAF/UDTF surface
+(q96-q98; SURVEY.md §2B "UDF / UDAF / UDTF surface").
+
+UDF queries exist to prove the slow-path machinery (Arrow-batched
+pandas_udf / applyInPandas / UDTF), not as the preferred plan — every
+one of them has a pure-Catalyst equivalent that the oracle SQL mirrors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from flink_mingo_tail_spark.operators.multimodal import extract_features, synthesize_media
+from flink_mingo_tail_spark.queries import query
+from flink_mingo_tail_spark.session import prepare_session
+from flink_mingo_tail_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prepare_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q94_multimodal_metadata",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+               CAST(sha256(text) AS BLOB) AS payload,
+               CASE WHEN doc_id % 2 = 0 THEN ((doc_id % 8 + 1) * 64)::INT END AS width,
+               CASE WHEN doc_id % 2 = 0 THEN ((doc_id % 4 + 1) * 64)::INT END AS height,
+               CASE WHEN doc_id % 2 = 1 THEN ((doc_id % 30 + 1) * 1000)::INT END AS duration_ms
+        FROM documents
+    )
+    SELECT kind,
+           count(*) AS n,
+           sum(octet_length(payload)) AS total_payload_bytes,
+           sum(CAST(width AS BIGINT) * height) AS total_pixels,
+           sum(CAST(duration_ms AS BIGINT)) AS total_duration_ms
+    FROM media
+    GROUP BY kind
+    ORDER BY kind
+    """,
+)
+def q94_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed multimodal envelope (binary payload + metadata struct,
+    operators/multimodal.py): metadata-only aggregation never touches the
+    payload bytes — column pruning keeps the 100 TB blob column on disk."""
+    media = synthesize_media(_t(spark, sf_dir, "documents"))
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("payload")).alias("total_payload_bytes"),
+            F.sum(F.col("meta.width").cast("long") * F.col("meta.height")).alias("total_pixels"),
+            F.sum(F.col("meta.duration_ms").cast("long")).alias("total_duration_ms"),
+        )
+        .orderBy("kind")
+    )
+
+
+@query("q95_multimodal_features", oracle=None)
+def q95_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → feature vector via Arrow-batched mapInPandas
+    (deterministic fake featurizer; real Spark plumbing — see
+    operators/multimodal.py). Rows-only driver check; determinism and
+    batch-shape are asserted in tests/test_multimodal.py."""
+    media = synthesize_media(_t(spark, sf_dir, "documents"))
+    return extract_features(media).orderBy("media_id")
+
+
+@query(
+    "q96_pandas_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_quantity > 40
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT 1000
+    """,
+)
+def q96_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas_udf (Arrow series in/out). Per-row double
+    multiplication is IEEE-identical to the oracle's SQL arithmetic —
+    and this stays the *demonstration* path: the same expression as a
+    built-in column op is what production plans should use."""
+
+    @pandas_udf("double")
+    def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1.0 - discount)
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 40)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            net_price(F.col("l_extendedprice"), F.col("l_discount")).alias("net_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(1000)
+    )
+
+
+@query(
+    "q97_grouped_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT))
+             / (100.0 * sum(CAST(l_quantity AS BIGINT))) AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q97_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregation via applyInPandas (quantity-weighted
+    mean price, exact scaled-integer arithmetic inside numpy int64)."""
+
+    def weighted(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(pdf["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        qty = pdf["l_quantity"].to_numpy().astype(np.int64)
+        value = float((cents * qty).sum()) / (100.0 * float(qty.sum()))
+        return pd.DataFrame({"l_returnflag": [pdf["l_returnflag"].iloc[0]], "weighted_avg_price": [value]})
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_extendedprice", "l_quantity")
+        .groupBy("l_returnflag")
+        .applyInPandas(weighted, schema="l_returnflag string, weighted_avg_price double")
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q98_udtf_tokenize",
+    oracle="""
+    SELECT doc_id,
+           unnest(toks) AS token,
+           unnest(generate_series(1, len(toks))) AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 50)
+    ORDER BY doc_id, pos
+    """,
+)
+def q98_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one output row per token with its
+    1-based position, applied laterally per input row."""
+
+    @udtf(returnType="token: string, pos: int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield tok, i + 1
+
+    prepare_session(spark)
+    spark.udtf.register("fmts_tokenize", Tokenize)
+    load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).createOrReplaceTempView(
+        "docs_small"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM docs_small d, LATERAL fmts_tokenize(d.text) t
+        ORDER BY d.doc_id, t.pos
+        """
+    )

@@ -1,0 +1,61 @@
+"""Multimodal plumbing: schema, Arrow batch shape, determinism, and the
+stubbed-codec gate (operators/multimodal.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_mingo_tail_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_image,
+    extract_features,
+    frame_sample,
+    synthesize_media,
+)
+from flink_mingo_tail_spark.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synthesize_media(load_table(spark, SF_SMOKE, "documents"))
+
+
+def test_media_schema_and_payloads(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    row = media.orderBy("media_id").first()
+    assert len(row.payload) == 64  # sha256 hex bytes
+    kinds = {r.kind for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio"}
+
+
+def test_feature_extraction_deterministic(spark, media):
+    f1 = extract_features(media).orderBy("media_id").collect()
+    f2 = extract_features(media).orderBy("media_id").collect()
+    assert f1 == f2  # deterministic across runs (task-retry safe)
+    for r in f1[:10]:
+        assert len(r.feature) == FEATURE_DIM
+        assert abs(sum(r.feature) - 1.0) < 1e-4  # normalized histogram
+
+
+def test_decode_image_fake_codec_and_gate(media):
+    decoded = decode_image(media, codec="fake").collect()
+    assert all(r.n_pixel_bytes == r.width * r.height * 3 for r in decoded)
+    with pytest.raises(NotImplementedError, match="imaging library"):
+        decode_image(media, codec="pillow")
+
+
+def test_frame_sample_counts(media):
+    frames = frame_sample(media, every_ms=1000)
+    per_media = frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    durations = {
+        r.media_id: r["meta"]["duration_ms"]
+        for r in media.filter(F.col("kind") == "audio").select("media_id", "meta").collect()
+    }
+    for r in per_media:
+        expected = (durations[r.media_id] - 1) // 1000 + 1
+        assert r.n == expected, f"media {r.media_id}: {r.n} != {expected}"
+    # checksums unique per (media, frame)
+    assert frames.count() == frames.select("media_id", "frame_checksum").distinct().count()
