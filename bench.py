@@ -27,8 +27,9 @@ from flink_mingo_tail_spark.tables import TABLE_NAMES, load_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Representative, scale-sensitive subset: scans/filters, fact-fact and
-# broadcast joins, aggregation families, windows, set ops, CDC analogs.
+# Representative, scale-sensitive subset across every operator family:
+# scans/filters, fact-fact + broadcast joins, aggregation families,
+# windows, set ops, CDC analogs, dedup/similarity/text, multimodal.
 HEADLINE = [
     "q01_pricing_summary",
     "q02_filter_project_topk",
@@ -45,6 +46,13 @@ HEADLINE = [
     "q44_intersect_all",
     "q55_explode_posexplode",
     "q62_cdc_quorum_dedup",
+    "q73_minhash_lsh_dedup",
+    "q76_knn_bruteforce",
+    "q80_token_stats",
+    "q83_doc_fingerprint",
+    "q90_tumbling_window",
+    "q92_session_window",
+    "q95_multimodal_features",
 ]
 
 

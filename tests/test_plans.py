@@ -1,0 +1,105 @@
+"""Physical-plan regression tests — the scale contract (SURVEY.md §4.4).
+
+Correctness tests prove the answers match; these prove the PLANS stay
+the ones that survive 100 TB: filters pushed to the Parquet scan,
+columns pruned, fixed-size dims broadcast, top-k compiled to
+TakeOrderedAndProject, aggregates partial+final, no accidental
+cartesian products.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from flink_mingo_tail_spark.queries import load_registry
+
+from .conftest import SF_ORACLE
+
+REGISTRY = load_registry()
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_ORACLE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "q02_filter_project_topk")
+    assert "GreaterThanOrEqual(l_quantity,45.0)" in plan
+    assert "GreaterThan(l_discount,0.05)" in plan
+    # column pruning: untouched wide columns never leave the scan
+    assert "l_partkey" not in plan
+    assert "l_tax" not in plan
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    plan = plan_of(spark, "q02_filter_project_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalSort" not in plan
+
+
+def test_dim_joins_broadcast(spark):
+    plan = plan_of(spark, "q11_broadcast_dim_join")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_aggregate_is_partial_plus_final(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    # two HashAggregate nodes (partial on the map side, final after the
+    # exchange) => map-side combine is in effect
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_cross_join_only_where_declared(spark):
+    # q16 is declared as crossJoin+filter, but Catalyst extracts the
+    # region-key equality into a hash-join key and keeps only the theta
+    # residual as the join condition — assert that optimization holds
+    # (a true cartesian here would be the regression).
+    plan = plan_of(spark, "q16_cross_theta_join")
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+    # fact-fact joins must never degrade to nested loop
+    for name in ("q10_inner_join_agg", "q17_range_join"):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_semi_anti_join_operators(spark):
+    assert "LeftSemi" in plan_of(spark, "q14_semi_join")
+    assert "LeftAnti" in plan_of(spark, "q15_anti_join")
+
+
+def test_lsh_join_is_equi_not_cartesian(spark):
+    # the whole point of LSH blocking: candidate generation is an
+    # equi-join on band/bucket keys, never an all-pairs product
+    plan = plan_of(spark, "q73_minhash_lsh_dedup")
+    assert "CartesianProduct" not in plan
+
+
+def test_text_pipeline_has_no_python_udf(spark):
+    # text operators must stay JVM-side (codegen), no Python boundary
+    for name in ("q80_token_stats", "q81_lang_id", "q83_doc_fingerprint"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name", ["q60_cdc_filter_pushdown", "q20_groupby_battery"]
+)
+def test_events_queries_prune_columns(spark, name):
+    plan = plan_of(spark, name)
+    # props is the wide JSON payload column; queries not using it must
+    # never read it
+    if name == "q20_groupby_battery":
+        assert "props" not in plan
