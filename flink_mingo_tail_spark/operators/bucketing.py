@@ -1,0 +1,35 @@
+"""Bucketed (co-located) joins — the zero-shuffle path for repeated
+fact-fact joins (SURVEY.md §2B broadcast/bucketing row; pyspark guide
+"Partitioning & shuffle").
+
+At 100 TB, orders⋈lineitem on orderkey shuffles both fact tables every
+time it runs. Writing both sides bucketed (and sorted) by the join key
+moves that shuffle to write time, once: every subsequent join reads
+co-located buckets and sort-merge-joins with NO Exchange on either side.
+This module wraps the write/read discipline; tests/test_bucketing.py
+asserts the Exchange-free plan and result equality with the shuffled
+join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, key: str, n_buckets: int, sort: bool = True
+) -> None:
+    """Persist as a bucketed, per-bucket-sorted managed table. n_buckets
+    should match downstream parallelism (cluster: ~2-4x executor count;
+    both join sides MUST use the same n_buckets to co-locate)."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table_name)
+
+
+def co_located_join(spark: SparkSession, left_table: str, right_table: str, key: str) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key. With matching
+    bucket counts Catalyst plans a sort-merge join whose children are the
+    bucketed scans directly — no Exchange, no sort (buckets pre-sorted)."""
+    return spark.table(left_table).join(spark.table(right_table), key)

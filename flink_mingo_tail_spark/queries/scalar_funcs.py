@@ -370,3 +370,200 @@ def q59_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(400)
     )
+
+
+@query(
+    "q84_levenshtein_datediff",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_brand, p_type) AS brand_type_dist,
+           levenshtein(p_name, reverse(p_name)) AS palindrome_dist
+    FROM part
+    WHERE p_size > 40
+    ORDER BY p_partkey
+    LIMIT 500
+    """,
+)
+def q84_levenshtein_datediff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance battery (levenshtein is ANSI-identical across
+    engines; the fuzzy-matching primitive under record linkage)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_size") > 40)
+        .select(
+            "p_partkey",
+            F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+            F.levenshtein("p_name", F.reverse(F.col("p_name"))).alias("palindrome_dist"),
+        )
+        .orderBy("p_partkey")
+        .limit(500)
+    )
+
+
+@query(
+    "q85_months_between",
+    oracle="""
+    SELECT o_orderkey,
+           date_diff('month', date_trunc('month', TIMESTAMP '1995-01-01'),
+                     date_trunc('month', o_orderdate)) AS months_since_start
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 1000
+    """,
+)
+def q85_months_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month arithmetic. Spark months_between over month-truncated dates
+    is integer-valued, matching DuckDB's date_diff('month') exactly (raw
+    months_between uses 31-day fractions no other engine reproduces)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")),
+                F.date_trunc("month", F.lit("1995-01-01").cast("timestamp")),
+            )
+            .cast("long")
+            .alias("months_since_start"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "q86_json_struct_access",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, 'k') AS BIGINT) AS k_typed,
+           CAST(json_extract_string(props, 'k') AS BIGINT) % 10 AS k_bucket,
+           json_extract_string(props, 'missing') AS absent_field
+    FROM events
+    WHERE CAST(json_extract_string(props, 'k') AS BIGINT) >= 50
+    ORDER BY event_id
+    LIMIT 1000
+    """,
+)
+def q86_json_struct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON payload access via from_json (schema projection of a
+    dynamic document — the §1.3 pattern for the oplog's `o` payloads),
+    plus missing-field null semantics."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k bigint, missing string"))
+    return (
+        parsed.filter(F.col("p.k") >= 50)
+        .select(
+            "event_id",
+            F.col("p.k").alias("k_typed"),
+            (F.col("p.k") % 10).alias("k_bucket"),
+            F.col("p.missing").alias("absent_field"),
+        )
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
+@query(
+    "q87_subquery_in_exists",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n
+    FROM customer c
+    WHERE c.c_nationkey IN (
+            SELECT n.n_nationkey FROM nation n
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name IN ('ASIA', 'EUROPE'))
+      AND EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def q87_subquery_in_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN + correlated EXISTS subqueries in SQL form — Catalyst rewrites
+    both to semi-joins (decorrelation is free, SURVEY §4.4)."""
+    prepare_session(spark)
+    for t in ("customer", "nation", "region", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, count(*) AS n
+        FROM customer c
+        WHERE c.c_nationkey IN (
+                SELECT n.n_nationkey FROM nation n
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE r.r_name IN ('ASIA', 'EUROPE'))
+          AND EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+        """
+    )
+
+
+@query(
+    "q88_unpivot",
+    oracle="""
+    WITH pivoted AS (
+        SELECT l_returnflag,
+               sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_F,
+               sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_O
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'F' AS linestatus, qty_F AS qty FROM pivoted
+    UNION ALL
+    SELECT l_returnflag, 'O' AS linestatus, qty_O AS qty FROM pivoted
+    ORDER BY l_returnflag, linestatus
+    """,
+)
+def q88_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack() — wide-to-long reshaping (inverse of q29)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("long")))
+        .na.fill(0)
+    )
+    return (
+        pivoted.select(
+            "l_returnflag",
+            F.expr("stack(2, 'F', F, 'O', O) AS (linestatus, qty)"),
+        )
+        .select("l_returnflag", "linestatus", "qty")
+        .orderBy("l_returnflag", "linestatus")
+    )
+
+
+@query(
+    "q89_distinct_agg_minby_maxby",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_distinct_price,
+           arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey)
+               AS biggest_order,
+           arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey)
+               AS smallest_order
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q89_distinct_agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum(DISTINCT) and min_by/max_by (arg-extremum) aggregates. The
+    ranking key embeds the orderkey so ties are impossible — max_by on a
+    tied key is engine-arbitrary otherwise."""
+    o = _t(spark, sf_dir, "orders")
+    rank_key = F.round(F.col("o_totalprice") * 100, 0).cast("long") * 1000000 + F.col("o_orderkey")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            (
+                F.sum_distinct(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0
+            ).alias("sum_distinct_price"),
+            F.max_by("o_orderkey", rank_key).alias("biggest_order"),
+            F.min_by("o_orderkey", rank_key).alias("smallest_order"),
+        )
+        .orderBy("o_orderpriority")
+    )

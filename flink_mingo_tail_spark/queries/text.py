@@ -177,3 +177,58 @@ def q83_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(400)
     )
+
+
+@query(
+    "q99_tfidf_top_term",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, t.token, count(*) AS tf
+        FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents) t(doc_id, token)
+        GROUP BY doc_id, t.token
+    ), df AS (
+        SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.token,
+               round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    ), ranked AS (
+        SELECT doc_id, token, tfidf,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, token AS top_term, tfidf FROM ranked
+    WHERE rnk = 1
+    ORDER BY doc_id
+    """,
+)
+def q99_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf with smoothed idf: explode→count (tf), count-distinct per
+    term (df), broadcast the term-df table back onto tf, window top-1
+    per doc. At scale: tf is the inverted index build (one shuffle on
+    (doc,term)); df is tiny (vocab-sized) and broadcasts; the idf join
+    therefore adds no shuffle. Integer tf/df + one ln + round(6) keeps
+    the score bit-identical cross-engine."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar, computed once at plan build
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", F.col("token").alias("top_term"), "tfidf")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,62 @@
+"""Bucketed co-located join: result parity with the shuffled join AND an
+Exchange-free physical plan (the write-once/join-many discipline for
+fact-fact joins at scale)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_mingo_tail_spark.operators.bucketing import co_located_join, write_bucketed
+from flink_mingo_tail_spark.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    write_bucketed(orders.withColumnRenamed("o_orderkey", "orderkey"), "b_orders", "orderkey", 8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "orderkey"), "b_lineitem", "orderkey", 8
+    )
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def _agg(df):
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def test_bucketed_join_no_exchange_and_same_result(spark, bucketed_tables):
+    left, right = bucketed_tables
+    # force the sort-merge path (broadcast would hide the bucketing story)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = co_located_join(spark, left, right, "orderkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+
+        bucketed_result = _agg(joined).collect()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    orders = load_table(spark, SF_SMOKE, "orders").withColumnRenamed("o_orderkey", "orderkey")
+    lineitem = load_table(spark, SF_SMOKE, "lineitem").withColumnRenamed(
+        "l_orderkey", "orderkey"
+    )
+    plain_result = _agg(orders.join(lineitem, "orderkey")).collect()
+    assert bucketed_result == plain_result
