@@ -614,3 +614,20 @@ def q29_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select(
         "l_returnflag", F.col("F").alias("qty_F"), F.col("O").alias("qty_O")
     ).orderBy("l_returnflag")
+
+
+@query("q26b_approx_percentile", oracle=None)
+def q26b_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (t-digest-style sketch) — the constant-memory
+    quantile path for 100 TB (exact percentile q27 sorts per group). No
+    oracle entry: sketch boundaries are engine-specific; the error bound
+    vs the exact percentile is asserted in tests/test_relational.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+            F.percentile_approx("l_extendedprice", [0.25, 0.75], 1000).alias("iqr_approx"),
+        )
+        .orderBy("l_returnflag")
+    )

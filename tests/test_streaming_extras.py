@@ -1,0 +1,204 @@
+"""Remaining SURVEY.md §2B streaming-surface rows not covered by the
+core pipeline tests: rate source, console sink, stream-stream join with
+watermarks, update output mode, maxFilesPerTrigger backpressure,
+per-partition sort."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_mingo_tail_spark.streaming.replay import OplogCase, OPLOG_DDL, op_rows, write_batch
+
+
+def test_rate_source_smoke(spark):
+    """Built-in rate source: schema (timestamp, value) and monotonic values."""
+    stream = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_out")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) n FROM rate_out").collect()[0].n > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM rate_out").collect()
+    assert len(rows) > 0
+    assert {f for f in rows[0].asDict()} == {"timestamp", "value"}
+    values = sorted(r.value for r in rows)
+    assert values == list(range(values[0], values[0] + len(values)))
+
+
+def test_console_sink_runs(spark, tmp_path):
+    """A9 parity: console sink accepts the deduped stream (output goes to
+    driver stdout; the assertion is clean start/processing/stop)."""
+    src = str(tmp_path / "src")
+    write_batch(spark, op_rows(OplogCase(n_ops=3, include_noise=False)), src)
+    stream = spark.readStream.schema(OPLOG_DDL).parquet(src)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("console")
+        .option("numRows", "5")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Watermarked stream-stream inner join (SURVEY §2B join row): clicks
+    joined to purchases of the same user within a bounded time window —
+    both sides carry watermarks so join state is evictable."""
+    src_a = str(tmp_path / "a")
+    src_b = str(tmp_path / "b")
+
+    def write(path, rows):
+        spark.createDataFrame(rows, schema="ts string, user_id long, event_id long").selectExpr(
+            "CAST(ts AS TIMESTAMP) ts", "user_id", "event_id"
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    write(
+        src_a,
+        [
+            ("2024-01-01 10:00:00", 1, 100),
+            ("2024-01-01 10:02:00", 2, 101),
+            ("2024-01-01 12:00:00", 9, 199),
+        ],
+    )
+    write(
+        src_b,
+        [
+            ("2024-01-01 10:01:00", 1, 900),  # within 5 min of click 100 → joins
+            ("2024-01-01 11:00:00", 2, 901),  # 58 min after click 101 → outside bound
+            ("2024-01-01 12:00:30", 9, 999),  # joins
+        ],
+    )
+    clicks = (
+        spark.readStream.schema("ts timestamp, user_id long, event_id long")
+        .parquet(src_a)
+        .withWatermark("ts", "10 minutes")
+        .withColumnRenamed("ts", "click_ts")
+        .withColumnRenamed("event_id", "click_id")
+    )
+    purchases = (
+        spark.readStream.schema("ts timestamp, user_id long, event_id long")
+        .parquet(src_b)
+        .withWatermark("ts", "10 minutes")
+        .withColumnRenamed("ts", "purchase_ts")
+        .withColumnRenamed("event_id", "purchase_id")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.user_id)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (purchases.purchase_ts <= clicks.click_ts + F.expr("INTERVAL 5 MINUTES")),
+    )
+    q = (
+        joined.select("click_id", "purchase_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pairs = {(r.click_id, r.purchase_id) for r in spark.sql("SELECT * FROM ssj_out").collect()}
+    assert pairs == {(100, 900), (199, 999)}
+
+
+def test_update_output_mode(spark, tmp_path):
+    """Update mode emits changed aggregate rows per batch (no watermark
+    needed) — the third output mode after append/complete."""
+    src = str(tmp_path / "src")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema="k string, v long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write([("a", 1), ("b", 1)])
+    stream = spark.readStream.schema("k string, v long").parquet(src)
+    agg = stream.groupBy("k").agg(F.count("*").alias("n"))
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("upd_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write([("a", 2)])  # only 'a' changes in batch 2
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [(r.k, r.n) for r in spark.sql("SELECT * FROM upd_out").collect()]
+    # batch1 emitted a:1, b:1; batch2 emitted only the updated a:2
+    assert sorted(rows) == [("a", 1), ("a", 2), ("b", 1)]
+
+
+def test_max_files_per_trigger_backpressure(spark, tmp_path):
+    """A8 parity (bounded in-flight work): maxFilesPerTrigger=1 splits
+    three files into three micro-batches instead of one gulp."""
+    src = str(tmp_path / "src")
+    for i in range(3):
+        write_batch(
+            spark,
+            op_rows(OplogCase(n_ops=2, h_base=1000 + 100 * i, include_noise=False)),
+            src,
+        )
+    stream = (
+        spark.readStream.schema(OPLOG_DDL).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    batch_sizes = []
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: batch_sizes.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(batch_sizes) >= 3, f"expected >=3 rate-limited batches, got {batch_sizes}"
+    assert sum(batch_sizes) == 18  # 3 waves x 2 ops x 3 members
+
+
+def test_sort_within_partitions(spark):
+    """A4 parity: per-partition ordered scan guarantee — every partition
+    is internally sorted without a global shuffle."""
+    from flink_mingo_tail_spark.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "events").repartition(8, "user_id")
+    df = e.sortWithinPartitions("ts")
+
+    def check(it):
+        import pandas as pd
+
+        for pdf in it:
+            ok = bool(pdf["ts"].is_monotonic_increasing)
+            yield pd.DataFrame({"ok": [ok]})
+
+    flags = df.select("ts").mapInPandas(check, schema="ok boolean").collect()
+    assert all(r.ok for r in flags)
+    # and no global sort: plan shows Sort with global=false only
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Sort [ts" in plan and "false, 0" in plan
