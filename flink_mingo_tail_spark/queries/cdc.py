@@ -174,3 +174,44 @@ def q64_cdc_resume_after_checkpoint(spark: SparkSession, sf_dir: str) -> DataFra
     )
     newer = e.join(ck, "user_id").filter(F.col("ts") > F.col("ck_ts"))
     return newer.groupBy("user_id").agg(F.count("*").alias("n_new")).orderBy("user_id")
+
+
+@query(
+    "q65_cdc_apply_latest_state",
+    oracle="""
+    WITH changelog AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+               ts, event_id, value
+        FROM events
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM changelog
+    )
+    SELECT user_id, event_id AS last_event, value AS last_value
+    FROM ranked
+    WHERE rn = 1 AND op <> 'd'
+    ORDER BY user_id
+    """,
+)
+def q65_cdc_apply_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply (changelog → current state): events re-read as a
+    changelog (errors = deletes, everything else = upserts keyed by
+    user); one window pass keeps each key's latest op, deleted keys
+    vanish (streaming/apply.py:latest_state_batch — the compact-the-
+    changelog job; incremental twin tested in test_cdc_apply.py)."""
+    from flink_mingo_tail_spark.streaming.apply import latest_state_batch
+
+    e = _t(spark, sf_dir, "events")
+    changelog = e.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", "d").otherwise("u").alias("op"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    state = latest_state_batch(changelog, key="user_id", order_by=["ts", "event_id"])
+    return state.select(
+        "user_id", F.col("event_id").alias("last_event"), F.col("value").alias("last_value")
+    ).orderBy("user_id")
