@@ -631,3 +631,37 @@ def q26b_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q19_salted_skew_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n,
+           {sql_dsum('l_extendedprice', 'total_price', 2)}
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q19_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (operators/skew.py): the rewrite for
+    hot group keys that AQE cannot split (one giant group = one reducer).
+    Result is provably identical to the direct aggregate — the oracle IS
+    the direct aggregate — while the hot key fans over 16 sub-groups.
+    l_returnflag has 3 values over the whole table: exactly the shape
+    that melts a reducer at 100 TB without this rewrite."""
+    from flink_mingo_tail_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return salted_agg(
+        li.withColumn("__cents", cents),
+        keys=["l_returnflag"],
+        partial_aggs=[F.count("*").alias("__c"), F.sum("__cents").alias("__s")],
+        final_aggs=[
+            F.sum("__c").alias("n"),
+            (F.sum("__s") / 100.0).alias("total_price"),
+        ],
+        n_salts=16,
+    ).orderBy("l_returnflag")
