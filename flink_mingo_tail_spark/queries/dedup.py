@@ -102,7 +102,7 @@ _SQL_SIG = sql_minhash_signature(f"list_distinct({_SQL_TOKS})", MINHASH_K)
 @query(
     "q72_minhash_signature",
     oracle=f"""
-    SELECT doc_id, {_SQL_SIG} AS sig
+    SELECT doc_id, array_to_string({_SQL_SIG}, ',') AS sig
     FROM documents
     ORDER BY doc_id
     LIMIT 300
@@ -114,7 +114,11 @@ def q72_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the exact signature values."""
     d = _t(spark, sf_dir, "documents")
     sig = minhash_signature(F.array_distinct(tokens(F.col("text"))), MINHASH_K)
-    return d.select("doc_id", sig.alias("sig")).orderBy("doc_id").limit(300)
+    return (
+        d.select("doc_id", F.array_join(sig.cast("array<string>"), ",").alias("sig"))
+        .orderBy("doc_id")
+        .limit(300)
+    )
 
 
 @query(

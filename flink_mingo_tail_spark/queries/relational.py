@@ -493,7 +493,7 @@ def q24_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q25_collect_list_set",
     oracle="""
     SELECT n.n_name,
-           list_sort(list(DISTINCT c.c_mktsegment)) AS segments,
+           array_to_string(list_sort(list(DISTINCT c.c_mktsegment)), ',') AS segments,
            count(*) AS n_customers
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name
@@ -509,7 +509,7 @@ def q25_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias("segments"),
             F.count("*").alias("n_customers"),
         )
         .orderBy("n_name")

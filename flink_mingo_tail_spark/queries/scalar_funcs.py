@@ -198,7 +198,7 @@ def q53_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(tokens) AS n_tokens,
            len(list_distinct(tokens)) AS n_distinct_tokens,
            list_contains(tokens, 'spark') AS has_spark,
-           list_sort(list_distinct(tokens))[1:5] AS first5_sorted,
+           array_to_string(list_sort(list_distinct(tokens))[1:5], ',') AS first5_sorted,
            list_sort(list_transform(list_distinct(tokens), t -> upper(t)))[1] AS first_upper
     FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
     ORDER BY doc_id
@@ -218,7 +218,7 @@ def q54_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("tokens").alias("n_tokens"),
             F.size(F.array_distinct("tokens")).alias("n_distinct_tokens"),
             F.array_contains("tokens", "spark").alias("has_spark"),
-            F.slice(F.sort_array(F.array_distinct("tokens")), 1, 5).alias("first5_sorted"),
+            F.array_join(F.slice(F.sort_array(F.array_distinct("tokens")), 1, 5), ",").alias("first5_sorted"),
             F.sort_array(F.transform(F.array_distinct("tokens"), lambda t: F.upper(t)))
             .getItem(0)
             .alias("first_upper"),
