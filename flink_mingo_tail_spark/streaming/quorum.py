@@ -175,3 +175,93 @@ def quorum_dedup_batch(ops: DataFrame, replica_depth: int, quorum: int | None = 
         F.col("first.ns").alias("ns"),
         F.col("first.o").alias("o"),
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState variant (Spark 4 stateful API)
+# ---------------------------------------------------------------------------
+# Same semantics as quorum_dedup_stream, built on the newer
+# transformWithStateInPandas processor API (typed value state + event-time
+# timers). Kept alongside the applyInPandasWithState form: the older API
+# remains the broadly-deployed one, the processor API is where Spark's
+# stateful streaming is heading (and what SURVEY.md §2A A6 maps to).
+# NOTE: executing this path needs the RocksDB state store provider AND the
+# `protobuf` Python package (Spark's Python state-server protocol); the
+# test (tests/test_quorum_tws.py) skips where protobuf is unavailable.
+
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle  # noqa: E402
+from pyspark.sql.streaming.stateful_processor import TimerValues  # noqa: E402
+
+
+class QuorumProcessor(StatefulProcessor):
+    """Per-key (op id) processor: count replica arrivals, emit the op
+    exactly once at quorum, evict state via an event-time timer."""
+
+    def __init__(self, quorum: int, state_ttl_ms: int) -> None:
+        self._quorum = quorum
+        self._ttl_ms = state_ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._state = handle.getValueState(
+            "quorum",
+            "seen int, emitted boolean, ts_t int, ts_i int, op string, ns string, o string",
+        )
+
+    def handleInputRows(self, key, rows, timerValues: TimerValues):
+        seen, emitted, ts_t, ts_i, op, ns, o = (
+            self._state.get() if self._state.exists() else (0, False, None, None, None, None, None)
+        )
+        max_event_ms = 0
+        for pdf in rows:
+            if len(pdf) and ts_t is None:
+                first = pdf.iloc[0]
+                ts_t, ts_i, op, ns, o = (
+                    int(first["ts_t"]),
+                    int(first["ts_i"]),
+                    first["op"],
+                    first["ns"],
+                    first["o"],
+                )
+            if len(pdf):
+                max_event_ms = max(max_event_ms, int(pdf["ts_t"].max()) * 1000)
+                seen += len(pdf)
+        if not emitted and seen >= self._quorum:
+            emitted = True
+            yield pd.DataFrame([[key[0], ts_t, ts_i, op, ns, o]], columns=_OUT_COLS)
+        self._state.update((seen, emitted, ts_t, ts_i, op, ns, o))
+        wm = timerValues.getCurrentWatermarkInMs()
+        self._handle.registerTimer(max(max_event_ms + self._ttl_ms, wm + 1))
+
+    def handleExpiredTimer(self, key, timerValues: TimerValues, expiredTimerInfo):
+        self._state.clear()
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def quorum_dedup_stream_tws(
+    ops: DataFrame,
+    replica_depth: int,
+    quorum: int | None = None,
+    state_ttl_ms: int = 60_000,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """transformWithStateInPandas form of quorum_dedup_stream (identical
+    emission semantics; requires the RocksDB state store provider, which
+    the caller's session must set — see tests/test_quorum_tws.py)."""
+    q = quorum if quorum is not None else replica_depth // 2 + 1
+    with_time = ops.select(*_OUT_COLS).withColumn(
+        "event_ts", F.timestamp_seconds(F.col("ts_t"))
+    )
+    return (
+        with_time.withWatermark("event_ts", watermark_delay)
+        .groupBy("h")
+        .transformWithStateInPandas(
+            QuorumProcessor(q, state_ttl_ms),
+            outputStructType=OP_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )
