@@ -202,3 +202,56 @@ def test_sort_within_partitions(spark):
     # and no global sort: plan shows Sort with global=false only
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Sort [ts" in plan and "false, 0" in plan
+
+
+def test_streaming_sliding_and_session_windows_match_batch(spark, tmp_path):
+    """Sliding and session windows under readStream (complete mode)
+    produce the same aggregates as their batch forms — the §2B
+    streaming-window rows proven in stream execution, not just batch."""
+    from flink_mingo_tail_spark.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events").limit(2000)
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+
+    sliding = stream.groupBy(F.window("ts", "1 hour", "30 minutes")).agg(
+        F.count("*").alias("n")
+    )
+    session = stream.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count("*").alias("n")
+    )
+    q1 = sliding.writeStream.outputMode("complete").format("memory").queryName("sl_out").start()
+    q2 = session.writeStream.outputMode("complete").format("memory").queryName("se_out").start()
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+    finally:
+        q1.stop()
+        q2.stop()
+
+    batch_events = spark.read.parquet(src)
+    batch_sliding = {
+        (r["window"].start, r["n"])
+        for r in batch_events.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got_sliding = {
+        (r["window"].start, r["n"]) for r in spark.sql("SELECT * FROM sl_out").collect()
+    }
+    assert got_sliding == batch_sliding
+
+    batch_session = {
+        (r["user_id"], r["session_window"].start, r["n"])
+        for r in batch_events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got_session = {
+        (r["user_id"], r["session_window"].start, r["n"])
+        for r in spark.sql("SELECT * FROM se_out").collect()
+    }
+    assert got_session == batch_session
