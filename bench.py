@@ -59,6 +59,53 @@ HEADLINE = [
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
 
+def bench_streaming_pipeline(spark) -> dict:
+    """Throughput of the reference-shaped streaming path: N logical ops
+    delivered 3x (one per replica member) through source → pushed-down
+    filter → majority-quorum dedup → sink. The reference's own envelope
+    was 9 cursors into a 128-slot queue with per-record ES flush
+    (BASELINE.md); this measures the Spark twin end to end."""
+    import shutil
+    import tempfile
+
+    from flink_mingo_tail_spark.streaming.pipeline import build_cdc_stream
+    from flink_mingo_tail_spark.streaming.replay import OplogCase, op_rows, write_batch
+
+    tmp = tempfile.mkdtemp(prefix="fmts-bench-stream-")
+    try:
+        src, ck = f"{tmp}/src", f"{tmp}/ck"
+        n_ops = 50_000
+        write_batch(spark, op_rows(OplogCase(n_ops=n_ops, include_noise=False)), src)
+        stream = spark.readStream.schema(
+            "ts_t int, ts_i int, h long, op string, ns string, fromMigrate boolean, "
+            "o string, o2 string, shard string, member_host string"
+        ).parquet(src)
+        deduped = build_cdc_stream(stream, replica_depth=3)
+        start = time.perf_counter()
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        elapsed = time.perf_counter() - start
+        emitted = spark.read.parquet(f"{tmp}/out").count()
+        assert emitted == n_ops, f"streaming bench lost ops: {emitted}/{n_ops}"
+        return {
+            "n_ops": n_ops,
+            "deliveries": n_ops * 3,
+            "wall_sec": round(elapsed, 3),
+            "ops_per_sec": round(n_ops / elapsed, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     registry = load_registry()
     spark = build_session("fmts-bench")
@@ -83,6 +130,8 @@ def main() -> None:
         qd.fn(spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - start, 3)
 
+    streaming = bench_streaming_pipeline(spark)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -92,6 +141,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "streaming_cdc": streaming,
             }
         )
     )
