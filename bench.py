@@ -59,16 +59,26 @@ HEADLINE = [
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
 
-def bench_streaming_pipeline(spark) -> dict:
+def bench_streaming_pipeline(spark, variant: str = "keyed_state") -> dict:
     """Throughput of the reference-shaped streaming path: N logical ops
     delivered 3x (one per replica member) through source → pushed-down
     filter → majority-quorum dedup → sink. The reference's own envelope
     was 9 cursors into a 128-slot queue with per-record ES flush
-    (BASELINE.md); this measures the Spark twin end to end."""
+    (BASELINE.md); this measures the Spark twin end to end.
+
+    variants: 'keyed_state' (applyInPandasWithState — per-op latency) and
+    'jvm_agg' (windowed aggregation — throughput; see
+    quorum_dedup_stream_agg)."""
     import shutil
     import tempfile
 
-    from flink_mingo_tail_spark.streaming.pipeline import build_cdc_stream
+    import pandas as pd
+
+    from flink_mingo_tail_spark.streaming.pipeline import oplog_filter
+    from flink_mingo_tail_spark.streaming.quorum import (
+        quorum_dedup_stream,
+        quorum_dedup_stream_agg,
+    )
     from flink_mingo_tail_spark.streaming.replay import OplogCase, op_rows, write_batch
 
     tmp = tempfile.mkdtemp(prefix="fmts-bench-stream-")
@@ -76,11 +86,21 @@ def bench_streaming_pipeline(spark) -> dict:
         src, ck = f"{tmp}/src", f"{tmp}/ck"
         n_ops = 50_000
         write_batch(spark, op_rows(OplogCase(n_ops=n_ops, include_noise=False)), src)
+        if variant == "jvm_agg":
+            # sentinel op in the event-time future closes the replay windows
+            sentinel = op_rows(
+                OplogCase(n_ops=1, h_base=10_000_000, ts_base=1_700_600_000, include_noise=False)
+            )
+            write_batch(spark, pd.DataFrame(sentinel), src)
         stream = spark.readStream.schema(
             "ts_t int, ts_i int, h long, op string, ns string, fromMigrate boolean, "
             "o string, o2 string, shard string, member_host string"
         ).parquet(src)
-        deduped = build_cdc_stream(stream, replica_depth=3)
+        filtered = oplog_filter(stream)
+        if variant == "jvm_agg":
+            deduped = quorum_dedup_stream_agg(filtered, replica_depth=3)
+        else:
+            deduped = quorum_dedup_stream(filtered, replica_depth=3)
         start = time.perf_counter()
         q = (
             deduped.writeStream.outputMode("append")
@@ -94,8 +114,8 @@ def bench_streaming_pipeline(spark) -> dict:
         finally:
             q.stop()
         elapsed = time.perf_counter() - start
-        emitted = spark.read.parquet(f"{tmp}/out").count()
-        assert emitted == n_ops, f"streaming bench lost ops: {emitted}/{n_ops}"
+        emitted = spark.read.parquet(f"{tmp}/out").filter("h < 10000000").count()
+        assert emitted == n_ops, f"streaming bench lost ops ({variant}): {emitted}/{n_ops}"
         return {
             "n_ops": n_ops,
             "deliveries": n_ops * 3,
@@ -130,7 +150,8 @@ def main() -> None:
         qd.fn(spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - start, 3)
 
-    streaming = bench_streaming_pipeline(spark)
+    streaming = bench_streaming_pipeline(spark, "keyed_state")
+    streaming_jvm = bench_streaming_pipeline(spark, "jvm_agg")
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -142,6 +163,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "streaming_cdc": streaming,
+                "streaming_cdc_jvm": streaming_jvm,
             }
         )
     )

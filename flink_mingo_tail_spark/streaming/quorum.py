@@ -265,3 +265,57 @@ def quorum_dedup_stream_tws(
             timeMode="eventTime",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pure-JVM windowed-aggregation variant (throughput path)
+# ---------------------------------------------------------------------------
+
+
+def quorum_dedup_stream_agg(
+    ops: DataFrame,
+    replica_depth: int,
+    quorum: int | None = None,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Quorum dedup as a watermarked windowed aggregation — zero Python,
+    zero custom state: everything stays in Tungsten's streaming hash
+    aggregate.
+
+    Key insight making this correct: a MongoDB oplog entry carries the
+    SAME `ts` on every replica member (it is the replicated record), so
+    all deliveries of op `h` land in the same event-time window.
+    `groupBy(window, h).count` therefore accumulates exactly that op's
+    delivery count, and append mode emits the row once, when the
+    watermark closes the window — with the quorum filter applied at
+    emission.
+
+    Tradeoff vs quorum_dedup_stream (Python keyed state): emission waits
+    for window close + watermark delay instead of firing on the Nth
+    arrival. Use this form for throughput-bound ingest (it is ~10x
+    faster — see bench.py streaming_cdc_jvm); use the keyed-state form
+    when per-op latency matters. State is bounded by the watermark in
+    both (here: windows evict automatically).
+    """
+    q = quorum if quorum is not None else replica_depth // 2 + 1
+    with_time = ops.select(*_OUT_COLS).withColumn(
+        "event_ts", F.timestamp_seconds(F.col("ts_t"))
+    )
+    agged = (
+        with_time.withWatermark("event_ts", watermark_delay)
+        .groupBy(F.window("event_ts", window_duration), F.col("h"))
+        .agg(
+            F.count("*").alias("__seen"),
+            F.min(F.struct("ts_t", "ts_i", "op", "ns", "o")).alias("__first"),
+        )
+        .filter(F.col("__seen") >= q)
+    )
+    return agged.select(
+        "h",
+        F.col("__first.ts_t").alias("ts_t"),
+        F.col("__first.ts_i").alias("ts_i"),
+        F.col("__first.op").alias("op"),
+        F.col("__first.ns").alias("ns"),
+        F.col("__first.o").alias("o"),
+    )

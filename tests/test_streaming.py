@@ -286,3 +286,47 @@ def test_quorum_state_ttl_evicts_stragglers(spark, tmpdirs):
         q.stop()
     hs = sorted(r.h for r in spark.sql("SELECT h FROM ttl_out").collect())
     assert hs == [5000], f"straggler leaked an emission: {hs}"
+
+
+def test_quorum_agg_variant_emission_set(spark, tmpdirs):
+    """Pure-JVM windowed-agg quorum (quorum_dedup_stream_agg): same
+    emission set as the keyed-state operator — majority emits once,
+    sub-majority never — with emission gated on window close (a newer
+    sentinel wave advances the watermark to flush the replay)."""
+    from flink_mingo_tail_spark.streaming.quorum import quorum_dedup_stream_agg
+
+    src, _, ck = tmpdirs
+    case = OplogCase(
+        n_ops=12,
+        deliveries={10: (MEMBERS[0],), 11: (MEMBERS[0], MEMBERS[1])},
+        duplicated=(0,),
+        include_noise=False,
+    )
+    write_batch(spark, op_rows(case), src)
+
+    deduped = quorum_dedup_stream_agg(
+        oplog_filter(_read_oplog_stream(spark, src)), replica_depth=3
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("qagg_out")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # sentinel wave far in event-time future: closes the replay's window
+        write_batch(
+            spark,
+            op_rows(OplogCase(n_ops=1, h_base=9999, ts_base=1_700_000_600, include_noise=False)),
+            src,
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    hs = sorted(r.h for r in spark.sql("SELECT h FROM qagg_out").collect())
+    # duplicated delivery of op 0 (4 arrivals) still emits once; op 10
+    # (1 arrival) never; sentinel itself not yet flushed (window open)
+    assert hs == sorted(1000 + i for i in range(12) if i != 10), hs
