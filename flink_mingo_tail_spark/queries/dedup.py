@@ -28,7 +28,7 @@ from flink_mingo_tail_spark.operators.dedup import (
 )
 from flink_mingo_tail_spark.queries import query
 from flink_mingo_tail_spark.session import prepare_session
-from flink_mingo_tail_spark.tables import load_table
+from flink_mingo_tail_spark.tables import load_table, spread
 
 MINHASH_K = 8
 ROWS_PER_BAND = 4  # 2 bands of 4 => candidate iff est. jaccard^4 collision in a band
@@ -36,7 +36,10 @@ ROWS_PER_BAND = 4  # 2 bands of 4 => candidate iff est. jaccard^4 collision in a
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     prepare_session(spark)
-    return load_table(spark, sf_dir, name)
+    df = load_table(spark, sf_dir, name)
+    # spread(): single-file corpora otherwise serialize the signature
+    # computations on one core (see tables.spread)
+    return spread(df) if name == "documents" else df
 
 
 @query(

@@ -19,7 +19,7 @@ from pyspark.sql.functions import pandas_udf, udtf
 from flink_mingo_tail_spark.operators.multimodal import extract_features, synthesize_media
 from flink_mingo_tail_spark.queries import query
 from flink_mingo_tail_spark.session import prepare_session
-from flink_mingo_tail_spark.tables import load_table
+from flink_mingo_tail_spark.tables import load_table, spread
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -72,7 +72,7 @@ def q95_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic fake featurizer; real Spark plumbing — see
     operators/multimodal.py). Rows-only driver check; determinism and
     batch-shape are asserted in tests/test_multimodal.py."""
-    media = synthesize_media(_t(spark, sf_dir, "documents"))
+    media = synthesize_media(spread(_t(spark, sf_dir, "documents")))
     return extract_features(media).orderBy("media_id")
 
 

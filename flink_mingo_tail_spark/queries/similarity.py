@@ -16,7 +16,7 @@ from flink_mingo_tail_spark.operators.similarity import (
 )
 from flink_mingo_tail_spark.queries import query
 from flink_mingo_tail_spark.session import prepare_session
-from flink_mingo_tail_spark.tables import load_table
+from flink_mingo_tail_spark.tables import load_table, spread
 
 N_QUERIES = 5  # vec_id < 5 are the demo query vectors
 TOP_K = 5
@@ -24,7 +24,7 @@ TOP_K = 5
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare_session(spark)
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     # float -> double promotion is exact; all math then runs in double in
     # both engines (oracle casts with ::DOUBLE[]).
     return e.withColumn("embedding", F.col("embedding").cast("array<double>"))

@@ -23,7 +23,7 @@ from flink_mingo_tail_spark.operators.text import (
 )
 from flink_mingo_tail_spark.queries import query
 from flink_mingo_tail_spark.session import prepare_session
-from flink_mingo_tail_spark.tables import load_table
+from flink_mingo_tail_spark.tables import load_table, spread
 
 _SQL_TOKS = "string_split(text, ' ')"
 _SQL_DTOKS = f"list_distinct({_SQL_TOKS})"
@@ -31,7 +31,9 @@ _SQL_DTOKS = f"list_distinct({_SQL_TOKS})"
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare_session(spark)
-    return load_table(spark, sf_dir, "documents")
+    # spread(): the single-file test corpus otherwise runs these
+    # expression-heavy operators on one core (see tables.spread)
+    return spread(load_table(spark, sf_dir, "documents"))
 
 
 @query(

@@ -67,3 +67,16 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     """Register temp views so SQL-form queries can run via spark.sql."""
     for name, df in load_tables(spark, sf_dir, names).items():
         df.createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Restore compute parallelism for expression-heavy work over a
+    small-file corpus. The test corpora arrive as ONE parquet file, so a
+    scan yields one partition and per-row-heavy operators (MinHash,
+    SimHash, featurizers) serialize on a single core; at production
+    scale the same table is thousands of files and this repartition is a
+    no-op by construction. One narrow round-robin shuffle of the (small)
+    input buys full-core execution of the expensive map stage."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
