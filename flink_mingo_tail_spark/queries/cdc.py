@@ -215,3 +215,66 @@ def q65_cdc_apply_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         "user_id", F.col("event_id").alias("last_event"), F.col("value").alias("last_value")
     ).orderBy("user_id")
+
+
+@query(
+    "q66_event_funnel",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS first_view
+        FROM events
+    ), stages AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS did_view,
+               max(CASE WHEN event_type = 'click' AND ts > first_view THEN 1 ELSE 0 END)
+                   AS did_click_after_view,
+               max(CASE WHEN event_type = 'purchase' AND ts > first_view THEN 1 ELSE 0 END)
+                   AS did_purchase_after_view
+        FROM seq
+        GROUP BY user_id
+    )
+    SELECT sum(did_view) AS n_viewed,
+           sum(CASE WHEN did_view = 1 AND did_click_after_view = 1 THEN 1 ELSE 0 END)
+               AS n_clicked,
+           sum(CASE WHEN did_view = 1 AND did_click_after_view = 1
+                     AND did_purchase_after_view = 1 THEN 1 ELSE 0 END) AS n_purchased
+    FROM stages
+    """,
+)
+def q66_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-funnel analysis (view → click-after-view →
+    purchase-after-view per user): the event-analytics staple over the
+    CDC-shaped stream — one keyed window + one aggregation, no self-join
+    explosion (the naive 3-way self-join is quadratic per user)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    seq = e.withColumn(
+        "first_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    stages = seq.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("did_view"),
+        F.max(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("first_view")), 1).otherwise(0)
+        ).alias("did_click_after_view"),
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("first_view")), 1).otherwise(0)
+        ).alias("did_purchase_after_view"),
+    )
+    return stages.agg(
+        F.sum("did_view").alias("n_viewed"),
+        F.sum(
+            F.when((F.col("did_view") == 1) & (F.col("did_click_after_view") == 1), 1).otherwise(0)
+        ).alias("n_clicked"),
+        F.sum(
+            F.when(
+                (F.col("did_view") == 1)
+                & (F.col("did_click_after_view") == 1)
+                & (F.col("did_purchase_after_view") == 1),
+                1,
+            ).otherwise(0)
+        ).alias("n_purchased"),
+    )

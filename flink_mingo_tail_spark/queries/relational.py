@@ -715,3 +715,46 @@ def q18_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+@query(
+    "q09_correlated_agg_subquery",
+    oracle=f"""
+    SELECT p.p_brand,
+           count(*) AS n_small_orders,
+           {sql_dsum('l.l_extendedprice', 'small_order_revenue', 2)}
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def q09_correlated_agg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery (per-part average
+    threshold), in SQL form — Catalyst decorrelates it into an
+    aggregate + self-join, the plan a hand-writer would build (§4.4:
+    decorrelation is free). The avg is only a filter bound, never an
+    output, so cross-engine float drift cannot reach the hash."""
+    prepare_session(spark)
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT p.p_brand,
+               count(*) AS n_small_orders,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0
+                   AS small_order_revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (
+            SELECT 0.5 * avg(l2.l_quantity)
+            FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+        """
+    )
