@@ -100,6 +100,119 @@ def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
     return acc
 
 
+def _lit_vec(v) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def _nearest_cells(vec: Column, centroids: np.ndarray) -> Column:
+    """Array of struct(negdot, cell) sorted ascending — element 0 is the
+    max-inner-product (= max-cosine for unit centroids) cell. Centroid
+    components are literals folded into codegen; tie-break on cell id
+    keeps assignment deterministic."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-dot(vec, _lit_vec(c))).alias("negdot"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_sort(scored)
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    k_cells: int,
+    n_iter: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained with DataFrame ops.
+
+    Init: the k_cells rows with the smallest md5(id || seed) — a
+    deterministic pseudo-random sample that costs one TakeOrdered (no
+    full shuffle). Each Lloyd iteration is one corpus pass: a codegen'd
+    argmax-dot assignment (no UDF) + a (cell, dim) grouped average via
+    posexplode — both distributed aggs; only the k_cells x dim centroid
+    matrix ever reaches the driver. Centroids are L2-normalized so
+    argmax-dot == argmax-cosine."""
+    sample = (
+        corpus.select(
+            F.col(corpus_vec),
+            F.md5(F.concat(F.col(corpus_id).cast("string"), F.lit(str(seed)))).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(k_cells)
+        .select(corpus_vec)
+        .collect()
+    )
+    centroids = np.array([r[0] for r in sample], dtype=np.float64)
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    for _ in range(n_iter):
+        assigned = corpus.withColumn("_cell", _nearest_cells(F.col(corpus_vec), centroids)[0]["cell"])
+        means = (
+            assigned.select("_cell", F.posexplode(corpus_vec).alias("_pos", "_val"))
+            .groupBy("_cell", "_pos")
+            .agg(F.avg("_val").alias("_avg"))
+            .collect()
+        )
+        new = centroids.copy()  # empty cells keep their previous centroid
+        for r in means:
+            new[r._cell][r._pos] = r._avg
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        centroids = new / norms
+    return centroids
+
+
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    centroids: np.ndarray,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qv",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) cells: every corpus
+    vector belongs to exactly ONE cell (vs L keys/row for multi-table
+    LSH — IVF trades recall knobs for minimal corpus amplification);
+    queries probe their nprobe nearest cells; exact cosine re-rank only
+    within probed cells.
+
+    At scale the corpus side is a narrow map producing one small int
+    key; the candidate join is an equi-join on that key, so AQE splits
+    any hot cell. For a stored 100 TB corpus, write it partitioned by
+    cell (``df.write.partitionBy("cell")``) and the probe join becomes
+    partition-PRUNED reads — only nprobe/k_cells of the bytes are ever
+    scanned, which bucket-keyed LSH cannot do with L keys per row."""
+    corpus_c = corpus.withColumn("cell", _nearest_cells(F.col(corpus_vec), centroids)[0]["cell"])
+    probes = F.slice(_nearest_cells(F.col(query_vec), centroids), 1, nprobe)
+    q_probes = queries.select(
+        F.col(query_id),
+        F.col(query_vec),
+        F.explode(F.transform(probes, lambda s: s["cell"])).alias("cell"),
+    )
+    joined = corpus_c.join(F.broadcast(q_probes), "cell").filter(
+        F.col(corpus_id) != F.col(query_id)
+    )
+    scored = joined.select(
+        query_id,
+        corpus_id,
+        rounded_cosine(F.col(query_vec), F.col(corpus_vec)).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id, "rank")
+    )
+
+
 def knn_lsh(
     queries: DataFrame,
     corpus: DataFrame,

@@ -11,8 +11,10 @@ from flink_mingo_tail_spark.operators.similarity import (
     SQL_COSINE,
     hyperplane_tables,
     knn_bruteforce,
+    knn_ivf,
     knn_lsh,
     rounded_cosine,
+    train_ivf_centroids,
 )
 from flink_mingo_tail_spark.queries import query
 from flink_mingo_tail_spark.session import prepare_session
@@ -108,3 +110,18 @@ def q78_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tables = hyperplane_tables(n_tables=8, n_bits=6, dim=64, seed=42)
     return knn_lsh(queries, e, TOP_K, tables, multiprobe=True)
+
+
+@query("q79_knn_ivf", oracle=None)
+def q79_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF cells (spherical k-means coarse
+    quantizer, 8 cells, nprobe=3) — the partition-prunable scale path:
+    one cell key per corpus row, probe join touches nprobe/k_cells of
+    the data. No SQL oracle — approximate by construction; recall vs the
+    exact q76 answer is asserted in tests/test_similarity.py."""
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    centroids = train_ivf_centroids(e, k_cells=8, n_iter=2)
+    return knn_ivf(queries, e, TOP_K, centroids, nprobe=4)

