@@ -1,0 +1,148 @@
+"""Scalable EXACT percentile (rank-selection via approx bracketing).
+
+Spark's built-in ``percentile`` is exact but sort-based: every group's
+full column funnels into its single reducer. With few groups (q27 has
+3 return flags) that is a parallelism ceiling of #groups — at 100 TB a
+33 TB sort per task. This operator computes the SAME interpolated
+percentile with distributed aggregation passes and a driver-safe
+footprint, routing each group by size:
+
+* **small groups** (n <= accuracy): the built-in sort-based percentile.
+  A single reducer over <= accuracy rows is trivially cheap — and below
+  that size the approx bracket's rank margin (4n/accuracy < 4 ranks)
+  cannot absorb the sketch's +-1 rank discretization, so bracketing is
+  both unnecessary and unsafe there.
+* **large groups** (n > accuracy) — the 100 TB path, three steps all
+  map-side-combinable hash aggregates (parallelism = input partitions,
+  never #groups):
+
+  1. **stats pass** — per group: ``count`` plus a ``percentile_approx``
+     bracket ``[lo, hi]`` at ``p +- 4/accuracy``. Greenwald-Khanna
+     guarantees rank error <= n/accuracy, leaving >= 3n/accuracy > 3
+     ranks of slack on each side of the target.
+  2. **select pass** — per group: ``count(x < lo)``, the duplicate-run
+     sizes of the two bracket endpoints, and the sorted array of STRICT
+     interior values. The interior is rank-bounded at ~8n/accuracy
+     (0.08% at the default) no matter how duplicated the data is —
+     endpoint runs are counted, never collected, so a million-row tie
+     at the median costs two longs.
+  3. **index read-out** — rank below the lo-run -> lo; inside the
+     interior -> array lookup; inside the hi-run -> hi. An out-of-range
+     rank (approx guarantee violated) raises rather than returning a
+     plausible wrong answer.
+
+Pick ``accuracy ~ group_rows/10_000`` as data grows to keep interiors
+bounded. The interpolation replicates Spark's ``Percentile`` formula
+term-for-term — ``(higher - pos) * lowerValue + (pos - lower) *
+higherValue`` — so results are BITWISE equal to the built-in (asserted
+in tests/test_percentile.py) and hence inherit the built-in's DuckDB
+``quantile_cont`` oracle parity.
+
+Reference parity note: the reference engine has no percentile operator
+(SURVEY.md §2B aggregations list); this is part of the north-star
+analytics surface, engineered for the 100 TB target.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _pick(alias: str, rank: Column) -> Column:
+    """Order statistic at 0-based ``rank`` (among the group's non-null
+    values) read from the bracket decomposition: lo-run | interior | hi-run."""
+    lo = F.col(f"_br_{alias}")[0].cast("double")
+    hi = F.col(f"_br_{alias}")[1].cast("double")
+    idx = rank - F.col(f"_below_{alias}")
+    n_lo = F.col(f"_nlo_{alias}")
+    interior = F.col(f"_in_{alias}")
+    in_end = n_lo + F.size(interior)
+    return (
+        # try_element_at: CaseWhen branches are not reliably lazy under
+        # whole-stage codegen (subexpression elimination), so the array
+        # probe must itself tolerate an out-of-range index.
+        F.when((idx >= 0) & (idx < n_lo), lo)
+        .when(idx < in_end, F.try_element_at(interior, (idx - n_lo + 1).cast("int")))
+        .when(idx < in_end + F.col(f"_nhi_{alias}"), hi)
+        .otherwise(F.raise_error(F.lit(f"percentile bracket missed target rank for {alias}")))
+    )
+
+
+def exact_percentiles(
+    df: DataFrame,
+    keys: list[str],
+    specs: list[tuple[str, float, str]],
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Exact interpolated percentiles per group, without large per-group
+    sorts. ``specs`` is ``[(column, p, output_alias), ...]``. Returns one
+    row per key combination with one double column per spec, bitwise
+    equal to ``F.percentile(column, p)``.
+
+    A group takes the rank-select path only when EVERY spec column has
+    n > accuracy there (mixed-size routing per spec would force an
+    n-way join of per-spec results; a group that is small for any spec
+    is cheap to sort for all of them).
+    """
+    margin = 4.0 / accuracy
+
+    stats_aggs = []
+    for col, p, alias in specs:
+        p_lo, p_hi = max(0.0, p - margin), min(1.0, p + margin)
+        stats_aggs.append(F.count(col).alias(f"_n_{alias}"))
+        stats_aggs.append(
+            F.percentile_approx(
+                F.col(col).cast("double"),
+                F.array(F.lit(p_lo), F.lit(p_hi)),
+                F.lit(accuracy),
+            ).alias(f"_br_{alias}")
+        )
+    stats = df.groupBy(*keys).agg(*stats_aggs)
+
+    n_cols = [F.col(f"_n_{a}") for _, _, a in specs]
+    min_n = F.least(*n_cols) if len(n_cols) > 1 else n_cols[0]
+    is_large = min_n > F.lit(accuracy)
+    joined = df.join(F.broadcast(stats), keys)
+
+    # Small-group path: built-in sort-based percentile (cheap at <= accuracy rows).
+    small = (
+        joined.filter(~is_large)
+        .groupBy(*keys)
+        .agg(*[F.percentile(F.col(c).cast("double"), F.lit(p)).alias(a) for c, p, a in specs])
+    )
+
+    # Large-group path: bracket + run counts + interior collect.
+    select_aggs = []
+    for col, p, alias in specs:
+        lo = F.col(f"_br_{alias}")[0].cast("double")
+        hi = F.col(f"_br_{alias}")[1].cast("double")
+        c = F.col(col).cast("double")
+        select_aggs.extend(
+            [
+                F.count(F.when(c < lo, True)).alias(f"_below_{alias}"),
+                F.count(F.when(c == lo, True)).alias(f"_nlo_{alias}"),
+                F.count(F.when((c == hi) & (hi != lo), True)).alias(f"_nhi_{alias}"),
+                F.sort_array(F.collect_list(F.when((c > lo) & (c < hi), c))).alias(f"_in_{alias}"),
+                F.first(f"_n_{alias}").alias(f"_n_{alias}"),
+                F.first(f"_br_{alias}").alias(f"_br_{alias}"),
+            ]
+        )
+    picked = joined.filter(is_large).groupBy(*keys).agg(*select_aggs)
+
+    out_cols = [F.col(k) for k in keys]
+    for col, p, alias in specs:
+        n = F.col(f"_n_{alias}")
+        # Spark Percentile.getPercentile: position = p * (n - 1).
+        pos = F.lit(p) * (n - F.lit(1)).cast("double")
+        lower = F.floor(pos)
+        higher = F.ceil(pos)
+        v_lower = _pick(alias, lower)
+        exact = F.when(higher == lower, v_lower).otherwise(
+            (higher.cast("double") - pos) * v_lower
+            + (pos - lower.cast("double")) * _pick(alias, higher)
+        )
+        out_cols.append(exact.alias(alias))
+    large = picked.select(*out_cols)
+
+    return large.unionByName(small)

@@ -560,6 +560,37 @@ def q27_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q27b_percentile_rank_select",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q27b_percentile_rank_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact percentiles as q27, computed by the SCALE path
+    (`operators/percentile.py`): approx-bracket rank selection in two
+    distributed hash-agg passes instead of the built-in's one sort task
+    per group — q27's 3 groups mean 3-way parallelism at any data size,
+    this stays partition-parallel. Bitwise-equal to the built-in (and so
+    to DuckDB quantile_cont; see tests/test_percentile.py)."""
+    from flink_mingo_tail_spark.operators.percentile import exact_percentiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_percentiles(
+        li,
+        ["l_returnflag"],
+        [("l_quantity", 0.5, "p50_qty"), ("l_extendedprice", 0.9, "p90_price")],
+        # Below every group's size from sf0.01 up -> the distributed
+        # rank-select path is what the oracle gate actually exercises.
+        accuracy=1000,
+    ).orderBy("l_returnflag")
+
+
+@query(
     "q28_having_scalar_subquery",
     oracle="""
     SELECT c_nationkey, count(*) AS n_rich
