@@ -26,6 +26,38 @@ TOKEN_REGEX = r"[a-z]+|[0-9]+"  # BPE-ish: runs of letters or digits
 PUNCT_REGEX = r"[,.!?;:]"
 
 
+# Pre-tokenization corpus normalization (the C4/CCNet-style cleanup
+# pass): lowercase, mask URLs/emails, strip control chars, collapse
+# whitespace. Patterns are deliberately in the Java-regex/RE2 common
+# subset so the Spark expression and the DuckDB oracle twin are the
+# same strings.
+URL_REGEX = r"https?://\S+"
+EMAIL_REGEX = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+CONTROL_REGEX = r"[\x00-\x1f\x7f]"
+
+
+def normalize_text(col: Column) -> Column:
+    """Normalization pipeline as chained regexp_replace — one codegen'd
+    narrow map at any scale. Masking runs on the lowered text; URLS
+    first (they may embed '@'), then emails, control chars, whitespace."""
+    t = F.lower(col)
+    t = F.regexp_replace(t, URL_REGEX, " <url> ")
+    t = F.regexp_replace(t, EMAIL_REGEX, " <email> ")
+    t = F.regexp_replace(t, CONTROL_REGEX, " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def sql_normalize_text(expr: str) -> str:
+    """DuckDB twin (regexp_replace needs the explicit 'g' flag there)."""
+    t = "lower(" + expr + ")"
+    t = "regexp_replace(" + t + ", 'https?://\\S+', ' <url> ', 'g')"
+    t = "regexp_replace(" + t + ", '" + EMAIL_REGEX + "', ' <email> ', 'g')"
+    t = "regexp_replace(" + t + ", '[\\x00-\\x1f\\x7f]', ' ', 'g')"
+    t = "regexp_replace(" + t + ", '\\s+', ' ', 'g')"
+    return "trim(" + t + ")"
+
+
 def marker_ratio(distinct_toks: Column, lang: str) -> Column:
     """Fraction of the language's marker set present in the document."""
     markers = LANG_MARKERS[lang]

@@ -12,13 +12,17 @@ from pyspark.sql import functions as F
 
 from flink_mingo_tail_spark.operators.dedup import tokens
 from flink_mingo_tail_spark.operators.text import (
+    EMAIL_REGEX,
     PUNCT_REGEX,
     TOKEN_REGEX,
+    URL_REGEX,
     lang_id,
     marker_ratio,
+    normalize_text,
     rolling_fingerprint,
     sql_lang_id,
     sql_marker_ratio,
+    sql_normalize_text,
     sql_rolling_fingerprint,
 )
 from flink_mingo_tail_spark.queries import query
@@ -96,6 +100,55 @@ def q81_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             lang_id(dtoks).alias("predicted_lang"),
             F.round(marker_ratio(dtoks, "en"), 6).alias("en_score"),
             F.col("lang").alias("labeled_lang"),
+        )
+        .orderBy("doc_id")
+        .limit(400)
+    )
+
+
+_SQL_MESSY = (
+    "'Visit HTTP://EXample.com/' || doc_id::VARCHAR || '  ' || upper(substr(text, 1, 80)) "
+    "|| '   Contact: USER' || doc_id::VARCHAR || '@Test.ORG' || chr(9) || 'end'"
+)
+
+
+@query(
+    "q67_normalize_text",
+    oracle=f"""
+    WITH messy AS (SELECT doc_id, {_SQL_MESSY} AS raw FROM documents)
+    SELECT doc_id,
+           {sql_normalize_text('raw')} AS norm_text,
+           len(regexp_extract_all(lower(raw), 'https?://\\S+')) AS n_urls,
+           len(regexp_extract_all(lower(raw), '{EMAIL_REGEX}')) AS n_emails
+    FROM messy
+    ORDER BY doc_id
+    LIMIT 400
+    """,
+)
+def q67_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization corpus normalization (C4/CCNet-style cleanup):
+    lowercase, URL/email masking, control-char strip, whitespace
+    collapse — chained regexp_replace, one codegen'd narrow map. The
+    corpus text ships pre-cleaned, so the messy input is constructed
+    deterministically (upper-cased text + URL + email + tab) the same
+    way in both engines; every rule is exercised on all 400 rows."""
+    d = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.lit("Visit HTTP://EXample.com/"),
+        F.col("doc_id").cast("string"),
+        F.lit("  "),
+        F.upper(F.substring("text", 1, 80)),
+        F.lit("   Contact: USER"),
+        F.col("doc_id").cast("string"),
+        F.lit("@Test.ORG\tend"),
+    )
+    lowered = F.lower(raw)
+    return (
+        d.select(
+            "doc_id",
+            normalize_text(raw).alias("norm_text"),
+            F.size(F.regexp_extract_all(lowered, F.lit(URL_REGEX), 0)).alias("n_urls"),
+            F.size(F.regexp_extract_all(lowered, F.lit(EMAIL_REGEX), 0)).alias("n_emails"),
         )
         .orderBy("doc_id")
         .limit(400)
