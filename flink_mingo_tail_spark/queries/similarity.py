@@ -112,6 +112,45 @@ def q78_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(queries, e, TOP_K, tables, multiprobe=True)
 
 
+@query(
+    "q68_embedding_quantize",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scaled AS (
+        SELECT vec_id,
+               127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+        FROM e
+    )
+    SELECT e.vec_id,
+           round(scaled.scale, 6) AS scale,
+           array_to_string(list_transform(e.v, x -> round(x * scaled.scale)::BIGINT), ',')
+               AS q8
+    FROM e JOIN scaled ON e.vec_id = scaled.vec_id
+    ORDER BY e.vec_id
+    """,
+)
+def q68_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    absmax scale) — the storage/bandwidth staple before ANN serving: a
+    pure narrow map (zero shuffle, one corpus pass) that cuts vector
+    bytes 4x. Quantized array serialized to a string for the
+    cross-engine hash (pandas exports arrays differently per engine);
+    scale rounded to 6dp for float parity."""
+    e = _emb(spark, sf_dir)
+    scale = F.lit(127.0) / F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x)))
+    return (
+        e.select("vec_id", F.col("embedding").alias("v"), scale.alias("_s"))
+        .select(
+            "vec_id",
+            F.round(F.col("_s"), 6).alias("scale"),
+            F.array_join(
+                F.transform(F.col("v"), lambda x: F.round(x * F.col("_s")).cast("long")), ","
+            ).alias("q8"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 @query("q79_knn_ivf", oracle=None)
 def q79_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via IVF cells (spherical k-means coarse

@@ -155,6 +155,63 @@ def q67_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-stratum sampling rates in permille (integer thresholds: the
+# hash-vs-threshold comparison is integral, so there is no float
+# boundary to drift cross-engine).
+_SAMPLE_PERMILLE = {"src0": 250, "src1": 900, "src2": 500}
+_DEFAULT_PERMILLE = 100
+
+
+@query(
+    "q69_stratified_sample",
+    oracle=f"""
+    WITH rated AS (
+        SELECT source,
+               CASE source
+                    {' '.join(f"WHEN '{s}' THEN {r}" for s, r in _SAMPLE_PERMILLE.items())}
+                    ELSE {_DEFAULT_PERMILLE} END AS permille,
+               ('0x' || substr(md5('samp:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000 AS bucket
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_total,
+           count(*) FILTER (bucket < permille) AS n_kept,
+           any_value(permille) AS permille
+    FROM rated
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q69_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling — the reproducible
+    corpus-downsampling staple: keep a doc iff md5(salt || id) mod 1000
+    falls under its stratum's permille rate. No RNG state, no shuffle
+    for the sampling itself (pure narrow filter at any scale; the
+    groupBy here only reports per-stratum keep counts), and membership
+    is stable across runs/engines — re-running a 100 TB pipeline keeps
+    the SAME sample."""
+    d = _docs(spark, sf_dir)
+    permille = F.lit(_DEFAULT_PERMILLE)
+    for s, r in reversed(list(_SAMPLE_PERMILLE.items())):
+        permille = F.when(F.col("source") == s, F.lit(r)).otherwise(permille)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))), 1, 15), 16, 10).cast(
+            "long"
+        ),
+        F.lit(1000),
+    )
+    return (
+        d.select("source", permille.alias("permille"), bucket.alias("bucket"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(F.col("bucket") < F.col("permille"), True)).alias("n_kept"),
+            F.any_value("permille").alias("permille"),
+        )
+        .orderBy("source")
+    )
+
+
 @query(
     "q82_quality_score",
     oracle=f"""
