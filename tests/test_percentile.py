@@ -63,6 +63,35 @@ def test_low_accuracy_bracket_with_heavy_duplicates(spark):
     )
 
 
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        col=st.sampled_from(["l_quantity", "l_extendedprice", "l_discount"]),
+        p=st.one_of(
+            st.just(0.0), st.just(1.0), st.floats(min_value=0.0, max_value=1.0, allow_nan=False)
+        ),
+        accuracy=st.sampled_from([50, 200, 1000, 10_000_000]),
+    )
+    def test_property_matches_builtin(spark, col, p, accuracy):
+        """Sweep (column x percentile x accuracy): discrete/continuous
+        data, extreme p, and both routing paths (accuracy=1e7 forces the
+        small-group built-in route at test SFs; 50/200 force rank-select
+        with wide/narrow brackets). Bitwise equality in every instance."""
+        from flink_mingo_tail_spark.tables import load_table
+
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        _assert_bitwise_equal(li, ["l_returnflag"], [(col, p, "pv")], accuracy=accuracy)
+
+
 def test_tiny_groups_and_extremes(spark):
     df = spark.createDataFrame(
         [("a", 1.0), ("b", 3.0), ("b", 7.0), ("c", 2.0), ("c", 2.0), ("c", 9.0)],
