@@ -63,23 +63,35 @@ _MINHASH_A = (541, 1223, 2741, 4523, 6829, 8863, 104729, 999983)
 _MINHASH_B = (7919, 17389, 27449, 37813, 48611, 59359, 70657, 81799)
 
 
-def _permuted_hasher(j: int):
-    # NB: must return a SINGLE-parameter lambda — PySpark interprets a
-    # two-parameter lambda (even with a default) as (element, index).
+def shingle_hashes(shingle_col: Column) -> Column:
+    """Base hashes h(s) = md5_long(s) mod P. The md5 is the expensive
+    part of MinHash — compute it ONCE per shingle and apply the k
+    permutations as affine maps over this array (separate transform
+    lambdas each carry their own md5 copy, which codegen cannot unify
+    across lambda scopes: measured 8x redundant hashing)."""
+    return F.transform(shingle_col, lambda s: F.pmod(md5_long(s), F.lit(_MINHASH_P)))
+
+
+def _affine(j: int):
+    # NB: single-parameter lambda (PySpark reads 2-param lambdas as
+    # (element, index)); closure factory pins j.
     a, b = _MINHASH_A[j], _MINHASH_B[j]
-    return lambda s: F.pmod(
-        F.pmod(md5_long(s), F.lit(_MINHASH_P)) * F.lit(a) + F.lit(b), F.lit(_MINHASH_P)
-    )
+    return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))
+
+
+def minhash_from_hashes(hash_col: Column, k: int) -> Column:
+    """k-permutation MinHash over precomputed base hashes: k array_min
+    folds of affine maps — pure integer math, no hashing."""
+    assert k <= len(_MINHASH_A)
+    return F.array(*[F.array_min(F.transform(hash_col, _affine(j))) for j in range(k)])
 
 
 def minhash_signature(shingle_col: Column, k: int) -> Column:
     """k-permutation MinHash signature: per row, k array_min folds over
     universal-hash permutations of each shingle's base hash. No shuffle,
-    no explode, one md5 per shingle."""
-    assert k <= len(_MINHASH_A)
-    return F.array(
-        *[F.array_min(F.transform(shingle_col, _permuted_hasher(j))) for j in range(k)]
-    )
+    no explode. Prefer staging `shingle_hashes` in its own projection
+    (see q73) so the md5 pass runs once, not k times."""
+    return minhash_from_hashes(shingle_hashes(shingle_col), k)
 
 
 def sql_minhash_signature(shingles_expr: str, k: int) -> str:

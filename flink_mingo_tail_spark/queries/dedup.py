@@ -16,7 +16,9 @@ from pyspark.sql import functions as F
 from flink_mingo_tail_spark.operators.dedup import (
     lsh_band_keys,
     md5_long,
+    minhash_from_hashes,
     minhash_signature,
+    shingle_hashes,
     signature_agreement,
     simhash,
     sql_lsh_band_keys,
@@ -156,17 +158,29 @@ def q73_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the band key. One-pass single-linkage approximation of
     the dup clusters (exact pair verification for a bounded slice is
     q75). That is the shape that survives 100 TB."""
+    from pyspark.sql import Window
+
     d = _t(spark, sf_dir, "documents")
-    sigs = d.select(
-        "doc_id",
-        minhash_signature(F.array_distinct(tokens(F.col("text"))), MINHASH_K).alias("sig"),
+    # Stage the md5 base hashes in their own projection: the k affine
+    # min-folds then share ONE hashing pass (k transform lambdas each
+    # embedding md5 cannot be unified by codegen across lambda scopes).
+    hashed = d.select(
+        "doc_id", shingle_hashes(F.array_distinct(tokens(F.col("text")))).alias("hs")
+    )
+    sigs = hashed.select(
+        "doc_id", minhash_from_hashes(F.col("hs"), MINHASH_K).alias("sig")
     )
     banded = sigs.select(
         "doc_id", F.explode(lsh_band_keys(F.col("sig"), ROWS_PER_BAND, MINHASH_K)).alias("band")
     )
-    band_rep = banded.groupBy("band").agg(F.min("doc_id").alias("rep"))
+    # Window-min instead of agg + join-back: one shuffle of `banded` on
+    # the band key and the signatures are computed once. The join
+    # formulation materializes a rep-per-distinct-band side that is
+    # corpus-sized at scale (unbroadcastable at 100 TB) and re-derives
+    # the signature subtree for it (no exchange reuse: 2x the hashing).
+    w = Window.partitionBy("band")
     return (
-        banded.join(band_rep, "band")
+        banded.withColumn("rep", F.min("doc_id").over(w))
         .groupBy("doc_id")
         .agg(F.min("rep").alias("cluster_rep"))
         .select(

@@ -80,10 +80,16 @@ def test_semi_anti_join_operators(spark):
 
 
 def test_lsh_join_is_equi_not_cartesian(spark):
-    # the whole point of LSH blocking: candidate generation is an
-    # equi-join on band/bucket keys, never an all-pairs product
+    # the whole point of LSH blocking: candidate generation is keyed on
+    # band/bucket values, never an all-pairs product
     plan = plan_of(spark, "q73_minhash_lsh_dedup")
     assert "CartesianProduct" not in plan
+    # rep election is a window-min over the banded shuffle (a join-back
+    # would re-derive the signature subtree and materialize a
+    # corpus-sized rep table); md5 runs in ONE staged pass, not once
+    # per permutation (8x) — count expression occurrences in the plan.
+    assert "Window" in plan
+    assert plan.count("md5") <= 2, f"md5 recomputed: {plan.count('md5')} occurrences"
 
 
 def test_text_pipeline_has_no_python_udf(spark):
