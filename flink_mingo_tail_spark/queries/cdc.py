@@ -235,11 +235,11 @@ def q65_cdc_apply_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM seq
         GROUP BY user_id
     )
-    SELECT sum(did_view) AS n_viewed,
-           sum(CASE WHEN did_view = 1 AND did_click_after_view = 1 THEN 1 ELSE 0 END)
-               AS n_clicked,
-           sum(CASE WHEN did_view = 1 AND did_click_after_view = 1
-                     AND did_purchase_after_view = 1 THEN 1 ELSE 0 END) AS n_purchased
+    SELECT CAST(sum(did_view) AS BIGINT) AS n_viewed,
+           CAST(sum(CASE WHEN did_view = 1 AND did_click_after_view = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicked,
+           CAST(sum(CASE WHEN did_view = 1 AND did_click_after_view = 1
+                     AND did_purchase_after_view = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
     FROM stages
     """,
 )

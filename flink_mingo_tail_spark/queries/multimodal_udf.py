@@ -41,9 +41,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
     SELECT kind,
            count(*) AS n,
-           sum(octet_length(payload)) AS total_payload_bytes,
-           sum(CAST(width AS BIGINT) * height) AS total_pixels,
-           sum(CAST(duration_ms AS BIGINT)) AS total_duration_ms
+           CAST(sum(octet_length(payload)) AS BIGINT) AS total_payload_bytes,
+           CAST(sum(CAST(width AS BIGINT) * height) AS BIGINT) AS total_pixels,
+           CAST(sum(CAST(duration_ms AS BIGINT)) AS BIGINT) AS total_duration_ms
     FROM media
     GROUP BY kind
     ORDER BY kind
@@ -73,7 +73,21 @@ def q95_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/multimodal.py). Rows-only driver check; determinism and
     batch-shape are asserted in tests/test_multimodal.py."""
     media = synthesize_media(spread(_t(spark, sf_dir, "documents")))
-    return extract_features(media).orderBy("media_id")
+    feats = extract_features(media)
+    # The raw array<double> column is banned from query outputs (the
+    # driver's pandas canonicalizer crashes on unhashable lists — the
+    # round-1 q26b red row); serialize it plus summary scalars instead.
+    return feats.select(
+        "media_id",
+        "kind",
+        F.size("feature").alias("feature_dim"),
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x), 6).alias(
+            "feature_sqnorm"
+        ),
+        F.array_join(F.transform("feature", lambda x: F.round(x, 6).cast("string")), ",").alias(
+            "feature_csv"
+        ),
+    ).orderBy("media_id")
 
 
 @query(
@@ -83,7 +97,7 @@ def q95_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            l_extendedprice * (1 - l_discount) AS net_price
     FROM lineitem
     WHERE l_quantity > 40
-    ORDER BY l_orderkey, l_linenumber
+    ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount
     LIMIT 1000
     """,
 )
@@ -104,9 +118,14 @@ def q96_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
             net_price(F.col("l_extendedprice"), F.col("l_discount")).alias("net_price"),
+            "l_extendedprice",
+            "l_discount",
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        # (l_orderkey, l_linenumber) is not unique in the synthetic lineitem;
+        # the raw inputs join the sort so the LIMIT membership is engine-stable.
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
         .limit(1000)
+        .drop("l_extendedprice", "l_discount")
     )
 
 
@@ -128,7 +147,13 @@ def q97_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def weighted(pdf: pd.DataFrame) -> pd.DataFrame:
         cents = np.round(pdf["l_extendedprice"].to_numpy() * 100).astype(np.int64)
         qty = pdf["l_quantity"].to_numpy().astype(np.int64)
-        value = float((cents * qty).sum()) / (100.0 * float(qty.sum()))
+        # Per-row product fits int64 (cents<=1e7 * qty<=50); the SUM does
+        # not at scale — accumulate in Python arbitrary-precision ints,
+        # then convert once, mirroring the oracle's exact HUGEINT sum →
+        # single cast-to-double → one IEEE division.
+        int_sum = sum((cents * qty).tolist())
+        qty_sum = sum(qty.tolist())
+        value = float(int_sum) / (100.0 * float(qty_sum))
         return pd.DataFrame({"l_returnflag": [pdf["l_returnflag"].iloc[0]], "weighted_avg_price": [value]})
 
     li = _t(spark, sf_dir, "lineitem")

@@ -87,7 +87,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l_quantity >= 45 AND l_discount > 0.05
       AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
       AND l_returnflag <> 'A'
-    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_quantity, l_returnflag
     LIMIT 100
     """,
 )
@@ -110,7 +110,13 @@ def q02_filter_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_returnflag") != "A")
         )
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
-        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_returnflag",
+        )
         .limit(100)
     )
 
@@ -408,7 +414,7 @@ def q20_groupby_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q21_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS n_items,
-           sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -516,18 +522,41 @@ def q25_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q26_approx_count_distinct", oracle=None)
+@query(
+    "q26_approx_count_distinct",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           TRUE AS approx_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def q26_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++). No oracle entry: sketch estimates
-    are engine-specific (Spark HLL++ vs DuckDB HLL differ by design), so
-    the driver records the weaker rows-only check; the accuracy bound vs
-    the exact count is asserted in tests/test_relational.py."""
+    """approx_count_distinct (HLL++). Sketch estimates are engine-specific
+    (Spark HLL++ vs DuckDB HLL differ by design), so the raw estimate
+    never reaches the hash: the query emits the EXACT counts plus an
+    `approx_ok` accuracy gate (estimate within ±5% of exact at rsd=0.01
+    — a 5-sigma band) that the oracle asserts as constant TRUE. This
+    turns the round-1 `no_oracle` red row into a hash-checked accuracy
+    contract."""
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("n_users"),
             F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_users",
+            (
+                F.abs(F.col("approx_users") - F.col("n_users"))
+                <= 0.05 * F.col("n_users")
+            ).alias("approx_ok"),
         )
         .orderBy("event_type")
     )
@@ -625,8 +654,10 @@ def q28_having_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q29_pivot",
     oracle="""
     SELECT l_returnflag,
-           sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_F,
-           sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_O
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS qty_F,
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS qty_O
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -647,20 +678,59 @@ def q29_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
-@query("q26b_approx_percentile", oracle=None)
+@query(
+    "q26b_approx_percentile",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_items,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def q26b_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx (t-digest-style sketch) — the constant-memory
-    quantile path for 100 TB (exact percentile q27 sorts per group). No
-    oracle entry: sketch boundaries are engine-specific; the error bound
-    vs the exact percentile is asserted in tests/test_relational.py."""
+    """percentile_approx (GK sketch) — the constant-memory quantile path
+    for 100 TB (exact percentile q27 sorts per group).
+
+    Sketch boundaries are engine-specific, so the raw estimate never
+    reaches the hash (and round 1's array-typed `iqr_approx` output
+    crashed the driver canonicalizer — arrays are now banned by
+    tests/test_output_contract.py). Instead the query verifies the
+    sketch's rank-error contract IN-QUERY: for each group, the fraction
+    of rows strictly below / at-or-below the estimate must bracket the
+    target quantile within ±1% (accuracy=1000 guarantees ±0.1%); the
+    oracle asserts the gate columns as constant TRUE."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
-            F.percentile_approx("l_extendedprice", [0.25, 0.75], 1000).alias("iqr_approx"),
-        )
-        .orderBy("l_returnflag")
+    apx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.25, 1000).alias("a25"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("a50"),
+        F.percentile_approx("l_extendedprice", 0.75, 1000).alias("a75"),
+    )
+    j = li.select("l_returnflag", "l_extendedprice").join(F.broadcast(apx), "l_returnflag")
+    stats = j.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        *[
+            agg
+            for q, a in ((25, "a25"), (50, "a50"), (75, "a75"))
+            for agg in (
+                F.sum((F.col("l_extendedprice") < F.col(a)).cast("long")).alias(f"lt{q}"),
+                F.sum((F.col("l_extendedprice") <= F.col(a)).cast("long")).alias(f"le{q}"),
+            )
+        ],
+    )
+    out = stats.select(
+        "l_returnflag",
+        "n_items",
+        *[
+            (
+                (F.col(f"lt{q}") <= (q / 100.0 + 0.01) * F.col("n_items"))
+                & (F.col(f"le{q}") >= (q / 100.0 - 0.01) * F.col("n_items"))
+            ).alias(f"p{q}_ok")
+            for q in (25, 50, 75)
+        ],
+    )
+    return out.select("l_returnflag", "n_items", "p25_ok", "p50_ok", "p75_ok").orderBy(
+        "l_returnflag"
     )
 
 
@@ -755,11 +825,10 @@ def q18_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_small_orders,
            {sql_dsum('l.l_extendedprice', 'small_order_revenue', 2)}
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE l.l_quantity < (
-        SELECT 0.5 * avg(l2.l_quantity)
-        FROM lineitem l2
-        WHERE l2.l_partkey = l.l_partkey
-    )
+    WHERE 2 * CAST(round(l.l_quantity * 100) AS BIGINT)
+          * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        < (SELECT CAST(sum(CAST(round(l2.l_quantity * 100) AS BIGINT)) AS BIGINT)
+           FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
     GROUP BY p.p_brand
     ORDER BY p.p_brand
     """,
@@ -768,8 +837,13 @@ def q09_correlated_agg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated aggregate subquery (per-part average
     threshold), in SQL form — Catalyst decorrelates it into an
     aggregate + self-join, the plan a hand-writer would build (§4.4:
-    decorrelation is free). The avg is only a filter bound, never an
-    output, so cross-engine float drift cannot reach the hash."""
+    decorrelation is free).
+
+    The threshold `q < 0.5*avg(q)` is evaluated as the exact-integer
+    cross-multiplication `2*q_scaled*cnt < sum(q_scaled)` in BOTH
+    engines: floats in the predicate flip row membership when a
+    quantity lands exactly on the bound (the round-1 q09 hash miss), so
+    no division/average ever happens."""
     prepare_session(spark)
     for t in ("lineitem", "part"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
@@ -777,14 +851,16 @@ def q09_correlated_agg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT p.p_brand,
                count(*) AS n_small_orders,
-               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0
+               -- CAST: a bare 100.0 literal is DecimalType in Spark SQL and the
+               -- division would surface as decimal128/object in pandas (driver
+               -- contract bans it); double/double matches the oracle exactly.
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / CAST(100.0 AS DOUBLE)
                    AS small_order_revenue
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-        WHERE l.l_quantity < (
-            SELECT 0.5 * avg(l2.l_quantity)
-            FROM lineitem l2
-            WHERE l2.l_partkey = l.l_partkey
-        )
+        WHERE 2 * CAST(round(l.l_quantity * 100) AS BIGINT)
+              * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+            < (SELECT sum(CAST(round(l2.l_quantity * 100) AS BIGINT))
+               FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
         GROUP BY p.p_brand
         ORDER BY p.p_brand
         """

@@ -148,32 +148,44 @@ def q52_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q53_math_funcs",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice / 7, 2) AS price_div,
-           floor(l_extendedprice / 1000) AS price_k_floor,
-           ceil(l_discount * 100) AS disc_pct_ceil,
+           CAST(round(l_extendedprice * 100 / 7) AS BIGINT) AS price_div7_c,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+           CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
            abs(l_quantity - 25) AS qty_dev,
            CAST(pow(l_quantity, 2) AS DOUBLE) AS qty_sq,
            round(sqrt(l_quantity), 6) AS qty_sqrt,
            round(ln(l_extendedprice), 6) AS price_ln,
            mod(CAST(l_quantity AS BIGINT), 7) AS qty_mod7,
-           sign(l_quantity - 25.0) AS qty_sign,
+           CAST(sign(l_quantity - 25.0) AS BIGINT) AS qty_sign,
            greatest(l_tax, l_discount) AS max_rate,
            least(l_tax, l_discount) AS min_rate
     FROM lineitem
-    ORDER BY l_orderkey, l_linenumber
+    ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity, l_discount, l_tax
     LIMIT 1000
     """,
 )
 def q53_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math battery. sqrt/ln rounded to 6dp: libm implementations agree
-    to well under 1e-12 relative error, so 6dp is collision-safe; pow of
-    integers and round-of-exact-quotients are IEEE-identical unrounded."""
+    """Math battery. Driver-contract hardening (round 2):
+
+    - (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem
+      (~20% duplicate pairs), so the LIMIT cutoff needs a total order —
+      every raw input column that feeds an output joins the sort key;
+      remaining ties are fully identical rows, so membership at the
+      boundary is engine-independent.
+    - floor/ceil/sign return DOUBLE/TINYINT in DuckDB's pandas export vs
+      Spark's LongType — both sides cast to BIGINT.
+    - round(x/7, 2) is replaced by a scaled-long hundredths quotient:
+      cents/7 has fractional part k/7 (never .5), so HALF_UP (Spark)
+      vs round-half-even (DuckDB nearbyint) can never disagree.
+    - sqrt is IEEE-correctly-rounded in both engines; ln agrees to
+      <=1 ulp, and 6dp rounding puts the disagreement window ~1e-15 of
+      a 1e-6 boundary — collision-safe."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.select(
             "l_orderkey",
             "l_linenumber",
-            F.round(F.col("l_extendedprice") / 7, 2).alias("price_div"),
+            F.round(F.col("l_extendedprice") * 100 / 7, 0).cast("long").alias("price_div7_c"),
             F.floor(F.col("l_extendedprice") / 1000).alias("price_k_floor"),
             F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
             F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
@@ -181,12 +193,15 @@ def q53_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
             F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
             (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
-            F.signum(F.col("l_quantity") - 25.0).alias("qty_sign"),
+            F.signum(F.col("l_quantity") - 25.0).cast("long").alias("qty_sign"),
             F.greatest("l_tax", "l_discount").alias("max_rate"),
             F.least("l_tax", "l_discount").alias("min_rate"),
+            "l_extendedprice", "l_quantity", "l_discount", "l_tax",
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity",
+                 "l_discount", "l_tax")
         .limit(1000)
+        .drop("l_extendedprice", "l_quantity", "l_discount", "l_tax")
     )
 
 
@@ -272,7 +287,11 @@ def q56_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             "event_id",
             F.get_json_object("props", "$.k").cast("int").alias("k_value"),
-            F.get_json_object("props", "$").isNotNull().alias("is_valid"),
+            # Tri-state to mirror DuckDB's json_valid: NULL input => NULL,
+            # not false (the two engines otherwise disagree on NULL props).
+            F.when(F.col("props").isNull(), F.lit(None).cast("boolean"))
+            .otherwise(F.get_json_object("props", "$").isNotNull())
+            .alias("is_valid"),
         )
         .orderBy("event_id")
         .limit(2000)
@@ -507,8 +526,10 @@ def q87_subquery_in_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pivoted AS (
         SELECT l_returnflag,
-               sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_F,
-               sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_O
+               CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS qty_F,
+               CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS qty_O
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, 'F' AS linestatus, qty_F AS qty FROM pivoted

@@ -29,6 +29,7 @@ import json
 import os
 from collections.abc import Iterator
 from dataclasses import dataclass
+from urllib.parse import quote, unquote
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -50,7 +51,10 @@ _FIELDS = ["ts_t", "ts_i", "h", "op", "ns", "fromMigrate", "o", "o2", "shard", "
 
 
 def member_log_path(base: str, member: str) -> str:
-    return os.path.join(base, member.replace(":", "-") + ".jsonl")
+    # Percent-encoding is reversible for any hostname: the former
+    # replace(':','-') scheme corrupted member identity for hyphenated
+    # hosts ('my-host:27017' -> 'my:host:27017' on the read path).
+    return os.path.join(base, quote(member, safe="") + ".jsonl")
 
 
 def write_member_logs(pdf, base: str) -> list[str]:
@@ -69,7 +73,7 @@ def write_member_logs(pdf, base: str) -> list[str]:
 
 def _discover_members(base: str) -> list[str]:
     names = sorted(n for n in os.listdir(base) if n.endswith(".jsonl"))
-    return [n[: -len(".jsonl")].replace("-", ":") for n in names]
+    return [unquote(n[: -len(".jsonl")]) for n in names]
 
 
 def _parse_line(line: str) -> tuple:

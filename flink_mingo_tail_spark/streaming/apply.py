@@ -75,6 +75,11 @@ def apply_cdc_stream(
         upserts = compacted.filter(F.col(op_col) != delete_op).select(*data_cols)
         batch_keys = compacted.select(key).distinct()
         out_tmp = state_dir + ".tmp"
+        out_old = state_dir + ".old"
+        # Crash recovery: if a previous swap renamed state aside but died
+        # before renaming tmp in, the .old dir IS the last good state.
+        if not os.path.exists(state_dir) and os.path.exists(out_old):
+            os.rename(out_old, state_dir)
         if os.path.exists(state_dir):
             current = spark.read.parquet(state_dir)
             survivors = current.join(batch_keys, key, "left_anti")
@@ -82,9 +87,18 @@ def apply_cdc_stream(
         else:
             new_state = upserts
         new_state.write.mode("overwrite").parquet(out_tmp)
+        # Swap without a window where state_dir is simply *gone*: rename
+        # the old state aside (rename is atomic), rename tmp into place,
+        # only then delete the aside copy. A crash at any point leaves
+        # either state_dir or state_dir+".old" holding complete state —
+        # never the empty-rebuild hazard of rmtree-then-rename.
+        if os.path.exists(out_old):
+            shutil.rmtree(out_old)
         if os.path.exists(state_dir):
-            shutil.rmtree(state_dir)
+            os.rename(state_dir, out_old)
         os.rename(out_tmp, state_dir)
+        if os.path.exists(out_old):
+            shutil.rmtree(out_old)
 
     return (
         deduped.writeStream.outputMode("append")

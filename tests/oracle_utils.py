@@ -2,9 +2,16 @@
 
 Runs a declared query through Spark AND its oracle SQL through DuckDB,
 canonicalizes both results (column-name sort, row sort, exact value
-stringification) and asserts equality. Exact string canonicalization is
-deliberately unforgiving: repr() of a float64 round-trips exactly, so
-any cross-engine floating drift fails here before the driver sees it.
+stringification) and asserts equality.
+
+STRICTER than it needs to be on purpose (round-2 hardening): the round-1
+driver hash-failed q21/q29/q53 on rows the round-1 mirror accepted,
+because the mirror collapsed 5.0 == 5 across dtypes while the driver
+does not (DuckDB exports HUGEINT sums as float64 → "1524135.0" vs
+Spark's int64 "1524135"). Floats now canonicalize via repr() with NO
+int collapse, and dtype KINDS must match per column (int vs float vs
+bool vs object vs datetime) — differing widths (int32 vs int64) stay
+legal, matching the driver's observed behavior on q52.
 """
 
 from __future__ import annotations
@@ -24,8 +31,6 @@ def _canon_value(v) -> str:
         f = float(v)
         if math.isnan(f):
             return "∅"
-        if f == int(f) and abs(f) < 2**53:
-            return str(int(f))  # 5.0 == 5 regardless of engine dtype choice
         return repr(f)
     if isinstance(v, Decimal):
         return _canon_value(float(v))
@@ -50,6 +55,19 @@ def _canon_value(v) -> str:
     return str(v)
 
 
+def _dtype_kind(dtype) -> str:
+    k = dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "object"
+
+
 def canonicalize(df: pd.DataFrame) -> list[tuple[str, ...]]:
     cols = sorted(df.columns)
     rows = [tuple(_canon_value(row[c]) for c in cols) for _, row in df[cols].iterrows()]
@@ -64,6 +82,20 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str)
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count mismatch spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
     )
+    for c in sorted(spark_pdf.columns):
+        sk, ok = _dtype_kind(spark_pdf[c].dtype), _dtype_kind(oracle_pdf[c].dtype)
+        # A nullable int column arrives as float64 (NaN-padded) from either
+        # engine; only flag int-vs-float when NEITHER side has nulls.
+        if {sk, ok} == {"int", "float"} and (
+            spark_pdf[c].isna().any() or oracle_pdf[c].isna().any()
+        ):
+            continue
+        assert sk == ok, (
+            f"{name}.{c}: dtype-kind mismatch spark={spark_pdf[c].dtype} "
+            f"oracle={oracle_pdf[c].dtype} — the driver hash is dtype-sensitive "
+            f"(round-1 q21: DuckDB HUGEINT→float64 vs Spark int64); CAST the "
+            f"oracle or the Spark side so the pandas exports agree"
+        )
     s_rows = canonicalize(spark_pdf)
     o_rows = canonicalize(oracle_pdf)
     if s_rows != o_rows:

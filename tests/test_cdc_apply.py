@@ -66,3 +66,34 @@ def test_latest_state_batch_compaction(spark):
     state = latest_state_batch(df, key="key", order_by=["seq"])
     got = {(r.key, r.payload) for r in state.collect()}
     assert got == {(1, "a2"), (3, "c1")}
+
+
+def test_apply_cdc_stream_recovers_from_interrupted_swap(spark, tmp_path):
+    """A crash between 'rename state aside' and 'rename tmp in' must not
+    lose prior keys: the next batch recovers state from the .old dir."""
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    _write(spark, src, [(1, "i", 1, "a1"), (2, "i", 2, "b1")])
+    stream = spark.readStream.schema("key long, op string, seq long, payload string").parquet(src)
+    q = apply_cdc_stream(stream, state, ck, key="key", order_by=["seq"])
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # simulate the torn swap: state renamed aside, replacement never landed
+    import os
+
+    os.rename(state, state + ".old")
+
+    _write(spark, src, [(3, "i", 3, "c1")])
+    stream = spark.readStream.schema("key long, op string, seq long, payload string").parquet(src)
+    q = apply_cdc_stream(stream, state, ck, key="key", order_by=["seq"])
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.key, r.payload) for r in spark.read.parquet(state).collect()}
+    assert got == {(1, "a1"), (2, "b1"), (3, "c1")}

@@ -96,3 +96,30 @@ def test_full_cdc_topology_from_custom_source(spark, log_dir, tmp_path):
         q.stop()
     hs = sorted(r.h for r in spark.sql("SELECT h FROM cdc_out").collect())
     assert hs == [1000 + i for i in range(15) if i != 7]
+
+
+def test_member_name_roundtrip_hyphenated_host(spark, log_dir):
+    """Hostnames containing '-' must survive the log-file round-trip
+    (the old replace(':','-') scheme reported 'my:host:27017')."""
+    import pandas as pd
+
+    from flink_mingo_tail_spark.sources.oplog import _discover_members
+
+    member = "my-host.example-domain.com:27017"
+    pdf = pd.DataFrame(
+        [
+            {
+                "ts_t": 100, "ts_i": 1, "h": 7, "op": "i", "ns": "db.c",
+                "fromMigrate": None, "o": "{}", "o2": None,
+                "shard": "s0", "member_host": member,
+            }
+        ]
+    )
+    write_member_logs(pdf, log_dir)
+    assert _discover_members(log_dir) == [member]
+    register(spark)
+    df = (
+        spark.read.format("oplog_sim").schema(OPLOG_SOURCE_SCHEMA)
+        .option("path", log_dir).load()
+    )
+    assert [r.member_host for r in df.collect()] == [member]
