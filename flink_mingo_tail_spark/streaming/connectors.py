@@ -1,0 +1,156 @@
+"""Live-cluster adapters for the hermetic CDC pipeline.
+
+The engine's source/sink twins are hermetic by design (`oplog_sim` over
+member JSONL logs, parquet "index" stand-in) so every test runs without
+a MongoDB or Elasticsearch deployment. This module is the documented
+swap-in seam to the real systems the reference talks to
+(ShardSetFinder.java:44-56, ElasticsearchEmbeddedNodeSink.java:47-66):
+
+* ``mongo_change_stream_source`` — the public MongoDB Spark Connector
+  (``format("mongodb")``, change-stream mode) normalized onto
+  OPLOG_SOURCE_SCHEMA, so `oplog_filter → quorum dedup → sinks` runs
+  unchanged against a live cluster. Change streams replace the raw
+  oplog tail the reference scrapes per-member: the server already
+  deduplicates across replica members, majority-commits, and resumes
+  via resume tokens — so against a real cluster the quorum operator
+  becomes a no-op safety net rather than a correctness requirement
+  (replica_depth=1), and the engine's quorum path remains for
+  per-member tailing topologies.
+* ``make_es_bulk_writer`` — a foreachBatch sink that ships each
+  micro-batch as ONE Elasticsearch ``_bulk`` request (the reference
+  flushed per record, bulk-size 1 — its §4.3 throughput defect). Pure
+  stdlib HTTP; a transport hook makes it unit-testable offline.
+
+Neither adapter is importable-by-accident into the hermetic paths:
+everything here degrades with a clear error when the live dependency
+(connector jar / reachable cluster) is absent.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_mingo_tail_spark.sources.oplog import OPLOG_SOURCE_SCHEMA  # noqa: F401  (schema contract)
+
+#: options forwarded to the MongoDB Spark Connector (v10+) stream reader.
+_MONGO_FORMAT = "mongodb"
+
+
+def mongo_change_stream_source(
+    spark: SparkSession,
+    connection_uri: str,
+    database: str,
+    collection: str,
+    *,
+    full_document: str = "updateLookup",
+) -> DataFrame:
+    """readStream from a live MongoDB change stream, projected onto the
+    engine's oplog schema (ts_t/ts_i/h/op/ns/o/...).
+
+    Requires the public ``mongo-spark-connector`` jar on the session's
+    classpath (``spark.jars.packages=org.mongodb.spark:mongo-spark-connector_2.13:10.x``).
+    This sandbox has no such jar and no network — the call fails fast
+    with an actionable message; the mapping itself is plain DataFrame
+    code and is what a live deployment runs.
+    """
+    try:
+        raw = (
+            spark.readStream.format(_MONGO_FORMAT)
+            .option("connection.uri", connection_uri)
+            .option("database", database)
+            .option("collection", collection)
+            .option("change.stream.publish.full.document.only", "false")
+            .option("change.stream.full.document", full_document)
+            .load()
+        )
+    except Exception as exc:  # connector jar missing / cluster unreachable
+        raise RuntimeError(
+            "mongo_change_stream_source needs the MongoDB Spark Connector on "
+            "the classpath and a reachable cluster; in the hermetic sandbox "
+            "use sources.oplog (format 'oplog_sim') instead"
+        ) from exc
+    return normalize_change_events(raw)
+
+
+def normalize_change_events(raw: DataFrame) -> DataFrame:
+    """Map connector change-stream events onto OPLOG_SOURCE_SCHEMA.
+
+    Pure projection (testable without a cluster): `clusterTime` seconds
+    → ts_t, a stable 60-bit hash of the document key → h (the oplog's
+    op id role), operationType initials → op ('insert'→'i', ...), and
+    the full document JSON → o. Columns the connector does not surface
+    (per-member identity) are NULL — change streams are cluster-level,
+    which is exactly why quorum can relax to depth 1 here.
+    """
+    op_initial = (
+        F.when(F.col("operationType") == "insert", "i")
+        .when(F.col("operationType") == "update", "u")
+        .when(F.col("operationType") == "replace", "u")
+        .when(F.col("operationType") == "delete", "d")
+        .otherwise("n")
+    )
+    doc_key = F.to_json(F.col("documentKey"))
+    return raw.select(
+        F.col("clusterTime").cast("timestamp").cast("long").cast("int").alias("ts_t"),
+        F.lit(0).alias("ts_i"),
+        # 60-bit stable id from the document key (md5 prefix, engine-portable)
+        F.conv(F.substring(F.md5(doc_key), 1, 15), 16, 10).cast("long").alias("h"),
+        op_initial.alias("op"),
+        F.concat_ws(".", F.col("ns.db"), F.col("ns.coll")).alias("ns"),
+        F.lit(None).cast("boolean").alias("fromMigrate"),
+        F.to_json(F.col("fullDocument")).alias("o"),
+        doc_key.alias("o2"),
+        F.lit(None).cast("string").alias("shard"),
+        F.lit(None).cast("string").alias("member_host"),
+    )
+
+
+def es_bulk_payload(rows: list[dict], index: str) -> str:
+    """NDJSON `_bulk` body: one action line + one source line per doc,
+    `{"data": doc}` envelope (ElasticsearchEmbeddedNodeSink.java:60-63)."""
+    lines: list[str] = []
+    for row in rows:
+        lines.append(json.dumps({"index": {"_index": index, "_id": str(row.get("h"))}}))
+        lines.append(json.dumps({"data": row}, default=str))
+    return "\n".join(lines) + "\n"
+
+
+def _http_post(url: str, body: bytes, content_type: str) -> int:
+    from urllib.request import Request, urlopen
+
+    req = Request(url, data=body, headers={"Content-Type": content_type})
+    with urlopen(req) as resp:  # noqa: S310 (explicit live-cluster adapter)
+        return resp.status
+
+
+def make_es_bulk_writer(
+    es_url: str,
+    index: str,
+    transport: Callable[[str, bytes, str], int] | None = None,
+    max_docs_per_request: int = 5_000,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: each micro-batch becomes ceil(n/max_docs)
+    ``_bulk`` requests (vs the reference's flush-per-record). Collect is
+    per micro-batch of *deduped* ops — the stream the reference also
+    buffered in-heap (ArrayBlockingQueue(128)); for larger batches
+    lower maxFilesPerTrigger upstream or raise max_docs_per_request.
+
+    ``transport`` is injectable for offline tests; default is a plain
+    HTTP POST to ``{es_url}/_bulk``.
+    """
+    post = transport or _http_post
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = [r.asDict(recursive=True) for r in batch_df.collect()]
+        for start in range(0, len(rows), max_docs_per_request):
+            chunk = rows[start : start + max_docs_per_request]
+            payload = es_bulk_payload(chunk, index)
+            status = post(f"{es_url}/_bulk", payload.encode(), "application/x-ndjson")
+            if status >= 300:
+                raise RuntimeError(f"ES bulk write failed: HTTP {status} (batch {batch_id})")
+
+    return write_batch

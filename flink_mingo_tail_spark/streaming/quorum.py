@@ -5,7 +5,7 @@ arrives once per replica member of its shard; the operator emits each op
 EXACTLY ONCE, as soon as it has been confirmed by a quorum of members,
 and never again (while its state lives — see TTL below).
 
-Three deliberate fixes over the reference (SURVEY.md §4.3):
+Four deliberate fixes over the reference (SURVEY.md §4.3):
 
 * **majority quorum, not all-members** — the reference requires
   `replicaDepth` arrivals, so one dead replica stalls emission forever
@@ -19,6 +19,10 @@ Three deliberate fixes over the reference (SURVEY.md §4.3):
 * **offsets commit after sink commit** — inherited from Structured
   Streaming's checkpoint protocol, fixing the reference's
   checkpoint-before-emit loss window.
+* **per-shard replica depth** — the reference sizes every op's counter
+  from the FIRST shard's member count (MongoOplogTailMapper.java:64);
+  ``shard_depths`` gives each op its own shard's majority instead
+  (joined in as a per-row column — state stays keyed by `h` alone).
 
 Spark mapping: keyed state via ``applyInPandasWithState`` on the op id
 ``h`` with ``EventTimeTimeout``. State = (arrivals seen, emitted?, first
@@ -78,10 +82,35 @@ _STATE_SCHEMA = StructType(
 
 _OUT_COLS = [f.name for f in OP_SCHEMA.fields]
 
+# Per-row quorum column name for heterogeneous shard depths (see
+# _with_quorum_col): every delivery of an op carries its shard's quorum,
+# so keyed state stays keyed by `h` alone and no second dimension leaks
+# into the state key space.
+_QUORUM_COL = "__quorum"
+
+
+def _with_quorum_col(ops: DataFrame, default_quorum: int, shard_depths: dict[str, int] | None):
+    """Attach the per-row quorum: uniform (a literal) or per-shard
+    (map lookup on the `shard` column — the fix for the reference's
+    first-shard-only replicaDepth, MongoOplogTailMapper.java:64 /
+    SURVEY §4.3.3). A tiny literal map stays in codegen; no join, no
+    shuffle, no driver state."""
+    if not shard_depths:
+        return ops.select(*_OUT_COLS).withColumn(_QUORUM_COL, F.lit(default_quorum))
+    pairs = []
+    for shard, depth in sorted(shard_depths.items()):
+        pairs += [F.lit(shard), F.lit(depth // 2 + 1)]
+    lookup = F.try_element_at(F.create_map(*pairs), F.col("shard"))
+    return ops.select(*_OUT_COLS, "shard").withColumn(
+        _QUORUM_COL, F.coalesce(lookup, F.lit(default_quorum))
+    ).drop("shard")
+
 
 def _quorum_fn(quorum: int, state_ttl_ms: int):
     """Build the per-key stateful function (module-level factory so Spark
-    can pickle the closure to executors)."""
+    can pickle the closure to executors). Reads the per-row __quorum
+    column when present (heterogeneous shard depths), else falls back to
+    the uniform ``quorum``."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -97,10 +126,13 @@ def _quorum_fn(quorum: int, state_ttl_ms: int):
         )
         n_new = 0
         max_event_ms = 0
+        key_quorum = quorum
         for pdf in pdfs:
             if len(pdf):
+                first = pdf.iloc[0]
+                if _QUORUM_COL in pdf.columns:
+                    key_quorum = int(first[_QUORUM_COL])
                 if ts_t is None:
-                    first = pdf.iloc[0]
                     ts_t, ts_i, op, ns, o = (
                         int(first["ts_t"]),
                         int(first["ts_i"]),
@@ -111,7 +143,7 @@ def _quorum_fn(quorum: int, state_ttl_ms: int):
                 max_event_ms = max(max_event_ms, int(pdf["ts_t"].max()) * 1000)
                 n_new += len(pdf)
         seen += n_new
-        if not emitted and seen >= quorum:
+        if not emitted and seen >= key_quorum:
             emitted = True
             yield pd.DataFrame([[h, ts_t, ts_i, op, ns, o]], columns=_OUT_COLS)
         state.update((seen, emitted, ts_t, ts_i, op, ns, o))
@@ -129,6 +161,7 @@ def quorum_dedup_stream(
     quorum: int | None = None,
     state_ttl_ms: int = 60_000,
     watermark_delay: str = "10 seconds",
+    shard_depths: dict[str, int] | None = None,
 ) -> DataFrame:
     """Streaming quorum dedup keyed by op id `h`.
 
@@ -136,9 +169,16 @@ def quorum_dedup_stream(
     member_host are dropped — they only exist to multiply deliveries).
     The oplog timestamp seconds (`ts_t`) provide the event-time clock
     for the watermark and state TTL.
+
+    ``shard_depths`` maps shard name -> replica-set size for
+    heterogeneous clusters (a 2-member and a 3-member shard in one
+    topology): each op's quorum is then its OWN shard's majority,
+    fixing the reference defect of sizing every counter from the first
+    shard's depth (MongoOplogTailMapper.java:64, SURVEY §4.3.3).
+    Requires a `shard` column on ``ops``.
     """
     q = quorum if quorum is not None else replica_depth // 2 + 1
-    with_time = ops.select(*_OUT_COLS).withColumn(
+    with_time = _with_quorum_col(ops, q, shard_depths).withColumn(
         "event_ts", F.timestamp_seconds(F.col("ts_t"))
     )
     return (
@@ -154,18 +194,34 @@ def quorum_dedup_stream(
     )
 
 
-def quorum_dedup_batch(ops: DataFrame, replica_depth: int, quorum: int | None = None) -> DataFrame:
+def quorum_dedup_batch(
+    ops: DataFrame,
+    replica_depth: int,
+    quorum: int | None = None,
+    shard_depths: dict[str, int] | None = None,
+) -> DataFrame:
     """Batch twin (same emission set on a bounded replay): group by op id,
     emit the first-delivered payload of every op with >= quorum arrivals.
-    One hash-shuffle on `h` — the replay/backfill path at scale."""
+    One hash-shuffle on `h` — the replay/backfill path at scale.
+    ``shard_depths``: see quorum_dedup_stream."""
     q = quorum if quorum is not None else replica_depth // 2 + 1
+    if shard_depths:
+        pairs = []
+        for shard, depth in sorted(shard_depths.items()):
+            pairs += [F.lit(shard), F.lit(depth // 2 + 1)]
+        per_row_q = F.coalesce(
+            F.try_element_at(F.create_map(*pairs), F.col("shard")), F.lit(q)
+        )
+    else:
+        per_row_q = F.lit(q)
     w_first = F.struct(
         F.col("member_host"), F.col("ts_t"), F.col("ts_i"), F.col("op"), F.col("ns"), F.col("o")
     )
     agg = (
-        ops.groupBy("h")
-        .agg(F.count("*").alias("seen"), F.min(w_first).alias("first"))
-        .filter(F.col("seen") >= q)
+        ops.withColumn("__q", per_row_q)
+        .groupBy("h")
+        .agg(F.count("*").alias("seen"), F.min(w_first).alias("first"), F.max("__q").alias("__q"))
+        .filter(F.col("seen") >= F.col("__q"))
     )
     return agg.select(
         "h",
@@ -278,6 +334,7 @@ def quorum_dedup_stream_agg(
     quorum: int | None = None,
     window_duration: str = "1 minute",
     watermark_delay: str = "10 seconds",
+    shard_depths: dict[str, int] | None = None,
 ) -> DataFrame:
     """Quorum dedup as a watermarked windowed aggregation — zero Python,
     zero custom state: everything stays in Tungsten's streaming hash
@@ -299,7 +356,7 @@ def quorum_dedup_stream_agg(
     both (here: windows evict automatically).
     """
     q = quorum if quorum is not None else replica_depth // 2 + 1
-    with_time = ops.select(*_OUT_COLS).withColumn(
+    with_time = _with_quorum_col(ops, q, shard_depths).withColumn(
         "event_ts", F.timestamp_seconds(F.col("ts_t"))
     )
     agged = (
@@ -308,8 +365,9 @@ def quorum_dedup_stream_agg(
         .agg(
             F.count("*").alias("__seen"),
             F.min(F.struct("ts_t", "ts_i", "op", "ns", "o")).alias("__first"),
+            F.max(_QUORUM_COL).alias("__q"),
         )
-        .filter(F.col("__seen") >= q)
+        .filter(F.col("__seen") >= F.col("__q"))
     )
     return agged.select(
         "h",

@@ -116,5 +116,13 @@ OPLOG_DDL = (
 
 
 def write_batch(spark, pdf: pd.DataFrame, dir_path: str) -> None:
-    """Append one replay batch as a parquet file set for file-stream pickup."""
-    spark.createDataFrame(pdf, schema=OPLOG_DDL).coalesce(1).write.mode("append").parquet(dir_path)
+    """Append one replay batch as a parquet file set for file-stream pickup.
+
+    Small batches collapse to one file (deterministic single-file pickup
+    in tests); large replay batches split into ~50k-row tasks — a single
+    coalesce(1) funneled the 150k-row bench batch through one 27 MB task
+    (round-1 bench warning)."""
+    n_parts = max(1, len(pdf) // 50_000)
+    df = spark.createDataFrame(pdf, schema=OPLOG_DDL)
+    df = df.coalesce(1) if n_parts == 1 else df.repartition(n_parts)
+    df.write.mode("append").parquet(dir_path)

@@ -330,3 +330,57 @@ def test_quorum_agg_variant_emission_set(spark, tmpdirs):
     # duplicated delivery of op 0 (4 arrivals) still emits once; op 10
     # (1 arrival) never; sentinel itself not yet flushed (window open)
     assert hs == sorted(1000 + i for i in range(12) if i != 10), hs
+
+
+def test_quorum_per_shard_replica_depth(spark, tmpdirs):
+    """Heterogeneous cluster (5-member, 3-member, and 1-member shards in
+    one topology): each op's quorum is its OWN shard's majority — the
+    reference defect (replicaDepth from the first shard only,
+    MongoOplogTailMapper.java:64 / SURVEY §4.3.3) would size every
+    counter at 3 (quorum 2) and mis-emit the 5-member shard's
+    2-delivery op."""
+    import pandas as pd
+
+    m5 = tuple(f"a{i}:27017" for i in range(5))
+    m3 = MEMBERS
+    m1 = ("solo:27017",)
+    case5 = OplogCase(
+        n_ops=3, shard="s5", members=m5, h_base=5000,
+        # op 0: all 5 deliver (emit); op 1: only 2 of 5 (quorum is 3 ->
+        # must NOT emit, though global depth-3 quorum 2 would);
+        # op 2: exactly 3 (emit)
+        deliveries={1: m5[:2], 2: m5[:3]},
+        include_noise=False,
+    )
+    case3 = OplogCase(n_ops=2, shard="s0", members=m3, h_base=3000, include_noise=False)
+    case1 = OplogCase(
+        # single-member shard: quorum 1, a lone delivery must emit
+        # (global quorum 2 would strand it forever)
+        n_ops=1, shard="s1", members=m1, h_base=1000, include_noise=False,
+    )
+    rows = pd.concat([op_rows(c) for c in (case5, case3, case1)], ignore_index=True)
+    df = spark.createDataFrame(rows, schema=OPLOG_DDL)
+    depths = {"s5": 5, "s0": 3, "s1": 1}
+
+    got_batch = quorum_dedup_batch(oplog_filter(df), replica_depth=3, shard_depths=depths)
+    assert sorted(r.h for r in got_batch.collect()) == [1000, 3000, 3001, 5000, 5002]
+
+    # streaming form: same emission set
+    src, _, ck = tmpdirs
+    write_batch(spark, rows, src)
+    deduped = quorum_dedup_stream(
+        oplog_filter(_read_oplog_stream(spark, src)), replica_depth=3, shard_depths=depths
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("shard_quorum_out")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    hs = sorted(r.h for r in spark.sql("SELECT h FROM shard_quorum_out").collect())
+    assert hs == [1000, 3000, 3001, 5000, 5002], f"stream emission set wrong: {hs}"
