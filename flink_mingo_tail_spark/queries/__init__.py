@@ -93,6 +93,7 @@ _NEEDS_DRIVER_ROW = (
     "q71_content_hash_dedup",
     "q72_minhash_signature",
     "q73_minhash_lsh_dedup",
+    "q73b_dedup_components",
     "q74_simhash",
     "q75_ngram_jaccard",
     "q76_knn_bruteforce",
@@ -102,6 +103,7 @@ _NEEDS_DRIVER_ROW = (
     "q80_token_stats",
     "q81_lang_id",
     "q82_quality_score",
+    "q82b_repetition_score",
     "q83_doc_fingerprint",
     "q84_levenshtein_datediff",
     "q85_months_between",

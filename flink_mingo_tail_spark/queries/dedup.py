@@ -191,6 +191,78 @@ def q73_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q73b_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE sigs AS (
+        SELECT doc_id, {_SQL_SIG} AS sig FROM documents
+    ), banded AS (
+        SELECT doc_id, unnest({sql_lsh_band_keys('sig', ROWS_PER_BAND, MINHASH_K)}) AS band
+        FROM sigs
+    ), band_rep AS (
+        SELECT band, min(doc_id) AS rep FROM banded GROUP BY band
+    ), edges AS (
+        SELECT DISTINCT b.doc_id AS a, r.rep AS b
+        FROM banded b JOIN band_rep r ON b.band = r.band
+        WHERE r.rep < b.doc_id
+    ), sym AS (
+        SELECT a, b FROM edges UNION SELECT b, a FROM edges
+    ), reach(src, dst) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    ), comp AS (
+        SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS component,
+           coalesce(c.component, d.doc_id) < d.doc_id AS is_dup
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q73b_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE transitive dup clusters over the LSH candidate graph
+    (operators/cluster.py): q73's band election is one-hop single
+    linkage (doc → min rep among its own buckets); chained buckets
+    (A~B in band 1, B~C in band 2) only merge under the transitive
+    closure, which is what corpus dedup actually keeps/drops by.
+
+    Spark side: iterative min-label propagation + pointer jumping over
+    the (doc, band-rep) star edges — O(log d) rounds of two shuffles
+    each. Oracle: DuckDB recursive-CTE reachability closure (exact but
+    quadratic-in-component — oracle-only; the Spark plan is the one
+    that scales)."""
+    from flink_mingo_tail_spark.operators.cluster import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", shingle_hashes(F.array_distinct(tokens(F.col("text")))).alias("hs")
+    )
+    sigs = hashed.select("doc_id", minhash_from_hashes(F.col("hs"), MINHASH_K).alias("sig"))
+    banded = sigs.select(
+        "doc_id", F.explode(lsh_band_keys(F.col("sig"), ROWS_PER_BAND, MINHASH_K)).alias("band")
+    )
+    w = Window.partitionBy("band")
+    edges = (
+        banded.withColumn("rep", F.min("doc_id").over(w))
+        .filter(F.col("rep") < F.col("doc_id"))
+        .select(F.col("doc_id").alias("src"), F.col("rep").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(edges)
+    return (
+        d.select("doc_id")
+        .join(comp, d.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+        .withColumn("is_dup", F.col("component") < F.col("doc_id"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q74_simhash",
     oracle=f"""
     WITH hashed AS (

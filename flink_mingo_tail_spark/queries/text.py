@@ -263,6 +263,50 @@ def q82_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q82b_repetition_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           1.0 - len(list_distinct(t)) / CAST(n AS DOUBLE) AS token_rep,
+           1.0 - len(list_distinct(list_transform(range(1, n),
+                    i -> t[i] || ' ' || t[i+1]))) / CAST(n - 1 AS DOUBLE) AS bigram_rep
+    FROM (SELECT doc_id, {_SQL_TOKS} AS t, len({_SQL_TOKS}) AS n FROM documents)
+    WHERE n >= 2
+    ORDER BY doc_id
+    """,
+)
+def q82b_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family):
+    duplicate-token fraction and duplicate-bigram fraction per doc. A
+    high bigram repetition marks boilerplate/spam for corpus filtering.
+
+    Pure array expressions (transform over an index sequence builds the
+    bigram list in place) — zero shuffle, one codegen'd corpus pass at
+    any scale. The int/int divisions are correctly-rounded IEEE in both
+    engines, so the raw doubles hash identically (no round(): a ratio
+    with denominator 128 CAN land exactly on a 6dp half-way point where
+    Spark HALF_UP and DuckDB half-even disagree)."""
+    d = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    base = d.select("doc_id", t.alias("t"), F.size(t).alias("n")).filter(F.col("n") >= 2)
+    bigrams = F.expr("transform(sequence(1, n - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")
+    return (
+        base.select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            (F.lit(1.0) - F.size(F.array_distinct("t")) / F.col("n").cast("double")).alias(
+                "token_rep"
+            ),
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct(bigrams)) / (F.col("n") - 1).cast("double")
+            ).alias("bigram_rep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q83_doc_fingerprint",
     oracle=f"""
     SELECT doc_id,
