@@ -96,6 +96,7 @@ _NEEDS_DRIVER_ROW = (
     "q73b_dedup_components",
     "q74_simhash",
     "q75_ngram_jaccard",
+    "q75b_decontaminate",
     "q76_knn_bruteforce",
     "q77_embedding_near_dup",
     "q78_knn_lsh",

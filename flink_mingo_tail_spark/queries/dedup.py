@@ -337,3 +337,68 @@ def q75_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.8)
         .orderBy("doc_a", "doc_b")
     )
+
+
+_DECON_N = 4  # n-gram width; probe set = doc_id % 100 == 0 (stand-in benchmark)
+
+
+@query(
+    "q75b_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS ln
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, unnest(list_transform(range(1, ln - {_DECON_N - 2}),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+        FROM toks WHERE ln >= {_DECON_N}
+    ), probe AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 100 = 0
+    ), hits AS (
+        SELECT DISTINCT gr.doc_id FROM grams gr JOIN probe p ON gr.g = p.g
+        WHERE gr.doc_id % 100 <> 0
+    )
+    SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % 100 <> 0
+    ORDER BY d.doc_id
+    """,
+)
+def q75b_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag corpus docs sharing any
+    4-gram with the eval/benchmark set (here the deterministic
+    doc_id%100==0 slice stands in for the benchmark corpus). The
+    standard pre-training hygiene pass (the 13-gram overlap rule of
+    GPT-3/PaLM appendix fame, narrowed to 4 for the synthetic vocab).
+
+    Scale shape: corpus n-grams are built in-expression (no
+    pre-materialization), the probe set is benchmark-sized and
+    broadcast, so the corpus side is ONE pass + a broadcast left-semi
+    join — no shuffle of the 100 TB side; dedup of hit doc_ids is the
+    only corpus-keyed aggregate and it is count-bounded by the corpus
+    doc count."""
+    d = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    toks = d.select("doc_id", t.alias("t"), F.size(t).alias("ln"))
+    gram_expr = F.expr(
+        "transform(sequence(1, ln - 3), i -> concat_ws(' ', "
+        "element_at(t, i), element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))"
+    )
+    grams = toks.filter(F.col("ln") >= _DECON_N).select(
+        "doc_id", F.explode(gram_expr).alias("g")
+    )
+    probe = grams.filter(F.col("doc_id") % 100 == 0).select("g").distinct()
+    hits = (
+        grams.filter(F.col("doc_id") % 100 != 0)
+        .join(F.broadcast(probe), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        d.filter(F.col("doc_id") % 100 != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select("doc_id", F.coalesce("__hit", F.lit(False)).alias("contaminated"))
+        .orderBy("doc_id")
+    )
