@@ -50,8 +50,10 @@ HEADLINE = [
     "q55_explode_posexplode",
     "q62_cdc_quorum_dedup",
     "q73_minhash_lsh_dedup",
+    "q75b_decontaminate",
     "q76_knn_bruteforce",
     "q80_token_stats",
+    "q82b_repetition_score",
     "q83_doc_fingerprint",
     "q90_tumbling_window",
     "q92_session_window",

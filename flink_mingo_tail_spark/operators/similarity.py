@@ -76,6 +76,61 @@ def knn_bruteforce(
     )
 
 
+def knn_bruteforce_gemm(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qv",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine, scored with Arrow-batched numpy GEMM.
+
+    The vectorized production form of ``knn_bruteforce``: the (small)
+    query set is collected ONCE into a dim×Q float64 matrix shipped in
+    the task closure (the same bounded-collect contract as IVF
+    centroids); each corpus Arrow batch computes a (batch × Q) score
+    block with one BLAS matmul instead of per-row expression folds —
+    10-100× per element at production dims/batch sizes. Ranking uses
+    the UNROUNDED scores: BLAS accumulation order differs from the
+    sequential fold by ~1e-15, far below adjacent-cosine spacing, so
+    ranks (the hashed output) are fold/GEMM-invariant while raw scores
+    are not; callers needing displayable scores should round.
+    """
+    import pandas as pd
+
+    q_rows = queries.select(query_id, query_vec).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)  # Q × dim
+    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            c_mat = np.array(pdf[corpus_vec].tolist(), dtype=np.float64)  # B × dim
+            c_norm = np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = (c_mat / c_norm) @ q_unit.T  # B × Q cosine block
+            b = len(pdf)
+            yield pd.DataFrame(
+                {
+                    query_id: np.repeat(q_ids, b),
+                    corpus_id: np.tile(pdf[corpus_id].to_numpy(), len(q_ids)),
+                    "cos_sim": sims.T.reshape(-1),
+                }
+            )
+
+    scored = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        score, schema=f"{query_id} long, {corpus_id} long, cos_sim double"
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+    return (
+        scored.filter(F.col(corpus_id) != F.col(query_id))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id, "rank")
+    )
+
+
 def hyperplanes(n_bits: int, dim: int, seed: int = 42) -> np.ndarray:
     """Deterministic Gaussian hyperplanes for sign-bit LSH."""
     rng = np.random.default_rng(seed)

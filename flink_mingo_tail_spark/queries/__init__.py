@@ -98,6 +98,7 @@ _NEEDS_DRIVER_ROW = (
     "q75_ngram_jaccard",
     "q75b_decontaminate",
     "q76_knn_bruteforce",
+    "q76b_knn_gemm",
     "q77_embedding_near_dup",
     "q78_knn_lsh",
     "q79_knn_ivf",

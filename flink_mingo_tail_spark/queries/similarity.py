@@ -67,6 +67,42 @@ def q76_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q76b_knn_gemm",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, c.vec_id, {_COS_AB} AS cos_sim
+        FROM e c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, rank FROM ranked
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q76b_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact top-k as q76, scored by Arrow-batched numpy GEMM
+    (operators/similarity.knn_bruteforce_gemm) — the vectorized
+    production path for brute-force scoring at real dims/batch sizes.
+    Output is (query_id, vec_id, rank) only: ranks are invariant to the
+    ~1e-15 fold-vs-BLAS accumulation difference (adjacent-cosine
+    spacing is ~1e-3), raw scores are not — so the hash checks the GEMM
+    path end-to-end without floating-point fragility."""
+    from flink_mingo_tail_spark.operators.similarity import knn_bruteforce_gemm
+
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return knn_bruteforce_gemm(queries, e, TOP_K).select("query_id", "vec_id", "rank")
+
+
+@query(
     "q77_embedding_near_dup",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings)
