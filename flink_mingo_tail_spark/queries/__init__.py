@@ -70,6 +70,11 @@ _MODULES = (
 # text/streaming/multimodal/UDF surface plus the six round-1 reds — are
 # front-loaded so the bounded prefix covers them; queries with a green
 # round-1 row fill the remainder in their natural order.
+#
+# ROTATION NOTE: the list below is exactly 50 names (the prefix budget).
+# Queries added after it filled (q65b_scd2_history, …) sit past the
+# prefix this round; next round, rotate them in and rotate out whichever
+# entries earned a green row.
 _NEEDS_DRIVER_ROW = (
     # round-1 red rows (fixed in round 2)
     "q26b_approx_percentile",

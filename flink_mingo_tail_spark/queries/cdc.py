@@ -218,6 +218,50 @@ def q65_cdc_apply_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q65b_scd2_history",
+    oracle="""
+    WITH changelog AS (
+        SELECT user_id, ts, event_id, value
+        FROM events WHERE event_type <> 'error'
+    )
+    SELECT user_id, event_id, value,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM changelog
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from, event_id
+    """,
+)
+def q65b_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → SCD-type-2 history table: every upsert becomes a
+    validity interval [valid_from, valid_to) closed by the key's next
+    change (open-ended + is_current for the latest). The other half of
+    CDC materialization next to q65's latest-state compaction — what a
+    warehouse keeps when consumers need as-of queries over the change
+    history. One window pass per key (single shuffle on user_id), no
+    self-join."""
+    e = _t(spark, sf_dir, "events")
+    changelog = e.filter(F.col("event_type") != "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changelog.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )
+
+
+@query(
     "q66_event_funnel",
     oracle="""
     WITH seq AS (
