@@ -59,7 +59,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()  # truncate lineage: round N must not replay 1..N-1
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # neighborhood min: every node sees its neighbors' labels
         neigh = (
             sym.join(labels, sym.b == labels.node)
@@ -75,6 +75,12 @@ def connected_components(
             .select("node", F.coalesce("plabel", "label").alias("label"))
             .localCheckpoint()
         )
+        if it == 0:
+            # round 0 always changes labels on any non-trivial graph —
+            # skip the convergence action (localCheckpoint above already
+            # materialized the round)
+            labels = jumped
+            continue
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "node")
