@@ -62,6 +62,7 @@ _MODULES = (
     "text",
     "streaming_batch",
     "multimodal_udf",
+    "indexing",
 )
 
 # The driver's CORRECTNESS pass checks a bounded prefix of the declared

@@ -1,0 +1,262 @@
+"""Corpus-indexing & cluster-assignment queries (north-star extension).
+
+The retrieval-side half of a training-data pipeline: once a corpus is
+deduped and quality-filtered, it gets *indexed* — inverted token index
+for lexical search, global n-gram statistics for contamination/vocab
+work, per-source accounting for mixture weighting, and embedding →
+centroid assignment for semantic clustering (the SemDeDup/cluster-
+balance shape). Reference scope: the reference engine feeds an
+Elasticsearch full-text index (ElasticsearchEmbeddedNodeSink.java:47-66)
+— building the inverted index IS its sink's job; here it is a
+first-class relational operator instead.
+
+Scale notes (100 TB):
+
+* the inverted index is ONE explode + ONE hash-shuffle on token;
+  partial aggregation (ObjectHashAggregate) combines map-side, so the
+  shuffle carries (token, partial-postings), not raw (token, doc_id)
+  rows. Hot tokens (stopwords) make posting lists unbounded — the
+  production guard is the same df cutoff used here (drop df < k keeps
+  the long tail; a df *ceiling* or per-token top-k window caps the
+  head; postings shard by (token, bucket) beyond that).
+* n-gram counting is explode → partial+final count: the classic
+  word-count shape, shuffle carries one row per *distinct* gram per
+  partition.
+* centroid assignment trains nothing on the driver: per-dimension
+  means are a (label, pos) hash aggregate — k×dim rows total — and the
+  reassembled centroid table (k rows) broadcasts to the scoring join,
+  so the corpus side is a single narrow pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_mingo_tail_spark.operators.dedup import tokens
+from flink_mingo_tail_spark.operators.similarity import SQL_COSINE, cosine
+from flink_mingo_tail_spark.queries import query
+from flink_mingo_tail_spark.session import prepare_session
+from flink_mingo_tail_spark.tables import load_table, spread
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare_session(spark)
+    return spread(load_table(spark, sf_dir, "documents"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare_session(spark)
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    return e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+
+
+_MIN_DF = 2  # drop hapax tokens: the long-tail guard (see module notes)
+
+
+@query(
+    "q100_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS doc_freq,
+           string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+    FROM toks
+    GROUP BY token
+    HAVING count(*) >= {_MIN_DF}
+    ORDER BY token
+    LIMIT 400
+    """,
+)
+def q100_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted token index: token -> document frequency + sorted
+    posting list (serialized; the driver contract forbids array
+    outputs). Distinct-per-doc tokens exploded once, one shuffle on
+    token with map-side partial collect; df cutoff bounds the output."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias("postings"),
+        )
+        .filter(F.col("doc_freq") >= _MIN_DF)
+        .orderBy("token")
+        .limit(400)
+    )
+
+
+@query(
+    "q101_top_trigrams",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS t, len(string_split(text, ' ')) AS ln
+        FROM documents
+    ), grams AS (
+        SELECT unnest(list_transform(range(1, ln - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        FROM toks WHERE ln >= 3
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS n
+    FROM grams
+    GROUP BY gram
+    ORDER BY n DESC, gram
+    LIMIT 100
+    """,
+)
+def q101_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k word trigrams — the corpus-statistics pass behind
+    contamination checks and vocabulary building. Grams are built
+    in-expression (no materialization); count is the word-count shape
+    with full partial aggregation; ties broken by gram for a stable
+    top-k."""
+    d = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    toks = d.select(t.alias("t"), F.size(t).alias("ln"))
+    gram_expr = F.expr(
+        "transform(sequence(1, ln - 2), i -> concat_ws(' ', "
+        "element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"
+    )
+    return (
+        toks.filter(F.col("ln") >= 3)
+        .select(F.explode(gram_expr).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "gram")
+        .limit(100)
+    )
+
+
+@query(
+    "q102_source_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT source, lang, n_chars, len(string_split(text, ' ')) AS n_toks
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) / count(*) AS avg_chars,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens
+    FROM toks
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q102_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus accounting (doc/char/token counts, language
+    spread) — the bookkeeping behind data-mixture weighting. One hash
+    aggregate; distinct-lang is a tiny per-group set. Long sums are
+    exact; avg is a single final IEEE division of exact integers."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("source", "lang", "n_chars", F.size(tokens(F.col("text"))).alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars") / F.count(F.lit(1))).alias("avg_chars"),
+            F.sum("n_toks").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_BUCKET = 100  # histogram bucket width in chars
+
+
+@query(
+    "q103_length_histogram",
+    oracle=f"""
+    SELECT CAST(floor(n_chars / {_BUCKET}) AS BIGINT) * {_BUCKET} AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q103_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (fixed-width buckets) — the length
+    profile every corpus cut (truncation, packing, filter thresholds)
+    is read off. Pure map + tiny hash aggregate; bucket count is
+    bounded by max(n_chars)/width regardless of corpus size."""
+    d = _docs(spark, sf_dir)
+    bucket = (F.floor(F.col("n_chars") / _BUCKET) * _BUCKET).cast("long")
+    return (
+        d.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_CENT_SCALE = 1_000_000  # fixed-point scale for exact centroid means
+
+
+@query(
+    "q104_centroid_assign",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ), ex AS (
+        SELECT vec_id, label, i AS pos, emb[i] AS v
+        FROM e, unnest(range(1, len(emb) + 1)) AS t(i)
+    ), cent AS (
+        SELECT label, pos,
+               CAST(sum(CAST(round(v * {_CENT_SCALE}) AS BIGINT)) AS BIGINT)
+                   / (count(*) * {_CENT_SCALE}.0) AS c
+        FROM ex GROUP BY label, pos
+    ), cv AS (
+        SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label
+    )
+    SELECT e.vec_id, e.label,
+           round({SQL_COSINE.format(a="e.emb", b="cv.cv")}, 5) AS cos_to_centroid
+    FROM e JOIN cv USING (label)
+    ORDER BY vec_id
+    """,
+)
+def q104_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding -> cluster-centroid assignment score (SemDeDup /
+    cluster-balance shape): per-label elementwise mean centroid, then
+    each vector's cosine to its own centroid — low scores are cluster
+    outliers, near-1 ties are semantic duplicates.
+
+    Determinism: per-dimension means use the scaled-long exact-sum
+    pattern (functions/deterministic.py) so centroids are bit-identical
+    across engines; the cosine is a sequential fold on both sides.
+    Scale: the (label, pos) aggregate is k*dim rows, the centroid table
+    k rows -> broadcast join; the corpus pass is narrow."""
+    e = _emb(spark, sf_dir)
+    ex = e.select("vec_id", "label", F.posexplode("embedding").alias("pos0", "v"))
+    cent = ex.groupBy("label", "pos0").agg(
+        (
+            F.sum(F.round(F.col("v") * _CENT_SCALE, 0).cast("long"))
+            / (F.count(F.lit(1)) * F.lit(float(_CENT_SCALE)))
+        ).alias("c")
+    )
+    cv = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    return (
+        e.join(F.broadcast(cv), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("cv")), 5).alias("cos_to_centroid"),
+        )
+        .orderBy("vec_id")
+    )
