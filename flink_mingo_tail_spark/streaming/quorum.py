@@ -94,9 +94,12 @@ def _with_quorum_col(ops: DataFrame, default_quorum: int, shard_depths: dict[str
     (map lookup on the `shard` column — the fix for the reference's
     first-shard-only replicaDepth, MongoOplogTailMapper.java:64 /
     SURVEY §4.3.3). A tiny literal map stays in codegen; no join, no
-    shuffle, no driver state."""
+    shuffle, no driver state. The uniform case attaches NO column at
+    all: the quorum is baked into the Python closure instead, keeping
+    one int64 per delivery out of the Arrow transfer (measurable at
+    bench scale — 150k deliveries/batch)."""
     if not shard_depths:
-        return ops.select(*_OUT_COLS).withColumn(_QUORUM_COL, F.lit(default_quorum))
+        return ops.select(*_OUT_COLS)
     pairs = []
     for shard, depth in sorted(shard_depths.items()):
         pairs += [F.lit(shard), F.lit(depth // 2 + 1)]
@@ -106,11 +109,18 @@ def _with_quorum_col(ops: DataFrame, default_quorum: int, shard_depths: dict[str
     ).drop("shard")
 
 
-def _quorum_fn(quorum: int, state_ttl_ms: int):
+def _quorum_fn(quorum: int, state_ttl_ms: int, per_shard: bool = False):
     """Build the per-key stateful function (module-level factory so Spark
-    can pickle the closure to executors). Reads the per-row __quorum
-    column when present (heterogeneous shard depths), else falls back to
-    the uniform ``quorum``."""
+    can pickle the closure to executors). ``per_shard`` means the rows
+    carry a __quorum column (heterogeneous shard depths); otherwise the
+    uniform ``quorum`` is baked into the closure.
+
+    Hot-path notes: this function runs once per KEY per micro-batch
+    (50k+ calls/batch at bench scale), so per-call pandas overhead is
+    the throughput ceiling. Scalars are read with per-column ``.iat[0]``
+    — ``pdf.iloc[0]`` would materialize a mixed-dtype Series per key
+    (~2x slower end-to-end, measured) — and the column presence check is
+    resolved once at plan build, not per key."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -120,37 +130,47 @@ def _quorum_fn(quorum: int, state_ttl_ms: int):
             # for the reference's unbounded documentCounter leak.
             state.remove()
             return
-        (h,) = key
         seen, emitted, ts_t, ts_i, op, ns, o = (
             state.get if state.exists else (0, False, None, None, None, None, None)
         )
         n_new = 0
-        max_event_ms = 0
+        max_ts_t = 0
         key_quorum = quorum
         for pdf in pdfs:
-            if len(pdf):
-                first = pdf.iloc[0]
-                if _QUORUM_COL in pdf.columns:
-                    key_quorum = int(first[_QUORUM_COL])
+            n = len(pdf)
+            if n:
+                if per_shard:
+                    key_quorum = int(pdf[_QUORUM_COL].iat[0])
                 if ts_t is None:
-                    ts_t, ts_i, op, ns, o = (
-                        int(first["ts_t"]),
-                        int(first["ts_i"]),
-                        first["op"],
-                        first["ns"],
-                        first["o"],
-                    )
-                max_event_ms = max(max_event_ms, int(pdf["ts_t"].max()) * 1000)
-                n_new += len(pdf)
+                    ts_t = int(pdf["ts_t"].iat[0])
+                    ts_i = int(pdf["ts_i"].iat[0])
+                    op = pdf["op"].iat[0]
+                    ns = pdf["ns"].iat[0]
+                    o = pdf["o"].iat[0]
+                # numpy path: Series.max() carries ~3x the per-call
+                # overhead, and this runs once per key per batch
+                t = int(pdf["ts_t"].to_numpy().max())
+                if t > max_ts_t:
+                    max_ts_t = t
+                n_new += n
         seen += n_new
         if not emitted and seen >= key_quorum:
             emitted = True
-            yield pd.DataFrame([[h, ts_t, ts_i, op, ns, o]], columns=_OUT_COLS)
+            yield pd.DataFrame(
+                {
+                    "h": (key[0],),
+                    "ts_t": (ts_t,),
+                    "ts_i": (ts_i,),
+                    "op": (op,),
+                    "ns": (ns,),
+                    "o": (o,),
+                }
+            )
         state.update((seen, emitted, ts_t, ts_i, op, ns, o))
         # Event-time TTL: state lives until watermark > op time + ttl.
         # Guard: Spark requires the timeout to sit beyond the watermark.
         wm = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max(max_event_ms + state_ttl_ms, wm + 1))
+        state.setTimeoutTimestamp(max(max_ts_t * 1000 + state_ttl_ms, wm + 1))
 
     return fn
 
@@ -185,7 +205,7 @@ def quorum_dedup_stream(
         with_time.withWatermark("event_ts", watermark_delay)
         .groupBy("h")
         .applyInPandasWithState(
-            _quorum_fn(q, state_ttl_ms),
+            _quorum_fn(q, state_ttl_ms, per_shard=bool(shard_depths)),
             outputStructType=OP_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
@@ -359,13 +379,16 @@ def quorum_dedup_stream_agg(
     with_time = _with_quorum_col(ops, q, shard_depths).withColumn(
         "event_ts", F.timestamp_seconds(F.col("ts_t"))
     )
+    # Uniform depth: no __quorum column flows (see _with_quorum_col) —
+    # the threshold is a literal in the emission filter.
+    quorum_expr = F.max(_QUORUM_COL) if shard_depths else F.lit(q)
     agged = (
         with_time.withWatermark("event_ts", watermark_delay)
         .groupBy(F.window("event_ts", window_duration), F.col("h"))
         .agg(
             F.count("*").alias("__seen"),
             F.min(F.struct("ts_t", "ts_i", "op", "ns", "o")).alias("__first"),
-            F.max(_QUORUM_COL).alias("__q"),
+            quorum_expr.alias("__q"),
         )
         .filter(F.col("__seen") >= F.col("__q"))
     )

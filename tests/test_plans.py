@@ -109,3 +109,21 @@ def test_events_queries_prune_columns(spark, name):
     # never read it
     if name == "q20_groupby_battery":
         assert "props" not in plan
+
+
+def test_inverted_index_partial_aggregates(spark):
+    # posting-list build must combine map-side (ObjectHashAggregate
+    # partial collect) so the token shuffle carries partial lists, and
+    # only doc_id/text may leave the scan
+    plan = plan_of(spark, "q100_inverted_index")
+    assert plan.count("ObjectHashAggregate") >= 2
+    assert "lang" not in plan and "source" not in plan
+
+
+def test_centroid_assign_broadcasts_centroids(spark):
+    # the k-row centroid table broadcasts to the scoring join; the
+    # corpus side must never shuffle on label for it
+    plan = plan_of(spark, "q104_centroid_assign")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
