@@ -260,3 +260,145 @@ def q104_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+_PACK_BUDGET = 600  # token budget per packed sequence bin
+_PACK_SHARDS = 16  # independent packing shards (see scale note)
+
+
+@query(
+    "q105_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % {_PACK_SHARDS} AS pack_shard,
+               len(string_split(text, ' ')) AS n_toks
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, pack_shard, n_toks,
+               CAST(sum(n_toks) OVER (PARTITION BY pack_shard ORDER BY doc_id) AS BIGINT) AS cum_toks
+        FROM toks
+    )
+    SELECT doc_id, pack_shard, CAST(n_toks AS BIGINT) AS n_toks,
+           CAST((cum_toks - n_toks) // {_PACK_BUDGET} AS BIGINT) AS bin
+    FROM cum
+    ORDER BY doc_id
+    """,
+)
+def q105_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to fixed token-budget bins (the
+    pre-training batch-packing pass). Docs are packed in doc_id order by
+    running token total; a doc's bin is its starting offset / budget.
+
+    Scale shape: packing needs NO global order — bins only have to be
+    dense within a shard — so the running sum is windowed over
+    ``doc_id % {_PACK_SHARDS}`` shards, keeping parallelism at the
+    shard count instead of a single global-sort task. At 100 TB the
+    shard key becomes hash(doc_id) % (executors*4) and each bin id is
+    (shard, local_bin); packing quality is identical."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    t = tokens(F.col("text"))
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("pack_shard"),
+        F.size(t).cast("long").alias("n_toks"),
+    )
+    w = Window.partitionBy("pack_shard").orderBy("doc_id")
+    cum = toks.withColumn("cum_toks", F.sum("n_toks").over(w))
+    return cum.select(
+        "doc_id",
+        "pack_shard",
+        "n_toks",
+        F.floor((F.col("cum_toks") - F.col("n_toks")) / _PACK_BUDGET).alias("bin"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q106_split_assign",
+    oracle="""
+    WITH assigned AS (
+        SELECT lang, len(string_split(text, ' ')) AS n_toks,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 1 THEN 'val'
+                    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 2 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def q106_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-independent hash
+    (98/1/1): the split a doc lands in is a pure function of its id, so
+    re-runs, backfills and multi-team pipelines agree without
+    coordination. Zero shuffle for the assignment; one tiny aggregate
+    here to audit the split balance."""
+    from flink_mingo_tail_spark.operators.dedup import md5_long
+
+    d = _docs(spark, sf_dir)
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 1, F.lit("val")).when(bucket < 2, F.lit("test")).otherwise(F.lit("train"))
+    )
+    return (
+        d.select(split.alias("split"), "lang", F.size(tokens(F.col("text"))).alias("n_toks"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
+
+
+_CHUNK = 40  # tokens per chunk
+_STRIDE = 30  # chunk stride (overlap = _CHUNK - _STRIDE)
+
+
+@query(
+    "q107_chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS ln
+        FROM documents WHERE doc_id < 100
+    ), starts AS (
+        SELECT doc_id, t, s
+        FROM toks, unnest(range(1, greatest(ln - {_CHUNK - 1}, 1) + 1, {_STRIDE})) AS r(s)
+    )
+    SELECT doc_id,
+           CAST((s - 1) // {_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(t[s:s + {_CHUNK - 1}]) AS BIGINT) AS n_chunk_toks,
+           array_to_string(t[s:s + {_CHUNK - 1}], ' ') AS chunk_text
+    FROM starts
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q107_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size {chunk}, stride {stride})
+    — the retrieval/RAG indexing pass and the long-doc training cut.
+    Chunk starts are generated in-expression (sequence + explode), the
+    slice itself never copies the full token array more than once, and
+    the whole pass is narrow (no shuffle; the ORDER BY exists for the
+    oracle hash only). Trailing sub-stride tails beyond the last full
+    window start are the documented convention of the sliding cut."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    t = tokens(F.col("text"))
+    toks = d.select("doc_id", t.alias("t"), F.size(t).alias("ln"))
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(F.expr(f"sequence(1, greatest(ln - {_CHUNK - 1}, 1), {_STRIDE})")).alias("s"),
+    )
+    return starts.select(
+        "doc_id",
+        F.expr(f"(s - 1) div {_STRIDE}").cast("long").alias("chunk_idx"),
+        F.expr(f"size(slice(t, s, {_CHUNK}))").cast("long").alias("n_chunk_toks"),
+        F.expr(f"concat_ws(' ', slice(t, s, {_CHUNK}))").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
