@@ -58,6 +58,8 @@ HEADLINE = [
     "q90_tumbling_window",
     "q92_session_window",
     "q95_multimodal_features",
+    "q100_inverted_index",
+    "q104_centroid_assign",
 ]
 
 

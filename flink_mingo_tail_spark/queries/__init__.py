@@ -63,6 +63,7 @@ _MODULES = (
     "streaming_batch",
     "multimodal_udf",
     "indexing",
+    "analytics",
 )
 
 # The driver's CORRECTNESS pass checks a bounded prefix of the declared

@@ -1,0 +1,342 @@
+"""Event-analytics and corpus-curation queries (north-star extension).
+
+Batch sessionization, cohort retention, calendar gap-fill, one-pass
+column profiling, and deterministic source-mixture resampling — the
+event-log / training-data-curation operations a 100 TB pipeline runs
+daily. Reference parity: the reference engine (JaiHirsch/flink-mingo-tail)
+streams CDC events but has no event-analytics surface; these extend the
+declared engine the same way the dedup/similarity families do
+(SURVEY.md §2C).
+
+Cross-engine determinism: every time value is an integer (µs / day / week
+index via ``unix_micros`` ÷ fixed divisors — DuckDB twin ``epoch_us``),
+every sampled membership decision is a pure integer predicate over the
+shared md5-based hash (operators/dedup.md5_long), and no double is ever
+aggregated — so the driver's value-hash comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_mingo_tail_spark.operators.dedup import md5_long, sql_md5_long
+from flink_mingo_tail_spark.queries import query
+from flink_mingo_tail_spark.session import prepare_session
+from flink_mingo_tail_spark.tables import load_table
+
+_US_30MIN = 30 * 60 * 1_000_000
+_US_DAY = 86_400_000_000
+_US_WEEK = 7 * _US_DAY
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare_session(spark)
+    e = load_table(spark, sf_dir, "events")
+    return e.withColumn("us", F.unix_micros("ts"))
+
+
+# ---------------------------------------------------------------------------
+# q105 — batch sessionization by inactivity gap
+# ---------------------------------------------------------------------------
+
+@query(
+    "q105_batch_sessionize",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ), m AS (
+      SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w > {_US_30MIN} THEN 1 ELSE 0 END AS new_sess
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), s AS (
+      SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM m
+    )
+    SELECT user_id, session_id,
+           MIN(us) AS session_start_us,
+           MAX(us) AS session_end_us,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM s
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def q105_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch: a new session starts after
+    >30 min of user inactivity (lag + running sum of boundary flags),
+    then per-session aggregates.
+
+    Scale shape: ONE shuffle on user_id serves both windows and the
+    final groupBy (user_id, session_id) is partition-local under it.
+    The streaming twin is q92 (native session_window); this is the
+    backfill/batch path over the same event log.
+    """
+    e = _events_us(spark, sf_dir).select("user_id", "event_id", "event_type", "us")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    new_sess = F.when(gap.isNull() | (gap > _US_30MIN), F.lit(1)).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        e.withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("us").alias("session_start_us"),
+            F.max("us").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q106 — cohort retention matrix
+# ---------------------------------------------------------------------------
+
+@query(
+    "q106_cohort_retention",
+    oracle=f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_US_WEEK} AS wk FROM events
+    ), c AS (
+      SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS cohort_wk FROM uw
+    )
+    SELECT cohort_wk, wk - cohort_wk AS week_offset, COUNT(*) AS n_users
+    FROM c
+    GROUP BY cohort_wk, week_offset
+    ORDER BY cohort_wk, week_offset
+    """,
+)
+def q106_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users are cohorted by their first active epoch-week
+    (integer week index — no engine-dependent calendar truncation), and
+    each (cohort, week_offset) cell counts users still active that week.
+
+    Scale shape: distinct(user, wk) is a partial-agg'd shuffle on the
+    pair; the cohort min reuses the user_id clustering (window over
+    user_id); the final cell agg is a second small shuffle whose input
+    is |users| × |active weeks|, not |events|.
+    """
+    e = _events_us(spark, sf_dir)
+    uw = e.select("user_id", F.expr(f"us DIV {_US_WEEK}").alias("wk")).distinct()
+    cohort = F.min("wk").over(Window.partitionBy("user_id"))
+    return (
+        uw.withColumn("cohort_wk", cohort)
+        .withColumn("week_offset", F.col("wk") - F.col("cohort_wk"))
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_wk", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q107 — calendar gap-fill (zero-filled daily spine + staleness)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q107_gap_fill_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // {_US_DAY} AS day_idx,
+             COUNT(*) AS n_events,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1
+    ), b AS (
+      SELECT MIN(day_idx) AS d0, MAX(day_idx) AS d1 FROM daily
+    ), spine AS (
+      SELECT UNNEST(range(d0, d1 + 1)) AS day_idx FROM b
+    ), j AS (
+      SELECT s.day_idx,
+             COALESCE(d.n_events, 0) AS n_events,
+             COALESCE(d.n_users, 0) AS n_users,
+             CASE WHEN d.day_idx IS NOT NULL THEN s.day_idx END AS active_day
+      FROM spine s LEFT JOIN daily d USING (day_idx)
+    )
+    SELECT day_idx, n_events, n_users,
+           day_idx - MAX(active_day) OVER (ORDER BY day_idx
+                                           ROWS UNBOUNDED PRECEDING) AS days_since_active
+    FROM j
+    ORDER BY day_idx
+    """,
+)
+def q107_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: aggregate events to a daily grain, generate
+    the full calendar spine between min and max day (``sequence`` +
+    explode), left-join, zero-fill, and carry forward the last active
+    day to expose per-day staleness.
+
+    Scale shape: the only full-data pass is the daily pre-aggregation
+    (partial+final hash agg). Everything after runs on |days| rows —
+    the spine explode, the join (broadcast: a year is 365 rows), and
+    the single-partition running window are all bounded by calendar
+    size, never by event volume.
+    """
+    e = _events_us(spark, sf_dir)
+    daily = (
+        e.groupBy(F.expr(f"us DIV {_US_DAY}").alias("day_idx"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    spine = (
+        daily.agg(F.min("day_idx").alias("d0"), F.max("day_idx").alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("day_idx"))
+    )
+    j = (
+        spine.join(F.broadcast(daily), "day_idx", "left")
+        .select(
+            "day_idx",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_users", F.lit(0)).alias("n_users"),
+            F.when(F.col("n_events").isNotNull(), F.col("day_idx")).alias("active_day"),
+        )
+    )
+    run = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        j.withColumn("days_since_active", F.col("day_idx") - F.max("active_day").over(run))
+        .drop("active_day")
+        .orderBy("day_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q108 — one-pass column profiling
+# ---------------------------------------------------------------------------
+
+@query(
+    "q108_column_profile",
+    oracle="""
+    WITH a AS (
+      SELECT COUNT(*) AS n,
+             COUNT(o_custkey) AS ck_nn, COUNT(DISTINCT o_custkey) AS ck_nd,
+             CAST(MIN(o_custkey) AS VARCHAR) AS ck_min, CAST(MAX(o_custkey) AS VARCHAR) AS ck_max,
+             COUNT(o_orderstatus) AS os_nn, COUNT(DISTINCT o_orderstatus) AS os_nd,
+             MIN(o_orderstatus) AS os_min, MAX(o_orderstatus) AS os_max,
+             COUNT(o_orderpriority) AS op_nn, COUNT(DISTINCT o_orderpriority) AS op_nd,
+             MIN(o_orderpriority) AS op_min, MAX(o_orderpriority) AS op_max,
+             COUNT(o_totalprice) AS tp_nn, COUNT(DISTINCT o_totalprice) AS tp_nd,
+             CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR) AS tp_min,
+             CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR) AS tp_max
+      FROM orders
+    )
+    SELECT 'o_custkey' AS col_name, n - ck_nn AS n_nulls, ck_nd AS n_distinct,
+           ck_min AS min_repr, ck_max AS max_repr FROM a
+    UNION ALL
+    SELECT 'o_orderstatus', n - os_nn, os_nd, os_min, os_max FROM a
+    UNION ALL
+    SELECT 'o_orderpriority', n - op_nn, op_nd, op_min, op_max FROM a
+    UNION ALL
+    SELECT 'o_totalprice_cents', n - tp_nn, tp_nd, tp_min, tp_max FROM a
+    ORDER BY col_name
+    """,
+)
+def q108_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema profiling: null count, exact distinct count, and min/max
+    representation for four orders columns — computed in ONE scan (a
+    single multi-distinct aggregate), then unpivoted to a narrow
+    (col_name, metric…) table via ``stack``.
+
+    Doubles are profiled in scaled-cents space so min/max render
+    identically across engines. Scale shape: Catalyst expands the
+    multi-distinct agg into an Expand + two-phase hash agg — still a
+    single source scan, parallel in the input partitions; the stack
+    unpivot runs on the one resulting row.
+    """
+    prepare_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    a = o.agg(
+        F.count("*").alias("n"),
+        F.count("o_custkey").alias("ck_nn"),
+        F.countDistinct("o_custkey").alias("ck_nd"),
+        F.min("o_custkey").cast("string").alias("ck_min"),
+        F.max("o_custkey").cast("string").alias("ck_max"),
+        F.count("o_orderstatus").alias("os_nn"),
+        F.countDistinct("o_orderstatus").alias("os_nd"),
+        F.min("o_orderstatus").alias("os_min"),
+        F.max("o_orderstatus").alias("os_max"),
+        F.count("o_orderpriority").alias("op_nn"),
+        F.countDistinct("o_orderpriority").alias("op_nd"),
+        F.min("o_orderpriority").alias("op_min"),
+        F.max("o_orderpriority").alias("op_max"),
+        F.count("o_totalprice").alias("tp_nn"),
+        F.countDistinct("o_totalprice").alias("tp_nd"),
+        F.min(cents).cast("string").alias("tp_min"),
+        F.max(cents).cast("string").alias("tp_max"),
+    )
+    return a.select(
+        F.expr(
+            "stack(4, "
+            "'o_custkey', n - ck_nn, ck_nd, ck_min, ck_max, "
+            "'o_orderstatus', n - os_nn, os_nd, os_min, os_max, "
+            "'o_orderpriority', n - op_nn, op_nd, op_min, op_max, "
+            "'o_totalprice_cents', n - tp_nn, tp_nd, tp_min, tp_max"
+            ") AS (col_name, n_nulls, n_distinct, min_repr, max_repr)"
+        )
+    ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# q109 — deterministic source-mixture resampling
+# ---------------------------------------------------------------------------
+
+@query(
+    "q109_mixture_reweight",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), m AS (
+      SELECT MIN(n_docs) AS min_docs FROM c
+    ), k AS (
+      SELECT d.source, d.doc_id, c.n_docs, m.min_docs,
+             {sql_md5_long("CAST(d.doc_id AS VARCHAR)", salt=109)} % 1000000 AS r
+      FROM documents d JOIN c USING (source) CROSS JOIN m
+    )
+    SELECT source,
+           MAX(n_docs) AS n_docs,
+           CAST(SUM(CASE WHEN r * n_docs < min_docs * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN r * n_docs < min_docs * 1000000 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+    FROM k
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q109_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture equalization: downsample every source to the size
+    of the smallest one with a deterministic per-document coin — keep
+    iff ``hash(doc_id) % 1e6 × n_docs(source) < min_docs × 1e6``. Pure
+    integer predicate, so membership is bit-identical across engines
+    (and across reruns — a training-data requirement: the sample must
+    be reproducible without storing it).
+
+    Scale shape: the per-source census is a tiny partial-agg'd shuffle;
+    it joins back to the corpus as a BROADCAST (sources are a handful),
+    so the membership pass is shuffle-free; kept-set accounting reuses
+    the same broadcast pass. ``kept_id_sum`` is the value-hash witness
+    that both engines kept exactly the same documents.
+    """
+    prepare_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    min_docs = counts.agg(F.min("n_docs").alias("min_docs"))
+    r = md5_long(F.concat(F.lit("109:"), F.col("doc_id").cast("string"))) % 1_000_000
+    keep = (F.col("r") * F.col("n_docs")) < (F.col("min_docs") * F.lit(1_000_000))
+    return (
+        d.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(min_docs))
+        .withColumn("r", r)
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(keep, F.col("doc_id")).otherwise(0)).alias("kept_id_sum"),
+        )
+        .orderBy("source")
+    )
