@@ -148,20 +148,21 @@ def main() -> None:
         if qd is not None:
             qd.fn(spark, WARMUP_SF_DIR).collect()
 
-    # min-of-2 per query: steady-state time, not OS-cache / GC / JIT
-    # noise of whichever run came first (run-to-run spread at sf0.1 on
-    # this box is ~±15%).
+    # min-of-3 per query, taken over ROUND-ROBIN passes (not back-to-back
+    # repeats): host-level noise on this box arrives in multi-second
+    # bursts, so consecutive repeats of one query land inside the same
+    # burst while whole-list passes decorrelate the samples. Reported
+    # time is steady-state engine throughput, not OS-cache/GC/JIT noise.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        qd = registry.get(name)
-        if qd is None:
-            continue
-        best = float("inf")
-        for _ in range(2):
+    for _ in range(3):
+        for name in HEADLINE:
+            qd = registry.get(name)
+            if qd is None:
+                continue
             start = time.perf_counter()
             qd.fn(spark, SF_DIR).collect()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            elapsed = time.perf_counter() - start
+            timings[name] = round(min(timings.get(name, float("inf")), elapsed), 3)
 
     streaming = bench_streaming_pipeline(spark, "keyed_state")
     streaming_jvm = bench_streaming_pipeline(spark, "jvm_agg")
