@@ -64,6 +64,7 @@ _MODULES = (
     "multimodal_udf",
     "indexing",
     "analytics",
+    "layout",
 )
 
 # The driver's CORRECTNESS pass checks a bounded prefix of the declared
