@@ -127,3 +127,67 @@ def test_centroid_assign_broadcasts_centroids(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def plan_simple(spark, name: str) -> str:
+    """Simple-mode explain: Exchange nodes carry their partitioning inline
+    (hashpartitioning/SinglePartition/rangepartitioning)."""
+    df = REGISTRY[name].fn(spark, SF_ORACLE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def test_sessionize_single_data_shuffle(spark):
+    # both windows (lag + running sum) and the session groupBy must ride
+    # ONE hash shuffle on user_id; a second full-data exchange would mean
+    # the window specs diverged
+    plan = plan_simple(spark, "q105_batch_sessionize")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_skyline_windows_stay_partitioned(spark):
+    # the suffix-min over the full order volume must be PARTITIONED (by
+    # bucket / by day); the only single-task window allowed is the one
+    # over the tiny per-bucket aggregate
+    plan = plan_simple(spark, "q110_pareto_frontier")
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # bucket suffix-min joins back broadcast
+
+
+def test_mixture_reweight_broadcasts_census(spark):
+    # per-source counts and the min-scalar must broadcast to the corpus
+    # pass — the membership scan itself never shuffles
+    plan = plan_simple(spark, "q109_mixture_reweight")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_join_is_blocked_equi(spark):
+    # neighborhood blocking makes candidate generation an EQUI join on the
+    # mask key — never an all-pairs product or nested loop
+    plan = plan_simple(spark, "q111_fuzzy_name_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_column_profile_is_one_scan(spark):
+    # the multi-distinct profile must stay a single source scan (Expand +
+    # two-phase agg), not one scan per column
+    plan = plan_of(spark, "q108_column_profile")
+    # formatted mode prints each scan twice (tree + detail); count tree rows
+    assert plan.count("Scan parquet  (") == 1, plan
+    assert "Expand" in plan
+
+
+def test_zorder_stays_in_codegen(spark):
+    # the Morton interleave is pure integer expression work — no Python
+    # boundary, partial+final agg over the range profile
+    plan = plan_of(spark, "q112_zorder_layout")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
