@@ -160,20 +160,26 @@ def _lit_vec(v) -> Column:
 
 
 def _nearest_cells(vec: Column, centroids: np.ndarray) -> Column:
-    """Array of struct(negdot, cell) sorted ascending — element 0 is the
-    max-inner-product (= max-cosine for unit centroids) cell. Centroid
-    components are literals folded into codegen; tie-break on cell id
-    keeps assignment deterministic."""
+    """Array of struct(negcos, cell) sorted ascending — element 0 is the
+    max-cosine cell. Ranking by cosine (not raw dot) makes the
+    assignment invariant to centroid scaling, so centroids can stay
+    EXACT rationals (scaled-long means) with no float-fragile
+    normalization step — the property the DuckDB oracle replication of
+    q79 relies on. Centroid components are literals folded into codegen;
+    tie-break on cell id keeps assignment deterministic."""
     scored = F.array(
         *[
             F.struct(
-                (-dot(vec, _lit_vec(c))).alias("negdot"),
+                (-cosine(vec, _lit_vec(c))).alias("negcos"),
                 F.lit(i).alias("cell"),
             )
             for i, c in enumerate(centroids)
         ]
     )
     return F.array_sort(scored)
+
+
+IVF_MEAN_SCALE = 1_000_000  # fixed-point scale for exact centroid means
 
 
 def train_ivf_centroids(
@@ -189,10 +195,17 @@ def train_ivf_centroids(
     Init: the k_cells rows with the smallest md5(id || seed) — a
     deterministic pseudo-random sample that costs one TakeOrdered (no
     full shuffle). Each Lloyd iteration is one corpus pass: a codegen'd
-    argmax-dot assignment (no UDF) + a (cell, dim) grouped average via
+    argmax-cosine assignment (no UDF) + a (cell, dim) grouped mean via
     posexplode — both distributed aggs; only the k_cells x dim centroid
-    matrix ever reaches the driver. Centroids are L2-normalized so
-    argmax-dot == argmax-cosine."""
+    matrix ever reaches the driver.
+
+    Determinism contract (cross-engine, see q79's oracle): centroids are
+    never L2-normalized — argmax-cosine is scale-invariant, so the
+    normalization would only introduce sqrt/rounding drift. Per-dim
+    means use the scaled-long exact-sum pattern (same as q104):
+    sum(round(v * S) :: long) / (n * S) is bit-identical in Spark,
+    Python, and DuckDB because the integer sum is order-independent and
+    the final division is one IEEE op on identical operands."""
     sample = (
         corpus.select(
             F.col(corpus_vec),
@@ -204,21 +217,21 @@ def train_ivf_centroids(
         .collect()
     )
     centroids = np.array([r[0] for r in sample], dtype=np.float64)
-    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
     for _ in range(n_iter):
         assigned = corpus.withColumn("_cell", _nearest_cells(F.col(corpus_vec), centroids)[0]["cell"])
-        means = (
+        stats = (
             assigned.select("_cell", F.posexplode(corpus_vec).alias("_pos", "_val"))
             .groupBy("_cell", "_pos")
-            .agg(F.avg("_val").alias("_avg"))
+            .agg(
+                F.sum(F.round(F.col("_val") * IVF_MEAN_SCALE, 0).cast("long")).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
             .collect()
         )
         new = centroids.copy()  # empty cells keep their previous centroid
-        for r in means:
-            new[r._cell][r._pos] = r._avg
-        norms = np.linalg.norm(new, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        centroids = new / norms
+        for r in stats:
+            new[r._cell][r._pos] = r._s / (r._n * float(IVF_MEAN_SCALE))
+        centroids = new
     return centroids
 
 

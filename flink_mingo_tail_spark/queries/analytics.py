@@ -33,7 +33,10 @@ _US_WEEK = 7 * _US_DAY
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare_session(spark)
     e = load_table(spark, sf_dir, "events")
-    return e.withColumn("us", F.unix_micros("ts"))
+    # ts loads as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP. The session
+    # is pinned UTC (prepare_session), so the cast is value-preserving
+    # and matches DuckDB's epoch_us over the naive timestamp.
+    return e.withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
 
 
 # ---------------------------------------------------------------------------

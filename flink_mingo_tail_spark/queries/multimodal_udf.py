@@ -66,12 +66,42 @@ def q94_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q95_multimodal_features", oracle=None)
+@query(
+    "q95_multimodal_features",
+    # The fake featurizer is a 16-bin byte histogram over the payload,
+    # and the payload is the 64 ASCII bytes of sha256(text) hex: digits
+    # '0'-'9' (bytes 48-57) land in bin 3, letters 'a'-'f' (97-102) in
+    # bin 6, every other bin is 0. So the whole feature vector reduces
+    # to ONE count (the digit count d): f3 = d/64, f6 = (64-d)/64 —
+    # exact 6-decimal binary fractions, so round() is identity and both
+    # engines print identical shortest-round-trip strings.
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+               length(regexp_replace(sha256(text), '[^0-9]', '', 'g')) AS d
+        FROM documents
+    ), f AS (
+        SELECT media_id, kind,
+               round(d / 64.0, 6) AS f3,
+               round((64 - d) / 64.0, 6) AS f6
+        FROM media
+    )
+    SELECT media_id, kind,
+           16 AS feature_dim,
+           round(f3 * f3 + f6 * f6, 6) AS feature_sqnorm,
+           concat('0.0,0.0,0.0,', f3::VARCHAR, ',0.0,0.0,', f6::VARCHAR,
+                  ',0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0') AS feature_csv
+    FROM f
+    ORDER BY media_id
+    """,
+)
 def q95_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload → feature vector via Arrow-batched mapInPandas
     (deterministic fake featurizer; real Spark plumbing — see
-    operators/multimodal.py). Rows-only driver check; determinism and
-    batch-shape are asserted in tests/test_multimodal.py."""
+    operators/multimodal.py). The oracle computes the same histogram
+    closed-form from the sha256 hex alphabet (see comment above);
+    determinism and batch-shape are asserted in tests/test_multimodal.py."""
     media = synthesize_media(spread(_t(spark, sf_dir, "documents")))
     feats = extract_features(media)
     # The raw array<double> column is banned from query outputs (the

@@ -45,17 +45,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    Parquet reader rejects. Read the column as raw nanos (legacy conf) and
-    truncate to microseconds with integer division — the same truncation
-    DuckDB applies when narrowing ns → its native µs timestamps, so oracle
-    comparisons agree exactly. Integer DIV, not float division: ns values
-    are ~1.7e18, far beyond double's 2^53 integer range."""
+    """Fixture generations have stored ``ts`` as either TIMESTAMP(NANOS)
+    (which Spark's vectorized Parquet reader rejects) or plain
+    timestamp[us]. Branch on the file's actual Arrow schema: for nanos,
+    read the column as raw int64 (legacy conf) and truncate to
+    microseconds with integer DIV — the same truncation DuckDB applies
+    when narrowing ns → its native µs timestamps, so oracle comparisons
+    agree exactly (integer DIV, not float division: ns values ~1.7e18
+    exceed double's 2^53 integer range). For µs fixtures, pass through
+    unchanged — re-applying the nanos path to a TIMESTAMP column is a
+    type error (the round-2 regression)."""
+    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(table_path(sf_dir, "events"))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    path = table_path(sf_dir, "events")
+    ts_type = str(pq.read_schema(path).field("ts").type)
+    if ts_type == "timestamp[ns]":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:
@@ -77,6 +86,9 @@ def spread(df: DataFrame) -> DataFrame:
     scale the same table is thousands of files and this repartition is a
     no-op by construction. One narrow round-robin shuffle of the (small)
     input buys full-core execution of the expensive map stage."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    # Unconditional repartition: the test corpora are single-file scans,
+    # so the round-robin shuffle is always needed; probing the current
+    # partition count via df.rdd would force a plan-to-RDD conversion on
+    # every call and bypass AQE stats.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
