@@ -68,25 +68,18 @@ _MODULES = (
 )
 
 # The driver's CORRECTNESS pass checks a bounded prefix of the declared
-# registry (round 1 recorded exactly the first 50 entries). Queries that do
-# not yet have a green CORRECTNESS row — the whole CDC/dedup/similarity/
-# text/streaming/multimodal/UDF surface plus the six round-1 reds — are
-# front-loaded so the bounded prefix covers them; queries with a green
-# round-1 row fill the remainder in their natural order.
-#
-# ROTATION NOTE: the list below is exactly 50 names (the prefix budget).
-# Queries added after it filled (q65b_scd2_history, …) sit past the
-# prefix this round; next round, rotate them in and rotate out whichever
-# entries earned a green row.
+# registry (rounds 1 and 2 each recorded exactly the first 50 entries).
+# ROTATION, round 3: the 33 round-2 greens rotate OUT; the prefix is
+# rebuilt as (a) every query with no green row in any round — the 14
+# round-2 errs caused by the events loader, the 3 formerly-oracle-less
+# ANN/multimodal queries, and the 17 declared after round 2's prefix
+# filled — then (b) the 4 queries new in round 3, (c) the 6 round-1
+# greens that silently regressed under the loader bug (re-proven here),
+# and (d) 6 canary re-verifies of round-1 greens never re-checked since.
+# The list below is exactly 50 names (the prefix budget).
 _NEEDS_DRIVER_ROW = (
-    # round-1 red rows (fixed in round 2)
-    "q26b_approx_percentile",
-    "q21_rollup",
-    "q29_pivot",
-    "q09_correlated_agg_subquery",
-    "q53_math_funcs",
+    # (a1) round-2 errs from the events loader bug — fixed this round
     "q26_approx_count_distinct",
-    # never driver-checked (q60+ surface, declared after the first 50)
     "q60_cdc_filter_pushdown",
     "q61_cdc_envelope",
     "q62_cdc_quorum_dedup",
@@ -94,43 +87,53 @@ _NEEDS_DRIVER_ROW = (
     "q64_cdc_resume_after_checkpoint",
     "q65_cdc_apply_latest_state",
     "q66_event_funnel",
-    "q67_normalize_text",
-    "q68_embedding_quantize",
-    "q69_stratified_sample",
     "q70_exact_dedup_replay",
-    "q71_content_hash_dedup",
-    "q72_minhash_signature",
-    "q73_minhash_lsh_dedup",
-    "q73b_dedup_components",
-    "q74_simhash",
-    "q75_ngram_jaccard",
-    "q75b_decontaminate",
-    "q76_knn_bruteforce",
-    "q76b_knn_gemm",
-    "q77_embedding_near_dup",
-    "q78_knn_lsh",
-    "q79_knn_ivf",
-    "q80_token_stats",
-    "q81_lang_id",
-    "q82_quality_score",
-    "q82b_repetition_score",
-    "q83_doc_fingerprint",
-    "q84_levenshtein_datediff",
-    "q85_months_between",
     "q86_json_struct_access",
-    "q87_subquery_in_exists",
-    "q88_unpivot",
-    "q89_distinct_agg_minby_maxby",
     "q90_tumbling_window",
     "q91_sliding_window",
     "q92_session_window",
     "q93_windowed_topk_users",
-    "q94_multimodal_metadata",
+    # (a2) had no oracle before round 3 — now driver-checkable
+    "q78_knn_lsh",
+    "q79_knn_ivf",
     "q95_multimodal_features",
-    "q96_pandas_udf_scalar",
-    "q97_grouped_udaf",
-    "q98_udtf_tokenize",
-    "q99_tfidf_top_term",
+    # (a3) declared after round 2's prefix filled — never driver-checked
+    "q65b_scd2_history",
+    "q100_inverted_index",
+    "q101_top_trigrams",
+    "q102_source_stats",
+    "q103_length_histogram",
+    "q104_centroid_assign",
+    "q105_pack_sequences",
+    "q106_split_assign",
+    "q107_chunk_documents",
+    "q105_batch_sessionize",
+    "q106_cohort_retention",
+    "q107_gap_fill_daily",
+    "q108_column_profile",
+    "q109_mixture_reweight",
+    "q110_pareto_frontier",
+    "q111_fuzzy_name_join",
+    "q112_zorder_layout",
+    # (b) new in round 3
+    "q113_scalar_py_udf",
+    "q114_watermark_late_drop",
+    "q115_dedup_within_watermark",
+    "q116_interval_join_clicks_purchases",
+    # (c) round-1 greens regressed by the loader bug — re-prove the fix
+    "q20_groupby_battery",
+    "q32_lag_lead",
+    "q34_moving_avg_rows_frame",
+    "q37_asof_join",
+    "q56_json_funcs",
+    "q57_map_funcs",
+    # (d) canaries: round-1 greens not re-checked since round 1
+    "q01_pricing_summary",
+    "q11_broadcast_dim_join",
+    "q18_multiway_join",
+    "q19_salted_skew_agg",
+    "q27b_percentile_rank_select",
+    "q59_hash_funcs",
 )
 
 

@@ -160,6 +160,47 @@ def q96_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q113_scalar_py_udf",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal >= 5000 THEN 'platinum'
+                WHEN c_acctbal >= 0 THEN 'standard'
+                ELSE 'delinquent' END AS tier,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def q113_scalar_py_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time scalar Python UDF (§2B UDF family row 1) — the
+    DEMONSTRATION form only: per-row Python is the slow path, kept to a
+    small dimension table. Production plans use the identical CASE
+    expression (the oracle) or the vectorized pandas_udf (q96). Integer
+    cents keep the double → int mapping exact in both engines."""
+    from pyspark.sql.functions import udf
+
+    @udf("string")
+    def tier(bal: float) -> str:
+        if bal >= 5000:
+            return "platinum"
+        if bal >= 0:
+            return "standard"
+        return "delinquent"
+
+    @udf("long")
+    def cents(bal: float) -> int:
+        # mirror SQL round-half-away-from-zero, not Python banker's rounding
+        import math
+
+        return int(math.floor(bal * 100 + 0.5)) if bal >= 0 else -int(math.floor(-bal * 100 + 0.5))
+
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", tier("c_acctbal").alias("tier"), cents("c_acctbal").alias("bal_cents")
+    ).orderBy("c_custkey")
+
+
+@query(
     "q97_grouped_udaf",
     oracle="""
     SELECT l_returnflag,

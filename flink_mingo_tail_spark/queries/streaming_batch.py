@@ -10,7 +10,7 @@ with watermarks, late data, and checkpoint/resume.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_mingo_tail_spark.queries import query
@@ -21,6 +21,14 @@ from flink_mingo_tail_spark.tables import load_table
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare_session(spark)
     return load_table(spark, sf_dir, "events")
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ts is TIMESTAMP_NTZ; session is pinned UTC, so the cast matches
+    # DuckDB's epoch_us over the naive timestamp exactly.
+    return _events(spark, sf_dir).withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
 
 
 @query(
@@ -124,6 +132,162 @@ def q92_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
         .orderBy("user_id", "session_start")
+    )
+
+
+_WM_DELAY_US = 10 * 60 * 1_000_000  # 10-minute watermark delay
+_WM_WIN_US = 5 * 60 * 1_000_000  # 5-minute tumbling windows
+_WM_BUCKET = 4096  # arrival-order prefix-max bucket width (see scale note)
+
+
+@query(
+    "q114_watermark_late_drop",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+    ), m AS (
+      SELECT *, max(us) OVER (ORDER BY event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS arr_max
+      FROM t
+    )
+    SELECT CAST(us // {_WM_WIN_US} * {_WM_WIN_US} AS BIGINT) AS window_start_us,
+           CAST(sum(CASE WHEN arr_max IS NULL OR us >= arr_max - {_WM_DELAY_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN arr_max IS NOT NULL AND us < arr_max - {_WM_DELAY_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+    FROM m
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q114_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of append-mode watermark late-data dropping
+    (tests/test_streaming.py::test_watermark_drops_late_rows): replay
+    the event log in arrival order (event_id = ingest sequence), track
+    the running event-time maximum, and drop any row that arrives more
+    than the watermark delay behind it — then count kept vs late rows
+    per tumbling window.
+
+    Scale shape: a naive formulation is one global running-max window
+    (single task). Instead the arrival axis is bucketed: per-bucket
+    running max is partition-parallel, and the cross-bucket prefix max
+    runs over only n/4096 bucket summaries before a broadcast join back
+    — the standard two-level prefix-scan, same trick as q110's
+    suffix-min. The oracle keeps the naive one-task window (DuckDB
+    clarity; it is not graded on scale)."""
+    e = _events_us(spark, sf_dir).select("event_id", "user_id", "us")
+    b = e.withColumn("bucket", F.expr(f"event_id DIV {_WM_BUCKET}"))
+    in_bucket = Window.partitionBy("bucket").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    b = b.withColumn("in_max", F.max("us").over(in_bucket))
+    bmax = b.groupBy("bucket").agg(F.max("us").alias("bmax"))
+    prior = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bmax.withColumn("prefix", F.max("bmax").over(prior)).select("bucket", "prefix")
+    j = b.join(F.broadcast(prefix), "bucket")
+    arr_max = F.greatest("in_max", "prefix")  # greatest() skips NULLs
+    late = arr_max.isNotNull() & (F.col("us") < arr_max - F.lit(_WM_DELAY_US))
+    return (
+        j.withColumn("late", late)
+        .groupBy(F.expr(f"us DIV {_WM_WIN_US} * {_WM_WIN_US}").alias("window_start_us"))
+        .agg(
+            F.sum(F.when(~F.col("late"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late"),
+        )
+        .orderBy("window_start_us")
+    )
+
+
+_DD_HORIZON_US = 30 * 60 * 1_000_000  # 30-minute dedup horizon
+
+
+@query(
+    "q115_dedup_within_watermark",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
+    ), g AS (
+      SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY us, event_id) IS NULL
+                       OR us - lag(us) OVER (PARTITION BY user_id, event_type
+                                             ORDER BY us, event_id) > {_DD_HORIZON_US}
+                     THEN 1 ELSE 0 END AS kept
+      FROM t
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(kept) AS BIGINT) AS n_kept
+    FROM g
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q115_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of dropDuplicatesWithinWatermark
+    (tests/test_streaming.py::test_drop_duplicates_within_watermark):
+    an event is a duplicate if the same (user_id, event_type) key fired
+    within the last 30 minutes of event time; only burst-leaders are
+    kept. One shuffle on the dedup key serves both the lag window and
+    the per-user rollup."""
+    e = _events_us(spark, sf_dir).select("user_id", "event_type", "event_id", "us")
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    kept = F.when(gap.isNull() | (gap > _DD_HORIZON_US), 1).otherwise(0)
+    return (
+        e.withColumn("kept", kept)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_total"), F.sum("kept").alias("n_kept"))
+        .orderBy("user_id")
+    )
+
+
+_SSJ_BOUND_US = 30 * 60 * 1_000_000  # purchase within 30 min of click
+
+
+@query(
+    "q116_interval_join_clicks_purchases",
+    oracle=f"""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) >= epoch_us(c.ts)
+     AND epoch_us(p.ts) <= epoch_us(c.ts) + {_SSJ_BOUND_US}
+    ORDER BY click_id, purchase_id
+    """,
+)
+def q116_interval_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream interval join
+    (tests/test_streaming_extras.py::test_stream_stream_join_with_watermarks):
+    clicks joined to same-user purchases within a bounded event-time
+    window. The user_id equi-key carries the shuffle; the time bound is
+    a post-join filter — in streaming the same bound is what makes join
+    state evictable, here it is what keeps the per-user pair space
+    small."""
+    e = _events_us(spark, sf_dir)
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("us").alias("c_us")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("us").alias("p_us"),
+    )
+    return (
+        c.join(
+            p,
+            (c.user_id == p.p_user)
+            & (p.p_us >= c.c_us)
+            & (p.p_us <= c.c_us + F.lit(_SSJ_BOUND_US)),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.col("p_us") - F.col("c_us")).alias("lag_us"),
+        )
+        .orderBy("click_id", "purchase_id")
     )
 
 
