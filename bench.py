@@ -58,6 +58,8 @@ HEADLINE = [
     "q90_tumbling_window",
     "q92_session_window",
     "q95_multimodal_features",
+    "q114_watermark_late_drop",
+    "q116_interval_join_clicks_purchases",
     "q100_inverted_index",
     "q104_centroid_assign",
 ]

@@ -191,3 +191,23 @@ def test_zorder_stays_in_codegen(spark):
     plan = plan_of(spark, "q112_zorder_layout")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_watermark_replay_two_level_prefix_max(spark):
+    # the arrival-order running max must NOT be one global window: the
+    # full-data window is partitioned by bucket, the only single-task
+    # window runs over the tiny per-bucket maxima, and the prefix joins
+    # back broadcast
+    plan = plan_of(spark, "q114_watermark_late_drop")
+    assert plan.count("hashpartitioning(bucket") >= 1, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_equi_on_user(spark):
+    # the stream-stream-join twin must shuffle on the user_id equi key
+    # with the time bound as a residual — not a cartesian/range explosion
+    plan = plan_of(spark, "q116_interval_join_clicks_purchases")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
