@@ -77,6 +77,11 @@ _MODULES = (
 # greens that silently regressed under the loader bug (re-proven here),
 # and (d) 6 canary re-verifies of round-1 greens never re-checked since.
 # The list below is exactly 50 names (the prefix budget).
+#
+# ROUND-4 NOTE: if this round's prefix goes green, every declared query
+# has at least one green row (the stated bar). Rotate round 4 to the 65
+# queries NOT in this list (oldest green row first) to keep rows fresh,
+# and always front-load queries added in the round itself.
 _NEEDS_DRIVER_ROW = (
     # (a1) round-2 errs from the events loader bug — fixed this round
     "q26_approx_count_distinct",

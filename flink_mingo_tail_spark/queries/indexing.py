@@ -236,8 +236,12 @@ def q104_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: per-dimension means use the scaled-long exact-sum
     pattern (functions/deterministic.py) so centroids are bit-identical
     across engines; the cosine is a sequential fold on both sides.
-    Scale: the (label, pos) aggregate is k*dim rows, the centroid table
-    k rows -> broadcast join; the corpus pass is narrow."""
+    Scale: the (label, pos) aggregate is k*dim rows AFTER map-side
+    partial aggregation (the posexplode row amplification never crosses
+    the wire), the centroid table k rows -> broadcast join; the corpus
+    pass is narrow. (A 64-wide one-agg-per-dim variant was measured
+    ~1.4x SLOWER at sf0.1 — per-row array extraction x64 + a 65-buffer
+    agg loses to explode + tight hash agg — so this shape is kept.)"""
     e = _emb(spark, sf_dir)
     ex = e.select("vec_id", "label", F.posexplode("embedding").alias("pos0", "v"))
     cent = ex.groupBy("label", "pos0").agg(
