@@ -125,6 +125,8 @@ _NEEDS_DRIVER_ROW = (
     "q114_watermark_late_drop",
     "q115_dedup_within_watermark",
     "q116_interval_join_clicks_purchases",
+    "q117_incremental_dedup",
+    "q118_curation_filter",
     # (c) round-1 greens regressed by the loader bug — re-prove the fix
     "q20_groupby_battery",
     "q32_lag_lead",
@@ -137,8 +139,6 @@ _NEEDS_DRIVER_ROW = (
     "q11_broadcast_dim_join",
     "q18_multiway_join",
     "q19_salted_skew_agg",
-    "q27b_percentile_rank_select",
-    "q59_hash_funcs",
 )
 
 

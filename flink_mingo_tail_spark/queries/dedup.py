@@ -402,3 +402,91 @@ def q75b_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.coalesce("__hit", F.lit(False)).alias("contaminated"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q117_incremental_dedup",
+    oracle=f"""
+    WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
+    idx AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+    exact AS (
+        SELECT DISTINCT i.doc_id
+        FROM inc i JOIN (SELECT DISTINCT md5(text) AS ch FROM idx) x
+          ON md5(i.text) = x.ch
+    ),
+    inc_b AS (
+        SELECT doc_id, unnest({sql_lsh_band_keys('sig', ROWS_PER_BAND, MINHASH_K)}) AS band
+        FROM (SELECT doc_id, {sql_minhash_signature("list_distinct(string_split(text, ' '))", MINHASH_K)} AS sig FROM inc)
+    ),
+    idx_b AS (
+        SELECT DISTINCT unnest({sql_lsh_band_keys('sig', ROWS_PER_BAND, MINHASH_K)}) AS band
+        FROM (SELECT {sql_minhash_signature("list_distinct(string_split(text, ' '))", MINHASH_K)} AS sig FROM idx)
+    ),
+    near AS (
+        SELECT DISTINCT b.doc_id FROM inc_b b JOIN idx_b USING (band)
+    )
+    SELECT i.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS status
+    FROM inc i
+    LEFT JOIN exact e ON e.doc_id = i.doc_id
+    LEFT JOIN near n ON n.doc_id = i.doc_id
+    ORDER BY i.doc_id
+    """,
+)
+def q117_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (daily-ingest) dedup: classify each INCOMING doc
+    (the deterministic doc_id%10==7 slice stands in for today's batch)
+    against the EXISTING corpus — 'exact_dup' on content-hash match,
+    'near_dup' on any shared MinHash-LSH band key, else 'new'. This is
+    the shape a continuously-growing corpus actually runs: only the
+    incoming slice is hashed fresh each day.
+
+    Scale shape: both probes are left-semi equi-joins keyed by content
+    hash / band key. In production the index side is the PERSISTED hash
+    and band tables (written once, partitioned by key prefix), so the
+    daily cost is one pass over the small incoming slice plus
+    partition-pruned index lookups; here both sides derive in-query
+    from the same fixture. No all-pairs comparison anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    inc = d.filter(F.col("doc_id") % 10 == 7)
+    idx = d.filter(F.col("doc_id") % 10 != 7)
+
+    exact = (
+        inc.select("doc_id", F.md5("text").alias("ch"))
+        .join(idx.select(F.md5("text").alias("ch")).distinct(), "ch", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__exact", F.lit(True))
+    )
+
+    def bands(df: DataFrame) -> DataFrame:
+        hashed = df.select(
+            "doc_id", shingle_hashes(F.array_distinct(tokens(F.col("text")))).alias("hs")
+        )
+        sig = hashed.select("doc_id", minhash_from_hashes(F.col("hs"), MINHASH_K).alias("sig"))
+        return sig.select(
+            "doc_id", F.explode(lsh_band_keys(F.col("sig"), ROWS_PER_BAND, MINHASH_K)).alias("band")
+        )
+
+    near = (
+        bands(inc)
+        .join(bands(idx).select("band").distinct(), "band", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    return (
+        inc.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__exact"), "exact_dup")
+            .when(F.col("__near"), "near_dup")
+            .otherwise("new")
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )

@@ -394,3 +394,63 @@ def q99_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("token").alias("top_term"), "tfidf")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q118_curation_filter",
+    oracle=f"""
+    WITH sig AS (
+        SELECT doc_id, lang,
+               len({_SQL_TOKS}) AS n_tokens,
+               len({_SQL_DTOKS}) AS n_distinct,
+               len(list_intersect({_SQL_DTOKS},
+                   ['the','a','and','of','to','is'])) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN n_tokens < 15 THEN 'too_short'
+                WHEN n_tokens > 5000 THEN 'too_long'
+                WHEN CAST(n_distinct AS DOUBLE) / n_tokens < 0.2 THEN 'repetitive'
+                WHEN lang = 'en' AND n_stop < 1 THEN 'no_stopwords'
+                ELSE 'ok' END AS reason,
+           (CASE WHEN n_tokens < 15 THEN 'too_short'
+                 WHEN n_tokens > 5000 THEN 'too_long'
+                 WHEN CAST(n_distinct AS DOUBLE) / n_tokens < 0.2 THEN 'repetitive'
+                 WHEN lang = 'en' AND n_stop < 1 THEN 'no_stopwords'
+                 ELSE 'ok' END) = 'ok' AS keep
+    FROM sig
+    ORDER BY doc_id
+    """,
+)
+def q118_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass curation filter chain (the composed form of q80-q82b):
+    length bounds, type/token diversity, and an English stopword sanity
+    check evaluated in precedence order, emitting keep + the FIRST
+    failing rule as the reject reason — the reason-coded audit trail a
+    real pipeline keeps for filter-rate dashboards.
+
+    Scale shape: every rule is a pure expression over one corpus scan —
+    no shuffle, no UDF, whole-stage codegen end to end; the rules
+    short-circuit in a single CASE so each doc is tokenized once (the
+    token arrays are shared subtrees)."""
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(m) for m in ("the", "a", "and", "of", "to", "is")]),
+        )
+    )
+    reason = (
+        F.when(n_tokens < 15, "too_short")
+        .when(n_tokens > 5000, "too_long")
+        .when(n_distinct.cast("double") / n_tokens < 0.2, "repetitive")
+        .when((F.col("lang") == "en") & (n_stop < 1), "no_stopwords")
+        .otherwise("ok")
+    )
+    return (
+        d.select("doc_id", reason.alias("reason"), (reason == "ok").alias("keep"))
+        .orderBy("doc_id")
+    )
