@@ -1,0 +1,61 @@
+"""Plan-determinism: results must not depend on physical execution.
+
+The DuckDB oracle proves Spark's answer matches a reference engine at
+ONE physical configuration. This suite proves the answer is invariant
+to the things a cluster changes at will — shuffle partition count and
+AQE — which is what actually guarantees the 100 TB run reproduces the
+local[32] run. Order-sensitive windows, float partial aggregation, and
+per-partition state are exactly where such bugs hide.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_mingo_tail_spark.queries import load_registry
+
+from .conftest import SF_ORACLE
+
+REGISTRY = load_registry()
+
+# Queries chosen for order/partitioning sensitivity: running windows,
+# float aggregates, window-min LSH election, GEMM batch boundaries,
+# arrival-order replay, per-partition UDAF chunks.
+PROBES = [
+    "q01_pricing_summary",
+    "q20_groupby_battery",
+    "q33_running_sum",
+    "q73_minhash_lsh_dedup",
+    "q76b_knn_gemm",
+    "q97_grouped_udaf",
+    "q104_centroid_assign",
+    "q114_watermark_late_drop",
+]
+
+# (shuffle partitions, AQE) — a skinny cluster vs the default wide one.
+CONFIGS = [("7", "false"), ("32", "true")]
+
+
+def _canon(df) -> list[str]:
+    # driver-style canonicalization: column-name sort + full row sort on
+    # the repr of every value
+    cols = sorted(df.columns)
+    rows = [tuple(repr(r[c]) for c in cols) for r in df.select(*cols).collect()]
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("name", PROBES)
+def test_result_invariant_to_physical_config(spark, name):
+    results = []
+    for parts, aqe in CONFIGS:
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        try:
+            results.append(_canon(REGISTRY[name].fn(spark, SF_ORACLE)))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert results[0] == results[1], (
+        f"{name}: result depends on physical config "
+        f"(shuffle partitions / AQE) — nondeterminism at scale"
+    )
