@@ -55,11 +55,22 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceed double's 2^53 integer range). For µs fixtures, pass through
     unchanged — re-applying the nanos path to a TIMESTAMP column is a
     type error (the round-2 regression)."""
+    import glob
+
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
     path = table_path(sf_dir, "events")
-    ts_type = str(pq.read_schema(path).field("ts").type)
+    # Spark-written tables are DIRECTORIES of part files (e.g. the
+    # scale-probe corpus); driver fixtures are single files. Sniff the
+    # schema from any one part file.
+    sniff = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        sniff = parts[0]
+    ts_type = str(pq.read_schema(sniff).field("ts").type)
     if ts_type == "timestamp[ns]":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Scale probe: run the heavy operators at a multiple of the bench SF.
+
+The driver grades at sf0.1 (lineitem 600k rows, documents 5k). This
+script manufactures an N-fold corpus in /tmp by unioning N id-shifted
+copies of the sf0.1 tables (join keys shifted consistently so join
+cardinalities scale linearly; region/nation stay fixed-size, as they do
+in TPC-H), then times a probe set of the shuffle-heaviest declared
+queries. Linear-ish wall-clock growth here is the evidence that the
+plans do not hide a super-linear step (all-pairs joins, single-task
+windows, driver collects) below the graded scale.
+
+Duplicated documents are a FEATURE for the dedup family: every doc
+gains N-1 exact copies, so q73/q117 run against a worst-case duplicate
+density while staying semantically valid.
+
+Usage: python scripts/scale_probe.py [--scale N] [--keep]
+Prints one JSON line {"scale": N, "gen_sec": ..., "queries": {...}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_DIR not in sys.path:
+    sys.path.insert(0, REPO_DIR)
+
+from pyspark.sql import functions as F
+
+from flink_mingo_tail_spark.queries import load_registry
+from flink_mingo_tail_spark.session import build_session
+
+SRC = "/root/testdata/sf0.1"
+
+# (table, {column: per-copy id offset}) — offsets keep every join key
+# consistent across copies so the join graph scales linearly.
+_SHIFTS = {
+    "region": None,  # fixed-size dims: one copy
+    "nation": None,
+    "customer": {"c_custkey": 10**7},
+    "supplier": {"s_suppkey": 10**6},
+    "part": {"p_partkey": 10**8},
+    "orders": {"o_orderkey": 10**9, "o_custkey": 10**7},
+    "lineitem": {"l_orderkey": 10**9, "l_partkey": 10**8, "l_suppkey": 10**6},
+    "events": {"event_id": 10**9, "user_id": 10**6},
+    "documents": {"doc_id": 10**7},
+    "embeddings": {"vec_id": 10**7},
+}
+
+PROBES = [
+    "q01_pricing_summary",
+    "q10_inner_join_agg",
+    "q73_minhash_lsh_dedup",
+    "q75b_decontaminate",
+    "q76b_knn_gemm",
+    "q92_session_window",
+    "q104_centroid_assign",
+    "q114_watermark_late_drop",
+    "q117_incremental_dedup",
+    "q118_curation_filter",
+]
+
+
+def generate(spark, scale: int, dst: str) -> float:
+    t0 = time.time()
+    os.makedirs(dst, exist_ok=True)
+    for table, shifts in _SHIFTS.items():
+        src = os.path.join(SRC, f"{table}.parquet")
+        out = os.path.join(dst, f"{table}.parquet")
+        base = spark.read.parquet(src)
+        if shifts is None or scale == 1:
+            df = base
+        else:
+            copies = []
+            for i in range(scale):
+                c = base
+                for col, off in shifts.items():
+                    c = c.withColumn(col, F.col(col) + F.lit(i * off))
+                copies.append(c)
+            df = copies[0]
+            for c in copies[1:]:
+                df = df.unionAll(c)
+        # multi-file layout: realistic scan parallelism without spread()
+        df.repartition(32).write.mode("overwrite").parquet(out)
+    return time.time() - t0
+
+
+def main() -> None:
+    scale = int(sys.argv[sys.argv.index("--scale") + 1]) if "--scale" in sys.argv else 10
+    dst = f"/tmp/fmts-scale/sf{scale}x"
+    spark = build_session("fmts-scale-probe")
+    gen_sec = generate(spark, scale, dst)
+    registry = load_registry()
+    timings: dict[str, float] = {}
+    for name in PROBES:
+        fn = registry[name].fn
+        t0 = time.time()
+        n = len(fn(spark, dst).collect())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"[scale-probe] {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    print(json.dumps({"scale": scale, "gen_sec": round(gen_sec, 1), "queries": timings}))
+    if "--keep" not in sys.argv:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
