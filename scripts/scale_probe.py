@@ -99,9 +99,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in PROBES:
         fn = registry[name].fn
-        t0 = time.time()
-        n = len(fn(spark, dst).collect())
-        timings[name] = round(time.time() - t0, 3)
+        # min of 2 collect() passes, matching bench.py's timed action:
+        # the first pass in a fresh session pays Python worker pool
+        # spin-up and Arrow first-touch (~12s on the first mapInPandas
+        # query), so the warm number is the one that scales. Caveat for
+        # large outputs (q92 emits ~1M session rows): collect() also
+        # times driver-side serialization — noted per-query in SCALE.md
+        # rather than switched to a noop sink, which takes a different
+        # write path for ordered plans and distorts the comparison the
+        # other way.
+        best = float("inf")
+        n = 0
+        for _ in range(2):
+            t0 = time.time()
+            n = len(fn(spark, dst).collect())
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         print(f"[scale-probe] {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     print(json.dumps({"scale": scale, "gen_sec": round(gen_sec, 1), "queries": timings}))
     if "--keep" not in sys.argv:
