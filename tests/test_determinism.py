@@ -30,6 +30,8 @@ PROBES = [
     "q97_grouped_udaf",
     "q104_centroid_assign",
     "q114_watermark_late_drop",
+    "q117_incremental_dedup",
+    "q118_curation_filter",
 ]
 
 # (shuffle partitions, AQE) — a skinny cluster vs the default wide one.
