@@ -55,6 +55,10 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Queries are written against Spark 4's default ANSI semantics
+    # (try_element_at guards, strict casts); pin it in case the caller's
+    # session was built with ANSI off.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     except Exception:
