@@ -73,8 +73,14 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_type = str(pq.read_schema(sniff).field("ts").type)
     if ts_type == "timestamp[ns]":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Pin UTC before the LTZ->NTZ cast so the loader contract (ts is
+        # always TIMESTAMP_NTZ, like the us fixtures load natively) holds
+        # even when the caller has not run prepare_session yet.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         raw = spark.read.parquet(path)
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        )
     return spark.read.parquet(path)
 
 

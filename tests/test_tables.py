@@ -109,3 +109,33 @@ def test_events_loads_and_counts(spark):
     # The exact failure mode of round 2: events must at least load + count.
     df = load_table(spark, SF_DIR, "events")
     assert df.count() > 0
+
+
+def test_events_loader_handles_both_timestamp_encodings(spark, tmp_path):
+    """The loader must normalize BOTH fixture generations to the same
+    contract: timestamp[ns] files (round-1 driver output; Spark's
+    vectorized reader rejects them without the legacy conf) and
+    timestamp[us] files (round-3 output). Guards the branch whose
+    mismatch broke 31 tests in round 2 — in either direction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    micros = [1_700_000_000_000_000, 1_700_000_060_000_000]
+    for unit, vals in (("us", micros), ("ns", [m * 1000 for m in micros])):
+        d = str(tmp_path / unit)
+        import os
+
+        os.makedirs(d)
+        table = pa.table({**base, "ts": pa.array(vals, pa.timestamp(unit))})
+        pq.write_table(table, os.path.join(d, "events.parquet"))
+        df = load_table(spark, d, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp_ntz", (unit, df.dtypes)
+        got = sorted(r.ts for r in df.select("ts").collect())
+        assert [int(t.timestamp() * 1_000_000) for t in got] == micros, (unit, got)
