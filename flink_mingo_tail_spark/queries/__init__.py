@@ -68,77 +68,82 @@ _MODULES = (
 )
 
 # The driver's CORRECTNESS pass checks a bounded prefix of the declared
-# registry (rounds 1 and 2 each recorded exactly the first 50 entries).
-# ROTATION, round 3: the 33 round-2 greens rotate OUT; the prefix is
-# rebuilt as (a) every query with no green row in any round — the 14
-# round-2 errs caused by the events loader, the 3 formerly-oracle-less
-# ANN/multimodal queries, and the 17 declared after round 2's prefix
-# filled — then (b) the 4 queries new in round 3, (c) the 6 round-1
-# greens that silently regressed under the loader bug (re-proven here),
-# and (d) 6 canary re-verifies of round-1 greens never re-checked since.
-# The list below is exactly 50 names (the prefix budget).
+# registry (every round so far recorded exactly the first 50 entries).
+# Round 3 went 50/50 green, which made every declared query ever-green.
 #
-# ROUND-4 NOTE: if this round's prefix goes green, every declared query
-# has at least one green row (the stated bar). Rotate round 4 to the 65
-# queries NOT in this list (oldest green row first) to keep rows fresh,
-# and always front-load queries added in the round itself.
+# ROTATION, round 4 — freshness pass. 67 queries' only green rows
+# predate the round-3 events-loader fix (38 from round 1, 29 from
+# round 2); the judge asked for those rows to be refreshed oldest-first
+# (VERDICT.md "Next round" #1). The prefix below is exactly 50 names:
+#   (a) the 2 queries new in round 4 (front-loaded per standing rule);
+#   (b) 4 standing canaries from the round-3 greens (VERDICT #7) —
+#       one each from CDC-stateful, ANN, streaming-twin, indexing;
+#   (c) all 38 queries whose only green row is from ROUND 1 (oldest);
+#   (d) 6 of the 29 round-2-green queries, chosen to front-load the
+#       families with the most code churn since round 2 (dedup chain,
+#       kNN, text stats, multimodal, pandas UDF).
+#
+# ROUND-5 NOTE: rotate to the 23 remaining round-2-stale queries —
+# q26b, q67, q68, q69, q73, q73b, q74, q75, q75b, q76b, q77, q81,
+# q82, q82b, q83, q84, q85, q87, q88, q89, q97, q98, q99 — plus any
+# round-5 additions first, plus 4-6 canaries from the round-4 greens;
+# after that every query's freshest row is post-loader-fix and the
+# steady state is: new queries first, then oldest-green first.
 _NEEDS_DRIVER_ROW = (
-    # (a1) round-2 errs from the events loader bug — fixed this round
-    "q26_approx_count_distinct",
-    "q60_cdc_filter_pushdown",
-    "q61_cdc_envelope",
+    # (a) new in round 4
+    "q119_minhash_jaccard_estimate",
+    "q120_pii_redaction",
+    # (b) standing canaries (green in round 3; re-check for regressions)
     "q62_cdc_quorum_dedup",
-    "q63_cdc_checkpoint_highwater",
-    "q64_cdc_resume_after_checkpoint",
-    "q65_cdc_apply_latest_state",
-    "q66_event_funnel",
-    "q70_exact_dedup_replay",
-    "q86_json_struct_access",
-    "q90_tumbling_window",
-    "q91_sliding_window",
-    "q92_session_window",
-    "q93_windowed_topk_users",
-    # (a2) had no oracle before round 3 — now driver-checkable
     "q78_knn_lsh",
-    "q79_knn_ivf",
-    "q95_multimodal_features",
-    # (a3) declared after round 2's prefix filled — never driver-checked
-    "q65b_scd2_history",
-    "q100_inverted_index",
-    "q101_top_trigrams",
-    "q102_source_stats",
-    "q103_length_histogram",
-    "q104_centroid_assign",
-    "q105_pack_sequences",
-    "q106_split_assign",
-    "q107_chunk_documents",
-    "q105_batch_sessionize",
-    "q106_cohort_retention",
-    "q107_gap_fill_daily",
-    "q108_column_profile",
-    "q109_mixture_reweight",
-    "q110_pareto_frontier",
-    "q111_fuzzy_name_join",
-    "q112_zorder_layout",
-    # (b) new in round 3
-    "q113_scalar_py_udf",
     "q114_watermark_late_drop",
-    "q115_dedup_within_watermark",
-    "q116_interval_join_clicks_purchases",
-    "q117_incremental_dedup",
-    "q118_curation_filter",
-    # (c) round-1 greens regressed by the loader bug — re-prove the fix
-    "q20_groupby_battery",
-    "q32_lag_lead",
-    "q34_moving_avg_rows_frame",
-    "q37_asof_join",
-    "q56_json_funcs",
-    "q57_map_funcs",
-    # (d) canaries: round-1 greens not re-checked since round 1
-    "q01_pricing_summary",
-    "q11_broadcast_dim_join",
-    "q18_multiway_join",
-    "q19_salted_skew_agg",
+    "q104_centroid_assign",
+    # (c) only green row is from round 1 — oldest first, registry order
+    "q02_filter_project_topk",
+    "q03_isnull_in_between",
+    "q09_correlated_agg_subquery",
+    "q10_inner_join_agg",
+    "q12_left_outer_join",
+    "q13_right_full_outer",
+    "q14_semi_join",
+    "q15_anti_join",
+    "q16_cross_theta_join",
+    "q17_range_join",
+    "q21_rollup",
+    "q22_cube",
+    "q23_grouping_sets",
+    "q24_dedup_batch",
+    "q25_collect_list_set",
+    "q27_exact_percentile",
+    "q27b_percentile_rank_select",
+    "q28_having_scalar_subquery",
+    "q29_pivot",
+    "q30_rank_topn_per_group",
+    "q31_rank_dense_ntile",
+    "q33_running_sum",
+    "q35_range_frame",
+    "q36_first_last_value",
+    "q40_union_all",
+    "q41_union_distinct",
+    "q42_intersect",
+    "q43_except",
+    "q44_intersect_all",
+    "q45_except_all",
+    "q50_string_funcs",
+    "q51_regex_split",
+    "q52_date_funcs",
+    "q53_math_funcs",
+    "q54_array_funcs",
+    "q55_explode_posexplode",
+    "q58_conditional_null",
+    "q59_hash_funcs",
+    # (d) round-2 greens in the highest-churn families
+    "q71_content_hash_dedup",
+    "q72_minhash_signature",
+    "q76_knn_bruteforce",
+    "q80_token_stats",
+    "q94_multimodal_metadata",
+    "q96_pandas_udf_scalar",
 )
 
 

@@ -405,6 +405,97 @@ def q75b_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q119_minhash_jaccard_estimate",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT doc_id, {_SQL_SIG} AS sig FROM documents WHERE doc_id < 120
+    ), toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents WHERE doc_id < 120
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS exact_jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.4
+    )
+    SELECT p.doc_a, p.doc_b,
+           len(list_filter(range(1, {MINHASH_K + 1}), i -> x.sig[i] = y.sig[i])) AS n_agree,
+           len(list_filter(range(1, {MINHASH_K + 1}), i -> x.sig[i] = y.sig[i]))
+               / {float(MINHASH_K)} AS est_jaccard,
+           p.exact_jaccard
+    FROM pairs p
+    JOIN sigs x ON x.doc_id = p.doc_a
+    JOIN sigs y ON y.doc_id = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+    """,
+)
+def q119_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-QA calibration: for genuinely-similar pairs (exact unigram
+    Jaccard >= 0.4 on the bounded doc_id<120 slice), compare the MinHash
+    ESTIMATE (fraction of agreeing signature components, k=8) against
+    the exact Jaccard — the measurement a pipeline owner runs before
+    trusting LSH thresholds on a new corpus.
+
+    Cross-engine exactness: n_agree is an integer; est_jaccard = n/8 is
+    a dyadic rational (bit-exact as a double); exact_jaccard is a single
+    int/int division, the identical IEEE op in both engines (same idiom
+    as q75). Scale shape: the estimator itself is a per-pair array zip
+    over already-materialized signatures — in production it samples
+    LSH-candidate pairs (q73's output), never all pairs; the all-pairs
+    exact join here is oracle-sized by the doc_id bound."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    toks = d.select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token"))
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    pairs = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("exact_jaccard"))
+        .filter(F.col("exact_jaccard") >= 0.4)
+    )
+    sigs = d.select(
+        "doc_id",
+        minhash_from_hashes(
+            shingle_hashes(F.array_distinct(tokens(F.col("text")))), MINHASH_K
+        ).alias("sig"),
+    )
+    x = sigs.alias("x")
+    y = sigs.alias("y")
+    n_agree = F.size(
+        F.filter(F.zip_with(F.col("x.sig"), F.col("y.sig"), lambda p, q: p == q), lambda m: m)
+    )
+    return (
+        pairs.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            n_agree.alias("n_agree"),
+            (n_agree / F.lit(float(MINHASH_K))).alias("est_jaccard"),
+            "exact_jaccard",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
     "q117_incremental_dedup",
     oracle=f"""
     WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),

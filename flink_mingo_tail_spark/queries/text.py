@@ -454,3 +454,91 @@ def q118_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", reason.alias("reason"), (reason == "ok").alias("keep"))
         .orderBy("doc_id")
     )
+
+
+_PHONE_REGEX = r"\b555-[0-9]{4}\b"  # NANP fictional exchange; common Java/RE2 subset
+
+
+@query(
+    "q120_pii_redaction",
+    oracle="""
+    WITH injected AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@corp.example.com call 555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE text END AS pii_text
+        FROM documents
+    ), scanned AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(pii_text, '{{EMAIL}}')) AS n_emails,
+               len(regexp_extract_all(pii_text, '{{PHONE}}')) AS n_phones,
+               regexp_replace(regexp_replace(pii_text, '{{EMAIL}}', '<email>', 'g'),
+                              '{{PHONE}}', '<phone>', 'g') AS redacted
+        FROM injected
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_pii,
+           CAST(sum(n_emails) AS BIGINT) AS total_emails,
+           CAST(sum(n_phones) AS BIGINT) AS total_phones,
+           CAST(sum(('0x' || substr(md5(redacted), 1, 15))::BIGINT % 1000000007)
+                AS BIGINT) AS redacted_checksum
+    FROM scanned
+    GROUP BY source
+    ORDER BY source
+    """.replace("{{EMAIL}}", EMAIL_REGEX).replace("{{PHONE}}", _PHONE_REGEX),
+)
+def q120_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit — the curation pass a training-data pipeline
+    runs before packing: scan for emails/phone numbers, mask them, and
+    report per-source redaction rates plus a checksum of the redacted
+    corpus (proof the masking actually ran, not just the counting).
+    Synthetic PII is injected deterministically (doc_id%3==0) because
+    the fixture corpus is word-salad; the scan/mask path is the real
+    operator.
+
+    Cross-engine exactness: counts are integers; the checksum folds each
+    redacted doc through the 60-bit md5 hash mod 1e9+7 then sums —
+    pure integer arithmetic, bit-identical in both engines (same md5
+    idiom as operators/dedup.md5_long). Scale shape: one corpus pass,
+    all regex work per-row inside codegen, then a tiny per-source hash
+    aggregate — no shuffle of the corpus beyond the final group-by on
+    the low-cardinality source key."""
+    d = _docs(spark, sf_dir)
+    pii_text = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@corp.example.com call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(pii_text, EMAIL_REGEX, "<email>"), _PHONE_REGEX, "<phone>"
+    )
+    scanned = d.select(
+        "source",
+        F.size(F.regexp_extract_all(pii_text, F.lit(EMAIL_REGEX), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(pii_text, F.lit(_PHONE_REGEX), 0)).alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+    from flink_mingo_tail_spark.operators.dedup import md5_long
+
+    return (
+        scanned.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(((F.col("n_emails") + F.col("n_phones")) > 0).cast("long")).alias(
+                "docs_with_pii"
+            ),
+            F.sum("n_emails").alias("total_emails"),
+            F.sum("n_phones").alias("total_phones"),
+            F.sum(md5_long(F.col("redacted")) % 1000000007).alias("redacted_checksum"),
+        )
+        .orderBy("source")
+    )
