@@ -5,9 +5,12 @@ Prints ONE JSON line:
     {"metric": "...", "value": <total_sec>, "unit": "sec",
      "queries": {"q01_...": sec, ...}, "sf": <sf>}
 
-Each query materializes its (small) result via collect(); session/JVM
-startup is excluded. Queries run once after a warm-up scan so the
-numbers reflect plan execution, not classloading.
+Small-output queries materialize via collect(); queries whose output
+scales with the input run to a noop sink (see LARGE_OUTPUT) so the
+metric is operator wall-time, not driver transfer. Session/JVM startup
+is excluded. Streaming CDC throughput is measured FIRST in the run on a
+quiet JVM (min-of-3, plus a no-dedup floor run isolating the quorum
+operator's cost); batch queries run min-of-3 round-robin after warm-up.
 """
 
 from __future__ import annotations
@@ -67,17 +70,40 @@ HEADLINE = [
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
+# Queries whose OUTPUT grows with the input (per-row window results,
+# sessionized event streams): timing .collect() on these measures driver
+# serialization + transfer, not the operator (SCALE.md's 50x q92 row was
+# ~51 s of collect over ~2 s of plan execution). These run to a noop
+# sink instead — full plan executes (including the final sort), nothing
+# leaves the executors. Small-output queries keep .collect() so the
+# numbers stay comparable with rounds 1-3.
+LARGE_OUTPUT = {
+    "q92_session_window",
+    "q105_batch_sessionize",
+    "q32_lag_lead",
+    "q34_moving_avg_rows_frame",
+}
 
-def bench_streaming_pipeline(spark, variant: str = "keyed_state") -> dict:
+
+def run_action(name: str, df) -> None:
+    """Execute a query's full plan with the timing-appropriate action."""
+    if name in LARGE_OUTPUT:
+        df.write.format("noop").mode("overwrite").save()
+    else:
+        df.collect()
+
+
+def bench_streaming_pipeline(spark, variant: str = "keyed_state", n_ops: int = 50_000) -> dict:
     """Throughput of the reference-shaped streaming path: N logical ops
     delivered 3x (one per replica member) through source → pushed-down
     filter → majority-quorum dedup → sink. The reference's own envelope
     was 9 cursors into a 128-slot queue with per-record ES flush
     (BASELINE.md); this measures the Spark twin end to end.
 
-    variants: 'keyed_state' (applyInPandasWithState — per-op latency) and
+    variants: 'keyed_state' (applyInPandasWithState — per-op latency),
     'jvm_agg' (windowed aggregation — throughput; see
-    quorum_dedup_stream_agg)."""
+    quorum_dedup_stream_agg), and 'passthrough' (source → filter → sink
+    with NO dedup — the harness floor; quorum cost is the delta)."""
     import shutil
     import tempfile
 
@@ -93,7 +119,6 @@ def bench_streaming_pipeline(spark, variant: str = "keyed_state") -> dict:
     tmp = tempfile.mkdtemp(prefix="fmts-bench-stream-")
     try:
         src, ck = f"{tmp}/src", f"{tmp}/ck"
-        n_ops = 50_000
         write_batch(spark, op_rows(OplogCase(n_ops=n_ops, include_noise=False)), src)
         if variant == "jvm_agg":
             # sentinel op in the event-time future closes the replay windows
@@ -108,6 +133,8 @@ def bench_streaming_pipeline(spark, variant: str = "keyed_state") -> dict:
         filtered = oplog_filter(stream)
         if variant == "jvm_agg":
             deduped = quorum_dedup_stream_agg(filtered, replica_depth=3)
+        elif variant == "passthrough":
+            deduped = filtered
         else:
             deduped = quorum_dedup_stream(filtered, replica_depth=3)
         start = time.perf_counter()
@@ -124,7 +151,8 @@ def bench_streaming_pipeline(spark, variant: str = "keyed_state") -> dict:
             q.stop()
         elapsed = time.perf_counter() - start
         emitted = spark.read.parquet(f"{tmp}/out").filter("h < 10000000").count()
-        assert emitted == n_ops, f"streaming bench lost ops ({variant}): {emitted}/{n_ops}"
+        expect = n_ops * 3 if variant == "passthrough" else n_ops
+        assert emitted == expect, f"streaming bench lost ops ({variant}): {emitted}/{expect}"
         return {
             "n_ops": n_ops,
             "deliveries": n_ops * 3,
@@ -135,9 +163,35 @@ def bench_streaming_pipeline(spark, variant: str = "keyed_state") -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _best_streaming(spark, variant: str, n: int = 3) -> dict:
+    """Min-of-n wall (max ops/s) over full pipeline replays."""
+    best: dict = {}
+    for _ in range(n):
+        r = bench_streaming_pipeline(spark, variant)
+        if not best or r["wall_sec"] < best["wall_sec"]:
+            best = r
+    return best
+
+
 def main() -> None:
     registry = load_registry()
     spark = build_session("fmts-bench")
+
+    # --- Streaming CDC benches FIRST-IN-RUN (round-3 verdict: the r3
+    # numbers regressed ~25% vs r1 with the CDC run scheduled after a
+    # 28-query batch session — heap/codegen-cache pressure from the
+    # batch mix polluted the measurement). Order: small warm-up replay
+    # per variant (Python worker pool + state-store spin-up), then
+    # min-of-3 on a quiet JVM. 'passthrough' measures the identical
+    # pipeline with no dedup operator — the harness floor — so the
+    # quorum operator's own cost is reported as the delta.
+    for variant in ("passthrough", "jvm_agg", "keyed_state"):
+        bench_streaming_pipeline(spark, variant, n_ops=2_000)
+    streaming_floor = _best_streaming(spark, "passthrough")
+    streaming_jvm = _best_streaming(spark, "jvm_agg")
+    streaming = _best_streaming(spark, "keyed_state")
+    for d in (streaming, streaming_jvm):
+        d["quorum_overhead_sec"] = round(d["wall_sec"] - streaming_floor["wall_sec"], 3)
 
     # Warm-up at the smallest SF: compiles every plan's codegen, spins up
     # Python/Arrow workers, and touches the file index — so the timed runs
@@ -148,7 +202,7 @@ def main() -> None:
     for name in HEADLINE:
         qd = registry.get(name)
         if qd is not None:
-            qd.fn(spark, WARMUP_SF_DIR).collect()
+            run_action(name, qd.fn(spark, WARMUP_SF_DIR))
 
     # min-of-3 per query, taken over ROUND-ROBIN passes (not back-to-back
     # repeats): host-level noise on this box arrives in multi-second
@@ -162,12 +216,9 @@ def main() -> None:
             if qd is None:
                 continue
             start = time.perf_counter()
-            qd.fn(spark, SF_DIR).collect()
+            run_action(name, qd.fn(spark, SF_DIR))
             elapsed = time.perf_counter() - start
             timings[name] = round(min(timings.get(name, float("inf")), elapsed), 3)
-
-    streaming = bench_streaming_pipeline(spark, "keyed_state")
-    streaming_jvm = bench_streaming_pipeline(spark, "jvm_agg")
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -180,6 +231,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "streaming_cdc": streaming,
                 "streaming_cdc_jvm": streaming_jvm,
+                "streaming_cdc_floor": streaming_floor,
             }
         )
     )

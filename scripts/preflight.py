@@ -10,22 +10,85 @@ the mechanical gate: it runs, in order,
   2. the full pytest suite at the default test SF;
   3. the complete oracle-parity + output-contract rehearsal at sf0.01 —
      exactly what the driver's CORRECTNESS pass hashes;
-  4. a bench smoke at sf0.001 (must print one valid JSON line).
+  4. a bench smoke at sf0.001 (must print one valid JSON line);
+  5. a full sf0.1 bench compared entry-by-entry against the most recent
+     BENCH_r*.json: any query slower than 1.5x its prior time (and by
+     more than 0.3 s absolute — sub-second entries live in a noise band,
+     see BENCH_r03's 1.45x q76 wobble) must be acknowledged in a
+     "## Bench delta notes" section of PLANS.md or the gate fails. Same
+     rule for the streaming-CDC ops/s. Perf regressions become visible
+     at snapshot time the way correctness regressions already are.
 
 Exit code 0 = safe to snapshot. Any failure prints which gate broke.
 
 Usage: python scripts/preflight.py [--fast]
-  --fast skips gate 3 (the sf0.01 rehearsal) for mid-round iteration.
+  --fast skips gates 3 and 5 (sf0.01 rehearsal + sf0.1 bench delta) for
+  mid-round iteration.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import subprocess
 import sys
 
 REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RATIO_GATE = 1.5  # new/old wall-time ratio that needs a PLANS.md note
+ABS_FLOOR_SEC = 0.3  # ignore ratio breaches smaller than this absolute delta
+
+
+def find_prior_bench() -> dict | None:
+    """Latest BENCH_r*.json that recorded a usable queries dict."""
+    for path in sorted(glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json")), reverse=True):
+        try:
+            with open(path) as fh:
+                d = json.loads(fh.read().strip().splitlines()[-1])
+        except (OSError, ValueError, IndexError):
+            continue
+        if isinstance(d.get("queries"), dict) and d["queries"]:
+            d["_file"] = os.path.basename(path)
+            return d
+    return None
+
+
+def bench_deltas(new: dict, prior: dict) -> list[str]:
+    """Entry-by-entry regressions vs the prior recorded bench."""
+    flagged = []
+    if new.get("sf") != prior.get("sf"):
+        return flagged  # different scale: ratios are meaningless
+    for name, t_new in new["queries"].items():
+        t_old = prior["queries"].get(name)
+        if t_old and t_new > RATIO_GATE * t_old and t_new - t_old > ABS_FLOOR_SEC:
+            flagged.append(f"{name}: {t_old}s -> {t_new}s ({t_new / t_old:.2f}x)")
+    for key in ("streaming_cdc", "streaming_cdc_jvm"):
+        o, n = prior.get(key), new.get(key)
+        if o and n and n["ops_per_sec"] * RATIO_GATE < o["ops_per_sec"]:
+            flagged.append(
+                f"{key}: {o['ops_per_sec']} -> {n['ops_per_sec']} ops/s "
+                f"({o['ops_per_sec'] / n['ops_per_sec']:.2f}x slower)"
+            )
+    return flagged
+
+
+def acknowledged_in_plans(flagged: list[str]) -> list[str]:
+    """Flagged entries NOT mentioned in PLANS.md '## Bench delta notes'."""
+    try:
+        with open(os.path.join(REPO_DIR, "PLANS.md")) as fh:
+            text = fh.read()
+    except OSError:
+        return flagged
+    section = ""
+    in_section = False
+    for line in text.splitlines():
+        if line.startswith("## "):
+            in_section = line.strip() == "## Bench delta notes"
+            continue
+        if in_section:
+            section += line + "\n"
+    return [f for f in flagged if f.split(":", 1)[0] not in section]
 
 
 def run(name: str, cmd: list[str], env: dict | None = None) -> None:
@@ -72,6 +135,39 @@ def main() -> None:
     if missing:
         print(f"[preflight] bench JSON missing keys: {missing}", file=sys.stderr)
         sys.exit(1)
+
+    if not fast:
+        prior = find_prior_bench()
+        if prior is None:
+            print("[preflight] bench delta: no prior BENCH_r*.json — skipping")
+        else:
+            print(f"[preflight] bench delta gate vs {prior['_file']} (sf0.1, ~4 min)")
+            full = subprocess.run(
+                [sys.executable, "bench.py"],
+                cwd=REPO_DIR,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1"},
+                capture_output=True,
+                text=True,
+            )
+            if full.returncode != 0:
+                print("[preflight] FAILED at gate: sf0.1 bench run", file=sys.stderr)
+                print(full.stderr[-2000:], file=sys.stderr)
+                sys.exit(full.returncode)
+            new = json.loads(full.stdout.strip().splitlines()[-1])
+            flagged = bench_deltas(new, prior)
+            unacked = acknowledged_in_plans(flagged)
+            for f in flagged:
+                tag = "UNACKNOWLEDGED" if f in unacked else "noted in PLANS.md"
+                print(f"[preflight] bench delta {tag}: {f}")
+            if unacked:
+                print(
+                    "[preflight] FAILED at gate: bench delta — add the queries above "
+                    "to a '## Bench delta notes' section in PLANS.md (with the plan "
+                    "diff that explains them) or fix the regression",
+                    file=sys.stderr,
+                )
+                sys.exit(1)
+
     print(f"[preflight] ALL GREEN (bench total {d['value']}s at sf{d['sf']})")
 
 

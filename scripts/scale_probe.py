@@ -32,8 +32,10 @@ if REPO_DIR not in sys.path:
 
 from pyspark.sql import functions as F
 
+from bench import LARGE_OUTPUT, run_action
 from flink_mingo_tail_spark.queries import load_registry
 from flink_mingo_tail_spark.session import build_session
+from flink_mingo_tail_spark.tables import load_table
 
 SRC = "/root/testdata/sf0.1"
 
@@ -55,11 +57,18 @@ _SHIFTS = {
 PROBES = [
     "q01_pricing_summary",
     "q10_inner_join_agg",
+    # q27 vs q27b at scale: the bench headline swapped the built-in
+    # `percentile` (per-group sort, parallelism capped at the 3 groups)
+    # for the rank-select form; this pair measures the crossover that
+    # justified the swap (round-3 verdict asked for the evidence).
+    "q27_exact_percentile",
+    "q27b_percentile_rank_select",
     "q73_minhash_lsh_dedup",
     "q75b_decontaminate",
     "q76b_knn_gemm",
     "q92_session_window",
     "q104_centroid_assign",
+    "q105_batch_sessionize",
     "q114_watermark_late_drop",
     "q117_incremental_dedup",
     "q118_curation_filter",
@@ -70,9 +79,11 @@ def generate(spark, scale: int, dst: str) -> float:
     t0 = time.time()
     os.makedirs(dst, exist_ok=True)
     for table, shifts in _SHIFTS.items():
-        src = os.path.join(SRC, f"{table}.parquet")
         out = os.path.join(dst, f"{table}.parquet")
-        base = spark.read.parquet(src)
+        # load_table, not raw spark.read.parquet: inherits the loader's
+        # timestamp-encoding normalization, so a regenerated ns-encoded
+        # events fixture can't shift the probe's semantics.
+        base = load_table(spark, SRC, table)
         if shifts is None or scale == 1:
             df = base
         else:
@@ -99,21 +110,25 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in PROBES:
         fn = registry[name].fn
-        # min of 2 collect() passes, matching bench.py's timed action:
-        # the first pass in a fresh session pays Python worker pool
-        # spin-up and Arrow first-touch (~12s on the first mapInPandas
-        # query), so the warm number is the one that scales. Caveat for
-        # large outputs (q92 emits ~1M session rows): collect() also
-        # times driver-side serialization — noted per-query in SCALE.md
-        # rather than switched to a noop sink, which takes a different
-        # write path for ordered plans and distorts the comparison the
-        # other way.
+        # min of 2 passes, matching bench.py's timed action exactly
+        # (bench.run_action): the first pass in a fresh session pays
+        # Python worker pool spin-up and Arrow first-touch (~12s on the
+        # first mapInPandas query), so the warm number is the one that
+        # scales. Queries in bench.LARGE_OUTPUT run to a noop sink —
+        # the full plan (including final sorts) executes but nothing is
+        # transferred, so the curve measures the operator, not driver
+        # serialization of a result set that grows with the input.
         best = float("inf")
-        n = 0
+        n = -1
         for _ in range(2):
             t0 = time.time()
-            n = len(fn(spark, dst).collect())
+            if name in LARGE_OUTPUT:
+                run_action(name, fn(spark, dst))
+            else:
+                n = len(fn(spark, dst).collect())
             best = min(best, time.time() - t0)
+        if name in LARGE_OUTPUT:  # row count for the log, untimed
+            n = fn(spark, dst).count()
         timings[name] = round(best, 3)
         print(f"[scale-probe] {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     print(json.dumps({"scale": scale, "gen_sec": round(gen_sec, 1), "queries": timings}))

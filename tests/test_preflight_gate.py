@@ -1,0 +1,77 @@
+"""Unit tests for the preflight bench-delta gate (scripts/preflight.py).
+
+Pure-Python: no Spark session. The gate's job is to make per-query perf
+regressions block the round snapshot unless acknowledged in PLANS.md.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_SPEC = importlib.util.spec_from_file_location(
+    "preflight",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts", "preflight.py"),
+)
+preflight = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(preflight)
+
+
+def _bench(queries, sf=0.1, **extra):
+    return {"metric": "m", "value": sum(queries.values()), "unit": "sec", "queries": queries, "sf": sf, **extra}
+
+
+def test_no_flag_when_within_ratio():
+    prior = _bench({"q01": 1.0, "q02": 0.5})
+    new = _bench({"q01": 1.4, "q02": 0.6})
+    assert preflight.bench_deltas(new, prior) == []
+
+
+def test_flags_ratio_and_absolute_breach():
+    prior = _bench({"q01": 1.0})
+    new = _bench({"q01": 1.9})
+    flagged = preflight.bench_deltas(new, prior)
+    assert len(flagged) == 1 and flagged[0].startswith("q01:")
+
+
+def test_subsecond_noise_band_not_flagged():
+    # 2x ratio but only +0.2s absolute: inside the documented noise band
+    prior = _bench({"q55": 0.2})
+    new = _bench({"q55": 0.4})
+    assert preflight.bench_deltas(new, prior) == []
+
+
+def test_different_sf_skips_comparison():
+    prior = _bench({"q01": 1.0}, sf=0.1)
+    new = _bench({"q01": 9.0}, sf=0.001)
+    assert preflight.bench_deltas(new, prior) == []
+
+
+def test_new_query_without_prior_row_ignored():
+    prior = _bench({"q01": 1.0})
+    new = _bench({"q01": 1.0, "q120": 5.0})
+    assert preflight.bench_deltas(new, prior) == []
+
+
+def test_streaming_ops_per_sec_regression_flagged():
+    prior = _bench({"q01": 1.0}, streaming_cdc={"ops_per_sec": 3000.0, "wall_sec": 16.7})
+    new = _bench({"q01": 1.0}, streaming_cdc={"ops_per_sec": 1500.0, "wall_sec": 33.3})
+    flagged = preflight.bench_deltas(new, prior)
+    assert len(flagged) == 1 and flagged[0].startswith("streaming_cdc:")
+
+
+def test_acknowledgement_section_parsing(tmp_path, monkeypatch):
+    plans = tmp_path / "PLANS.md"
+    plans.write_text(
+        "# PLANS\n\n## q01_pricing_summary\n\nstuff\n\n"
+        "## Bench delta notes\n\n- q33_running_sum: window reorder, see diff\n\n"
+        "## q02_filter_project_topk\n\nmore\n"
+    )
+    monkeypatch.setattr(preflight, "REPO_DIR", str(tmp_path))
+    flagged = [
+        "q33_running_sum: 1.0s -> 2.0s (2.00x)",
+        "q01_pricing_summary: 1.0s -> 2.0s (2.00x)",
+    ]
+    unacked = preflight.acknowledged_in_plans(flagged)
+    # q33 is noted inside the section; q01 appears only OUTSIDE it
+    assert unacked == ["q01_pricing_summary: 1.0s -> 2.0s (2.00x)"]
