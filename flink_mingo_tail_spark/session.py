@@ -54,7 +54,14 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     session, so pin the semantics-affecting confs here. Idempotent.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # AQE is a PERFORMANCE conf, not a semantics conf — results are
+    # proven invariant to it (tests/test_determinism.py). Pin it on for
+    # throughput unless the caller explicitly opted out; the escape
+    # hatch exists so the determinism suite can genuinely execute an
+    # AQE-off leg (before it, this re-pin silently turned that leg into
+    # a second AQE-on run).
+    if spark.conf.get("spark.flink_mingo_tail.pin_aqe", "true") != "false":
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     # Queries are written against Spark 4's default ANSI semantics
     # (try_element_at guards, strict casts); pin it in case the caller's
     # session was built with ANSI off.

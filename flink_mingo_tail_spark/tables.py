@@ -99,13 +99,22 @@ def spread(df: DataFrame) -> DataFrame:
     """Restore compute parallelism for expression-heavy work over a
     small-file corpus. The test corpora arrive as ONE parquet file, so a
     scan yields one partition and per-row-heavy operators (MinHash,
-    SimHash, featurizers) serialize on a single core; at production
-    scale the same table is thousands of files and this repartition is a
-    no-op by construction. One narrow round-robin shuffle of the (small)
-    input buys full-core execution of the expensive map stage."""
-    # Unconditional repartition: the test corpora are single-file scans,
-    # so the round-robin shuffle is always needed; probing the current
-    # partition count via df.rdd would force a plan-to-RDD conversion on
-    # every call and bypass AQE stats.
+    SimHash, featurizers) serialize on a single core. The deliberate
+    round-robin shuffle of the (small) input buys full-core execution
+    of the expensive map stage.
+
+    At production scale the same table is thousands of files, the scan
+    already parallelizes, and forcing a corpus-wide shuffle capped at
+    defaultParallelism would be a scale bug — so the repartition is
+    GATED on the scan's file count: a source that already has at least
+    defaultParallelism files is returned untouched. ``inputFiles()`` is
+    a plan-metadata lookup (the file index is already materialized for
+    the scan), unlike the retired ``df.rdd`` probe which forced a
+    plan-to-RDD conversion and bypassed AQE stats."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass  # non-file source (rare for this helper): keep the shuffle
     return df.repartition(target)

@@ -51,10 +51,18 @@ def test_result_invariant_to_physical_config(spark, name):
     results = []
     for parts, aqe in CONFIGS:
         spark.conf.set("spark.sql.shuffle.partitions", parts)
+        # pin_aqe=false stops prepare_session (called inside every query
+        # fn) from re-enabling AQE — without it both legs ran AQE-on and
+        # this test's AQE dimension was a no-op (round-3 advice).
+        spark.conf.set("spark.flink_mingo_tail.pin_aqe", "false")
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
         try:
             results.append(_canon(REGISTRY[name].fn(spark, SF_ORACLE)))
+            # the conf must have survived the query run, or the leg
+            # didn't actually exercise the configuration it claims
+            assert spark.conf.get("spark.sql.adaptive.enabled") == aqe
         finally:
+            spark.conf.set("spark.flink_mingo_tail.pin_aqe", "true")
             spark.conf.set("spark.sql.shuffle.partitions", "32")
             spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert results[0] == results[1], (
