@@ -75,17 +75,19 @@ _MODULES = (
 # predate the round-3 events-loader fix (38 from round 1, 29 from
 # round 2); the judge asked for those rows to be refreshed oldest-first
 # (VERDICT.md "Next round" #1). The prefix below is exactly 50 names:
-#   (a) the 2 queries new in round 4 (front-loaded per standing rule);
+#   (a) the 4 queries new in round 4 (front-loaded per standing rule);
 #   (b) 4 standing canaries from the round-3 greens (VERDICT #7) —
 #       one each from CDC-stateful, ANN, streaming-twin, indexing;
 #   (c) all 38 queries whose only green row is from ROUND 1 (oldest);
-#   (d) 6 of the 29 round-2-green queries, chosen to front-load the
+#   (d) 4 of the 29 round-2-green queries, chosen to front-load the
 #       families with the most code churn since round 2 (dedup chain,
-#       kNN, text stats, multimodal, pandas UDF).
+#       kNN, text stats); the multimodal/pandas-UDF families already
+#       earned fresh rows via q95/q113 in round 3.
 #
-# ROUND-5 NOTE: rotate to the 23 remaining round-2-stale queries —
+# ROUND-5 NOTE: rotate to the 25 remaining round-2-stale queries —
 # q26b, q67, q68, q69, q73, q73b, q74, q75, q75b, q76b, q77, q81,
-# q82, q82b, q83, q84, q85, q87, q88, q89, q97, q98, q99 — plus any
+# q82, q82b, q83, q84, q85, q87, q88, q89, q94, q96, q97, q98, q99 —
+# plus any
 # round-5 additions first, plus 4-6 canaries from the round-4 greens;
 # after that every query's freshest row is post-loader-fix and the
 # steady state is: new queries first, then oldest-green first.
@@ -93,6 +95,8 @@ _NEEDS_DRIVER_ROW = (
     # (a) new in round 4
     "q119_minhash_jaccard_estimate",
     "q120_pii_redaction",
+    "q121_bm25_scoring",
+    "q122_mad_outlier",
     # (b) standing canaries (green in round 3; re-check for regressions)
     "q62_cdc_quorum_dedup",
     "q78_knn_lsh",
@@ -142,8 +146,6 @@ _NEEDS_DRIVER_ROW = (
     "q72_minhash_signature",
     "q76_knn_bruteforce",
     "q80_token_stats",
-    "q94_multimodal_metadata",
-    "q96_pandas_udf_scalar",
 )
 
 

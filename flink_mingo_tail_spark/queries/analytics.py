@@ -343,3 +343,57 @@ def q109_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q122_mad_outlier",
+    oracle="""
+    WITH med AS (
+        SELECT source, quantile_cont(n_chars, 0.5) AS med
+        FROM documents GROUP BY source
+    ), dev AS (
+        SELECT d.doc_id, d.source, d.n_chars,
+               abs(d.n_chars - m.med) AS adev
+        FROM documents d JOIN med m ON d.source = m.source
+    ), mad AS (
+        SELECT source, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY source
+    )
+    SELECT v.doc_id, v.source, v.n_chars,
+           (v.adev > 3.0 * 1.4826 * m.mad) AS is_outlier
+    FROM dev v JOIN mad m ON v.source = m.source
+    ORDER BY v.doc_id
+    """,
+)
+def q122_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source outlier flagging on document length via
+    median absolute deviation (|x - median| > 3 * 1.4826 * MAD) — the
+    curation-pipeline guard that survives the heavy-tailed length
+    distributions where mean/stddev z-scores break down.
+
+    Scale shape: two grouped exact-percentile aggregates on the
+    low-cardinality source key (per-group state, partition-parallel
+    partials) and two BROADCAST joins of the tiny per-source stats back
+    to the corpus — the corpus itself shuffles only on `source`, and in
+    a source-partitioned layout not at all. Cross-engine exactness:
+    Spark `percentile` == DuckDB `quantile_cont` (both sort +
+    linearly interpolate, q27's proven idiom); the deviation, the
+    3*1.4826 threshold product, and the comparison are the identical
+    IEEE ops on both sides."""
+    prepare_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    med = d.groupBy("source").agg(F.percentile("n_chars", 0.5).alias("med"))
+    dev = d.join(F.broadcast(med), "source").select(
+        "doc_id", "source", "n_chars", F.abs(F.col("n_chars") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("source").agg(F.percentile("adev", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.col("adev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad")).alias("is_outlier"),
+        )
+        .orderBy("doc_id")
+    )

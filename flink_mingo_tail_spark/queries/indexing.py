@@ -406,3 +406,118 @@ def q107_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"size(slice(t, s, {_CHUNK}))").cast("long").alias("n_chunk_toks"),
         F.expr(f"concat_ws(' ', slice(t, s, {_CHUNK}))").alias("chunk_text"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+_BM25_TERMS = ("spark", "join", "window")  # fixed lexical query
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _sql_bm25_term(t: str) -> str:
+    """One term's BM25 contribution — written in EXACTLY the operation
+    order the Spark expression uses, so both engines execute the same
+    IEEE double sequence (int tf/df/dl; ln of the same double)."""
+    tf = f"len(list_filter(string_split(s.text, ' '), x -> x = '{t}'))"
+    idf = f"ln((st.n_docs - st.df_{t} + 0.5) / (st.df_{t} + 0.5) + 1.0)"
+    norm = (
+        f"({tf} * {_BM25_K1 + 1}) / "
+        f"({tf} + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * (s.dl / (st.sum_dl / st.n_docs))))"
+    )
+    return f"{idf} * ({norm})"
+
+
+@query(
+    "q121_bm25_scoring",
+    oracle=f"""
+    WITH stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_dl,
+               {', '.join(
+                   f"CAST(sum(CASE WHEN list_contains(string_split(text, ' '), '{t}') "
+                   f"THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}" for t in _BM25_TERMS)}
+        FROM documents
+    ), s AS (
+        SELECT doc_id, text, len(string_split(text, ' ')) AS dl FROM documents
+    )
+    SELECT s.doc_id,
+           {', '.join(
+               f"len(list_filter(string_split(s.text, ' '), x -> x = '{t}')) AS tf_{t}"
+               for t in _BM25_TERMS)},
+           CAST(round(({' + '.join(_sql_bm25_term(t) for t in _BM25_TERMS)}) * 1000000.0)
+                AS BIGINT) AS bm25_micro
+    FROM s CROSS JOIN stats st
+    WHERE {' + '.join(
+        f"len(list_filter(string_split(s.text, ' '), x -> x = '{t}'))" for t in _BM25_TERMS)} > 0
+    ORDER BY bm25_micro DESC, s.doc_id
+    LIMIT 20
+    """,
+)
+def q121_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval scoring (k1=1.2, b=0.75) for a fixed
+     3-term query over the corpus — the ranking function the reference
+    delegates to its Elasticsearch sink
+    (ElasticsearchEmbeddedNodeSink.java:47-66), expressed as a
+    first-class relational operator: corpus stats (N, total length,
+    per-term document frequency) reduce to ONE broadcast row, every
+    per-doc term frequency is an in-expression array count, and the
+    final top-20 is a TakeOrderedAndProject — a single corpus pass plus
+    a one-row broadcast join, no shuffle of the corpus.
+
+    Cross-engine exactness: tf/df/dl/N are integers and the score
+    arithmetic is written in the identical operation order in both
+    engines, but Spark's `log` (JDK Math.log) and DuckDB's `ln` differ
+    in the LAST ULP on some inputs (observed: 1.1729162160062332 vs
+    ...34) — so the emitted score is the micro-scaled long
+    `round(bm25 * 1e6)`, and the top-20 ordering uses that same scaled
+    value with doc_id tie-breaks, making rank and output bit-stable
+    across engines (the scaled-long idiom q79/q104 established)."""
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).alias("sum_dl"),
+        *[
+            F.sum(F.array_contains(toks, t).cast("int")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    s = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("dl"))
+    scored = s.crossJoin(F.broadcast(stats))
+
+    def tf(t: str):
+        return F.size(F.filter(F.col("toks"), lambda x: x == t))
+
+    def term_score(t: str):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
+            / (F.col(f"df_{t}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        norm = (tf(t) * F.lit(_BM25_K1 + 1)) / (
+            tf(t)
+            + F.lit(_BM25_K1)
+            * (
+                F.lit(1.0 - _BM25_B)
+                + F.lit(_BM25_B) * (F.col("dl") / (F.col("sum_dl") / F.col("n_docs")))
+            )
+        )
+        return idf * norm
+
+    bm25 = term_score(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        bm25 = bm25 + term_score(t)
+    any_tf = tf(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        any_tf = any_tf + tf(t)
+    return (
+        scored.select(
+            "doc_id",
+            *[tf(t).alias(f"tf_{t}") for t in _BM25_TERMS],
+            F.round(bm25 * F.lit(1000000.0)).cast("long").alias("bm25_micro"),
+            any_tf.alias("__any"),
+        )
+        .filter(F.col("__any") > 0)
+        .drop("__any")
+        .orderBy(F.col("bm25_micro").desc(), "doc_id")
+        .limit(20)
+    )
