@@ -65,6 +65,10 @@ HEADLINE = [
     "q116_interval_join_clicks_purchases",
     "q100_inverted_index",
     "q104_centroid_assign",
+    # round 4: skew-salted shuffle join and rank-select-bounded
+    # equi-depth binning — both scale-strategy showcases
+    "q123_salted_skew_join",
+    "q125_equidepth_histogram",
 ]
 
 

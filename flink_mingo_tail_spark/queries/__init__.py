@@ -75,19 +75,18 @@ _MODULES = (
 # predate the round-3 events-loader fix (38 from round 1, 29 from
 # round 2); the judge asked for those rows to be refreshed oldest-first
 # (VERDICT.md "Next round" #1). The prefix below is exactly 50 names:
-#   (a) the 4 queries new in round 4 (front-loaded per standing rule);
+#   (a) the 8 queries new in round 4 (front-loaded per standing rule);
 #   (b) 4 standing canaries from the round-3 greens (VERDICT #7) —
 #       one each from CDC-stateful, ANN, streaming-twin, indexing;
 #   (c) all 38 queries whose only green row is from ROUND 1 (oldest);
-#   (d) 4 of the 29 round-2-green queries, chosen to front-load the
-#       families with the most code churn since round 2 (dedup chain,
-#       kNN, text stats); the multimodal/pandas-UDF families already
-#       earned fresh rows via q95/q113 in round 3.
+# the round-2-green group (originally slotted here) rolls entirely to
+# round 5 — the multimodal/pandas-UDF families already earned fresh
+# rows via q95/q113 in round 3.
 #
-# ROUND-5 NOTE: rotate to the 25 remaining round-2-stale queries —
-# q26b, q67, q68, q69, q73, q73b, q74, q75, q75b, q76b, q77, q81,
-# q82, q82b, q83, q84, q85, q87, q88, q89, q94, q96, q97, q98, q99 —
-# plus any
+# ROUND-5 NOTE: rotate to the 29 remaining round-2-stale queries —
+# q26b, q67, q68, q69, q71, q72, q73, q73b, q74, q75, q75b, q76,
+# q76b, q77, q80, q81, q82, q82b, q83, q84, q85, q87, q88, q89,
+# q94, q96, q97, q98, q99 — plus any
 # round-5 additions first, plus 4-6 canaries from the round-4 greens;
 # after that every query's freshest row is post-loader-fix and the
 # steady state is: new queries first, then oldest-green first.
@@ -97,6 +96,10 @@ _NEEDS_DRIVER_ROW = (
     "q120_pii_redaction",
     "q121_bm25_scoring",
     "q122_mad_outlier",
+    "q123_salted_skew_join",
+    "q124_snapshot_diff",
+    "q125_equidepth_histogram",
+    "q126_token_cooccurrence",
     # (b) standing canaries (green in round 3; re-check for regressions)
     "q62_cdc_quorum_dedup",
     "q78_knn_lsh",
@@ -141,11 +144,6 @@ _NEEDS_DRIVER_ROW = (
     "q55_explode_posexplode",
     "q58_conditional_null",
     "q59_hash_funcs",
-    # (d) round-2 greens in the highest-churn families
-    "q71_content_hash_dedup",
-    "q72_minhash_signature",
-    "q76_knn_bruteforce",
-    "q80_token_stats",
 )
 
 

@@ -397,3 +397,78 @@ def q122_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 — equi-depth histogram (quantile-binned; companion to q103's
+# fixed-width buckets)
+# ---------------------------------------------------------------------------
+
+_EQD_BINS = 8
+_EQD_PS = [i / _EQD_BINS for i in range(1, _EQD_BINS)]  # dyadic → FP-exact
+
+
+@query(
+    "q125_equidepth_histogram",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+    ), b AS (
+      SELECT {', '.join(f'quantile_cont(v, {p}) AS b{i}' for i, p in enumerate(_EQD_PS, 1))}
+      FROM t
+    )
+    SELECT ({' + '.join(f'CAST(v > b{i} AS INT)' for i in range(1, _EQD_BINS))}) AS bin,
+           count(*) AS n_rows,
+           min(v) AS min_cents,
+           max(v) AS max_cents
+    FROM t, b
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def q125_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-binned) histogram of line-item price —
+    the binning a range-partitioner, a data-skipping layout, or a
+    feature bucketizer wants: every bin holds ~n/8 rows no matter how
+    skewed the values. Two scale-safe passes:
+
+      1. septile boundaries via `operators/percentile.exact_percentiles`
+         (distributed rank-select — parallelism stays partition-bound,
+         never funnels the column into one sort task);
+      2. one broadcast of the 7 boundaries + a single codegen'd pass
+         binning by `sum(v > b_i)` and aggregating count/min/max.
+
+    Cross-engine exactness: the probe values are integer cents and the
+    percentile positions are dyadic (i/8 over n-1), so the interpolated
+    boundaries are exact in IEEE double under BOTH Spark's
+    `(hi-pos)*lo + (pos-lo)*hi` and DuckDB's `lo + frac*(hi-lo)` —
+    no boundary comparison can flip on a rounding ulp."""
+    from flink_mingo_tail_spark.operators.percentile import exact_percentiles
+
+    prepare_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("v"),
+        F.lit(0).alias("g"),
+    )
+    bounds = exact_percentiles(
+        t,
+        ["g"],
+        [("v", p, f"b{i}") for i, p in enumerate(_EQD_PS, 1)],
+        # below the sf0.01 row count → the driver gate exercises the
+        # distributed rank-select path, not the small-group fallback
+        accuracy=1000,
+    ).drop("g")
+    binned = t.drop("g").crossJoin(F.broadcast(bounds))
+    bin_col = sum(
+        (F.col("v") > F.col(f"b{i}")).cast("int") for i in range(1, _EQD_BINS)
+    )
+    return (
+        binned.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("min_cents"),
+            F.max("v").alias("max_cents"),
+        )
+        .orderBy("bin")
+    )

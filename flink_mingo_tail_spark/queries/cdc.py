@@ -322,3 +322,82 @@ def q66_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_purchased"),
     )
+
+
+@query(
+    "q124_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), new AS (
+      -- simulated next snapshot: ~1% deleted, ~1% price-bumped, ~1% cloned
+      SELECT k, st, CASE WHEN k % 89 = 0 THEN cents + 100 ELSE cents END AS cents
+      FROM old WHERE k % 97 <> 0
+      UNION ALL
+      SELECT k + 100000000000000, st, cents FROM old WHERE k % 101 = 0
+    )
+    SELECT CASE WHEN n.k IS NULL THEN 'delete'
+                WHEN o.k IS NULL THEN 'insert'
+                ELSE 'update' END AS change_type,
+           coalesce(o.k, n.k) AS o_orderkey,
+           o.cents AS old_cents,
+           n.cents AS new_cents
+    FROM old o FULL OUTER JOIN new n ON o.k = n.k
+    WHERE o.k IS NULL OR n.k IS NULL OR o.cents <> n.cents OR o.st <> n.st
+    ORDER BY change_type, o_orderkey
+    """,
+)
+def q124_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot differencing — derive a changelog from two full table
+    snapshots (the batch complement of the oplog tail: when a source
+    system exports nightly dumps instead of a change stream, the diff
+    IS the CDC feed). The next snapshot is simulated deterministically
+    from orders (~1% deletes via k%97, ~1% updates via k%89 price
+    bumps, ~1% inserts via k%101 clones at a shifted key), so both
+    engines build bit-identical inputs.
+
+    Plan shape: ONE full-outer sort-merge join on the primary key plus
+    an in-expression row comparison — no window, no driver state. At
+    100 TB both snapshots are bucketed/partitioned by key, so the join
+    is co-located and the diff streams; output is only the changed
+    rows (~3%), which is what ships downstream as the change feed."""
+    o = _t(spark, sf_dir, "orders")
+    old = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    kept = old.filter(F.col("k") % 97 != 0).select(
+        "k",
+        "st",
+        F.when(F.col("k") % 89 == 0, F.col("cents") + 100).otherwise(F.col("cents")).alias("cents"),
+    )
+    cloned = old.filter(F.col("k") % 101 == 0).select(
+        (F.col("k") + F.lit(100_000_000_000_000)).alias("k"), "st", "cents"
+    )
+    new = kept.unionAll(cloned)
+    oo, nn = old.alias("o"), new.alias("n")
+    joined = oo.join(nn, F.col("o.k") == F.col("n.k"), "full_outer")
+    change_type = (
+        F.when(F.col("n.k").isNull(), "delete")
+        .when(F.col("o.k").isNull(), "insert")
+        .otherwise("update")
+    )
+    changed = (
+        F.col("o.k").isNull()
+        | F.col("n.k").isNull()
+        | (F.col("o.cents") != F.col("n.cents"))
+        | (F.col("o.st") != F.col("n.st"))
+    )
+    return (
+        joined.filter(changed)
+        .select(
+            change_type.alias("change_type"),
+            F.coalesce(F.col("o.k"), F.col("n.k")).alias("o_orderkey"),
+            F.col("o.cents").alias("old_cents"),
+            F.col("n.cents").alias("new_cents"),
+        )
+        .orderBy("change_type", "o_orderkey")
+    )

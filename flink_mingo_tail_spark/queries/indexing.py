@@ -521,3 +521,86 @@ def q121_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25_micro").desc(), "doc_id")
         .limit(20)
     )
+
+
+_COOC_VOCAB = 40  # df-ranked vocabulary cap: bounds pair fan-out to V(V-1)/2 per doc
+
+
+@query(
+    "q126_token_cooccurrence",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ), dfq AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY token
+    ), vocab AS (
+        SELECT token, c FROM dfq ORDER BY c DESC, token LIMIT {_COOC_VOCAB}
+    ), vt AS (
+        SELECT t.doc_id, t.token, v.c FROM toks t JOIN vocab v USING (token)
+    ), pairs AS (
+        SELECT a.token AS t1, b.token AS t2, a.c AS c1, b.c AS c2,
+               CAST(count(*) AS BIGINT) AS c12
+        FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.token < b.token
+        GROUP BY 1, 2, 3, 4
+    ), nd AS (SELECT count(*) AS n FROM documents)
+    SELECT t1, t2, c12, c1, c2,
+           CAST(round((1000.0 * (nd.n * c12)) / (c1 * c2)) AS BIGINT) AS lift_x1000
+    FROM pairs, nd
+    ORDER BY c12 DESC, t1, t2
+    LIMIT 50
+    """,
+)
+def q126_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence with lift (PMI's argument, kept rational) —
+    the phrase-mining / collocation pass of a corpus pipeline.
+
+    Scale shape: the quadratic pair explosion is bounded up front by a
+    df-ranked vocabulary cap (top-V, V=_COOC_VOCAB, broadcast), so
+    each doc contributes at most V(V-1)/2 pairs; pairs are generated
+    IN-EXPRESSION from the per-doc sorted vocab-token set (array
+    lambdas — no self-join of the exploded token table), leaving only
+    word-count-shaped shuffles. Lift is emitted as the integer
+    `round(1000·N·c12 / (c1·c2))`: all products are FP-exact (< 2^53)
+    and the single division is correctly rounded, so both engines
+    produce the identical long."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token"))
+    dfq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    vocab = dfq.orderBy(F.desc("c"), "token").limit(_COOC_VOCAB)
+    vt = toks.join(F.broadcast(vocab.select("token")), "token")
+    per_doc = (
+        vt.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("token")).alias("ts"))
+        .filter(F.size("ts") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(ts) - 1), i -> "
+        "transform(sequence(i + 1, size(ts)), j -> "
+        "struct(element_at(ts, i) AS t1, element_at(ts, j) AS t2))))"
+    )
+    c12 = (
+        per_doc.select(F.explode(pair_expr).alias("p"))
+        .select("p.t1", "p.t2")
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    v1 = vocab.select(F.col("token").alias("t1"), F.col("c").alias("c1"))
+    v2 = vocab.select(F.col("token").alias("t2"), F.col("c").alias("c2"))
+    lift = (F.lit(1000.0) * (F.col("n") * F.col("c12"))) / (F.col("c1") * F.col("c2"))
+    return (
+        c12.join(F.broadcast(v1), "t1")
+        .join(F.broadcast(v2), "t2")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "t1",
+            "t2",
+            "c12",
+            "c1",
+            "c2",
+            F.round(lift, 0).cast("long").alias("lift_x1000"),
+        )
+        .orderBy(F.desc("c12"), "t1", "t2")
+        .limit(50)
+    )

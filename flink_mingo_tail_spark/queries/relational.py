@@ -865,3 +865,63 @@ def q09_correlated_agg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p.p_brand
         """
     )
+
+
+@query(
+    "q123_salted_skew_join",
+    oracle=f"""
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 10 < 6 THEN 1 ELSE l_suppkey END AS sk,
+             l_extendedprice, l_discount
+      FROM lineitem
+    )
+    SELECT s.s_nationkey,
+           count(*) AS n_items,
+           {sql_dsum('f.l_extendedprice * (1 - f.l_discount)', 'revenue', 4)}
+    FROM fact f JOIN supplier s ON s.s_suppkey = f.sk
+    GROUP BY s.s_nationkey
+    ORDER BY s.s_nationkey
+    """,
+)
+def q123_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted SHUFFLE join under a hot key (operators/skew.
+    replicate_small_side) — the companion to q19's salted aggregation.
+
+    The fact side maps 60% of lineitem onto ONE supplier key (the
+    synthetic hot key every real fact table has: the null-ish default,
+    the house account, the crawler's top domain). A plain shuffle join
+    would land 60% of the table on a single reducer — AQE skew-join can
+    split the *partition*, but every split still collides on the same
+    dim row's hash bucket. The salted rewrite fans the hot key over 16
+    sub-keys: the dim side replicates 16×, the fact side picks a
+    deterministic-per-row salt, and the join key becomes (sk, salt) —
+    uniform by construction. The salt never reaches the output, so the
+    result provably equals the unsalted join (the oracle IS the
+    unsalted join). `shuffle_hash` hint: at 100 TB the dim side is
+    past the broadcast threshold (where salting would be moot).
+
+    Scale: dim replication costs 16×|supplier| rows — still tiny vs the
+    fact side; the post-join aggregate is partial+final on 25 nation
+    keys, itself salted-safe because the combine is map-side."""
+    from flink_mingo_tail_spark.operators.skew import replicate_small_side
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 6, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .alias("sk"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    dim = supp.select(F.col("s_suppkey").alias("sk"), "s_nationkey")
+    big, small, join_keys = replicate_small_side(fact, dim, "sk", n_salts=16)
+    return (
+        big.join(small.hint("shuffle_hash"), join_keys)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 4),
+        )
+        .orderBy("s_nationkey")
+    )

@@ -110,17 +110,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in PROBES:
         fn = registry[name].fn
-        # min of 2 passes, matching bench.py's timed action exactly
+        # min of 3 passes, matching bench.py's timed action exactly
         # (bench.run_action): the first pass in a fresh session pays
-        # Python worker pool spin-up and Arrow first-touch (~12s on the
-        # first mapInPandas query), so the warm number is the one that
-        # scales. Queries in bench.LARGE_OUTPUT run to a noop sink —
+        # Python worker pool spin-up, Arrow first-touch (~12s on the
+        # first mapInPandas query) and whole-stage-codegen JIT; a
+        # measured sf0.1 q27 run went 7.7 → 2.9 → 1.4 s over three
+        # passes, so min-of-2 still carried warm-up and made scale
+        # ratios lie. Queries in bench.LARGE_OUTPUT run to a noop sink —
         # the full plan (including final sorts) executes but nothing is
         # transferred, so the curve measures the operator, not driver
         # serialization of a result set that grows with the input.
         best = float("inf")
         n = -1
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             if name in LARGE_OUTPUT:
                 run_action(name, fn(spark, dst))

@@ -211,3 +211,42 @@ def test_interval_join_equi_on_user(spark):
     plan = plan_of(spark, "q116_interval_join_clicks_purchases")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_skew_join_is_shuffle_hash_on_salt(spark):
+    # q123's entire point: the hot key must be joined on (sk, __salt)
+    # via a SHUFFLED hash join — broadcast would make the salt moot and
+    # a plain sk-keyed join would re-create the hot partition
+    plan = plan_simple(spark, "q123_salted_skew_join")
+    assert "ShuffledHashJoin [sk" in plan and "__salt" in plan, plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_single_key_join(spark):
+    # one full-outer join on the primary key; the diff predicate is a
+    # residual filter, never a second join or a window
+    plan = plan_of(spark, "q124_snapshot_diff")
+    assert "FullOuter" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_equidepth_histogram_broadcasts_boundaries(spark):
+    # boundary septiles ride the rank-select operator (partition-bound
+    # parallelism); the binning pass gets the 7 boundaries broadcast —
+    # the probe column itself must never globally sort
+    plan = plan_simple(spark, "q125_equidepth_histogram")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "rangepartitioning(v" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cooccurrence_pairs_without_self_join(spark):
+    # pairs are generated in-expression from the per-doc vocab set; the
+    # only joins are broadcast (vocab, n_docs) — an exploded-token
+    # self-join on doc_id would be the scale regression
+    plan = plan_simple(spark, "q126_token_cooccurrence")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
