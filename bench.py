@@ -42,9 +42,11 @@ HEADLINE = [
     "q17_range_join",
     "q20_groupby_battery",
     "q21_rollup",
-    # q27b, not q27: the built-in `percentile` sorts per group (3 groups =
-    # 3-task parallelism ceiling — a 33 TB sort per task at 100 TB); the
-    # rank-select path stays partition-parallel and is bitwise-equal.
+    # q27b, not q27: the built-in `percentile` is a value→count map
+    # aggregate — fine on bounded domains, but on continuous columns its
+    # per-group merge is one n-sized map on one reducer; the rank-select
+    # path stays partition-parallel at any cardinality and is
+    # bitwise-equal (measured decision rule in SCALE.md).
     "q27b_percentile_rank_select",
     "q30_rank_topn_per_group",
     "q33_running_sum",

@@ -1,11 +1,22 @@
 """Scalable EXACT percentile (rank-selection via approx bracketing).
 
-Spark's built-in ``percentile`` is exact but sort-based: every group's
-full column funnels into its single reducer. With few groups (q27 has
-3 return flags) that is a parallelism ceiling of #groups — at 100 TB a
-33 TB sort per task. This operator computes the SAME interpolated
-percentile with distributed aggregation passes and a driver-safe
-footprint, routing each group by size:
+Spark's built-in ``percentile`` aggregates a value→count hash map
+(partial-aggregated map-side), so its true cost scales with DISTINCT
+values per group, not rows: on bounded domains (integer quantities,
+price grids) it is effectively a word-count and hard to beat. Its
+ceiling is CONTINUOUS domains — distinct ≈ n — where the per-group
+map degenerates to n entries and the final merge lands n-sized maps
+on ONE reducer per group (measured on 30M rows / 30M distinct,
+local[32]: built-in 36.5 s vs this operator 7.6 s and the gap grows
+with n; at 100 TB with few groups that merge is a single-task
+multi-TB hash map, i.e. OOM). Decision rule, measured in SCALE.md:
+
+* bounded / low-cardinality value domain → use the built-in;
+* continuous / high-cardinality domain → use this operator.
+
+It computes the SAME interpolated percentile with distributed
+aggregation passes and a driver-safe footprint, routing each group by
+size:
 
 * **small groups** (n <= accuracy): the built-in sort-based percentile.
   A single reducer over <= accuracy rows is trivially cheap — and below

@@ -455,9 +455,10 @@ def q125_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         t,
         ["g"],
         [("v", p, f"b{i}") for i, p in enumerate(_EQD_PS, 1)],
-        # below the sf0.01 row count → the driver gate exercises the
-        # distributed rank-select path, not the small-group fallback
-        accuracy=1000,
+        # 10_000: below the sf0.01 row count (60k) so the driver gate
+        # exercises the distributed rank-select path, while the
+        # collected interior stays ~8n/accuracy rows (see q27b note)
+        accuracy=10_000,
     ).drop("g")
     binned = t.drop("g").crossJoin(F.broadcast(bounds))
     bin_col = sum(

@@ -600,12 +600,15 @@ def q27_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q27b_percentile_rank_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same exact percentiles as q27, computed by the SCALE path
-    (`operators/percentile.py`): approx-bracket rank selection in two
-    distributed hash-agg passes instead of the built-in's one sort task
-    per group — q27's 3 groups mean 3-way parallelism at any data size,
-    this stays partition-parallel. Bitwise-equal to the built-in (and so
-    to DuckDB quantile_cont; see tests/test_percentile.py)."""
+    """Same exact percentiles as q27, computed by the continuous-domain
+    SCALE path (`operators/percentile.py`): approx-bracket rank
+    selection in two distributed hash-agg passes. The built-in is a
+    value→count map aggregate — fine on bounded domains, but on
+    continuous columns (distinct ≈ n) its per-group final merge is one
+    n-sized hash map on one reducer; this path stays partition-parallel
+    regardless of cardinality (measured 4.8× faster at 30M distinct
+    values, SCALE.md). Bitwise-equal to the built-in (and so to DuckDB
+    quantile_cont; see tests/test_percentile.py)."""
     from flink_mingo_tail_spark.operators.percentile import exact_percentiles
 
     li = _t(spark, sf_dir, "lineitem")
@@ -613,9 +616,13 @@ def q27b_percentile_rank_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         ["l_returnflag"],
         [("l_quantity", 0.5, "p50_qty"), ("l_extendedprice", 0.9, "p90_price")],
-        # Below every group's size from sf0.01 up -> the distributed
-        # rank-select path is what the oracle gate actually exercises.
-        accuracy=1000,
+        # 10_000: below every group's size from sf0.01 up (~20k rows per
+        # return flag), so the driver's oracle gate exercises the
+        # distributed rank-select path — while keeping the collected
+        # interior at ~8n/accuracy rows. The earlier accuracy=1000 made
+        # the interior grow to ~240k rows/group at the 50x probe and the
+        # rank-select lost to the built-in there (SCALE.md round-4 note).
+        accuracy=10_000,
     ).orderBy("l_returnflag")
 
 

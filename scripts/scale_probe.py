@@ -57,10 +57,11 @@ _SHIFTS = {
 PROBES = [
     "q01_pricing_summary",
     "q10_inner_join_agg",
-    # q27 vs q27b at scale: the bench headline swapped the built-in
-    # `percentile` (per-group sort, parallelism capped at the 3 groups)
-    # for the rank-select form; this pair measures the crossover that
-    # justified the swap (round-3 verdict asked for the evidence).
+    # q27 vs q27b at scale: on THIS corpus the value domains are bounded
+    # (copies duplicate values), so the built-in's value→count map stays
+    # small and flat — the rank-select's win shows on CONTINUOUS domains
+    # (distinct ≈ n), measured separately in SCALE.md. The pair is kept
+    # here to track both plans' growth.
     "q27_exact_percentile",
     "q27b_percentile_rank_select",
     "q73_minhash_lsh_dedup",

@@ -1,0 +1,83 @@
+"""Unit tests for the iterative graph operators (operators/graph.py).
+
+The DuckDB oracles (q127/q128) prove cross-engine parity on the fixture
+graph; these prove the operators themselves against hand-checkable
+graphs — a pure-Python replication of the integer PageRank rounds and a
+path graph with known hop distances — plus the plan-shape contract
+(equi-joins only, no cartesian explosion in the per-round fixpoint).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from flink_mingo_tail_spark.operators.graph import RANK_SCALE, bfs_hops, pagerank
+
+
+def _py_pagerank(edges: list[tuple[int, int]], n_iter: int) -> dict[int, int]:
+    """Bit-exact pure-Python replica of the scaled-long rounds."""
+    edges = sorted(set(edges))
+    nodes = sorted({n for e in edges for n in e})
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {n: RANK_SCALE for n in nodes}
+    for _ in range(n_iter):
+        inflow = {n: 0 for n in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] // outdeg[s]
+        rank = {n: 150000 + (85 * inflow[n]) // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_integer_replica(spark):
+    # star + tail: hub 1 <-> {2,3,4}, chain 4 -> 5 -> 1.
+    edge_list = [(1, 2), (2, 1), (1, 3), (3, 1), (1, 4), (4, 1), (4, 5), (5, 1)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.node: r.rank_x1m for r in pagerank(edges, n_iter=4).collect()}
+    assert got == _py_pagerank(edge_list, 4)
+    # the hub must dominate
+    assert max(got, key=got.get) == 1
+
+
+def test_pagerank_dangling_node_keeps_teleport_rank(spark):
+    # 1 -> 2, 2 dangling: node 2 receives, never emits
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r.node: r.rank_x1m for r in pagerank(edges, n_iter=3).collect()}
+    assert got == _py_pagerank([(1, 2)], 3)
+    assert got[1] == 150000  # no in-edges: teleport mass only
+
+
+def test_bfs_hops_path_graph(spark):
+    # 0 -> 1 -> 2 -> 3 -> 4, seed {0}, 3 hops: node 4 unreachable
+    edges = spark.createDataFrame([(i, i + 1) for i in range(4)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_min_merge_takes_shortest(spark):
+    # two routes to node 3: 0->3 (1 hop) and 0->1->2->3 (3 hops)
+    edges = spark.createDataFrame(
+        [(0, 3), (0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got[3] == 1
+
+
+def test_graph_query_plans_are_equi_join_only(spark):
+    from flink_mingo_tail_spark.queries import load_registry
+
+    from .conftest import SF_ORACLE
+
+    registry = load_registry()
+    for name in ("q127_pagerank_trade_graph", "q128_bfs_reach"):
+        df = registry[name].fn(spark, SF_ORACLE)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

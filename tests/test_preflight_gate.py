@@ -75,3 +75,24 @@ def test_acknowledgement_section_parsing(tmp_path, monkeypatch):
     unacked = preflight.acknowledged_in_plans(flagged)
     # q33 is noted inside the section; q01 appears only OUTSIDE it
     assert unacked == ["q01_pricing_summary: 1.0s -> 2.0s (2.00x)"]
+
+
+def test_dump_plans_preserves_bench_delta_notes(tmp_path):
+    # regenerating PLANS.md must carry over the hand-maintained notes
+    # section the bench-delta gate reads — a regen that dropped it would
+    # silently disarm previously-acknowledged regressions
+    from scripts import dump_plans
+
+    plans = tmp_path / "PLANS.md"
+    plans.write_text(
+        "# PLANS\n\n## q01_pricing_summary\n\nold capture\n\n"
+        "## Bench delta notes\n\n- q33_running_sum: noted\n"
+    )
+    tail = dump_plans.preserved_tail(str(plans))
+    assert tail.startswith("\n## Bench delta notes")
+    assert "q33_running_sum: noted" in tail
+    assert "old capture" not in tail
+    # absent file / absent section -> empty tail, regen unaffected
+    assert dump_plans.preserved_tail(str(tmp_path / "nope.md")) == ""
+    plans.write_text("# PLANS\nno notes section\n")
+    assert dump_plans.preserved_tail(str(plans)) == ""
