@@ -98,18 +98,43 @@ def exact_percentiles(
     """
     margin = 4.0 / accuracy
 
-    stats_aggs = []
+    # ONE approx sketch per distinct column, not per spec: a GK sketch
+    # answers any number of percentile probes, so specs sharing a
+    # column share one sketch and read their [lo, hi] bracket out of
+    # the combined result array (q125 asks 7 septiles of one column —
+    # 7 sketches over the same 600k values cost ~3s of pure waste).
+    by_col: dict[str, list[tuple[float, str]]] = {}
     for col, p, alias in specs:
-        p_lo, p_hi = max(0.0, p - margin), min(1.0, p + margin)
-        stats_aggs.append(F.count(col).alias(f"_n_{alias}"))
+        by_col.setdefault(col, []).append((p, alias))
+
+    stats_aggs = []
+    bracket_reads = []  # (alias, column-expr) projected after the agg
+    for col, col_specs in by_col.items():
+        ps: list[float] = []
+        for p, alias in col_specs:
+            p_lo, p_hi = max(0.0, p - margin), min(1.0, p + margin)
+            idx = len(ps)
+            ps.extend([p_lo, p_hi])
+            bracket_reads.append(
+                (
+                    f"_br_{alias}",
+                    F.array(F.col(f"_brall_{col}")[idx], F.col(f"_brall_{col}")[idx + 1]),
+                )
+            )
+            stats_aggs.append(F.count(col).alias(f"_n_{alias}"))
         stats_aggs.append(
             F.percentile_approx(
                 F.col(col).cast("double"),
-                F.array(F.lit(p_lo), F.lit(p_hi)),
+                F.array(*[F.lit(p) for p in ps]),
                 F.lit(accuracy),
-            ).alias(f"_br_{alias}")
+            ).alias(f"_brall_{col}")
         )
     stats = df.groupBy(*keys).agg(*stats_aggs)
+    stats = stats.select(
+        *keys,
+        *[F.col(f"_n_{a}") for _, _, a in specs],
+        *[expr.alias(name) for name, expr in bracket_reads],
+    )
 
     n_cols = [F.col(f"_n_{a}") for _, _, a in specs]
     min_n = F.least(*n_cols) if len(n_cols) > 1 else n_cols[0]

@@ -41,13 +41,22 @@ ABS_FLOOR_SEC = 0.3  # ignore ratio breaches smaller than this absolute delta
 
 
 def find_prior_bench() -> dict | None:
-    """Latest BENCH_r*.json that recorded a usable queries dict."""
+    """Latest BENCH_r*.json that recorded a usable queries dict.
+
+    The driver wraps bench.py's JSON line in an envelope
+    ({"n": ..., "rc": ..., "tail": ..., "parsed": {...}}, pretty-printed
+    multi-line) — unwrap "parsed" when present. A raw one-line bench.py
+    capture (the historical format this gate was first written against)
+    still parses via the whole-file load.
+    """
     for path in sorted(glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json")), reverse=True):
         try:
             with open(path) as fh:
-                d = json.loads(fh.read().strip().splitlines()[-1])
-        except (OSError, ValueError, IndexError):
+                d = json.load(fh)
+        except (OSError, ValueError):
             continue
+        if isinstance(d.get("parsed"), dict):
+            d = d["parsed"]
         if isinstance(d.get("queries"), dict) and d["queries"]:
             d["_file"] = os.path.basename(path)
             return d

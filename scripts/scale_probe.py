@@ -111,6 +111,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in PROBES:
         fn = registry[name].fn
+        # JVM hygiene between probes: Spark's ContextCleaner frees
+        # shuffle/broadcast state lazily on GC, so late-in-session
+        # queries otherwise inherit heap pressure from earlier ones
+        # (measured: q118 read 9.0s as probe #13 in-session vs 1.25s
+        # in a fresh session on the same 50x data — 7x of pure
+        # session-position artifact).
+        spark._jvm.System.gc()
         # min of 3 passes, matching bench.py's timed action exactly
         # (bench.run_action): the first pass in a fresh session pays
         # Python worker pool spin-up, Arrow first-touch (~12s on the

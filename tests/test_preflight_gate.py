@@ -96,3 +96,26 @@ def test_dump_plans_preserves_bench_delta_notes(tmp_path):
     assert dump_plans.preserved_tail(str(tmp_path / "nope.md")) == ""
     plans.write_text("# PLANS\nno notes section\n")
     assert dump_plans.preserved_tail(str(plans)) == ""
+
+
+def test_find_prior_bench_unwraps_driver_envelope(tmp_path, monkeypatch):
+    # the driver records BENCH_r*.json as a pretty-printed envelope with
+    # the bench line under "parsed" — the gate must unwrap it (it
+    # previously read only the file's last line and silently found no
+    # prior bench, never firing)
+    import json
+
+    envelope = {
+        "n": 3, "rc": 0, "sf": 0.1, "tail": "...",
+        "parsed": {"metric": "m", "value": 1.0, "sf": 0.1,
+                   "queries": {"q01": 1.25}},
+    }
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps(envelope, indent=2))
+    monkeypatch.setattr(preflight, "REPO_DIR", str(tmp_path))
+    prior = preflight.find_prior_bench()
+    assert prior is not None and prior["queries"] == {"q01": 1.25}
+    # raw one-line bench.py output still parses
+    (tmp_path / "BENCH_r04.json").write_text(
+        json.dumps({"metric": "m", "value": 1.0, "sf": 0.1, "queries": {"q01": 2.0}})
+    )
+    assert preflight.find_prior_bench()["queries"] == {"q01": 2.0}
