@@ -473,3 +473,99 @@ def q125_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q130 — deterministic Pearson correlation profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q130_corr_profile",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_quantity * 100) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+             CAST(round(l_discount * 100) AS BIGINT) AS z
+      FROM lineitem
+    ), s AS (
+      SELECT flag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(z) AS BIGINT) AS sz,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * z) AS BIGINT) AS sxz,
+             CAST(sum(z * z) AS BIGINT) AS szz,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM t GROUP BY flag
+    )
+    SELECT flag,
+           n,
+           CAST(round(1000000.0 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * syy
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT)
+               AS r_qty_price_micro,
+           CAST(round(1000000.0 * (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+                / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                          - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))) AS BIGINT)
+               AS r_qty_disc_micro
+    FROM s
+    ORDER BY flag
+    """,
+)
+def q130_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation profile (qty↔price, qty↔discount per return
+    flag) computed from EXACT integer moment sums — the deterministic
+    alternative to `F.corr`, whose running-covariance accumulation is
+    partition-order-dependent and therefore not reproducible across
+    runs, engines, or partition counts.
+
+    One hash-aggregate pass collects integer Σx/Σy/Σxy/Σx²/Σy²
+    (price-squared rides a decimal accumulator: cents² sums pass 2^63
+    at sf0.1 scale — DuckDB's HUGEINT twin does the same); the final
+    formula is then evaluated once per group on doubles derived from
+    identical exact integers with an identical operation tree, so every
+    IEEE rounding is reproduced bit-for-bit in both engines. Output is
+    micro-scaled long."""
+    prepare_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("z"),
+    )
+    y_dec = F.col("y").cast("decimal(12,0)")
+    s = t.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.sum(y_dec * y_dec).cast("double").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def r_micro(sab, sa, sb, saa, sbb_dbl):
+        num = d("n") * d(sab) - d(sa) * d(sb)
+        den = F.sqrt((d("n") * d(saa) - d(sa) * d(sa)) * (d("n") * sbb_dbl - d(sb) * d(sb)))
+        return F.round(F.lit(1e6) * num / den, 0).cast("long")
+
+    return s.select(
+        "flag",
+        "n",
+        r_micro("sxy", "sx", "sy", "sxx", F.col("syy")).alias("r_qty_price_micro"),
+        r_micro("sxz", "sx", "sz", "sxx", d("szz")).alias("r_qty_disc_micro"),
+    ).orderBy("flag")

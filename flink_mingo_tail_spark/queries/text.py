@@ -542,3 +542,69 @@ def q120_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q129_token_length_entropy",
+    oracle=f"""
+    WITH lens AS (
+        SELECT source,
+               unnest(list_transform({_SQL_TOKS}, x -> length(x))) AS len
+        FROM documents
+    ), counts AS (
+        SELECT source, len, CAST(count(*) AS BIGINT) AS c
+        FROM lens GROUP BY source, len
+    ), per AS (
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_lens,
+               list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE), list(CAST(c AS DOUBLE) ORDER BY len)),
+                   (acc, x) -> acc + x * ln(x)) AS s_clnc
+        FROM counts GROUP BY source
+    )
+    SELECT source,
+           n AS n_tokens,
+           n_lens AS n_distinct_lens,
+           CAST(round((ln(CAST(n AS DOUBLE)) - s_clnc / n) * 1000000.0) AS BIGINT)
+               AS entropy_micro
+    FROM per
+    ORDER BY source
+    """,
+)
+def q129_token_length_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the token-LENGTH distribution per source — a
+    repetitiveness/templating signal (boilerplate and machine-generated
+    text collapse onto few token lengths; natural prose spreads). Uses
+    the identity H = ln(n) − (Σ c·ln c)/n so only counts are aggregated.
+
+    Scale shape: explode to (source, len) → word-count aggregate →
+    per-source fold over the ≤ max_len count array. Determinism: double
+    summation is fold-ordered — both engines reduce the count array
+    sorted by len with an explicit 0.0 seed (Spark `aggregate`, DuckDB
+    `list_reduce(list_prepend(...))`), so the only cross-engine wiggle
+    is the last ulp of ln itself, absorbed by the micro-rounding
+    (the q121 idiom)."""
+    d = _docs(spark, sf_dir)
+    lens = d.select(
+        "source",
+        F.explode(F.transform(tokens(F.col("text")), lambda x: F.length(x))).alias("len"),
+    )
+    counts = lens.groupBy("source", "len").agg(F.count(F.lit(1)).alias("c"))
+    fold = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("len", "c"))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["c"].cast("double") * F.log(s["c"].cast("double")),
+    )
+    per = counts.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_lens"),
+        fold.alias("s_clnc"),
+    )
+    entropy = (F.log(F.col("n").cast("double")) - F.col("s_clnc") / F.col("n")) * 1e6
+    return per.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("n_lens").alias("n_distinct_lens"),
+        F.round(entropy, 0).cast("long").alias("entropy_micro"),
+    ).orderBy("source")

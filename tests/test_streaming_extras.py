@@ -255,3 +255,48 @@ def test_streaming_sliding_and_session_windows_match_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM se_out").collect()
     }
     assert got_session == batch_session
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join (SURVEY §2B join row): a fact stream enriched
+    against a static dimension. The static side is broadcast per
+    micro-batch — no stream state, no watermark needed — which is the
+    100 TB dimension-enrichment pattern (re-read/re-broadcast the dim
+    per batch; a changed dim is picked up on the next trigger)."""
+    src = str(tmp_path / "facts")
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], schema="user_id long, tier string"
+    )
+
+    def write(rows):
+        spark.createDataFrame(rows, schema="user_id long, amount long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    write([(1, 10), (2, 20), (3, 30)])  # user 3 has no dim row
+    facts = spark.readStream.schema("user_id long, amount long").parquet(src)
+    enriched = facts.join(F.broadcast(dim), "user_id", "left")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_static_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write([(1, 11)])  # second micro-batch re-joins the same dim
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r.user_id, r.amount, r.tier)
+        for r in spark.sql("SELECT * FROM ssj_static_out").collect()
+    }
+    assert rows == {(1, 10, "gold"), (2, 20, "silver"), (3, 30, None), (1, 11, "gold")}
+    # parity with the batch join over the same inputs
+    batch = {
+        (r.user_id, r.amount, r.tier)
+        for r in spark.read.parquet(src).join(dim, "user_id", "left").collect()
+    }
+    assert rows == batch
