@@ -33,3 +33,17 @@ def co_located_join(spark: SparkSession, left_table: str, right_table: str, key:
     bucket counts Catalyst plans a sort-merge join whose children are the
     bucketed scans directly — no Exchange, no sort (buckets pre-sorted)."""
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Persist hive-style partitioned parquet (one directory level per
+    partition column). The read-side payoff is PARTITION PRUNING: a
+    filter on a partition column prunes entire directories at planning
+    time (`PartitionFilters` in the scan, zero I/O for pruned values) —
+    at 100 TB, the difference between scanning a day and scanning a
+    decade. Partition columns must be low-cardinality (day, source,
+    region): every value is a directory, and millions of tiny
+    partitions destroy scan parallelism; high-cardinality layout wants
+    bucketing (above) or Z-order (operators/../queries/layout.py)
+    instead."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

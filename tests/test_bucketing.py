@@ -60,3 +60,32 @@ def test_bucketed_join_no_exchange_and_same_result(spark, bucketed_tables):
     )
     plain_result = _agg(orders.join(lineitem, "orderkey")).collect()
     assert bucketed_result == plain_result
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Day-partitioned layout: a day filter must become a PartitionFilter
+    (directory pruning — zero I/O for other days), never a post-scan
+    row filter, and results must match the unpartitioned read."""
+    from flink_mingo_tail_spark.operators.bucketing import write_partitioned
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(events, path, ["day"])
+
+    some_day = events.select("day").orderBy("day").first().day
+    pruned = spark.read.parquet(path).filter(F.col("day") == F.lit(some_day))
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # the day predicate lands in PartitionFilters, not PushedFilters
+    pf_line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "day" in pf_line
+    # only the matching day's directory is read
+    n_expected = events.filter(F.col("day") == F.lit(some_day)).count()
+    assert pruned.count() == n_expected
+    assert pruned.select(F.countDistinct("day")).first()[0] == 1
