@@ -284,3 +284,55 @@ def q37_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_tiebreak="purchase_id",
         right_tiebreak="click_id",
     ).orderBy("purchase_id")
+
+
+@query(
+    "q131_asof_join_forward",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, 0 AS side, event_id AS click_id,
+               CAST(NULL AS BIGINT) AS purchase_id
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, 1 AS side, CAST(NULL AS BIGINT), event_id
+        FROM events WHERE event_type = 'purchase'
+    ), filled AS (
+        SELECT side, click_id, user_id, ts,
+               first_value(CASE WHEN side = 1 THEN purchase_id END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, side, coalesce(click_id, purchase_id)
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS purchase_id_next
+        FROM u
+    )
+    SELECT click_id, user_id, ts AS click_ts, purchase_id_next
+    FROM filled WHERE side = 0
+    ORDER BY click_id
+    """,
+)
+def q131_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each click, the next purchase at-or-after
+    it by the same user (operators/asof.asof_join_forward) — the
+    attribution direction, completing the as-of family next to q37's
+    backward form. Same single-shuffle union+window plan with the frame
+    flipped to [current row, unbounded following]."""
+    from flink_mingo_tail_spark.operators.asof import asof_join_forward
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    return (
+        asof_join_forward(
+            clicks,
+            purchases,
+            key="user_id",
+            left_time="click_ts",
+            right_time="ts",
+            right_values=["purchase_id"],
+            left_tiebreak="click_id",
+            right_tiebreak="purchase_id",
+        )
+        .orderBy("click_id")
+    )
