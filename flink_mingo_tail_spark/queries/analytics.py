@@ -569,3 +569,51 @@ def q130_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_micro("sxy", "sx", "sy", "sxx", F.col("syy")).alias("r_qty_price_micro"),
         r_micro("sxz", "sx", "sz", "sxx", d("szz")).alias("r_qty_disc_micro"),
     ).orderBy("flag")
+
+
+# ---------------------------------------------------------------------------
+# q132 — recursive CTE: nonlinear running recurrence (decaying exposure)
+# ---------------------------------------------------------------------------
+
+_EXPOSURE_SQL = """
+WITH RECURSIVE seq AS (
+  SELECT o_custkey AS cust,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+  FROM orders
+), walk(cust, rn, bal) AS (
+  SELECT cust, rn, LEAST(CAST(50000000 AS BIGINT), cents) FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.cust, s.rn,
+         -- ceil(bal/2): engine-portable (Spark has DIV but DuckDB uses //,
+         -- and bare CAST disagrees too - Spark truncates, DuckDB rounds;
+         -- floor() of the exact double division is identical in both)
+         LEAST(CAST(50000000 AS BIGINT), (w.bal - CAST(floor(w.bal / 2) AS BIGINT)) + s.cents)
+  FROM walk w JOIN seq s ON s.cust = w.cust AND s.rn = w.rn + 1
+)
+SELECT cust, CAST(max(rn) AS BIGINT) AS n_orders,
+       max_by(bal, rn) AS final_exposure_cents
+FROM walk GROUP BY cust ORDER BY cust
+"""
+
+
+@query("q132_recursive_exposure", oracle=_EXPOSURE_SQL)
+def q132_recursive_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 `WITH RECURSIVE`) computing a NONLINEAR
+    running recurrence: per-customer "exposure" that halves between
+    orders and saturates at a cap — `bal_i = min(cap, ceil(bal_{i-1}/2)
+    + cents_i)` over the date-ordered order chain. Window aggregates
+    cannot express this (the update is not associative and the clamp
+    makes it non-linear); the declarative recursion is the SQL-surface
+    twin of the hand-built DataFrame fixpoints in operators/graph.py.
+
+    Scale notes: recursion depth = the longest per-customer chain
+    (~30 here), and each level is one equi-join of the frontier with
+    the rn-indexed base — Catalyst executes O(depth) joins, fine for
+    bounded chains; unbounded-depth fixpoints (graph closure) should
+    use the localCheckpoint loop operators instead. All arithmetic is
+    integer (cents, DIV), so both engines hash-match exactly."""
+    prepare_session(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_EXPOSURE_SQL)
