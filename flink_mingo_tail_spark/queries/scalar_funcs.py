@@ -588,3 +588,57 @@ def q89_distinct_agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q133_variant_shredding",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             props,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_props,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_k_over_50
+    FROM v
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q133_variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via the Spark 4 VARIANT type: the JSON
+    payload column is parsed ONCE (`try_parse_json` → binary variant
+    encoding) and every field extraction is a typed `variant_get` over
+    that encoding — versus q56's `get_json_object`, which re-parses the
+    JSON string per extracted field. At 100 TB with wide payloads and
+    many extractions, parse-once is the difference between one and N
+    string-parse passes; variant is also the shredding-friendly format
+    (columnar field extraction at the scan in Spark 4 parquet).
+
+    The DuckDB oracle extracts the same typed fields from the raw JSON
+    — integer aggregates only, so the comparison is exact."""
+    prepare_session(spark)
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        "props",
+        F.variant_get(F.try_parse_json("props"), "$.k", "long").alias("k"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("props").isNull().cast("int")).alias("n_null_props"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum((F.col("k") > 50).cast("int")).alias("n_k_over_50"),
+        )
+        .orderBy("event_type")
+    )
