@@ -18,12 +18,16 @@ It computes the SAME interpolated percentile with distributed
 aggregation passes and a driver-safe footprint, routing each group by
 size:
 
-* **small groups** (n <= accuracy): the built-in sort-based percentile.
-  A single reducer over <= accuracy rows is trivially cheap — and below
-  that size the approx bracket's rank margin (4n/accuracy < 4 ranks)
-  cannot absorb the sketch's +-1 rank discretization, so bracketing is
-  both unnecessary and unsafe there.
-* **large groups** (n > accuracy) — the 100 TB path, three steps all
+* **small groups** (n <= accuracy): the group's complete sorted value
+  array is collected IN THE SAME aggregation pass as the large route
+  (bounded at `accuracy` elements by the routing criterion itself) and
+  interpolated in-expression — below that size the approx bracket's
+  rank margin (4n/accuracy < 4 ranks) cannot absorb the sketch's +-1
+  rank discretization, so bracketing is both unnecessary and unsafe
+  there. Folding the route into one aggregate keeps the operator at
+  TWO data scans total (a separate filtered small/large branch pair
+  would make three).
+* **large groups** (n > accuracy) — the 100 TB path, steps all
   map-side-combinable hash aggregates (parallelism = input partitions,
   never #groups):
 
@@ -141,14 +145,12 @@ def exact_percentiles(
     is_large = min_n > F.lit(accuracy)
     joined = df.join(F.broadcast(stats), keys)
 
-    # Small-group path: built-in sort-based percentile (cheap at <= accuracy rows).
-    small = (
-        joined.filter(~is_large)
-        .groupBy(*keys)
-        .agg(*[F.percentile(F.col(c).cast("double"), F.lit(p)).alias(a) for c, p, a in specs])
-    )
-
-    # Large-group path: bracket + run counts + interior collect.
+    # ONE select pass for both routes (a filtered small branch + a
+    # filtered large branch would each rescan the full input — three
+    # data passes total; this keeps the operator at two). Per group:
+    # bracket decomposition for the large route, and — only when the
+    # group is small — the complete sorted value array (bounded at
+    # `accuracy` rows by the routing criterion itself).
     select_aggs = []
     for col, p, alias in specs:
         lo = F.col(f"_br_{alias}")[0].cast("double")
@@ -156,15 +158,18 @@ def exact_percentiles(
         c = F.col(col).cast("double")
         select_aggs.extend(
             [
-                F.count(F.when(c < lo, True)).alias(f"_below_{alias}"),
-                F.count(F.when(c == lo, True)).alias(f"_nlo_{alias}"),
-                F.count(F.when((c == hi) & (hi != lo), True)).alias(f"_nhi_{alias}"),
-                F.sort_array(F.collect_list(F.when((c > lo) & (c < hi), c))).alias(f"_in_{alias}"),
+                F.count(F.when(is_large & (c < lo), True)).alias(f"_below_{alias}"),
+                F.count(F.when(is_large & (c == lo), True)).alias(f"_nlo_{alias}"),
+                F.count(F.when(is_large & (c == hi) & (hi != lo), True)).alias(f"_nhi_{alias}"),
+                F.sort_array(
+                    F.collect_list(F.when(is_large & (c > lo) & (c < hi), c))
+                ).alias(f"_in_{alias}"),
+                F.sort_array(F.collect_list(F.when(~is_large, c))).alias(f"_all_{alias}"),
                 F.first(f"_n_{alias}").alias(f"_n_{alias}"),
                 F.first(f"_br_{alias}").alias(f"_br_{alias}"),
             ]
         )
-    picked = joined.filter(is_large).groupBy(*keys).agg(*select_aggs)
+    picked = joined.groupBy(*keys).agg(*select_aggs)
 
     out_cols = [F.col(k) for k in keys]
     for col, p, alias in specs:
@@ -173,12 +178,27 @@ def exact_percentiles(
         pos = F.lit(p) * (n - F.lit(1)).cast("double")
         lower = F.floor(pos)
         higher = F.ceil(pos)
+        # Large route: order statistics read from the bracket decomposition.
         v_lower = _pick(alias, lower)
-        exact = F.when(higher == lower, v_lower).otherwise(
+        exact_large = F.when(higher == lower, v_lower).otherwise(
             (higher.cast("double") - pos) * v_lower
             + (pos - lower.cast("double")) * _pick(alias, higher)
         )
-        out_cols.append(exact.alias(alias))
-    large = picked.select(*out_cols)
-
-    return large.unionByName(small)
+        # Small route: the same interpolation formula (term-for-term the
+        # built-in Percentile's) over the complete sorted array. Indexes
+        # clamped + try_element_at: CaseWhen branches are not reliably
+        # lazy under codegen (see _pick), and n = 0 (all-null group)
+        # must yield NULL, not an ANSI index error.
+        arr = F.col(f"_all_{alias}")
+        at_lo = F.try_element_at(arr, F.greatest(lower + 1, F.lit(1)).cast("int"))
+        at_hi = F.try_element_at(arr, F.greatest(higher + 1, F.lit(1)).cast("int"))
+        exact_small = F.when(n == 0, F.lit(None).cast("double")).otherwise(
+            F.when(higher == lower, at_lo).otherwise(
+                (higher.cast("double") - pos) * at_lo + (pos - lower.cast("double")) * at_hi
+            )
+        )
+        # Routing flag, recomputed from the carried counts.
+        n_all = [F.col(f"_n_{a}") for _, _, a in specs]
+        large_flag = (F.least(*n_all) if len(n_all) > 1 else n_all[0]) > F.lit(accuracy)
+        out_cols.append(F.when(large_flag, exact_large).otherwise(exact_small).alias(alias))
+    return picked.select(*out_cols)
