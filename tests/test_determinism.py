@@ -32,6 +32,16 @@ PROBES = [
     "q114_watermark_late_drop",
     "q117_incremental_dedup",
     "q118_curation_filter",
+    # round-4 additions with the riskiest physical-config surfaces:
+    # rand(seed)-salted join (salt values change with partitioning —
+    # the RESULT must not), rank-select percentile + approx bracket,
+    # iterative fixpoint with per-round checkpoints, fold-ordered
+    # double summation, recursive CTE
+    "q123_salted_skew_join",
+    "q125_equidepth_histogram",
+    "q127_pagerank_trade_graph",
+    "q129_token_length_entropy",
+    "q132_recursive_exposure",
 ]
 
 # (shuffle partitions, AQE) — a skinny cluster vs the default wide one.
