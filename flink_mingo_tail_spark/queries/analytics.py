@@ -617,3 +617,63 @@ def q132_recursive_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare_session(spark)
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_EXPOSURE_SQL)
+
+
+@query(
+    "q138_week_over_week",
+    oracle=f"""
+    WITH weekly AS (
+      SELECT epoch_us(o_orderdate) // {_US_WEEK} AS week_idx,
+             count(*) AS n_orders,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT w1.week_idx, w1.n_orders, w1.revenue,
+           w2.revenue AS prev_revenue,
+           w1.revenue - w2.revenue AS wow_delta
+    FROM weekly w1 LEFT JOIN weekly w2 ON w2.week_idx = w1.week_idx - 1
+    ORDER BY w1.week_idx
+    """,
+)
+def q138_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue deltas: weekly rollup (integer week index,
+    exact scaled-long revenue), then PREVIOUS CALENDAR WEEK lookup via a
+    self-join on ``week_idx - 1`` rather than ``lag()`` — a gap week
+    yields NULL (correct business semantics; lag would silently compare
+    across the gap) and, at scale, the self-join on the rolled-up weekly
+    table avoids the single-task un-partitioned global window a bare
+    ``lag() OVER (ORDER BY week)`` would plan. The delta subtracts two
+    bit-identical doubles (each a scaled-long sum / 100), so it is
+    IEEE-deterministic across engines."""
+    prepare_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    weekly = (
+        o.select(
+            F.expr(
+                f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV {_US_WEEK}"
+            ).alias("week_idx"),
+            "o_totalprice",
+        )
+        .groupBy("week_idx")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / F.lit(100.0)).alias(
+                "revenue"
+            ),
+        )
+    )
+    prev = weekly.select(
+        (F.col("week_idx") + 1).alias("week_idx"), F.col("revenue").alias("prev_revenue")
+    )
+    return (
+        weekly.join(prev, "week_idx", "left")
+        .select(
+            "week_idx",
+            "n_orders",
+            "revenue",
+            "prev_revenue",
+            (F.col("revenue") - F.col("prev_revenue")).alias("wow_delta"),
+        )
+        .orderBy("week_idx")
+    )

@@ -169,3 +169,65 @@ def q128_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nid")
     )
+
+
+# ---------------------------------------------------------------------------
+# q139 — triangle census of the part co-purchase graph
+# ---------------------------------------------------------------------------
+
+_SQL_COPURCHASE = """
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+"""
+
+
+@query(
+    "q139_copurchase_triangles",
+    oracle=f"""
+    WITH {_SQL_COPURCHASE}
+    SELECT
+      (SELECT count(DISTINCT n) FROM (
+         SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)) AS n_nodes,
+      (SELECT count(*) FROM edges) AS n_edges,
+      (SELECT count(*)
+         FROM edges e1
+         JOIN edges e2 ON e2.u = e1.v
+         JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+)
+def q139_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts bought in
+    the same order). Edges are kept in canonical ``u < v`` orientation,
+    so each triangle is enumerated exactly once as an ordered triple
+    u < v < w — the standard compact-forward scheme: one hash self-join
+    builds the wedges, a second closes them. Keeping every edge with its
+    smaller endpoint first is what bounds the wedge join at scale (the
+    per-node work is deg+^2, the forward-degree, not deg^2 — the
+    degeneracy-ordering argument; at 100 TB the further refinement is
+    ordering by degree rank instead of key, same plan shape). No
+    collect, no cross join; three shuffles total, all key-partitioned."""
+    prepare_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .agg(F.count_distinct("n").alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    e1 = edges
+    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    wedges = e1.join(e2, "v").select("u", "v", "w")
+    closing = edges.select(F.col("u").alias("u"), F.col("v").alias("w"))
+    tri = wedges.join(closing, ["u", "w"]).agg(F.count("*").alias("n_triangles"))
+    return nodes.crossJoin(n_edges).crossJoin(tri)

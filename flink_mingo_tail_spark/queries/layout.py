@@ -261,3 +261,63 @@ def q112_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_range")
     )
+
+
+# ---------------------------------------------------------------------------
+# q140 — edit-distance near-pairs with brand + length-band blocking
+# ---------------------------------------------------------------------------
+
+_LEV_MAX = 1  # unit-cost edit distance threshold for "near"
+
+
+@query(
+    "q140_levenshtein_pairs",
+    oracle=f"""
+    SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM part a
+    JOIN part b
+      ON a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= {_LEV_MAX}
+    WHERE levenshtein(a.p_name, b.p_name) <= {_LEV_MAX}
+    ORDER BY p1, p2
+    """,
+)
+def q140_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate pairs over part names using the
+    built-in ``levenshtein`` (JVM-side, codegen) with its THRESHOLD
+    argument — the banded O(t*n) early-exit form, not the full O(n^2)
+    DP. Candidate generation is an equi-join on the blocking key
+    (p_brand) plus a length-band predicate (an edit distance <= t
+    implies a length difference <= t), so the quadratic explosion is
+    bounded per block — the same blocking discipline as the SymSpell
+    fuzzy join (q111), here with the general edit-distance metric that
+    catches substitutions q111's deletion-neighborhood misses. At
+    100 TB the blocking key would add a name-prefix/soundex component
+    to keep blocks bounded; the plan shape (equi-join + narrow
+    predicate) is unchanged. DuckDB's ``levenshtein`` is the same
+    unit-cost metric, so distances hash-match exactly."""
+    prepare_session(spark)
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("p1"),
+        F.col("p_name").alias("name1"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("p2"),
+        F.col("p_name").alias("name2"),
+    )
+    cand = a.join(b, "brand").filter(
+        (F.col("p1") < F.col("p2"))
+        & (F.abs(F.length("name1") - F.length("name2")) <= _LEV_MAX)
+    )
+    # threshold form: returns -1 when distance > _LEV_MAX (early exit)
+    dist = F.levenshtein("name1", "name2", _LEV_MAX)
+    return (
+        cand.select("p1", "p2", dist.alias("dist"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= _LEV_MAX))
+        .orderBy("p1", "p2")
+    )

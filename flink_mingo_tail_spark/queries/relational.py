@@ -932,3 +932,75 @@ def q123_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+@query(
+    "q136_unpivot_nation_metrics",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nk, count(*) AS n_customers,
+             sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS customer_bal
+      FROM customer GROUP BY 1
+    ), s AS (
+      SELECT s_nationkey AS nk, count(*) AS n_suppliers,
+             sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0 AS supplier_bal
+      FROM supplier GROUP BY 1
+    ), wide AS (
+      SELECT n.n_name,
+             CAST(coalesce(c.n_customers, 0) AS DOUBLE) AS n_customers,
+             CAST(coalesce(s.n_suppliers, 0) AS DOUBLE) AS n_suppliers,
+             coalesce(c.customer_bal, 0.0) AS customer_bal,
+             coalesce(s.supplier_bal, 0.0) AS supplier_bal
+      FROM nation n
+      LEFT JOIN c ON c.nk = n.n_nationkey
+      LEFT JOIN s ON s.nk = n.n_nationkey
+    )
+    SELECT n_name, 'n_customers'  AS metric, n_customers  AS value FROM wide
+    UNION ALL
+    SELECT n_name, 'n_suppliers'  AS metric, n_suppliers  AS value FROM wide
+    UNION ALL
+    SELECT n_name, 'customer_bal' AS metric, customer_bal AS value FROM wide
+    UNION ALL
+    SELECT n_name, 'supplier_bal' AS metric, supplier_bal AS value FROM wide
+    ORDER BY n_name, metric
+    """,
+)
+def q136_unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape with ``DataFrame.unpivot`` (SQL UNPIVOT /
+    melt): per-nation customer/supplier metrics pivoted into
+    (n_name, metric, value) rows — the inverse of q29's pivot,
+    completing the reshape pair. The unpivot itself is a narrow
+    per-row expansion (Catalyst `Expand` node — no shuffle, no extra
+    scan); the only shuffles are the two upstream aggregates, and the
+    nation dim joins stay broadcast. The oracle spells the honest
+    ANSI form (one UNION ALL arm per metric); values are exact
+    scaled-long sums and counts cast to double, so both engines
+    hash-match bit-for-bit."""
+    n = _t(spark, sf_dir, "nation")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal", "customer_bal"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_suppliers"), dsum("s_acctbal", "supplier_bal"))
+    )
+    wide = (
+        n.join(F.broadcast(c), n.n_nationkey == c.nk, "left")
+        .join(F.broadcast(s), n.n_nationkey == s.nk, "left")
+        .select(
+            "n_name",
+            F.coalesce(F.col("n_customers").cast("double"), F.lit(0.0)).alias("n_customers"),
+            F.coalesce(F.col("n_suppliers").cast("double"), F.lit(0.0)).alias("n_suppliers"),
+            F.coalesce("customer_bal", F.lit(0.0)).alias("customer_bal"),
+            F.coalesce("supplier_bal", F.lit(0.0)).alias("supplier_bal"),
+        )
+    )
+    return wide.unpivot(
+        ["n_name"],
+        ["n_customers", "n_suppliers", "customer_bal", "supplier_bal"],
+        "metric",
+        "value",
+    ).orderBy("n_name", "metric")

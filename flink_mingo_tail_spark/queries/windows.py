@@ -336,3 +336,56 @@ def q131_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_id")
     )
+
+
+_US_DAY = 86_400_000_000
+
+
+@query(
+    "q137_running_distinct_users",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type, epoch_us(ts) // {_US_DAY} AS day_idx, user_id FROM events
+    ), d AS (
+      SELECT DISTINCT event_type, day_idx FROM t
+    )
+    SELECT d.event_type, d.day_idx,
+           (SELECT count(DISTINCT t.user_id) FROM t
+             WHERE t.event_type = d.event_type AND t.day_idx <= d.day_idx) AS cum_users
+    FROM d
+    ORDER BY event_type, day_idx
+    """,
+)
+def q137_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT count over an ordered window — the one window
+    aggregate Spark does not support directly (``count(DISTINCT) OVER``
+    raises). The scalable rewrite: mark each user's FIRST day per
+    event_type (one groupBy shuffle on the high-cardinality
+    (type, user) key), roll up to new-users-per-day, and running-sum
+    that over the tiny per-type day axis — O(rows) work plus a window
+    whose partitions hold only #days rows, vs the naive per-day
+    re-count which is O(days x rows). The oracle deliberately uses the
+    naive correlated spelling (DuckDB decorrelates it), so two
+    independent formulations must agree."""
+    e = _t(spark, sf_dir, "events")
+    t = e.select(
+        "event_type",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_US_DAY}").alias("day_idx"),
+        "user_id",
+    )
+    first_day = t.groupBy("event_type", "user_id").agg(F.min("day_idx").alias("day_idx"))
+    new_per_day = first_day.groupBy("event_type", "day_idx").agg(
+        F.count("*").alias("new_users")
+    )
+    days = t.select("event_type", "day_idx").distinct()
+    daily = days.join(new_per_day, ["event_type", "day_idx"], "left").na.fill(
+        {"new_users": 0}
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "event_type", "day_idx", F.sum("new_users").over(w).alias("cum_users")
+    ).orderBy("event_type", "day_idx")
