@@ -966,10 +966,11 @@ def q123_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q136_unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide-to-long reshape with ``DataFrame.unpivot`` (SQL UNPIVOT /
-    melt): per-nation customer/supplier metrics pivoted into
-    (n_name, metric, value) rows — the inverse of q29's pivot,
-    completing the reshape pair. The unpivot itself is a narrow
+    """Wide-to-long reshape with the NATIVE ``DataFrame.unpivot`` API
+    (SQL UNPIVOT / melt) — the typed counterpart of q88's ``stack()``
+    expression form, here over a multi-table wide aggregate (customer +
+    supplier metrics joined onto the nation dim) rather than a single
+    pivot's output. The unpivot itself is a narrow
     per-row expansion (Catalyst `Expand` node — no shuffle, no extra
     scan); the only shuffles are the two upstream aggregates, and the
     nation dim joins stay broadcast. The oracle spells the honest

@@ -250,3 +250,76 @@ def test_cooccurrence_pairs_without_self_join(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """100 TB join-pruning evidence: when a selective dim-side filter
+    feeds a SHUFFLE join, Catalyst injects a runtime bloom filter —
+    `bloom_filter_agg` over the dim keys, `might_contain` applied to
+    the fact side BEFORE its shuffle — cutting the shuffled fact volume
+    to roughly the join's selectivity. The production thresholds
+    (applicationSideScanSizeThreshold=10GB) only fire at real scale, so
+    the test lowers them; broadcast is disabled because a broadcast
+    join already prunes during the build and needs no bloom."""
+    from flink_mingo_tail_spark.tables import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        o = load_table(spark, SF_ORACLE, "orders").filter("o_orderpriority = '1-URGENT'")
+        df = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+        # the bloom probe must gate the FACT key, pre-shuffle
+        assert "might_contain" in plan and "l_orderkey" in plan.split("might_contain", 1)[1][:120], plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_unpivot_is_narrow_expand(spark):
+    # unpivot must compile to a narrow Expand over the 25-row wide
+    # aggregate — no shuffle, no join introduced by the reshape itself;
+    # dims stay broadcast
+    plan = plan_of(spark, "q136_unpivot_nation_metrics")
+    assert "Expand" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_census_joins_are_hash_equi(spark):
+    # wedge build + closure are key-partitioned hash joins; the only
+    # nested-loop nodes are the final 1-row x 1-row stat combines
+    plan = plan_of(spark, "q139_copurchase_triangles")
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_levenshtein_pairs_blocked_equi_join(spark):
+    # candidate generation must ride the p_brand equi-join (blocking);
+    # an un-blocked theta join would plan a nested-loop over part x part
+    plan = plan_of(spark, "q140_levenshtein_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
