@@ -322,3 +322,60 @@ def q93_windowed_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         daily.withColumn("rnk", rnk).filter(F.col("rnk") <= 3).orderBy("day", "rnk")
     )
+
+
+@query(
+    "q141_interval_join_left_outer",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.click_id, p.purchase_id, c.user_id,
+           CAST(p.p_us - c.c_us AS BIGINT) AS lag_us
+    FROM c LEFT JOIN p
+      ON p.user_id = c.user_id
+     AND p.p_us >= c.c_us
+     AND p.p_us <= c.c_us + {_SSJ_BOUND_US}
+    ORDER BY click_id, purchase_id
+    """,
+)
+def q141_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream LEFT OUTER interval
+    join (tests/test_streaming_extras.py::
+    test_stream_stream_left_outer_join_emits_nulls): every click
+    appears, converted or not — unmatched clicks carry NULL purchase
+    columns. In streaming the null row can only be emitted once the
+    watermark passes click_ts + bound + delay (until then a match may
+    still arrive), which is exactly the state-eviction point the
+    bounded time condition buys; the batch form is the same user-keyed
+    equi-join with the bound as a residual predicate and 'left' type.
+    The funnel read: purchase_id IS NULL = drop-off."""
+    e = _events_us(spark, sf_dir)
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("us").alias("c_us")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("us").alias("p_us"),
+    )
+    return (
+        c.join(
+            p,
+            (c.user_id == p.p_user)
+            & (p.p_us >= c.c_us)
+            & (p.p_us <= c.c_us + F.lit(_SSJ_BOUND_US)),
+            "left",
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.col("p_us") - F.col("c_us")).alias("lag_us"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )

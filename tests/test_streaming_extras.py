@@ -300,3 +300,68 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         for r in spark.read.parquet(src).join(dim, "user_id", "left").collect()
     }
     assert rows == batch
+
+
+def test_stream_stream_left_outer_join_emits_nulls(spark, tmp_path):
+    """Watermarked stream-stream LEFT OUTER join: unmatched clicks must
+    surface with NULL purchase columns — but only once the watermark
+    passes click_ts + bound + delay (before that the row might still
+    match). Files are drip-fed one per micro-batch so the watermark
+    actually advances; the late heartbeat pair pushes it far enough to
+    flush the unmatched click, and Spark's no-data micro-batch performs
+    the final state eviction."""
+    src_a = str(tmp_path / "a")
+    src_b = str(tmp_path / "b")
+
+    def write(path, rows):
+        spark.createDataFrame(rows, schema="ts string, user_id long, event_id long").selectExpr(
+            "CAST(ts AS TIMESTAMP) ts", "user_id", "event_id"
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    write(src_a, [("2024-01-01 10:00:00", 1, 100), ("2024-01-01 10:02:00", 2, 101)])
+    write(src_b, [("2024-01-01 10:01:00", 1, 900)])  # click 100 converts; click 101 never does
+    # heartbeats: push event-time far past 10:02 + 5 min bound + 10 min delay
+    write(src_a, [("2024-01-01 13:00:00", 42, 198)])
+    write(src_b, [("2024-01-01 13:00:10", 42, 998)])
+
+    clicks = (
+        spark.readStream.schema("ts timestamp, user_id long, event_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_a)
+        .withWatermark("ts", "10 minutes")
+        .withColumnRenamed("ts", "click_ts")
+        .withColumnRenamed("event_id", "click_id")
+    )
+    purchases = (
+        spark.readStream.schema("ts timestamp, user_id long, event_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_b)
+        .withWatermark("ts", "10 minutes")
+        .withColumnRenamed("ts", "purchase_ts")
+        .withColumnRenamed("event_id", "purchase_id")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.user_id)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (purchases.purchase_ts <= clicks.click_ts + F.expr("INTERVAL 5 MINUTES")),
+        "leftOuter",
+    )
+    q = (
+        joined.select("click_id", "purchase_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_outer_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pairs = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ssj_outer_out").collect()
+    }
+    assert (100, 900) in pairs and (198, 998) in pairs
+    assert (101, None) in pairs  # the outer row, emitted after eviction
