@@ -14,8 +14,15 @@ Duplicated documents are a FEATURE for the dedup family: every doc
 gains N-1 exact copies, so q73/q117 run against a worst-case duplicate
 density while staying semantically valid.
 
-Usage: python scripts/scale_probe.py [--scale N] [--keep]
+Usage: python scripts/scale_probe.py [--scale N] [--keep] [--only q1,q2]
+`--only` restricts the probe set (targeted clean re-runs); `--keep`
+retains the generated corpus, and an existing kept corpus is reused
+instead of regenerating.
 Prints one JSON line {"scale": N, "gen_sec": ..., "queries": {...}}.
+
+MEASUREMENT HYGIENE: run with NOTHING else on the box. A concurrent
+Spark session (even a small pytest run) competes for the same 32 cores
+and inflated one contaminated reading 12x (q27b 20.8 s vs 1.8 s clean).
 """
 
 from __future__ import annotations
@@ -73,6 +80,13 @@ PROBES = [
     "q114_watermark_late_drop",
     "q117_incremental_dedup",
     "q118_curation_filter",
+    # round-4 second wave: the join-explosion risk (wedge joins grow
+    # with sum deg+^2, not rows), the sketch rollup (must stay one
+    # pass + kilobyte merges), and the first-occurrence distinct
+    # rewrite (two shuffles, both key-partitioned)
+    "q139_copurchase_triangles",
+    "q134_hll_sketch_rollup",
+    "q137_running_distinct_users",
 ]
 
 
@@ -104,12 +118,19 @@ def generate(spark, scale: int, dst: str) -> float:
 
 def main() -> None:
     scale = int(sys.argv[sys.argv.index("--scale") + 1]) if "--scale" in sys.argv else 10
+    probes = PROBES
+    if "--only" in sys.argv:
+        wanted = sys.argv[sys.argv.index("--only") + 1].split(",")
+        probes = [n for n in PROBES if any(n.startswith(w) for w in wanted)]
     dst = f"/tmp/fmts-scale/sf{scale}x"
     spark = build_session("fmts-scale-probe")
-    gen_sec = generate(spark, scale, dst)
+    if os.path.exists(os.path.join(dst, "lineitem.parquet")):
+        gen_sec = 0.0  # kept corpus from a prior --keep run
+    else:
+        gen_sec = generate(spark, scale, dst)
     registry = load_registry()
     timings: dict[str, float] = {}
-    for name in PROBES:
+    for name in probes:
         fn = registry[name].fn
         # JVM hygiene between probes: Spark's ContextCleaner frees
         # shuffle/broadcast state lazily on GC, so late-in-session
