@@ -42,6 +42,15 @@ PROBES = [
     "q127_pagerank_trade_graph",
     "q129_token_length_entropy",
     "q132_recursive_exposure",
+    # round-4 second wave: sketch estimates feed boolean gates (the
+    # gate, not the estimate, must be invariant), hash-sample
+    # membership is a pure predicate, wedge-join census, and the
+    # first-occurrence running-distinct rewrite (two shuffles whose
+    # partitioning must not leak into the cumulative counts)
+    "q134_hll_sketch_rollup",
+    "q135_stratified_hash_sample",
+    "q137_running_distinct_users",
+    "q139_copurchase_triangles",
 ]
 
 # (shuffle partitions, AQE) — a skinny cluster vs the default wide one.
