@@ -1005,3 +1005,72 @@ def q136_unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     ).orderBy("n_name", "metric")
+
+
+_LATERAL_SQL = """
+SELECT r.r_name, t.n_name, t.n_customers
+FROM region r,
+LATERAL (
+  SELECT n.n_name, count(*) AS n_customers
+  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY n_customers DESC, n_name
+  LIMIT 2
+) t
+ORDER BY r_name, n_customers DESC, n_name
+"""
+
+
+@query("q142_lateral_topk_per_region", oracle=_LATERAL_SQL)
+def q142_lateral_topk_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL table subquery (SQL:1999 / Spark 3.2+): for
+    each region, the top-2 nations by customer count — the declarative
+    spelling of per-group top-k. Catalyst DECORRELATES the lateral into
+    a join + window under the hood (no per-outer-row re-execution, which
+    is what a naive lateral would cost at 100 TB); the same text runs
+    verbatim on DuckDB, making this the strongest cross-engine parity
+    row in the join family — identical SQL, independent planners."""
+    prepare_session(spark)
+    for t in ("region", "nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "q143_nullsafe_join",
+    oracle="""
+    WITH a AS (
+      SELECT nullif(c_mktsegment, 'BUILDING') AS seg, count(*) AS n_a
+      FROM customer GROUP BY 1
+    ), b AS (
+      SELECT nullif(c_mktsegment, 'MACHINERY') AS seg, count(*) AS n_b
+      FROM customer GROUP BY 1
+    )
+    SELECT a.seg, a.n_a, b.n_b
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    ORDER BY a.seg
+    """,
+)
+def q143_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of vanishing — the semantics CDC and
+    entity-resolution joins need when the key is legitimately absent
+    (a plain equi-join silently drops every NULL-keyed row, the classic
+    reconciliation bug). Physically `<=>` still hashes like an
+    equi-key, so the join stays a hash join, NOT a nested loop — the
+    NULL bucket hashes to one partition, which is also the scale
+    caveat: a mostly-NULL key needs the salting treatment (q123)."""
+    prepare_session(spark)
+    c = load_table(spark, sf_dir, "customer")
+    a = c.groupBy(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")).agg(
+        F.count("*").alias("n_a")
+    )
+    b = c.groupBy(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg")).agg(
+        F.count("*").alias("n_b")
+    )
+    return (
+        a.join(b, a.seg.eqNullSafe(b.seg))
+        .select(a.seg, "n_a", "n_b")
+        .orderBy("seg")
+    )

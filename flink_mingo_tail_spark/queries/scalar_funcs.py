@@ -642,3 +642,51 @@ def q133_variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q144_try_arithmetic",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN l_quantity = 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+           CAST(sum(CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+           CAST(sum(CASE WHEN l_linenumber % 2 = 0 THEN l_linenumber END) AS BIGINT)
+               AS parsed_sum
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q144_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe expression family: the engine runs with
+    `spark.sql.ansi.enabled=true` (strict overflow/cast/division
+    errors, pinned in prepare_session), so fallible arithmetic must go
+    through the `try_*` forms — `try_divide` yields NULL on zero
+    denominators instead of failing the job, `try_cast` yields NULL on
+    malformed input. At 100 TB this is the difference between one bad
+    row killing a 10-hour job and a countable NULL column. The query
+    counts the NULL outcomes (exact integers; the raw ratio doubles
+    never reach the hash): division by (l_quantity - 25) nulls exactly
+    the quantity-25 rows, and try_cast parses only the even-linenumber
+    branch that holds a numeric string. The oracle spells the same
+    outcomes with portable CASE guards."""
+    li = _t(spark, sf_dir, "lineitem")
+    probed = li.select(
+        "l_returnflag",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25).alias("ratio"),
+        F.when(F.col("l_linenumber") % 2 == 0, F.col("l_linenumber").cast("string"))
+        .otherwise(F.col("l_returnflag"))
+        .try_cast("int")
+        .alias("parsed"),
+    )
+    return (
+        probed.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("ratio").isNull().cast("long")).alias("n_div_null"),
+            F.sum(F.col("parsed").isNotNull().cast("long")).alias("n_parsed"),
+            F.sum("parsed").alias("parsed_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
