@@ -165,11 +165,15 @@ def exact_percentiles(
                     F.collect_list(F.when(is_large & (c > lo) & (c < hi), c))
                 ).alias(f"_in_{alias}"),
                 F.sort_array(F.collect_list(F.when(~is_large, c))).alias(f"_all_{alias}"),
-                F.first(f"_n_{alias}").alias(f"_n_{alias}"),
-                F.first(f"_br_{alias}").alias(f"_br_{alias}"),
             ]
         )
-    picked = joined.groupBy(*keys).agg(*select_aggs)
+    # The readout needs the per-group n and bracket columns; they live
+    # in `stats` (one row per group) — re-join them broadcast instead of
+    # dragging them through the aggregate as 2 extra first() functions
+    # PER SPEC: ObjectHashAggregate pays every registered function on
+    # every input row, and 14 constant-carrying first()s measured ~40%
+    # of the select pass on q125's 35-aggregate plan.
+    picked = joined.groupBy(*keys).agg(*select_aggs).join(F.broadcast(stats), keys)
 
     out_cols = [F.col(k) for k in keys]
     for col, p, alias in specs:
