@@ -417,3 +417,48 @@ def test_observed_metrics_via_listener(spark, tmp_path):
         assert any(p.numInputRows > 0 for p in listener.progress)
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_available_now_trigger_drains_and_stops(spark, tmp_path):
+    """Trigger.AvailableNow — the production incremental-batch pattern:
+    process everything present (respecting maxFilesPerTrigger
+    backpressure, i.e. multiple bounded micro-batches), then TERMINATE,
+    leaving the checkpoint ready for the next scheduled run. This is
+    how a 100 TB backfill or an hourly CDC catch-up runs the same
+    topology the always-on stream uses — same plan, same state, same
+    checkpoint — without a long-lived cluster."""
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    case = OplogCase(n_ops=8)
+    write_batch(spark, op_rows(case), src)
+
+    from flink_mingo_tail_spark.streaming.pipeline import build_cdc_stream
+
+    out = str(tmp_path / "out")
+
+    def run_once() -> int:
+        """One scheduled run; returns the CUMULATIVE sink row count.
+        Parquet sink, not memory: the memory sink cannot recover from a
+        checkpoint, and resuming the same checkpoint across runs is the
+        entire point of the pattern."""
+        stream = spark.readStream.schema(OPLOG_DDL).option("maxFilesPerTrigger", "1").parquet(src)
+        q = (
+            build_cdc_stream(stream, replica_depth=3)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)  # availableNow terminates on its own
+        assert not q.isActive
+        return spark.read.parquet(out).count()
+
+    assert run_once() == 8
+    # second scheduled run: nothing new behind the checkpoint
+    assert run_once() == 8
+    # new data arrives between runs; the third run picks up only it
+    more = OplogCase(n_ops=4, h_base=1008, ts_base=1_700_000_012)
+    write_batch(spark, op_rows(more), src)
+    assert run_once() == 12
