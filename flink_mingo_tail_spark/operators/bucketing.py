@@ -47,3 +47,23 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> No
     bucketing (above) or Z-order (operators/../queries/layout.py)
     instead."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_sorted(df: DataFrame, path: str, sort_cols: list[str], n_files: int | None = None) -> None:
+    """Persist parquet with rows SORTED WITHIN each output file.
+
+    The read-side payoff is row-group data skipping: parquet stores
+    min/max statistics per row group, and a range/point filter on the
+    sort column lets the reader drop whole row groups whose [min, max]
+    misses the predicate. On an unsorted layout every row group spans
+    nearly the full value domain (random rows land everywhere), so no
+    group can ever be skipped; sorting makes the per-group ranges
+    narrow and disjoint — at 100 TB this is the difference between
+    reading ~1/1000th of a table and all of it, with zero query-side
+    changes (the skip happens inside the parquet reader under any
+    engine). `repartitionByRange` first, so file-level ranges are ALSO
+    disjoint and the planner's file pruning composes with the
+    row-group skipping. tests/test_bucketing.py verifies the written
+    footer statistics narrow accordingly."""
+    out = df.repartitionByRange(n_files, *sort_cols) if n_files else df.repartitionByRange(*sort_cols)
+    out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)

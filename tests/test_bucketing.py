@@ -89,3 +89,52 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     n_expected = events.filter(F.col("day") == F.lit(some_day)).count()
     assert pruned.count() == n_expected
     assert pruned.select(F.countDistinct("day")).first()[0] == 1
+
+
+def test_sorted_write_narrows_row_group_stats(spark, tmp_path):
+    """write_sorted must produce parquet whose per-row-group min/max
+    ranges are narrow and disjoint-ish — the footer statistics that
+    make predicate-driven row-group skipping possible. Compared
+    against an unsorted shuffle write of the same rows, where every
+    row group spans ~the whole domain."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from flink_mingo_tail_spark.operators.bucketing import write_sorted
+    from flink_mingo_tail_spark.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_extendedprice")
+    sorted_path = str(tmp_path / "sorted")
+    unsorted_path = str(tmp_path / "unsorted")
+    write_sorted(li, sorted_path, ["l_extendedprice"], n_files=4)
+    li.repartition(4).write.mode("overwrite").parquet(unsorted_path)
+
+    def spans(path):
+        covered = 0.0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "l_extendedprice"
+                )
+                st = col.statistics
+                covered += st.max - st.min
+        import duckdb
+
+        lohi = duckdb.sql(
+            f"SELECT max(l_extendedprice) - min(l_extendedprice) FROM read_parquet('{path}/*.parquet')"
+        ).fetchone()[0]
+        return covered / lohi  # sum of per-row-group ranges, in domain units
+
+    # sorted: ranges are disjoint, sum ~= 1 domain; unsorted: every row
+    # group spans ~the whole domain, sum ~= #row_groups domains
+    assert spans(sorted_path) < 1.5
+    assert spans(unsorted_path) > 3.0
+    # and the data is unchanged
+    assert (
+        spark.read.parquet(sorted_path).count()
+        == spark.read.parquet(unsorted_path).count()
+    )

@@ -384,3 +384,43 @@ def test_quorum_per_shard_replica_depth(spark, tmpdirs):
         q.stop()
     hs = sorted(r.h for r in spark.sql("SELECT h FROM shard_quorum_out").collect())
     assert hs == [1000, 3000, 3001, 5000, 5002], f"stream emission set wrong: {hs}"
+
+
+def test_quorum_rocksdb_state_store_same_semantics(spark, tmpdirs):
+    """Same replay, RocksDB state store. At 100 TB the quorum state
+    (one entry per in-flight op id) outgrows the default HDFS-backed
+    in-memory provider; RocksDB spills keyed state to local disk with
+    incremental checkpointing, so the stateful operator's semantics
+    must be provider-independent. Emission set must match the default
+    provider's byte-for-byte."""
+    src, _, ck = tmpdirs
+    case = OplogCase(
+        n_ops=12,
+        deliveries={
+            10: (MEMBERS[0],),
+            11: (MEMBERS[0], MEMBERS[1]),
+        },
+        duplicated=(0,),
+    )
+    write_batch(spark, op_rows(case), src)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        deduped = build_cdc_stream(_read_oplog_stream(spark, src), replica_depth=3)
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("quorum_rocks_out")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    hs = sorted(r.h for r in spark.sql("SELECT h FROM quorum_rocks_out").collect())
+    assert hs == sorted(1000 + i for i in range(12) if i != 10)
