@@ -71,6 +71,11 @@ HEADLINE = [
     # equi-depth binning — both scale-strategy showcases
     "q123_salted_skew_join",
     "q125_equidepth_histogram",
+    # round-4 second wave: mergeable-sketch rollup and the decorrelated
+    # LATERAL top-k (q139's triangle census is deliberately probe-only —
+    # its 5 s wedge cost belongs in SCALE.md, not a 3-pass bench)
+    "q134_hll_sketch_rollup",
+    "q142_lateral_topk_per_region",
 ]
 
 
