@@ -85,6 +85,64 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(featurize, schema=f"media_id long, kind string, feature array<double>")
 
 
+def extract_features_arrow(media: DataFrame) -> DataFrame:
+    """``mapInArrow`` twin of :func:`extract_features`: RecordBatches in
+    and out, histogram computed straight off the Arrow binary array's
+    value buffer with vectorized numpy — no pandas materialization, no
+    per-row Python objects.
+
+    Why this exists alongside the mapInPandas path: for BINARY columns
+    the Arrow→pandas conversion materializes one Python ``bytes`` object
+    per row (an object-dtype copy of the whole payload column) before the
+    featurizer sees a byte. At 100 TB of media payloads that copy — and
+    the GC pressure of millions of short-lived bytes objects per batch —
+    is the dominant Python-side cost. ``mapInArrow`` hands the worker the
+    same Arrow buffers the JVM serialized, so the histogram below reads
+    ONE contiguous uint8 view of the batch's payload bytes (offsets +
+    values buffers) and bins all rows in two vectorized ops.
+
+    Output is bit-identical to ``extract_features`` (asserted in
+    tests/test_multimodal.py): same bins (byte >> 4 == numpy's 16-bin
+    histogram over range(0, 256)), same round-to-6 normalization.
+    """
+    import pyarrow as pa
+
+    def featurize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            payload = batch.column(batch.schema.get_field_index("payload"))
+            n = len(payload)
+            # Binary array layout: buffers = [validity, int32 offsets, data].
+            # Respect the array's slice offset; rows are contiguous in the
+            # value buffer, so one np.repeat aligns bytes to row indices.
+            offsets = np.frombuffer(payload.buffers()[1], dtype=np.int32)[
+                payload.offset : payload.offset + n + 1
+            ]
+            data = np.frombuffer(payload.buffers()[2], dtype=np.uint8)
+            lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+            row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            chunk = data[offsets[0] : offsets[-1]]
+            hist = np.bincount(
+                row_idx * FEATURE_DIM + (chunk >> 4), minlength=n * FEATURE_DIM
+            ).reshape(n, FEATURE_DIM)
+            totals = hist.sum(axis=1, keepdims=True).astype(np.float64)
+            totals[totals == 0.0] = 1.0
+            feat = np.round(hist / totals, 6)
+            feature = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int64) * FEATURE_DIM, type=pa.int32()),
+                pa.array(feat.ravel(), type=pa.float64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("media_id")),
+                    batch.column(batch.schema.get_field_index("kind")),
+                    feature,
+                ],
+                names=["media_id", "kind", "feature"],
+            )
+
+    return media.mapInArrow(featurize, schema="media_id long, kind string, feature array<double>")
+
+
 def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:
     """Decode image payloads to (width, height, n_pixel_bytes).
 

@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
 
-from flink_mingo_tail_spark.operators.multimodal import extract_features, synthesize_media
+from flink_mingo_tail_spark.operators.multimodal import (
+    extract_features,
+    extract_features_arrow,
+    synthesize_media,
+)
 from flink_mingo_tail_spark.queries import query
 from flink_mingo_tail_spark.session import prepare_session
 from flink_mingo_tail_spark.tables import load_table, spread
@@ -268,3 +272,55 @@ def q98_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, t.pos
         """
     )
+
+
+@query(
+    "q145_arrow_native_features",
+    # Same closed-form oracle as q95 (see the bin derivation there): the
+    # payload is sha256 hex, so the 16-bin byte histogram collapses to
+    # the digit count d — bin 3 = d/64, bin 6 = (64-d)/64. The Arrow
+    # path must land on bit-identical values to the pandas path, so the
+    # two queries intentionally share one oracle.
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+               length(regexp_replace(sha256(text), '[^0-9]', '', 'g')) AS d
+        FROM documents
+    ), f AS (
+        SELECT media_id, kind,
+               round(d / 64.0, 6) AS f3,
+               round((64 - d) / 64.0, 6) AS f6
+        FROM media
+    )
+    SELECT media_id, kind,
+           16 AS feature_dim,
+           round(f3 * f3 + f6 * f6, 6) AS feature_sqnorm,
+           concat('0.0,0.0,0.0,', f3::VARCHAR, ',0.0,0.0,', f6::VARCHAR,
+                  ',0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0') AS feature_csv
+    FROM f
+    ORDER BY media_id
+    """,
+)
+def q145_arrow_native_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → feature vector via ``mapInArrow`` — the
+    zero-pandas Arrow-native batch path (operators/multimodal.py
+    ``extract_features_arrow``). Versus q95's mapInPandas: for binary
+    columns the pandas bridge builds one Python bytes object per row
+    before the featurizer runs; the Arrow path bins the batch's payload
+    bytes directly from the value buffer in two vectorized numpy ops.
+    Same output contract as q95, bit-identical values (equivalence
+    asserted in tests/test_multimodal.py)."""
+    media = synthesize_media(spread(_t(spark, sf_dir, "documents")))
+    feats = extract_features_arrow(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.size("feature").alias("feature_dim"),
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x), 6).alias(
+            "feature_sqnorm"
+        ),
+        F.array_join(F.transform("feature", lambda x: F.round(x, 6).cast("string")), ",").alias(
+            "feature_csv"
+        ),
+    ).orderBy("media_id")

@@ -158,3 +158,156 @@ def q135_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q146_theta_set_algebra",
+    # Exact audience-overlap counts; the theta-sketch estimates never
+    # reach the driver hash (engine-specific), only the constant-TRUE
+    # accuracy gate — the q134 pattern extended to SET EXPRESSIONS,
+    # which HLL cannot answer (HLL unions only; theta supports A∖B and
+    # A∩B on the compact sketches themselves).
+    oracle="""
+    WITH yr AS (
+        SELECT o_custkey,
+               max(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS in_b
+        FROM orders
+        WHERE year(o_orderdate) IN (1995, 1996)
+        GROUP BY o_custkey
+    )
+    SELECT CAST(sum(in_a) AS BIGINT) AS n_1995,
+           CAST(sum(in_b) AS BIGINT) AS n_1996,
+           CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_1995,
+           CAST(sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_1996,
+           CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           CAST(count(*) AS BIGINT) AS n_union,
+           TRUE AS sketch_ok
+    FROM yr
+    """,
+)
+def q146_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches THETA sketches over two customer cohorts (ordered in
+    1995 vs 1996) with full set algebra on the sketches — union,
+    intersection, and both DIFFERENCES — validated against exact counts
+    from the same single pass. The 100 TB story: theta sketches are the
+    mergeable summary for audience-overlap questions ("active in A but
+    not B") — per-day/per-segment sketches persist in kilobytes and any
+    cross-segment set expression is answered sketch-side without
+    re-touching the fact table, which no exact structure and no HLL can
+    do. One aggregation computes the exact flags AND the sketches; the
+    gate bounds every estimate by ±5% of the exact union size (the
+    scale at which theta error is specified) and the oracle asserts it
+    as constant TRUE."""
+    prepare_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    yr = (
+        o.filter(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.year("o_orderdate") == 1995, 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.year("o_orderdate") == 1996, 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    summary = yr.agg(
+        F.sum("in_a").alias("n_1995"),
+        F.sum("in_b").alias("n_1996"),
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 0)).cast("long")).alias("n_only_1995"),
+        F.sum(((F.col("in_b") == 1) & (F.col("in_a") == 0)).cast("long")).alias("n_only_1996"),
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")).alias("n_both"),
+        F.count("*").alias("n_union"),
+        F.theta_sketch_agg(F.when(F.col("in_a") == 1, F.col("o_custkey"))).alias("sk_a"),
+        F.theta_sketch_agg(F.when(F.col("in_b") == 1, F.col("o_custkey"))).alias("sk_b"),
+    )
+
+    def est(col: Column) -> Column:
+        return F.theta_sketch_estimate(col)
+
+    tol = F.lit(_GATE) * F.col("n_union") + F.lit(1.0)
+    gate = (
+        (F.abs(est(F.col("sk_a")) - F.col("n_1995")) <= tol)
+        & (F.abs(est(F.col("sk_b")) - F.col("n_1996")) <= tol)
+        & (F.abs(est(F.theta_difference("sk_a", "sk_b")) - F.col("n_only_1995")) <= tol)
+        & (F.abs(est(F.theta_difference("sk_b", "sk_a")) - F.col("n_only_1996")) <= tol)
+        & (F.abs(est(F.theta_intersection("sk_a", "sk_b")) - F.col("n_both")) <= tol)
+        & (F.abs(est(F.theta_union("sk_a", "sk_b")) - F.col("n_union")) <= tol)
+    ).alias("sketch_ok")
+    return summary.select(
+        "n_1995", "n_1996", "n_only_1995", "n_only_1996", "n_both", "n_union", gate
+    )
+
+
+#: KLL rank-error gate: k=200 (Spark default) bounds normalized rank
+#: error to ~1.65% at 99% confidence; 3% absorbs the inclusive-rank
+#: step (1/group size) on the smallest test strata with margin.
+_KLL_RANK_TOL = 0.03
+
+
+@query(
+    "q147_kll_quantile_rollup",
+    oracle="""
+    SELECT o_orderpriority AS grp, count(*) AS n_orders,
+           TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'ALL' AS grp, count(*) AS n_orders,
+           TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+    FROM orders
+    ORDER BY grp
+    """,
+)
+def q147_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILES: per-priority Datasketches KLL sketches of
+    o_totalprice, rolled up to the global grain by MERGING the sketches
+    (``kll_merge_agg_double``) — never re-scanning orders — then each
+    estimated p50/p90 is rank-audited against the base data: the gate
+    asserts |rank(estimate) − target| ≤ 3%, the guarantee KLL actually
+    makes (rank error, not value error). This is the production answer
+    to "percentiles over 100 TB, re-aggregatable to any grain": per-
+    partition KLL sketches are kilobytes, merge associatively (unlike
+    `percentile_approx`, whose intermediate cannot be persisted and
+    re-merged across jobs from SQL), and the q27 decision rule's
+    continuous-domain caveat disappears because the sketch never builds
+    a value→count map. Exact values in the output are the group counts
+    only; estimates stay out of the driver hash (q134 pattern)."""
+    prepare_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.kll_sketch_agg_double("o_totalprice").alias("sk"),
+        F.count("*").alias("n_orders"),
+    )
+    merged = per.agg(
+        F.kll_merge_agg_double("sk").alias("sk"), F.sum("n_orders").alias("n_orders")
+    ).select(F.lit("ALL").alias("grp"), "sk", "n_orders")
+    est = per.unionByName(merged).select(
+        "grp",
+        "n_orders",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("est_p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("est_p90"),
+    )
+    # Rank audit: one pass over orders (duplicated onto the ALL grain via
+    # a 2-element explode — no second scan), broadcast-joined to the tiny
+    # estimate frame; rank(est) = fraction of rows <= estimate.
+    base = o.select(
+        F.explode(F.array(F.col("o_orderpriority"), F.lit("ALL"))).alias("grp"),
+        "o_totalprice",
+    )
+    ranked = (
+        base.join(F.broadcast(est), "grp")
+        .groupBy("grp")
+        .agg(
+            F.first("n_orders").alias("n_orders"),
+            (F.sum((F.col("o_totalprice") <= F.col("est_p50")).cast("long")) / F.count("*")).alias(
+                "rank_p50"
+            ),
+            (F.sum((F.col("o_totalprice") <= F.col("est_p90")).cast("long")) / F.count("*")).alias(
+                "rank_p90"
+            ),
+        )
+    )
+    return ranked.select(
+        "grp",
+        "n_orders",
+        (F.abs(F.col("rank_p50") - 0.5) <= _KLL_RANK_TOL).alias("p50_rank_ok"),
+        (F.abs(F.col("rank_p90") - 0.9) <= _KLL_RANK_TOL).alias("p90_rank_ok"),
+    ).orderBy("grp")

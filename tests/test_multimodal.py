@@ -10,6 +10,7 @@ from flink_mingo_tail_spark.operators.multimodal import (
     FEATURE_DIM,
     decode_image,
     extract_features,
+    extract_features_arrow,
     frame_sample,
     synthesize_media,
 )
@@ -38,6 +39,33 @@ def test_feature_extraction_deterministic(spark, media):
     for r in f1[:10]:
         assert len(r.feature) == FEATURE_DIM
         assert abs(sum(r.feature) - 1.0) < 1e-4  # normalized histogram
+
+
+def test_arrow_featurizer_bit_identical_to_pandas(spark, media):
+    """extract_features_arrow (mapInArrow, buffer-level histogram) must
+    produce exactly the rows of extract_features (mapInPandas) — same
+    bins, same normalization, same rounding — so the two are drop-in
+    interchangeable and q145 can share q95's oracle."""
+    via_pandas = extract_features(media).orderBy("media_id").collect()
+    via_arrow = extract_features_arrow(media).orderBy("media_id").collect()
+    assert via_arrow == via_pandas
+
+
+def test_arrow_featurizer_handles_sliced_and_empty_batches(spark):
+    """Buffer math must respect the Arrow array's slice offset (a
+    filtered/sliced batch has offset > 0) and tolerate empty batches."""
+    from flink_mingo_tail_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = [
+        (1, "image", b"\x00\x10\x20\x30", None),
+        (2, "audio", b"", None),
+        (3, "image", b"\xff" * 8, None),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {r.media_id: r.feature for r in extract_features_arrow(df).collect()}
+    assert got[1] == [0.25, 0.25, 0.25, 0.25] + [0.0] * 12  # bins 0-3, one byte each
+    assert got[2] == [0.0] * FEATURE_DIM  # empty payload -> zero vector
+    assert got[3] == [0.0] * 15 + [1.0]  # all 0xff -> last bin
 
 
 def test_decode_image_fake_codec_and_gate(media):
