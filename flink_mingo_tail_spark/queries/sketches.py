@@ -82,24 +82,46 @@ def q134_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_ok"
         )
 
-    typed = per_type.select(
-        "event_type", "n_events", "n_users", gate(F.hll_sketch_estimate("sk"))
+    # Both grains from the 5-row sketch frame, never re-touching events
+    # for the sketch side: each per-type row fans out to its own grain
+    # plus 'ALL' and hll_union_agg re-aggregates. (The earlier
+    # typed.union(per_type.agg(merge)) spelling inlined per_type twice —
+    # Catalyst does not common-subexpression whole union branches and
+    # ReuseExchange missed because count_distinct's Expand perturbs one
+    # subtree — so the physical plan re-scanned events for the ALL
+    # branch. Pinned to exactly two scans in tests/test_plans.py.)
+    rolled = (
+        per_type.select(
+            F.explode(F.array(F.col("event_type"), F.lit("ALL"))).alias("event_type"),
+            "sk",
+            "n_events",
+            "n_users",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.hll_union_agg("sk").alias("sk"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_users").alias("n_users_grp"),
+        )
     )
-    # Global grain: union the per-type sketches (no second scan of the
-    # fact table); the exact global distinct for the gate does need one
-    # scan — that is the cost the sketch path REMOVES in production, kept
-    # here only because the correctness contract wants the exact value.
-    merged = per_type.agg(
-        F.hll_union_agg("sk").alias("sk"), F.sum("n_events").alias("n_events")
+    # The exact global distinct for the gate does need one more scan —
+    # users span event types, so per-type exacts don't sum. That is the
+    # cost the sketch path REMOVES in production, kept here only because
+    # the correctness contract wants the exact value.
+    exact_all = e.agg(F.count_distinct("user_id").alias("n_users_all"))
+    return (
+        rolled.crossJoin(F.broadcast(exact_all))
+        .select(
+            "event_type",
+            "n_events",
+            F.when(F.col("event_type") == "ALL", F.col("n_users_all"))
+            .otherwise(F.col("n_users_grp"))
+            .alias("n_users"),
+            "sk",
+        )
+        .select("event_type", "n_events", "n_users", gate(F.hll_sketch_estimate("sk")))
+        .orderBy("event_type")
     )
-    exact_all = e.agg(F.count_distinct("user_id").alias("n_users"))
-    all_row = merged.crossJoin(exact_all).select(
-        F.lit("ALL").alias("event_type"),
-        "n_events",
-        "n_users",
-        gate(F.hll_sketch_estimate("sk")),
-    )
-    return typed.unionByName(all_row).orderBy("event_type")
 
 
 def _sql_rate(src_expr: str) -> str:
@@ -276,14 +298,27 @@ def q147_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.kll_sketch_agg_double("o_totalprice").alias("sk"),
         F.count("*").alias("n_orders"),
     )
-    merged = per.agg(
-        F.kll_merge_agg_double("sk").alias("sk"), F.sum("n_orders").alias("n_orders")
-    ).select(F.lit("ALL").alias("grp"), "sk", "n_orders")
-    est = per.unionByName(merged).select(
-        "grp",
-        "n_orders",
-        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("est_p50"),
-        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("est_p90"),
+    # Both grains from the 5-row sketch frame, NEVER re-touching orders:
+    # each per-priority sketch fans out to its own grain plus 'ALL', and
+    # kll_merge_agg re-aggregates. (A naive per.union(per.agg(merge))
+    # would inline `per` twice and the physical plan re-scans orders for
+    # the ALL branch — ReuseExchange can't fire because the join's
+    # null-filter perturbs one subtree. The explode keeps the sketch
+    # pass at exactly one FileScan; asserted in tests/test_plans.py.)
+    est = (
+        per.select(
+            F.explode(F.array(F.col("grp"), F.lit("ALL"))).alias("grp"), "sk", "n_orders"
+        )
+        .groupBy("grp")
+        .agg(
+            F.kll_merge_agg_double("sk").alias("sk"), F.sum("n_orders").alias("n_orders")
+        )
+        .select(
+            "grp",
+            "n_orders",
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("est_p50"),
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("est_p90"),
+        )
     )
     # Rank audit: one pass over orders (duplicated onto the ALL grain via
     # a 2-element explode — no second scan), broadcast-joined to the tiny

@@ -51,6 +51,14 @@ PROBES = [
     "q135_stratified_hash_sample",
     "q137_running_distinct_users",
     "q139_copurchase_triangles",
+    # round-4 fourth wave: Arrow batch boundaries move with partitioning
+    # (buffer-sliced histogram must not care), theta set-ops on sketches
+    # built from different partition orders, and KLL — whose compaction
+    # IS merge-order-dependent: the estimates may move within the rank
+    # bound, the emitted gates and exact counts must not
+    "q145_arrow_native_features",
+    "q146_theta_set_algebra",
+    "q147_kll_quantile_rollup",
 ]
 
 # (shuffle partitions, AQE) — a skinny cluster vs the default wide one.

@@ -323,3 +323,46 @@ def test_levenshtein_pairs_blocked_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "levenshtein" in plan
+
+
+def test_kll_rollup_single_sketch_scan_and_broadcast_audit(spark):
+    """q147's mergeability claim, physically: the sketch side touches
+    orders ONCE (both grains derive from the 5-row per-priority sketch
+    frame via explode + kll_merge_agg — a naive union of per + merged
+    would re-scan orders for the ALL branch), and the rank audit joins
+    the tiny estimate frame by broadcast. Total: exactly two orders
+    scans (sketch pass + audit pass), zero SortMergeJoin."""
+    plan = plan_of(spark, "q147_kll_quantile_rollup")
+    assert plan.count("orders.parquet") == 2
+    assert "kll_merge_agg_double" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_theta_set_algebra_single_pass(spark):
+    """q146: exact flags and both cohort sketches come from ONE scan of
+    orders and one shuffle on o_custkey; the set algebra runs on the
+    final 1-row frame (no joins at all)."""
+    plan = plan_of(spark, "q146_theta_set_algebra")
+    assert plan.count("orders.parquet") == 1
+    assert "theta_sketch_agg" in plan
+    assert "Join" not in plan
+
+
+def test_arrow_featurizer_prunes_metadata(spark):
+    """q145 reads payload via mapInArrow but never the meta struct —
+    the envelope's blob-pruning property must survive the Arrow path
+    (the scan reads only doc_id/text used to synthesize the corpus)."""
+    plan = plan_of(spark, "q145_arrow_native_features")
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan
+
+
+def test_hll_rollup_single_sketch_scan(spark):
+    """q134's mergeability claim, physically: sketch side and per-type
+    exacts come from ONE events scan (both grains via explode +
+    hll_union_agg over the 5-row frame); the only other scan is the
+    exact global distinct the gate contract requires. Total: exactly
+    two events scans."""
+    plan = plan_of(spark, "q134_hll_sketch_rollup")
+    assert plan.count("events.parquet") == 2
+    assert "hll_union_agg" in plan
