@@ -133,6 +133,51 @@ def _http_post(url: str, body: bytes, content_type: str) -> int:
 RETRYABLE_STATUSES = frozenset({429, 502, 503, 504})
 
 
+def post_with_retry(
+    post: Callable[[str, bytes, str], int],
+    url: str,
+    payload: bytes,
+    content_type: str,
+    *,
+    max_attempts: int,
+    backoff_base_sec: float,
+    backoff_cap_sec: float,
+    sleeper: Callable[[float], None] | None,
+    label: str,
+) -> None:
+    """One logical POST with capped exponential backoff + equal jitter on
+    transient failures (RETRYABLE_STATUSES / dropped connections); raises
+    on non-retryable status or after ``max_attempts``. Shared by the
+    foreachBatch sink and the ``es_bulk`` DataSource writer — retries are
+    safe for both because every bulk action carries an explicit ``_id``
+    (idempotent upsert)."""
+    import random
+    import time as _time
+
+    sleep = sleeper or _time.sleep
+    for attempt in range(1, max_attempts + 1):
+        failure: str | None = None
+        try:
+            status = post(url, payload, content_type)
+        except OSError as exc:  # dropped connection, DNS blip
+            failure = f"transport error: {exc}"
+        else:
+            if status < 300:
+                return
+            failure = f"HTTP {status}"
+            if status not in RETRYABLE_STATUSES:
+                raise RuntimeError(f"ES bulk write failed (non-retryable): {failure} ({label})")
+        if attempt == max_attempts:
+            raise RuntimeError(
+                f"ES bulk write failed after {max_attempts} attempts: {failure} ({label})"
+            )
+        # capped exponential backoff, equal jitter: delay in
+        # [base*2^(a-1)/2, base*2^(a-1)] so a fleet of tasks throttled
+        # together doesn't re-stampede in lockstep
+        ceiling = min(backoff_cap_sec, backoff_base_sec * (2 ** (attempt - 1)))
+        sleep(ceiling * (0.5 + 0.5 * random.random()))
+
+
 def make_es_bulk_writer(
     es_url: str,
     index: str,
@@ -172,38 +217,18 @@ def make_es_bulk_writer(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         def send_partition(rows) -> None:
-            import random
-            import time as _time
-
-            sleep = sleeper or _time.sleep
-
             def flush(chunk: list[dict]) -> None:
-                payload = es_bulk_payload(chunk, index).encode()
-                for attempt in range(1, max_attempts + 1):
-                    failure: str | None = None
-                    try:
-                        status = post(f"{es_url}/_bulk", payload, "application/x-ndjson")
-                    except OSError as exc:  # dropped connection, DNS blip
-                        failure = f"transport error: {exc}"
-                    else:
-                        if status < 300:
-                            return
-                        failure = f"HTTP {status}"
-                        if status not in RETRYABLE_STATUSES:
-                            raise RuntimeError(
-                                f"ES bulk write failed (non-retryable): {failure} "
-                                f"(batch {batch_id})"
-                            )
-                    if attempt == max_attempts:
-                        raise RuntimeError(
-                            f"ES bulk write failed after {max_attempts} attempts: "
-                            f"{failure} (batch {batch_id})"
-                        )
-                    # capped exponential backoff, equal jitter: delay in
-                    # [base*2^(a-1)/2, base*2^(a-1)] so a fleet of tasks
-                    # throttled together doesn't re-stampede in lockstep
-                    ceiling = min(backoff_cap_sec, backoff_base_sec * (2 ** (attempt - 1)))
-                    sleep(ceiling * (0.5 + 0.5 * random.random()))
+                post_with_retry(
+                    post,
+                    f"{es_url}/_bulk",
+                    es_bulk_payload(chunk, index).encode(),
+                    "application/x-ndjson",
+                    max_attempts=max_attempts,
+                    backoff_base_sec=backoff_base_sec,
+                    backoff_cap_sec=backoff_cap_sec,
+                    sleeper=sleeper,
+                    label=f"batch {batch_id}",
+                )
 
             buf: list[dict] = []
             for r in rows:
