@@ -389,3 +389,82 @@ def q137_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "event_type", "day_idx", F.sum("new_users").over(w).alias("cum_users")
     ).orderBy("event_type", "day_idx")
+
+
+@query(
+    "q148_distribution_windows",
+    oracle="""
+    SELECT o_orderpriority AS grp, o_orderkey, o_totalprice,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           nth_value(o_totalprice, 3) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_lowest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY grp, o_totalprice, o_orderkey
+    """,
+)
+def q148_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank, cume_dist,
+    nth_value — completing the ranking family (q30/q31). The unique
+    (totalprice, orderkey) sort makes every value deterministic, and
+    both engines compute the distributions as exact-integer divisions
+    (rank-1)/(n-1), so doubles match bitwise. nth_value gets an
+    explicit ROWS frame: its default RANGE frame is tie-sensitive.
+
+    Scale note: these semantics need the group's full sort — fine here
+    (priority groups shard the sort), but for distribution STATS over
+    bounded group counts at 100 TB, the rank-select percentile (q27b)
+    and equi-depth histogram (q125) answer without per-row output."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        o.select(
+            F.col("o_orderpriority").alias("grp"),
+            "o_orderkey",
+            "o_totalprice",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.nth_value("o_totalprice", 3).over(wf).alias("third_lowest"),
+        )
+        .orderBy("grp", "o_totalprice", "o_orderkey")
+    )
+
+
+@query(
+    "q149_locf_forward_fill",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_purchase_value
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def q149_locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: every event carries the user's
+    most recent purchase amount via ``last(..., ignorenulls=True)`` over
+    a running frame — the IGNORE NULLS analytic the lag/lead battery
+    (q32/q36) doesn't cover, and the standard gap-fill idiom for sparse
+    sensor/feature columns in a training pipeline (densify a sparse
+    column without a self-join). One shuffle on the high-cardinality
+    user_id; (ts, event_id) is a unique order so the fill is
+    deterministic. Values pass through unchanged (no arithmetic), so
+    both engines emit identical doubles."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.last(v, ignorenulls=True).over(w).alias("last_purchase_value"),
+    ).orderBy("user_id", "event_id")
