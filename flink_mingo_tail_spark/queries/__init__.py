@@ -77,20 +77,20 @@ _MODULES = (
 # predate the round-3 events-loader fix (38 from round 1, 29 from
 # round 2); the judge asked for those rows to be refreshed oldest-first
 # (VERDICT.md "Next round" #1). The prefix below is exactly 50 names:
-#   (a) the 31 queries new in round 4 (front-loaded per standing rule);
+#   (a) the 32 queries new in round 4 (front-loaded per standing rule);
 #   (b) 4 standing canaries from the round-3 greens (VERDICT #7) —
 #       one each from CDC-stateful, ANN, streaming-twin, indexing;
-#   (c) 15 of the 38 queries whose only green row is from ROUND 1
-#       (oldest; q27/q27b/q28/q29/q30/q31/q33/q35/q36/q40–q45/q50–q59
-#       — the last twenty-three in registry order — roll over);
+#   (c) 14 of the 38 queries whose only green row is from ROUND 1
+#       (oldest; q25/q27/q27b/q28-q31/q33/q35/q36/q40–q45/q50–q59
+#       — the last twenty-four in registry order — roll over);
 # the round-2-green group (originally slotted here) rolls entirely to
 # round 5 — the multimodal/pandas-UDF families already earned fresh
 # rows via q95/q113 in round 3.
 #
-# ROUND-5 NOTE: rotate to the remaining stale queries — the 23 round-1
-# leftovers (q27, q27b, q28, q29, q30, q31, q33, q35, q36, q40, q41,
-# q42, q43, q44, q45, q50, q51, q52, q53, q54, q55, q58, q59), then
-# the 29 round-2-stale —
+# ROUND-5 NOTE: rotate to the remaining stale queries — the 24 round-1
+# leftovers (q25, q27, q27b, q28, q29, q30, q31, q33, q35, q36, q40,
+# q41, q42, q43, q44, q45, q50, q51, q52, q53, q54, q55, q58, q59),
+# then the 29 round-2-stale —
 # q26b, q67, q68, q69, q71, q72, q73, q73b, q74, q75, q75b, q76,
 # q76b, q77, q80, q81, q82, q82b, q83, q84, q85, q87, q88, q89,
 # q94, q96, q97, q98, q99 — plus any
@@ -130,6 +130,7 @@ _NEEDS_DRIVER_ROW = (
     "q147_kll_quantile_rollup",
     "q148_distribution_windows",
     "q149_locf_forward_fill",
+    "q150_arrow_udf_scalar",
     # (b) standing canaries (green in round 3; re-check for regressions)
     "q62_cdc_quorum_dedup",
     "q78_knn_lsh",
@@ -150,7 +151,6 @@ _NEEDS_DRIVER_ROW = (
     "q22_cube",
     "q23_grouping_sets",
     "q24_dedup_batch",
-    "q25_collect_list_set",
 )
 
 

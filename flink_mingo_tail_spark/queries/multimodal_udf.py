@@ -12,6 +12,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
@@ -324,3 +325,56 @@ def q145_arrow_native_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feature_csv"
         ),
     ).orderBy("media_id")
+
+
+@query(
+    "q150_arrow_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price_arrow
+    FROM lineitem
+    WHERE l_quantity <= 2
+    ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount
+    LIMIT 1000
+    """,
+)
+def q150_arrow_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native scalar UDF (Spark 4.1 ``arrow_udf``): pyarrow.Array
+    in/out via pyarrow.compute — completing the Python-integration
+    matrix alongside the row UDF (q113), pandas_udf (q96), grouped-agg
+    UDAF (q97), UDTF (q98), mapInPandas (q95), and mapInArrow (q145).
+    Versus pandas_udf the worker skips the Arrow→pandas Series
+    round-trip entirely; ``pc.multiply``/``pc.subtract`` are IEEE
+    doubles, bit-identical to the oracle's SQL arithmetic. Same policy
+    note as q96: in production this expression belongs in a built-in
+    column op; the UDF exists to prove the machinery."""
+    # pyarrow is imported at module level: arrow_udf resolves the
+    # pa.Array type hints via get_type_hints against module globals
+    # (function-local imports leave them unresolvable under
+    # `from __future__ import annotations`).
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("double")
+    def net_price_arrow(price: pa.Array, discount: pa.Array) -> pa.Array:
+        return pc.multiply(price, pc.subtract(pa.scalar(1.0), discount))
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") <= 2)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            net_price_arrow(F.col("l_extendedprice"), F.col("l_discount")).alias(
+                "net_price_arrow"
+            ),
+            "l_extendedprice",
+            "l_discount",
+        )
+        # (l_orderkey, l_linenumber) is not unique in the synthetic
+        # lineitem; raw inputs join the sort so LIMIT membership is
+        # engine-stable (same guard as q96).
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+        .limit(1000)
+        .drop("l_extendedprice", "l_discount")
+    )
