@@ -63,6 +63,9 @@ HEADLINE = [
     "q90_tumbling_window",
     "q92_session_window",
     "q95_multimodal_features",
+    # q145 is the same featurizer via mapInArrow: its delta vs q95 is
+    # the Arrow→pandas bridge cost for binary columns, measured
+    "q145_arrow_native_features",
     "q114_watermark_late_drop",
     "q116_interval_join_clicks_purchases",
     "q100_inverted_index",

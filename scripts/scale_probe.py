@@ -87,6 +87,13 @@ PROBES = [
     "q139_copurchase_triangles",
     "q134_hll_sketch_rollup",
     "q137_running_distinct_users",
+    # round-4 fourth wave: KLL rollup (sketch pass must stay one scan +
+    # kilobyte merges; the rank audit is the only part that grows) and
+    # the Arrow-native featurizer vs its mapInPandas twin (the pair's
+    # delta is the Arrow→pandas bridge cost for binary columns)
+    "q147_kll_quantile_rollup",
+    "q95_multimodal_features",
+    "q145_arrow_native_features",
 ]
 
 
