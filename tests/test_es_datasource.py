@@ -158,3 +158,41 @@ def test_writer_rows_stream_through_bounded_buffer(tmp_path):
         for fn in _reqs(outdir)
     )
     assert sizes == [2, 4, 4]
+
+
+def test_cdc_pipeline_through_es_bulk_stream_writer(registered, tmp_path):
+    """A1-A12 capstone with the new sink: simulated per-member oplog
+    deliveries -> pushed-down filter -> majority-quorum dedup ->
+    format("es_bulk") stream writer. Every logical op indexes exactly
+    once (unique _id per bulk action across all requests) and the
+    commit barrier fires per micro-batch with matching doc totals."""
+    from flink_mingo_tail_spark.streaming.pipeline import oplog_filter
+    from flink_mingo_tail_spark.streaming.quorum import quorum_dedup_stream
+    from flink_mingo_tail_spark.streaming.replay import OPLOG_DDL, OplogCase, op_rows, write_batch
+
+    src, ck, outdir = str(tmp_path / "src"), str(tmp_path / "ck"), str(tmp_path / "es")
+    os.makedirs(outdir)
+    write_batch(registered, op_rows(OplogCase(n_ops=60)), src)
+    stream = registered.readStream.schema(OPLOG_DDL).parquet(src)
+    deduped = quorum_dedup_stream(oplog_filter(stream), replica_depth=3)
+    q = (
+        deduped.writeStream.format("es_bulk")
+        .option("transport_dir", outdir)
+        .option("index", "oplog-index")
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = [
+        json.loads(ln)["index"]["_id"]
+        for fn in _reqs(outdir)
+        for ln in open(os.path.join(outdir, fn)).read().strip().split("\n")[2:]
+        if json.loads(ln).get("index")
+    ]
+    assert len(ids) == 60 and len(set(ids)) == 60  # exactly-once per logical op
+    totals = [json.load(open(os.path.join(outdir, c))) for c in _commits(outdir)]
+    assert sum(t["n_docs"] for t in totals) == 60
