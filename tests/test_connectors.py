@@ -191,10 +191,12 @@ def _flaky_transport(dirpath: str, fail_times: int):
         import os
 
         marker = os.path.join(dirpath, "attempts")
-        n = int(open(marker).read()) if os.path.exists(marker) else 0
-        n += 1
-        with open(marker, "w") as f:
-            f.write(str(n))
+        # one byte appended per attempt (O_APPEND, atomic) — a
+        # read-truncate-write counter here can tear if the box is under
+        # enough load to delay the task mid-update
+        with open(marker, "ab") as f:
+            f.write(b".")
+        n = os.path.getsize(marker)
         if n <= fail_times:
             return 429
         with open(os.path.join(dirpath, f"req-{n}.ndjson"), "wb") as f:
@@ -225,7 +227,7 @@ def test_es_bulk_writer_survives_transient_throttle(spark, tmp_path):
     ).coalesce(1)
     writer(batch, batch_id=3)
 
-    assert open(os.path.join(outdir, "attempts")).read() == "3"
+    assert open(os.path.join(outdir, "attempts")).read() == "..."  # exactly 3 attempts
     delivered = [fn for fn in os.listdir(outdir) if fn.startswith("req-")]
     assert len(delivered) == 1  # delivered once, after exactly 2 retries
     lines = open(os.path.join(outdir, delivered[0]), "rb").read().decode().strip().split("\n")
