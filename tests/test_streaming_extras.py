@@ -367,6 +367,74 @@ def test_stream_stream_left_outer_join_emits_nulls(spark, tmp_path):
     assert (101, None) in pairs  # the outer row, emitted after eviction
 
 
+def test_stream_stream_full_outer_join_emits_both_sides(spark, tmp_path):
+    """Watermarked stream-stream FULL OUTER join — completing the
+    outer-join matrix (inner: q116 twin; left: test above): unmatched
+    rows from BOTH sides surface with NULLs for the other side once the
+    watermark passes their join-window horizon. Same drip-fed harness;
+    purchase 902 has no click within its 5-minute look-back, click 101
+    never converts — both must appear exactly once as outer rows."""
+    src_a = str(tmp_path / "a")
+    src_b = str(tmp_path / "b")
+
+    def write(path, rows):
+        spark.createDataFrame(rows, schema="ts string, user_id long, event_id long").selectExpr(
+            "CAST(ts AS TIMESTAMP) ts", "user_id", "event_id"
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    write(src_a, [("2024-01-01 10:00:00", 1, 100), ("2024-01-01 10:02:00", 2, 101)])
+    # purchase 900 matches click 100; purchase 902 (user 3) has no click
+    write(src_b, [("2024-01-01 10:01:00", 1, 900), ("2024-01-01 10:03:00", 3, 902)])
+    # heartbeats: push both watermarks far past every join-window horizon
+    write(src_a, [("2024-01-01 13:00:00", 42, 198)])
+    write(src_b, [("2024-01-01 13:00:10", 42, 998)])
+
+    clicks = (
+        spark.readStream.schema("ts timestamp, user_id long, event_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_a)
+        .withWatermark("ts", "10 minutes")
+        .withColumnRenamed("ts", "click_ts")
+        .withColumnRenamed("event_id", "click_id")
+    )
+    purchases = (
+        spark.readStream.schema("ts timestamp, user_id long, event_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_b)
+        .withWatermark("ts", "10 minutes")
+        .withColumnRenamed("ts", "purchase_ts")
+        .withColumnRenamed("event_id", "purchase_id")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.user_id)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (purchases.purchase_ts <= clicks.click_ts + F.expr("INTERVAL 5 MINUTES")),
+        "fullOuter",
+    )
+    q = (
+        joined.select("click_id", "purchase_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_full_outer_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ssj_full_outer_out").collect()
+    ]
+    pairs = set(rows)
+    assert (100, 900) in pairs and (198, 998) in pairs  # matches
+    assert (101, None) in pairs  # unmatched click (left-outer row)
+    assert (None, 902) in pairs  # unmatched purchase (right-outer row)
+    assert len(rows) == len(pairs)  # each emitted exactly once
+
+
 def test_observed_metrics_via_listener(spark, tmp_path):
     """Observability seam: `instrument()` rides the existing plan (no
     extra pass) and delivers per-micro-batch metrics — emitted rows,
