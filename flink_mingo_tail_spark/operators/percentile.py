@@ -167,13 +167,19 @@ def exact_percentiles(
                 F.sort_array(F.collect_list(F.when(~is_large, c))).alias(f"_all_{alias}"),
             ]
         )
-    # The readout needs the per-group n and bracket columns; they live
-    # in `stats` (one row per group) — re-join them broadcast instead of
-    # dragging them through the aggregate as 2 extra first() functions
-    # PER SPEC: ObjectHashAggregate pays every registered function on
-    # every input row, and 14 constant-carrying first()s measured ~40%
-    # of the select pass on q125's 35-aggregate plan.
-    picked = joined.groupBy(*keys).agg(*select_aggs).join(F.broadcast(stats), keys)
+    # The readout needs the per-group n and bracket columns. They are
+    # CONSTANT within a group (computed per group, broadcast-joined), so
+    # they ride along as extra GROUPING KEYS: group count is unchanged,
+    # no aggregate slots are spent carrying them (14 first()s measured
+    # ~40% of the select pass on q125's 35-aggregate plan), and no
+    # second join is needed — the earlier `.join(broadcast(stats))`
+    # readout re-COMPUTED the whole stats pass, GK sketch included
+    # (differential column pruning made the two broadcast subtrees
+    # non-identical, so ReuseExchange never fired: q125's plan scanned
+    # the fact table 4x / built the sketch twice; now 2 scans, 1 sketch
+    # — pinned in tests/test_plans.py).
+    carry = [f"_br_{a}" for _, _, a in specs] + [f"_n_{a}" for _, _, a in specs]
+    picked = joined.groupBy(*keys, *carry).agg(*select_aggs)
 
     out_cols = [F.col(k) for k in keys]
     for col, p, alias in specs:

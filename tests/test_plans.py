@@ -366,3 +366,18 @@ def test_hll_rollup_single_sketch_scan(spark):
     plan = plan_of(spark, "q134_hll_sketch_rollup")
     assert plan.count("events.parquet") == 2
     assert "hll_union_agg" in plan
+
+
+def test_equidepth_percentile_computes_stats_pass_once(spark):
+    """q125's rank-select boundaries must come from ONE stats pass: the
+    earlier readout-by-rejoin spelling recomputed the whole stats
+    aggregation (GK sketch included) because column pruning made the two
+    broadcast subtrees non-identical and ReuseExchange never fired —
+    4 fact scans, 2 sketch builds. The grouping-key carry keeps it at
+    3 scans (stats, select, binning) and a single sketch aggregation —
+    partial + final, each rendered twice by explain("formatted")
+    (node line + details), so exactly 4 mentions; the recompute bug
+    showed 8."""
+    plan = plan_of(spark, "q125_equidepth_histogram")
+    assert plan.count("lineitem.parquet") == 3
+    assert plan.count("percentile_approx") == 4
