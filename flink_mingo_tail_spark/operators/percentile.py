@@ -151,6 +151,10 @@ def exact_percentiles(
     # bracket decomposition for the large route, and — only when the
     # group is small — the complete sorted value array (bounded at
     # `accuracy` rows by the routing criterion itself).
+    # Measured dead end (do not retry): merging the _in/_all lists into
+    # one collect_list with a two-branch when() is ~7-10% SLOWER on the
+    # 7-spec plan — the extra branch evaluates per row, while the
+    # separate small-route list short-circuits on one boolean.
     select_aggs = []
     for col, p, alias in specs:
         lo = F.col(f"_br_{alias}")[0].cast("double")
