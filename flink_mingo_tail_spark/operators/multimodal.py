@@ -82,7 +82,13 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
             yield out
 
-    return media.mapInPandas(featurize, schema=f"media_id long, kind string, feature array<double>")
+    # Project BEFORE the map: mapInPandas hands the Python function the
+    # full child schema, so Catalyst cannot prune through it — without
+    # this select the meta struct (and at scale, any unused blob column)
+    # would be serialized into every Arrow batch just to be dropped.
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        featurize, schema="media_id long, kind string, feature array<double>"
+    )
 
 
 def extract_features_arrow(media: DataFrame) -> DataFrame:
@@ -111,10 +117,29 @@ def extract_features_arrow(media: DataFrame) -> DataFrame:
         for batch in batches:
             payload = batch.column(batch.schema.get_field_index("payload"))
             n = len(payload)
-            # Binary array layout: buffers = [validity, int32 offsets, data].
+            # The pandas twin raises on a NULL payload (_feature_vector(None));
+            # reading the value buffers below would instead emit an all-zero
+            # vector for a null slot. Fail loudly so a future nullable payload
+            # source can't silently diverge between the two paths.
+            if payload.null_count:
+                raise ValueError(
+                    f"extract_features_arrow: {payload.null_count} NULL payloads in "
+                    "batch; the featurizer contract requires non-null payload "
+                    "(filter or fill before featurizing)"
+                )
+            # Binary array layout: buffers = [validity, offsets, data]. The
+            # offsets are int32 for pa.binary but int64 for pa.large_binary
+            # (Spark ships the latter when arrow.useLargeVarTypes=true);
+            # reading large offsets as int32 would misparse lengths.
+            if pa.types.is_large_binary(payload.type):
+                offset_dtype = np.int64
+            elif pa.types.is_binary(payload.type):
+                offset_dtype = np.int32
+            else:
+                raise TypeError(f"payload must be binary/large_binary, got {payload.type}")
             # Respect the array's slice offset; rows are contiguous in the
             # value buffer, so one np.repeat aligns bytes to row indices.
-            offsets = np.frombuffer(payload.buffers()[1], dtype=np.int32)[
+            offsets = np.frombuffer(payload.buffers()[1], dtype=offset_dtype)[
                 payload.offset : payload.offset + n + 1
             ]
             data = np.frombuffer(payload.buffers()[2], dtype=np.uint8)
@@ -140,7 +165,12 @@ def extract_features_arrow(media: DataFrame) -> DataFrame:
                 names=["media_id", "kind", "feature"],
             )
 
-    return media.mapInArrow(featurize, schema="media_id long, kind string, feature array<double>")
+    # Same pre-map projection as extract_features: pruning cannot cross
+    # the MapInArrow barrier, so unused envelope columns must be dropped
+    # here or they ride every serialized batch.
+    return media.select("media_id", "kind", "payload").mapInArrow(
+        featurize, schema="media_id long, kind string, feature array<double>"
+    )
 
 
 def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:

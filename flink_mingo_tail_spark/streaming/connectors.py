@@ -155,6 +155,10 @@ def post_with_retry(
     import time as _time
 
     sleep = sleeper or _time.sleep
+    # The helper serves more than bulk writes (es_bulk commit issues a
+    # /_refresh through it), so headline errors carry the caller's label
+    # instead of a hardcoded "bulk write" that would mislead ops triage.
+    headline = f"ES request failed ({label})"
     for attempt in range(1, max_attempts + 1):
         failure: str | None = None
         try:
@@ -166,11 +170,9 @@ def post_with_retry(
                 return
             failure = f"HTTP {status}"
             if status not in RETRYABLE_STATUSES:
-                raise RuntimeError(f"ES bulk write failed (non-retryable): {failure} ({label})")
+                raise RuntimeError(f"{headline}: non-retryable {failure}")
         if attempt == max_attempts:
-            raise RuntimeError(
-                f"ES bulk write failed after {max_attempts} attempts: {failure} ({label})"
-            )
+            raise RuntimeError(f"{headline} after {max_attempts} attempts: {failure}")
         # capped exponential backoff, equal jitter: delay in
         # [base*2^(a-1)/2, base*2^(a-1)] so a fleet of tasks throttled
         # together doesn't re-stampede in lockstep

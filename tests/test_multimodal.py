@@ -68,6 +68,44 @@ def test_arrow_featurizer_handles_sliced_and_empty_batches(spark):
     assert got[3] == [0.0] * 15 + [1.0]  # all 0xff -> last bin
 
 
+def test_arrow_featurizer_large_binary_offsets(spark):
+    """With spark.sql.execution.arrow.useLargeVarTypes=true the worker
+    receives large_binary (int64 offsets); reading those as int32 would
+    misparse lengths. The featurizer must branch on the Arrow type and
+    still produce the standard-binary results."""
+    from flink_mingo_tail_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = [
+        (1, "image", b"\x00\x10\x20\x30", None),
+        (2, "audio", b"", None),
+        (3, "image", b"\xff" * 8, None),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    key = "spark.sql.execution.arrow.useLargeVarTypes"
+    old = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        got = {r.media_id: r.feature for r in extract_features_arrow(df).collect()}
+    finally:
+        spark.conf.set(key, old)
+    assert got[1] == [0.25, 0.25, 0.25, 0.25] + [0.0] * 12
+    assert got[2] == [0.0] * FEATURE_DIM
+    assert got[3] == [0.0] * 15 + [1.0]
+
+
+def test_arrow_featurizer_rejects_null_payload(spark):
+    """The pandas twin raises on NULL payloads; the Arrow path must fail
+    loudly too (not emit a silent all-zero vector) so the twins never
+    diverge on a nullable source."""
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from flink_mingo_tail_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame([(1, "image", None, None)], schema=MEDIA_SCHEMA)
+    with pytest.raises(PySparkException, match="NULL payloads"):
+        extract_features_arrow(df).collect()
+
+
 def test_decode_image_fake_codec_and_gate(media):
     decoded = decode_image(media, codec="fake").collect()
     assert all(r.n_pixel_bytes == r.width * r.height * 3 for r in decoded)

@@ -355,6 +355,14 @@ def test_arrow_featurizer_prunes_metadata(spark):
     (the scan reads only doc_id/text used to synthesize the corpus)."""
     plan = plan_of(spark, "q145_arrow_native_features")
     assert "MapInArrow" in plan or "PythonMapInArrow" in plan
+    # The pruning claim itself: the documents scan reads only the two
+    # columns the payload synthesis needs; the synthesized meta struct
+    # and the unused physical columns are projected away BEFORE the map
+    # barrier (pruning cannot cross MapInArrow), so none of them appear
+    # as a column reference anywhere in the physical plan.
+    assert "doc_id#" in plan and "text#" in plan
+    for pruned in ("lang", "source", "n_chars", "meta"):
+        assert f"{pruned}#" not in plan, f"column {pruned!r} should be pruned from the q145 plan"
 
 
 def test_hll_rollup_single_sketch_scan(spark):
