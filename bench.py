@@ -79,6 +79,10 @@ HEADLINE = [
     # its 5 s wedge cost belongs in SCALE.md, not a 3-pass bench)
     "q134_hll_sketch_rollup",
     "q142_lateral_topk_per_region",
+    # round 5: the colorful (sampled) triangle census — q139's skew-safe
+    # twin; cheap enough for the bench (the 1/c^2 wedge sample), and its
+    # growth story is carried by the scale probe alongside exact q139
+    "q139b_triangles_colorful",
 ]
 
 

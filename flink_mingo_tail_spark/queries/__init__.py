@@ -71,86 +71,86 @@ _MODULES = (
 
 # The driver's CORRECTNESS pass checks a bounded prefix of the declared
 # registry (every round so far recorded exactly the first 50 entries).
-# Round 3 went 50/50 green, which made every declared query ever-green.
 #
-# ROTATION, round 4 — freshness pass. 67 queries' only green rows
-# predate the round-3 events-loader fix (38 from round 1, 29 from
-# round 2); the judge asked for those rows to be refreshed oldest-first
-# (VERDICT.md "Next round" #1). The prefix below is exactly 50 names:
-#   (a) the 32 queries new in round 4 (front-loaded per standing rule);
-#   (b) 4 standing canaries from the round-3 greens (VERDICT #7) —
-#       one each from CDC-stateful, ANN, streaming-twin, indexing;
-#   (c) 14 of the 38 queries whose only green row is from ROUND 1
-#       (oldest; q25/q27/q27b/q28-q31/q33/q35/q36/q40–q45/q50–q59
-#       — the last twenty-four in registry order — roll over);
-# the round-2-green group (originally slotted here) rolls entirely to
-# round 5 — the multimodal/pandas-UDF families already earned fresh
-# rows via q95/q113 in round 3.
+# ROTATION, round 5 — drain the stale backlog (VERDICT r4 "Next round"
+# #1). 53 queries' freshest green row predates the round-3 events-loader
+# fix: 24 whose only green row is from ROUND 1 (q25, q27, q27b, q28,
+# q29, q30, q31, q33, q35, q36, q40-q45, q50-q55, q58, q59) and 29 from
+# ROUND 2 (q26b, q67-q69, q71-q77 incl. b-variants, q80-q85, q82b,
+# q87-q89, q94, q96-q99). The judge capped new queries this round so the
+# refresh isn't displaced again. The prefix below is exactly 50 names:
+#   (a) 1 new query — q139b, the skew-safe colorful triangle census the
+#       judge ordered (VERDICT #4) and asked to see a green row for;
+#   (b) 3 standing canaries from the round-4 greens (one stateful-CDC,
+#       one heavy-analytics, one Arrow-path — q145 also covers this
+#       round's featurizer pruning change); 3 not 4: with 46 + 1 + 3
+#       filling the window, the fourth canary would cost a stale slot
+#       and the judge's floor is >=46 stale refreshes;
+#   (c) the 46 oldest stale names — all 24 round-1 leftovers, then the
+#       first 22 of the 29 round-2 names in registry order.
 #
-# ROUND-5 NOTE: rotate to the remaining stale queries — the 24 round-1
-# leftovers (q25, q27, q27b, q28, q29, q30, q31, q33, q35, q36, q40,
-# q41, q42, q43, q44, q45, q50, q51, q52, q53, q54, q55, q58, q59),
-# then the 29 round-2-stale —
-# q26b, q67, q68, q69, q71, q72, q73, q73b, q74, q75, q75b, q76,
-# q76b, q77, q80, q81, q82, q82b, q83, q84, q85, q87, q88, q89,
-# q94, q96, q97, q98, q99 — plus any
-# round-5 additions first, plus 4-6 canaries from the round-4 greens;
-# after that every query's freshest row is post-loader-fix and the
-# steady state is: new queries first, then oldest-green first.
+# ROUND-6 NOTE: 7 stale names remain after this round — q88_unpivot,
+# q89_distinct_agg_minby_maxby, q94_multimodal_metadata,
+# q96_pandas_udf_scalar, q97_grouped_udaf, q98_udtf_tokenize,
+# q99_tfidf_top_term. Front-load any round-6 additions, then these 7,
+# then canaries from the round-5 greens; after that every query's
+# freshest row is post-loader-fix and the steady state is: new queries
+# first, then oldest-green first.
 _NEEDS_DRIVER_ROW = (
-    # (a) new in round 4
-    "q119_minhash_jaccard_estimate",
-    "q120_pii_redaction",
-    "q121_bm25_scoring",
-    "q122_mad_outlier",
-    "q123_salted_skew_join",
-    "q124_snapshot_diff",
-    "q125_equidepth_histogram",
-    "q126_token_cooccurrence",
-    "q127_pagerank_trade_graph",
-    "q128_bfs_reach",
-    "q129_token_length_entropy",
-    "q130_corr_profile",
-    "q131_asof_join_forward",
-    "q132_recursive_exposure",
-    "q133_variant_shredding",
-    "q134_hll_sketch_rollup",
-    "q135_stratified_hash_sample",
-    "q136_unpivot_nation_metrics",
-    "q137_running_distinct_users",
-    "q138_week_over_week",
-    "q139_copurchase_triangles",
-    "q140_levenshtein_pairs",
-    "q141_interval_join_left_outer",
-    "q142_lateral_topk_per_region",
-    "q143_nullsafe_join",
-    "q144_try_arithmetic",
-    "q145_arrow_native_features",
-    "q146_theta_set_algebra",
-    "q147_kll_quantile_rollup",
-    "q148_distribution_windows",
-    "q149_locf_forward_fill",
-    "q150_arrow_udf_scalar",
-    # (b) standing canaries (green in round 3; re-check for regressions)
+    # (a) new in round 5
+    "q139b_triangles_colorful",
+    # (b) standing canaries (green in round 4; re-check for regressions)
     "q62_cdc_quorum_dedup",
-    "q78_knn_lsh",
-    "q114_watermark_late_drop",
-    "q104_centroid_assign",
-    # (c) only green row is from round 1 — oldest first, registry order
-    "q02_filter_project_topk",
-    "q03_isnull_in_between",
-    "q09_correlated_agg_subquery",
-    "q10_inner_join_agg",
-    "q12_left_outer_join",
-    "q13_right_full_outer",
-    "q14_semi_join",
-    "q15_anti_join",
-    "q16_cross_theta_join",
-    "q17_range_join",
-    "q21_rollup",
-    "q22_cube",
-    "q23_grouping_sets",
-    "q24_dedup_batch",
+    "q125_equidepth_histogram",
+    "q145_arrow_native_features",
+    # (c1) only green row is from round 1 — oldest first, 24 names
+    "q25_collect_list_set",
+    "q27_exact_percentile",
+    "q27b_percentile_rank_select",
+    "q28_having_scalar_subquery",
+    "q29_pivot",
+    "q30_rank_topn_per_group",
+    "q31_rank_dense_ntile",
+    "q33_running_sum",
+    "q35_range_frame",
+    "q36_first_last_value",
+    "q40_union_all",
+    "q41_union_distinct",
+    "q42_intersect",
+    "q43_except",
+    "q44_intersect_all",
+    "q45_except_all",
+    "q50_string_funcs",
+    "q51_regex_split",
+    "q52_date_funcs",
+    "q53_math_funcs",
+    "q54_array_funcs",
+    "q55_explode_posexplode",
+    "q58_conditional_null",
+    "q59_hash_funcs",
+    # (c2) only green row is from round 2 — first 22 in registry order
+    "q26b_approx_percentile",
+    "q67_normalize_text",
+    "q68_embedding_quantize",
+    "q69_stratified_sample",
+    "q71_content_hash_dedup",
+    "q72_minhash_signature",
+    "q73_minhash_lsh_dedup",
+    "q73b_dedup_components",
+    "q74_simhash",
+    "q75_ngram_jaccard",
+    "q75b_decontaminate",
+    "q76_knn_bruteforce",
+    "q76b_knn_gemm",
+    "q77_embedding_near_dup",
+    "q80_token_stats",
+    "q81_lang_id",
+    "q82_quality_score",
+    "q82b_repetition_score",
+    "q83_doc_fingerprint",
+    "q84_levenshtein_datediff",
+    "q85_months_between",
+    "q87_subquery_in_exists",
 )
 
 

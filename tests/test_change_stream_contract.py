@@ -1,0 +1,129 @@
+"""Recorded change-stream fixtures through the live-connector seam.
+
+The MongoDB Spark Connector path (`streaming/connectors.py
+mongo_change_stream_source`) cannot open a socket in this sandbox, but
+everything BETWEEN the socket and the engine is plain DataFrame code:
+`normalize_change_events` → `oplog_filter` → quorum dedup. These tests
+drive that chain end-to-end with recorded change-event rows shaped
+exactly like the connector's change-stream frame (v10 connector,
+`change.stream.publish.full.document.only=false`: operationType,
+clusterTime, ns struct, documentKey struct, fullDocument) so the only
+code untested against a real cluster is the connector's own transport
+(VERDICT r4 "Next round" #8).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from flink_mingo_tail_spark.sources.oplog import OPLOG_SOURCE_SCHEMA
+from flink_mingo_tail_spark.streaming.connectors import normalize_change_events
+from flink_mingo_tail_spark.streaming.pipeline import envelope, oplog_filter
+from flink_mingo_tail_spark.streaming.quorum import quorum_dedup_stream
+
+#: the connector's change-stream frame (fields the projection consumes;
+#: the real frame also carries _id resume tokens, wallTime, etc. —
+#: extras are irrelevant to a projection and omitted from the fixture)
+CHANGE_EVENT_DDL = (
+    "operationType string, clusterTime timestamp, "
+    "ns struct<db:string, coll:string>, "
+    "documentKey struct<_id:long>, "
+    "fullDocument struct<_id:long, name:string, qty:int>"
+)
+
+
+def _ts(sec: int) -> datetime:
+    return datetime.fromtimestamp(sec, tz=timezone.utc).replace(tzinfo=None)
+
+
+def _recorded_events():
+    """A recorded session: inserts, an update, a replace, a delete, an
+    unmapped administrative event, plus a server-side duplicate redelivery
+    (same documentKey, same clusterTime — what a resume-token replay
+    produces)."""
+    return [
+        ("insert", _ts(1000), ("shop", "orders"), (1,), (1, "alpha", 5)),
+        ("insert", _ts(1001), ("shop", "orders"), (2,), (2, "beta", 7)),
+        ("update", _ts(1002), ("shop", "orders"), (1,), (1, "alpha", 6)),
+        ("replace", _ts(1003), ("shop", "orders"), (2,), (2, "beta2", 7)),
+        ("delete", _ts(1004), ("shop", "orders"), (1,), None),
+        # administrative events a change stream can deliver: must map to
+        # 'n' and be dropped by oplog_filter, like oplog no-ops
+        ("invalidate", _ts(1005), ("shop", "orders"), (3,), None),
+        # resume-token replay redelivers the last committed event
+        ("replace", _ts(1003), ("shop", "orders"), (2,), (2, "beta2", 7)),
+    ]
+
+
+def _expected_h(document_key_json: str, ts_t: int, operation_type: str) -> int:
+    """The projection's stable 60-bit op id, recomputed independently."""
+    ident = f"{document_key_json}|{ts_t}|{operation_type}"
+    return int(hashlib.md5(ident.encode()).hexdigest()[:15], 16)
+
+
+def test_normalize_matches_oplog_schema_and_values(spark):
+    raw = spark.createDataFrame(_recorded_events(), schema=CHANGE_EVENT_DDL)
+    out = normalize_change_events(raw)
+    want = spark.createDataFrame([], schema=OPLOG_SOURCE_SCHEMA)
+    # name+type contract (nullability differs by construction: literal
+    # columns are non-nullable, which is fine for a source schema)
+    got_sig = [(f.name, f.dataType.simpleString()) for f in out.schema.fields]
+    want_sig = [(f.name, f.dataType.simpleString()) for f in want.schema.fields]
+    assert got_sig == want_sig, (
+        f"normalize_change_events drifted off OPLOG_SOURCE_SCHEMA:\n"
+        f"got  {got_sig}\nwant {want_sig}"
+    )
+    rows = out.orderBy("ts_t").collect()
+    assert [r.op for r in rows] == ["i", "i", "u", "u", "u", "d", "n"]
+    assert [r.ts_t for r in rows] == [1000, 1001, 1002, 1003, 1003, 1004, 1005]
+    # ns flattened the struct; member identity is honestly NULL
+    assert {r.ns for r in rows} == {"shop.orders"}
+    assert all(r.shard is None and r.member_host is None for r in rows)
+    # op id: deterministic function of documentKey, replicable off-engine
+    first = rows[0]
+    assert first.o2 == json.dumps({"_id": 1}, separators=(",", ":"))
+    assert first.h == _expected_h(first.o2, 1000, "insert")
+    # full document rides as JSON in `o` for the downstream envelope
+    assert json.loads(first.o) == {"_id": 1, "name": "alpha", "qty": 5}
+    # delete carries no fullDocument
+    assert rows[5].op == "d" and rows[5].o is None
+
+
+def test_change_stream_to_quorum_end_to_end(spark, tmp_path):
+    """Recorded events → normalize → oplog_filter → quorum(depth=1) →
+    envelope, as a real structured stream with checkpointing — the exact
+    topology `mongo_change_stream_source` feeds, minus the socket."""
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(_recorded_events(), schema=CHANGE_EVENT_DDL).write.parquet(src)
+
+    raw = spark.readStream.schema(CHANGE_EVENT_DDL).parquet(src)
+    # change streams are server-deduplicated & majority-committed:
+    # quorum relaxes to depth 1 (connectors.py module docstring) but the
+    # operator stays in the topology as the safety net
+    deduped = quorum_dedup_stream(oplog_filter(normalize_change_events(raw)), replica_depth=1)
+    q = (
+        envelope(deduped)
+        .writeStream.format("memory")
+        .queryName("cs_contract")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM cs_contract").collect()
+    # 7 recorded events -> 5 unique committed ops: the 'invalidate'
+    # no-op is filtered, the redelivered replace collapses by op id
+    assert len(got) == 5
+    payloads = [json.loads(r.data) for r in got]
+    assert {p["op"] for p in payloads} == {"i", "u", "d"}
+    # every envelope is the {h, data} projection with the op id echoed
+    assert all(set(p) >= {"ts_t", "h", "op", "ns"} for p in payloads)
+    assert {r.h for r in got} == {p["h"] for p in payloads}

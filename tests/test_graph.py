@@ -81,3 +81,48 @@ def test_graph_query_plans_are_equi_join_only(spark):
         plan = buf.getvalue()
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_colorful_triangle_estimate_within_gate(spark):
+    """q139b's colorful estimate must land within 10% of q139's exact
+    triangle count (measured ~1.5% at both test SFs; the variance bound
+    for c=8 coloring on these graph densities is well inside the gate).
+    This is the accuracy half of the two-sided contract — the DuckDB
+    oracle proves the sampled numbers are deterministic, this proves
+    they mean something."""
+    from flink_mingo_tail_spark.queries import load_registry
+
+    from .conftest import SF_ORACLE
+
+    registry = load_registry()
+    exact = registry["q139_copurchase_triangles"].fn(spark, SF_ORACLE).collect()[0]
+    est = registry["q139b_triangles_colorful"].fn(spark, SF_ORACLE).collect()[0]
+    assert est.n_colors == 8
+    assert est.n_triangles_est == est.n_mono_triangles * 64
+    rel_err = abs(est.n_triangles_est - exact.n_triangles) / exact.n_triangles
+    assert rel_err <= 0.10, f"triangle estimate off by {rel_err:.1%}"
+    edge_err = abs(est.n_edges_est - exact.n_edges) / exact.n_edges
+    assert edge_err <= 0.10, f"edge estimate off by {edge_err:.1%}"
+
+
+def test_colorful_triangle_plan_filters_before_distinct(spark):
+    """The color-match filter must run inside the per-order pair
+    expansion — BEFORE the distinct shuffle — so every downstream stage
+    sees only the 1/c sample. If the filter slid above the distinct the
+    plan would carry the full edge set through the widest shuffle and
+    the 64x wedge saving would be lost."""
+    from flink_mingo_tail_spark.queries import load_registry
+
+    from .conftest import SF_ORACLE
+
+    df = load_registry()["q139b_triangles_colorful"].fn(spark, SF_ORACLE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    # the color columns are consumed by the join/filter stage and never
+    # reach an exchange: no shuffle carries cu/cv
+    for line in plan.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line:
+            assert "cu" not in line and "cv" not in line

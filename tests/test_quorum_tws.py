@@ -3,8 +3,11 @@ applyInPandasWithState implementation on the same replay.
 
 Skipped when the `protobuf` package is absent: Spark's Python state
 server for transformWithState speaks protobuf, and this environment
-does not ship it (no installs allowed). The applyInPandasWithState
-implementation (test_streaming.py) is the tested production path."""
+does not ship it — verified round 5: no wheel on disk and no package
+index reachable (pip download fails DNS), so vendoring is impossible
+here, and reimplementing the google.protobuf runtime to unblock two
+tests would be padding. The applyInPandasWithState implementation
+(test_streaming.py) is the tested production path."""
 
 from __future__ import annotations
 
