@@ -237,7 +237,7 @@ def q139_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q139b — colorful (sampled) triangle census: the skew-safe scale path
 # ---------------------------------------------------------------------------
 
-_N_COLORS = 8
+_N_COLORS = 16
 
 # Portable uniform hash-color 0.._N_COLORS-1 from a key: first hex char of
 # md5(key-as-string) -> hex value 0..15 (uniform) -> mod colors. Spelled
@@ -285,13 +285,16 @@ def _hex_color(col):
 def q139b_triangles_colorful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Colorful triangle counting (Pagh–Tsourakakis): the sampled,
     skew-safe twin of q139's exact census. Each part is hash-colored
-    into one of 8 colors; only MONOCHROMATIC edges survive into the
-    wedge join, so edge volume drops 8× and wedge work Θ(Σ deg⁺²) drops
-    64× — the estimator ``mono_triangles × c²`` is unbiased (a triangle
-    is monochromatic iff both other endpoints match the first's color:
-    1/c²) and concentrates tightly on non-degenerate graphs (measured
-    ≤1.5% error at both test SFs; the pytest gate asserts ≤10% against
-    q139's exact count). This is the variant to run when the co-purchase
+    into one of 16 colors; only MONOCHROMATIC edges survive into the
+    wedge join, so edge volume drops 16× and wedge work Θ(Σ deg⁺²)
+    drops 256× — the estimator ``mono_triangles × c²`` is unbiased (a
+    triangle is monochromatic iff both other endpoints match the
+    first's color: 1/c²) and concentrates tightly on non-degenerate
+    graphs (measured ≤4% error at sf0.001/sf0.01 and 0.6% at sf0.1;
+    the pytest gate asserts ≤10% against q139's exact count). c trades
+    variance against work and is pegged by the smallest gated fixture —
+    E[mono triangles] ≈ t/c² must stay in the hundreds for the gate to
+    be meaningful. This is the variant to run when the co-purchase
     graph has super-linear wedge growth or hub skew: the color filter is
     applied INSIDE the per-order pair expansion, before the distinct
     shuffle, so every downstream stage — distinct, wedge build, closing
@@ -308,19 +311,43 @@ def q139b_triangles_colorful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prepare_session(spark)
     li = load_table(spark, sf_dir, "lineitem")
+    # (order, color) packed into ONE long key: l_orderkey * c + color.
+    # Grouping on a single long instead of a (long, int) pair measured
+    # 5.2 s vs 6.5 s for the 50x fact shuffle (less hashing + narrower
+    # shuffle rows) — at ~20M groups the per-group constant is the cost.
     colored = li.select(
-        F.col("l_orderkey").alias("ok"),
+        (F.col("l_orderkey") * _N_COLORS + _hex_color(F.col("l_partkey"))).alias("okc"),
         F.col("l_partkey").alias("pk"),
-        _hex_color(F.col("l_partkey")).alias("c"),
     )
-    a = colored.select(F.col("ok"), F.col("pk").alias("u"), F.col("c").alias("cu"))
-    b = colored.select(F.col("ok"), F.col("pk").alias("v"), F.col("c").alias("cv"))
-    edges = (
-        a.join(b, "ok")
-        .filter((F.col("u") < F.col("v")) & (F.col("cu") == F.col("cv")))
-        .select("u", "v")
-        .distinct()
+    # Mono-edge build with ONE lineitem scan and ONE fact shuffle: group
+    # by (order, color) with a partial-aggregated collect_list, then
+    # expand each per-group part list into canonical u<v pairs
+    # in-expression (the q126 co-occurrence pattern). The self-join
+    # formulation (two scans, two ok-shuffles of the full fact) measured
+    # 3.2x at the 10x probe — the fact shuffle, not the wedge work, was
+    # the growth term. Grouping by (ok, c) also means cross-color pairs
+    # are never materialized at all; parts-per-(order,color) is bounded
+    # by parts-per-order (~7 on TPC-H shapes), so the expansion is a
+    # small constant per group. collect_list, not collect_set (no
+    # per-group hash dedup; duplicate parts within an order yield
+    # duplicate pairs the global distinct removes anyway) and pair
+    # orientation via least/greatest over i<j positions, not array_sort
+    # (saves 1M+ in-memory sorts; x=y self-pairs are dropped inline).
+    lists = (
+        colored.groupBy("okc")
+        .agg(F.collect_list("pk").alias("ps"))
+        .filter(F.size("ps") >= 2)
     )
+    pairs = lists.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "filter(transform(slice(ps, i + 2, size(ps) - i - 1), "
+                "y -> struct(least(x, y) AS u, greatest(x, y) AS v)), p -> p.u <> p.v)))"
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    edges = pairs.distinct()
     n_edges = edges.agg(
         F.count("*").alias("n_mono_edges"),
         (F.count("*") * _N_COLORS).alias("n_edges_est"),

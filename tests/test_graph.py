@@ -85,8 +85,9 @@ def test_graph_query_plans_are_equi_join_only(spark):
 
 def test_colorful_triangle_estimate_within_gate(spark):
     """q139b's colorful estimate must land within 10% of q139's exact
-    triangle count (measured ~1.5% at both test SFs; the variance bound
-    for c=8 coloring on these graph densities is well inside the gate).
+    triangle count (measured ≤4% at sf0.001/sf0.01 and 0.6% at sf0.1
+    with c=16; E[mono triangles] = t/c² stays in the hundreds at the
+    smallest fixture, so the gate is meaningful, not vacuous).
     This is the accuracy half of the two-sided contract — the DuckDB
     oracle proves the sampled numbers are deterministic, this proves
     they mean something."""
@@ -97,20 +98,21 @@ def test_colorful_triangle_estimate_within_gate(spark):
     registry = load_registry()
     exact = registry["q139_copurchase_triangles"].fn(spark, SF_ORACLE).collect()[0]
     est = registry["q139b_triangles_colorful"].fn(spark, SF_ORACLE).collect()[0]
-    assert est.n_colors == 8
-    assert est.n_triangles_est == est.n_mono_triangles * 64
+    assert est.n_colors == 16
+    assert est.n_triangles_est == est.n_mono_triangles * 256
     rel_err = abs(est.n_triangles_est - exact.n_triangles) / exact.n_triangles
     assert rel_err <= 0.10, f"triangle estimate off by {rel_err:.1%}"
     edge_err = abs(est.n_edges_est - exact.n_edges) / exact.n_edges
     assert edge_err <= 0.10, f"edge estimate off by {edge_err:.1%}"
 
 
-def test_colorful_triangle_plan_filters_before_distinct(spark):
-    """The color-match filter must run inside the per-order pair
-    expansion — BEFORE the distinct shuffle — so every downstream stage
-    sees only the 1/c sample. If the filter slid above the distinct the
-    plan would carry the full edge set through the widest shuffle and
-    the 64x wedge saving would be lost."""
+def test_colorful_triangle_plan_one_scan_one_fact_shuffle(spark):
+    """The mono-edge build must be ONE lineitem scan feeding ONE
+    grouped shuffle on the packed (order*c + color) long key with
+    partial collect_list — the self-join spelling (two scans, two
+    full-fact ok-shuffles) measured 3.2x at the 10x probe and was the
+    growth term. Cross-color pairs must never materialize: the pair
+    expansion runs inside the (order, color) groups."""
     from flink_mingo_tail_spark.queries import load_registry
 
     from .conftest import SF_ORACLE
@@ -121,8 +123,15 @@ def test_colorful_triangle_plan_filters_before_distinct(spark):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
-    # the color columns are consumed by the join/filter stage and never
-    # reach an exchange: no shuffle carries cu/cv
-    for line in plan.splitlines():
-        if "Exchange" in line and "hashpartitioning" in line:
-            assert "cu" not in line and "cv" not in line
+    # partial-aggregated list build on the packed single-long key:
+    # map-side combine before the one fact shuffle
+    assert "ObjectHashAggregate" in plan and "partial_collect_list" in plan
+    assert "okc" in plan
+    # the textual plan repeats the edges subtree once per consumer
+    # (stats + wedge + closing); what must be true PHYSICALLY is that
+    # AQE stage reuse collapses them — execute and check the final
+    # adaptive plan reuses the materialized exchanges instead of
+    # re-running the fact shuffle per consumer
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= 2, executed[:2000]
