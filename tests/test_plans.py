@@ -389,3 +389,31 @@ def test_equidepth_percentile_computes_stats_pass_once(spark):
     plan = plan_of(spark, "q125_equidepth_histogram")
     assert plan.count("lineitem.parquet") == 3
     assert plan.count("percentile_approx") == 4
+
+
+def test_spread_gates_on_scan_file_count(spark, tmp_path):
+    """spread() exists to restore parallelism over single-file test
+    corpora; on a production many-file scan the same round-robin
+    repartition would be a corpus-wide shuffle capping parallelism at
+    defaultParallelism (VERDICT r4 "What's wrong" #2). The gate: a
+    source that already has >= defaultParallelism scan files must come
+    back UNTOUCHED; a single-file source must gain the deliberate
+    round-robin exchange."""
+    from flink_mingo_tail_spark.tables import load_table, spread
+
+    target = spark.sparkContext.defaultParallelism
+
+    single = load_table(spark, SF_ORACLE, "documents")
+    assert len(single.inputFiles()) < target
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        spread(single).explain("formatted")
+    assert "RoundRobinPartitioning" in buf.getvalue()
+
+    many_path = str(tmp_path / "many_files")
+    spark.range(0, 10 * target).repartition(target).write.parquet(many_path)
+    many = spark.read.parquet(many_path)
+    assert len(many.inputFiles()) >= target
+    # identity return — not merely "no visible exchange": the scan is
+    # handed back without any plan rewrite at all
+    assert spread(many) is many
