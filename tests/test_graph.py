@@ -135,3 +135,47 @@ def test_colorful_triangle_plan_one_scan_one_fact_shuffle(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert executed.count("ReusedExchange") >= 2, executed[:2000]
+
+
+def test_colorful_pair_expansion_handles_duplicate_parts(spark):
+    """The collect_list build (no per-group set dedup) must still yield
+    a correct edge SET when an order contains the same part twice:
+    x=y self-pairs are dropped inline, duplicate pairs collapse in the
+    global distinct, and orientation is canonical u<v regardless of
+    list position. Verified against a pure-Python replica."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        # order 1: duplicate part 7, plus 9 and 7 again out of order
+        (1, 7), (1, 9), (1, 7), (1, 3),
+        # order 2: all same part — contributes NO edges
+        (2, 5), (2, 5), (2, 5),
+        # order 3: two parts, reverse arrival order
+        (3, 11), (3, 2),
+        # order 4: singleton
+        (4, 1),
+    ]
+    expected = set()
+    by_order: dict[int, list[int]] = {}
+    for ok, pk in rows:
+        by_order.setdefault(ok, []).append(pk)
+    for ps in by_order.values():
+        for x, y in combinations(ps, 2):
+            if x != y:
+                expected.add((min(x, y), max(x, y)))
+
+    df = spark.createDataFrame(rows, "ok long, pk long")
+    lists = df.groupBy("ok").agg(F.collect_list("pk").alias("ps")).filter(F.size("ps") >= 2)
+    pairs = lists.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "filter(transform(slice(ps, i + 2, size(ps) - i - 1), "
+                "y -> struct(least(x, y) AS u, greatest(x, y) AS v)), p -> p.u <> p.v)))"
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    got = {(r.u, r.v) for r in pairs.distinct().collect()}
+    assert got == expected == {(3, 7), (3, 9), (7, 9), (2, 11)}
