@@ -346,3 +346,83 @@ def q147_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("rank_p50") - 0.5) <= _KLL_RANK_TOL).alias("p50_rank_ok"),
         (F.abs(F.col("rank_p90") - 0.9) <= _KLL_RANK_TOL).alias("p90_rank_ok"),
     ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# q151 — weighted (PPS) systematic sampling via two-level prefix sums
+# ---------------------------------------------------------------------------
+
+_PPS_STEP = 2000     # chars of cumulative weight per pick (~75 picks at test SF)
+_PPS_BUCKET_W = 100  # doc_id range width of the first prefix-sum level
+
+
+@query(
+    "q151_pps_systematic_sample",
+    # Single-window spelling is the honest ANSI form at oracle scale;
+    # the Spark side computes the identical cumulative sums two-level.
+    # All-integer arithmetic end to end: the selected SET, each row's
+    # hit count, and its pick position are bit-identical across engines.
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, n_chars,
+             CAST(sum(n_chars) OVER (ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_after
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           CAST(cum_after // {_PPS_STEP}
+                - (cum_after - n_chars) // {_PPS_STEP} AS BIGINT) AS n_hits,
+           CAST((cum_after - n_chars) // {_PPS_STEP} + 1 AS BIGINT) AS pick_pos
+    FROM d
+    WHERE cum_after // {_PPS_STEP} > (cum_after - n_chars) // {_PPS_STEP}
+    ORDER BY doc_id
+    """,
+)
+def q151_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling, probability ∝ size (PPS), by SYSTEMATIC
+    selection over cumulative integer weights: walk the corpus in
+    doc_id order accumulating ``n_chars``; a document is selected
+    whenever the running total crosses a multiple of ``_PPS_STEP``
+    (documents heavier than the step are selected with multiplicity —
+    ``n_hits``). This is the deterministic alternative to
+    Efraimidis–Spirakis ``u^(1/w)`` keys for quality/size-weighted
+    corpus selection: no RNG (retry-stable, like q135), no floating
+    point (the selected set hash-matches the oracle exactly — an ``ln``
+    1-ulp divergence can flip an E-S rank), and a fixed expected budget
+    of one pick per STEP weight units.
+
+    Scale shape — the global running sum does NOT use a global window:
+    level 1 partitions by ``doc_id DIV 100`` ranges and runs the
+    prefix sum partition-parallel; level 2 runs a window over the
+    per-bucket TOTALS only (corpus_size / bucket_width rows) and joins
+    the bucket offsets back (AQE broadcasts the tiny side). Same
+    two-level pattern as q114's prefix-max. At 100 TB, pick the bucket
+    width so level 2 stays in the millions of rows, and persist the
+    bucket totals beside the corpus so re-sampling at a new STEP is a
+    metadata-only pass."""
+    prepare_session(spark)
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", F.expr(f"doc_id DIV {_PPS_BUCKET_W}").alias("b")
+    )
+    w_in = Window.partitionBy("b").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    within = d.withColumn("within", F.sum("n_chars").over(w_in))
+    btot = d.groupBy("b").agg(F.sum("n_chars").alias("tot"))
+    w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select("b", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("off"))
+    cum_after = (F.col("off") + F.col("within")).alias("cum_after")
+    scored = within.join(offs, "b").select("doc_id", "source", "n_chars", cum_after)
+    after_ix = F.expr(f"cum_after DIV {_PPS_STEP}")
+    before_ix = F.expr(f"(cum_after - n_chars) DIV {_PPS_STEP}")
+    return (
+        scored.withColumns(
+            {
+                "n_hits": (after_ix - before_ix).cast("long"),
+                "pick_pos": (before_ix + 1).cast("long"),
+            }
+        )
+        .filter(F.col("n_hits") >= 1)
+        .select("doc_id", "source", "n_chars", "n_hits", "pick_pos")
+        .orderBy("doc_id")
+    )
