@@ -59,6 +59,13 @@ PROBES = [
     "q145_arrow_native_features",
     "q146_theta_set_algebra",
     "q147_kll_quantile_rollup",
+    # round 5: colorful census — collect_list arrival order and AQE
+    # stage-reuse decisions move with partitioning, the sampled counts
+    # must not; PPS sample — two-level prefix sums must equal the
+    # single-window spelling at any partition count (bucket boundaries
+    # are data-defined, not partition-defined)
+    "q139b_triangles_colorful",
+    "q151_pps_systematic_sample",
 ]
 
 # (shuffle partitions, AQE) — a skinny cluster vs the default wide one.
