@@ -83,6 +83,9 @@ HEADLINE = [
     # twin; cheap enough for the bench (the 1/c^2 wedge sample), and its
     # growth story is carried by the scale probe alongside exact q139
     "q139b_triangles_colorful",
+    # round 5 (below-prefix): weighted PPS systematic sample — the
+    # two-level prefix-sum window pattern on the corpus path
+    "q151_pps_systematic_sample",
 ]
 
 
