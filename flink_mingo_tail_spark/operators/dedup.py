@@ -178,3 +178,122 @@ def exact_dedup(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFram
     return (
         df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted standing dedup index (the production form of q117)
+# ---------------------------------------------------------------------------
+
+def _index_shard(key: Column, n_shards: int) -> Column:
+    """Deterministic directory shard for an index key: low bits of the
+    engine-portable md5-long. Low-cardinality by construction, so the
+    hive layout stays a handful of directories per level."""
+    return F.pmod(md5_long(key), F.lit(n_shards))
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    k: int = 8,
+    rows_per_band: int = 4,
+    n_shards: int = 16,
+) -> None:
+    """Materialize the standing dedup index that q117 derives in-query:
+
+    * ``{path}/content`` — DISTINCT md5 content hashes, hive-partitioned
+      by ``shard`` (md5-long low bits);
+    * ``{path}/bands`` — DISTINCT MinHash-LSH band keys, same sharding.
+
+    Written once per corpus (or appended per ingest batch after the
+    batch is admitted); the daily dedup pass then probes these tables
+    instead of re-hashing the whole corpus — the difference between
+    O(batch) and O(corpus) work per day at 100 TB. The shard column
+    exists for layout hygiene (bounded directory count, parallel
+    writers) and to give the probe join a co-partitionable prefix key;
+    both sides compute it from the key itself, so it is never guessed.
+    """
+    content = (
+        docs.select(F.md5(F.col(text_col)).alias("ch"))
+        .distinct()
+        .withColumn("shard", _index_shard(F.col("ch"), n_shards))
+    )
+    content.write.mode("overwrite").partitionBy("shard").parquet(f"{path}/content")
+    bands = (
+        docs.select(
+            F.explode(
+                lsh_band_keys(
+                    minhash_signature(F.array_distinct(tokens(F.col(text_col))), k),
+                    rows_per_band,
+                    k,
+                )
+            ).alias("band")
+        )
+        .distinct()
+        .withColumn("shard", _index_shard(F.col("band"), n_shards))
+    )
+    bands.write.mode("overwrite").partitionBy("shard").parquet(f"{path}/bands")
+
+
+def probe_dedup_index(
+    incoming: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    rows_per_band: int = 4,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Classify each incoming document against a persisted index
+    (``build_dedup_index``): 'exact_dup' on content-hash membership,
+    'near_dup' on any shared LSH band, else 'new' — the q117 contract,
+    but with the index side read from parquet. Both probes are
+    left-semi equi-joins on (shard, key): the shard prefix is computed
+    from the key on the probe side too, so the join lines up with the
+    hive layout and a selective probe set lets dynamic partition
+    pruning skip index directories outright."""
+    spark = incoming.sparkSession
+    content = spark.read.parquet(f"{path}/content")
+    bands_idx = spark.read.parquet(f"{path}/bands")
+
+    inc_ch = incoming.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("ch")
+    ).withColumn("shard", _index_shard(F.col("ch"), n_shards))
+    exact = (
+        inc_ch.join(content, ["shard", "ch"], "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__exact", F.lit(True))
+    )
+
+    inc_b = incoming.select(
+        F.col(id_col),
+        F.explode(
+            lsh_band_keys(
+                minhash_signature(F.array_distinct(tokens(F.col(text_col))), k),
+                rows_per_band,
+                k,
+            )
+        ).alias("band"),
+    ).withColumn("shard", _index_shard(F.col("band"), n_shards))
+    near = (
+        inc_b.join(bands_idx, ["shard", "band"], "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+
+    return (
+        incoming.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__exact"), "exact_dup")
+            .when(F.col("__near"), "near_dup")
+            .otherwise("new")
+            .alias("status"),
+        )
+    )
