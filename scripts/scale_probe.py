@@ -88,6 +88,11 @@ PROBES = [
     # round 5: the colorful twin must show the growth the exact census
     # can't — the judge's gate is q139b(50x)/q139b(1x) <= 5
     "q139b_triangles_colorful",
+    # round 5 second wave: the salted skew join (60% of the fact on one
+    # key — does the salt keep the hot partition bounded at 30M rows?)
+    # and VARIANT shredding (parse-once semi-structured scan growth)
+    "q123_salted_skew_join",
+    "q133_variant_shredding",
     "q134_hll_sketch_rollup",
     "q137_running_distinct_users",
     # round-4 fourth wave: KLL rollup (sketch pass must stay one scan +
