@@ -103,6 +103,9 @@ LARGE_OUTPUT = {
     "q105_batch_sessionize",
     "q32_lag_lead",
     "q34_moving_avg_rows_frame",
+    # per-row window outputs: collect() would time driver transfer
+    "q148_distribution_windows",
+    "q149_locf_forward_fill",
 }
 
 

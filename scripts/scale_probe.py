@@ -93,6 +93,13 @@ PROBES = [
     # and VARIANT shredding (parse-once semi-structured scan growth)
     "q123_salted_skew_join",
     "q133_variant_shredding",
+    # round 5 third wave: per-user window battery (partition-parallel
+    # frames), IGNORE-NULLS LOCF fill, BM25 (two-pass idf + broadcast
+    # stats), and vocab-capped co-occurrence pair generation
+    "q148_distribution_windows",
+    "q149_locf_forward_fill",
+    "q121_bm25_scoring",
+    "q126_token_cooccurrence",
     "q134_hll_sketch_rollup",
     "q137_running_distinct_users",
     # round-4 fourth wave: KLL rollup (sketch pass must stay one scan +
