@@ -127,3 +127,56 @@ def test_change_stream_to_quorum_end_to_end(spark, tmp_path):
     # every envelope is the {h, data} projection with the op id echoed
     assert all(set(p) >= {"ts_t", "h", "op", "ns"} for p in payloads)
     assert {r.h for r in got} == {p["h"] for p in payloads}
+
+
+def test_change_stream_resume_from_checkpoint(spark, tmp_path):
+    """Stop after the recorded session, append a later batch of events,
+    restart the SAME topology from the SAME checkpoint: only the new
+    events are emitted (offsets resume past the processed files), and a
+    redelivery of an already-committed op id in the new batch is
+    deduplicated across the restart via the quorum operator's
+    persisted state. Parquet sink — the memory sink does not support
+    checkpoint recovery."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(_recorded_events(), schema=CHANGE_EVENT_DDL).write.parquet(src)
+
+    def run_once():
+        raw = spark.readStream.schema(CHANGE_EVENT_DDL).parquet(src)
+        deduped = quorum_dedup_stream(
+            oplog_filter(normalize_change_events(raw)), replica_depth=1
+        )
+        q = (
+            envelope(deduped)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(out).collect()
+
+    first = run_once()
+    assert len(first) == 5
+
+    later = [
+        ("insert", _ts(2000), ("shop", "orders"), (9,), (9, "late", 1)),
+        # same event identity as the already-committed 1003 replace:
+        # must NOT re-emit (state survived the restart)
+        ("replace", _ts(1003), ("shop", "orders"), (2,), (2, "beta2", 7)),
+    ]
+    spark.createDataFrame(later, schema=CHANGE_EVENT_DDL).write.mode("append").parquet(src)
+
+    second = run_once()
+    # exactly one genuinely-new op across the restart; the redelivered
+    # 1003 replace stays deduplicated by the recovered quorum state
+    assert len(second) == 6
+    new_rows = [r for r in second if r.h not in {x.h for x in first}]
+    assert len(new_rows) == 1
+    payload = json.loads(new_rows[0].data)
+    assert payload["op"] == "i" and payload["ts_t"] == 2000
