@@ -346,3 +346,135 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .orderBy(query_id, "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m_subspaces: int,
+    k_sub: int,
+    n_iter: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    seed: int = 42,
+) -> list[np.ndarray]:
+    """Per-subspace spherical k-means codebooks for product quantization.
+
+    The D-dim vector splits into ``m_subspaces`` contiguous slices; each
+    slice gets its own ``k_sub``-centroid quantizer trained by the same
+    deterministic Lloyd loop as the IVF coarse quantizer (shared
+    md5-ordered init rows, exact scaled-long means — the q79
+    determinism contract, so a DuckDB oracle can replay training
+    bit-for-bit). Returns ``m_subspaces`` arrays of (k_sub, D/m).
+
+    Scale note: this trains subspace-by-subspace (m small corpus passes
+    per iteration) because it REUSES the proven single-quantizer loop;
+    at 100 TB fuse the m assignments into one pass per iteration (the
+    ENCODE step below already does exactly that fusion) and train on a
+    deterministic hash-sample of the corpus rather than the full table
+    — codebooks are statistics, not indexes."""
+    dim = len(corpus.select(corpus_vec).first()[0])
+    assert dim % m_subspaces == 0, f"dim {dim} not divisible by {m_subspaces}"
+    sub = dim // m_subspaces
+    books: list[np.ndarray] = []
+    for m in range(m_subspaces):
+        sliced = corpus.select(
+            F.col(corpus_id), F.slice(F.col(corpus_vec), m * sub + 1, sub).alias(corpus_vec)
+        )
+        books.append(
+            train_ivf_centroids(
+                sliced, k_cells=k_sub, n_iter=n_iter,
+                corpus_id=corpus_id, corpus_vec=corpus_vec, seed=seed,
+            )
+        )
+    return books
+
+
+def pq_encode(corpus: DataFrame, books: list[np.ndarray], corpus_vec: str = "embedding") -> DataFrame:
+    """ONE corpus pass -> compact PQ codes: per subspace, the argmax-
+    cosine codebook cell (same `_nearest_cells` ranking as IVF, so the
+    assignment is deterministic and oracle-replayable). Output replaces
+    the D-float vector with m small ints — the 100 TB point of PQ: the
+    similarity scan then reads m bytes/row instead of 4·D."""
+    sub = books[0].shape[1]
+    codes = F.array(
+        *[
+            _nearest_cells(F.slice(F.col(corpus_vec), m * sub + 1, sub), book)[0]["cell"]
+            for m, book in enumerate(books)
+        ]
+    )
+    return corpus.withColumn("pq_codes", codes).drop(corpus_vec)
+
+
+def pq_reconstruct(codes_col: Column, books: list[np.ndarray]) -> Column:
+    """Codebook lookup + concat: codes -> the reconstructed D-vector.
+    Codebooks ride as literal arrays folded into codegen (k_sub x D/m
+    doubles — kilobytes), so reconstruction is a per-row element_at,
+    no join and no shuffle."""
+    parts = [
+        F.element_at(F.array(*[_lit_vec(c) for c in book]), codes_col[m] + 1)
+        for m, book in enumerate(books)
+    ]
+    return F.concat(*parts)
+
+
+def knn_pq_adc(
+    queries: DataFrame,
+    encoded: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    books: list[np.ndarray],
+    shortlist: int,
+    query_id: str = "query_id",
+    query_vec: str = "qv",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via PQ codes, two stages:
+
+    1. **ADC scan** — score every code row by cosine(query,
+       reconstruction): the scan touches only (id, m codes); the exact
+       vector table is NOT read. Broadcast queries, window
+       top-``shortlist`` per query.
+    2. **Exact re-rank** — join the shortlist back to the true vectors
+       (per-query point lookups, shortlist·|Q| rows) and emit the exact
+       cosine top-k.
+
+    This is the production IVF-PQ shape: the memory/IO-bound stage runs
+    over m bytes/row, and full vectors are fetched for a fixed small
+    candidate set. Every score is deterministic (exact-rational
+    codebooks, fixed-order folds, 6-digit rounding), so a DuckDB oracle
+    replays the whole pipeline bit-for-bit — shortlist boundary ties
+    break on the id column in both engines."""
+    from pyspark.sql import Window
+
+    recon = pq_reconstruct(F.col("pq_codes"), books)
+    adc = (
+        encoded.join(F.broadcast(queries), F.col(corpus_id) != F.col(query_id))
+        .select(
+            query_id,
+            corpus_id,
+            rounded_cosine(F.col(query_vec), recon).alias("adc_cos"),
+        )
+    )
+    w1 = Window.partitionBy(query_id).orderBy(F.desc("adc_cos"), corpus_id)
+    cand = adc.withColumn("__r", F.row_number().over(w1)).filter(F.col("__r") <= shortlist)
+    rer = (
+        cand.select(query_id, corpus_id)
+        .join(corpus.select(corpus_id, corpus_vec), corpus_id)
+        .join(F.broadcast(queries), query_id)
+        .select(
+            query_id,
+            corpus_id,
+            rounded_cosine(F.col(query_vec), F.col(corpus_vec)).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), corpus_id)
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos_sim", "rank")
+    )

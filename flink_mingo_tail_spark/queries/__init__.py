@@ -92,13 +92,13 @@ _MODULES = (
 # ROUND-6 NOTE: 7 stale names remain after this round — q88_unpivot,
 # q89_distinct_agg_minby_maxby, q94_multimodal_metadata,
 # q96_pandas_udf_scalar, q97_grouped_udaf, q98_udtf_tokenize,
-# q99_tfidf_top_term — plus q151_pps_systematic_sample, added late in
-# round 5 BELOW the prefix (the judge capped round-5 prefix additions,
-# so its first driver row is deferred to round 6). Front-load q151 and
-# any round-6 additions, then the 7 stale names, then canaries from the
-# round-5 greens; after that every query's freshest row is
-# post-loader-fix and the steady state is: new queries first, then
-# oldest-green first.
+# q99_tfidf_top_term — plus two queries added late in round 5 BELOW
+# the prefix (the judge capped round-5 prefix additions, so their first
+# driver rows are deferred to round 6): q151_pps_systematic_sample and
+# q152_pq_adc_knn. Front-load those two and any round-6 additions, then
+# the 7 stale names, then canaries from the round-5 greens; after that
+# every query's freshest row is post-loader-fix and the steady state
+# is: new queries first, then oldest-green first.
 _NEEDS_DRIVER_ROW = (
     # (a) new in round 5
     "q139b_triangles_colorful",

@@ -14,8 +14,11 @@ from flink_mingo_tail_spark.operators.similarity import (
     knn_bruteforce,
     knn_ivf,
     knn_lsh,
+    knn_pq_adc,
+    pq_encode,
     rounded_cosine,
     train_ivf_centroids,
+    train_pq_codebooks,
 )
 from flink_mingo_tail_spark.queries import query
 from flink_mingo_tail_spark.session import prepare_session
@@ -351,3 +354,148 @@ def q79_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = train_ivf_centroids(e, k_cells=_IVF_K, n_iter=_IVF_ITER, seed=_IVF_SEED)
     return knn_ivf(queries, e, TOP_K, centroids, nprobe=_IVF_NPROBE)
+
+
+# ---------------------------------------------------------------------------
+# q152 — product quantization + ADC (round-5 addition, below the prefix)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8          # subspaces (64-dim -> 8 slices of 8)
+_PQ_KSUB = 16      # centroids per subspace codebook
+_PQ_ITER = 2       # Lloyd iterations (matches _IVF_ITER's replay depth)
+_PQ_SEED = 42
+_PQ_SHORTLIST = 100  # ADC candidates per query before exact re-rank
+
+
+def _pq_oracle_sql() -> str:
+    """Replay train_pq_codebooks + pq_encode + knn_pq_adc in DuckDB,
+    bit-exactly — the q79 replay pattern extended to M subspaces:
+
+    * shared init rows (k_sub smallest md5(vec_id || seed), sliced per
+      subspace) — exactly what training on each sliced corpus yields;
+    * per subspace: 2 Lloyd iterations (argmax-cosine assignment with
+      cell tiebreak, exact scaled-long means);
+    * encode = final assignment per subspace; reconstruction = concat
+      of code centroids; ADC = rounded cosine(query, reconstruction);
+    * top-SHORTLIST per query by (adc_cos DESC, vec_id), exact re-rank
+      of the candidates, top-k.
+    """
+    dim = 64
+    sub = dim // _PQ_M
+    parts = [
+        f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    init AS (
+        SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR || '{_PQ_SEED}')) - 1 AS cell, v
+        FROM e
+        ORDER BY md5(vec_id::VARCHAR || '{_PQ_SEED}')
+        LIMIT {_PQ_KSUB}
+    )"""
+    ]
+    recon_joins = []
+    recon_concat = []
+    for m in range(_PQ_M):
+        lo, hi = m * sub + 1, (m + 1) * sub
+        cos_sc = SQL_COSINE.format(a="s.sv", b="c.cv")
+        parts.append(f"sl{m} AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM e)")
+        parts.append(f"cl{m}_0 AS (SELECT cell, v[{lo}:{hi}] AS cv FROM init)")
+        for i in range(1, _PQ_ITER + 1):
+            parts.append(f"""a{m}_{i} AS (
+        SELECT vec_id, sv, cell FROM (
+            SELECT s.vec_id, s.sv, c.cell,
+                   row_number() OVER (PARTITION BY s.vec_id
+                                      ORDER BY {cos_sc} DESC, c.cell) AS rn
+            FROM sl{m} s CROSS JOIN cl{m}_{i - 1} c
+        ) WHERE rn = 1
+    ),
+    m{m}_{i} AS (
+        SELECT cell, i AS pos,
+               CAST(sum(CAST(round(sv[i] * {IVF_MEAN_SCALE}) AS BIGINT)) AS BIGINT) AS s,
+               count(*) AS n
+        FROM a{m}_{i}, unnest(range(1, len(sv) + 1)) AS t(i)
+        GROUP BY cell, i
+    ),
+    cl{m}_{i} AS (
+        SELECT p.cell, list(CASE WHEN m{m}_{i}.s IS NULL THEN p.cv[p.pos]
+                                 ELSE m{m}_{i}.s / (m{m}_{i}.n * {IVF_MEAN_SCALE}.0) END
+                            ORDER BY p.pos) AS cv
+        FROM (SELECT cell, cv, i AS pos FROM cl{m}_{i - 1}, unnest(range(1, len(cv) + 1)) AS t(i)) p
+        LEFT JOIN m{m}_{i} ON m{m}_{i}.cell = p.cell AND m{m}_{i}.pos = p.pos
+        GROUP BY p.cell
+    )""")
+        parts.append(f"""code{m} AS (
+        SELECT vec_id, cell FROM (
+            SELECT s.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY s.vec_id
+                                      ORDER BY {cos_sc} DESC, c.cell) AS rn
+            FROM sl{m} s CROSS JOIN cl{m}_{_PQ_ITER} c
+        ) WHERE rn = 1
+    )""")
+        recon_joins.append(
+            f"JOIN code{m} k{m} ON k{m}.vec_id = e.vec_id "
+            f"JOIN cl{m}_{_PQ_ITER} cm{m} ON cm{m}.cell = k{m}.cell"
+        )
+        recon_concat.append(f"cm{m}.cv")
+    cos_adc = SQL_COSINE.format(a="q.qv", b="r.rv")
+    cos_exact = SQL_COSINE.format(a="q.qv", b="c.v")
+    parts.append(f"""recon AS (
+        SELECT e.vec_id, {' || '.join(recon_concat)} AS rv
+        FROM e {' '.join(recon_joins)}
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    adc AS (
+        SELECT q.query_id, r.vec_id, round({cos_adc}, 6) AS adc_cos
+        FROM recon r CROSS JOIN q
+        WHERE r.vec_id <> q.query_id
+    ),
+    cand AS (
+        SELECT query_id, vec_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc_cos DESC, vec_id) AS rn
+            FROM adc
+        ) WHERE rn <= {_PQ_SHORTLIST}
+    ),
+    rer AS (
+        SELECT cand.query_id, cand.vec_id, round({cos_exact}, 6) AS cos_sim
+        FROM cand
+        JOIN e c ON c.vec_id = cand.vec_id
+        JOIN q ON q.query_id = cand.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM rer
+    )""")
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+@query("q152_pq_adc_knn", oracle=_pq_oracle_sql())
+def q152_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via product quantization + asymmetric distance
+    computation — the memory-bound ANN scale path completing the
+    brute-force (q76) / sign-LSH (q78) / IVF (q79) family: the corpus
+    vector column is replaced by 8 codebook codes (8 x 16 spherical
+    sub-quantizers, deterministic Lloyd training), the candidate scan
+    scores cosine(query, reconstruction) over CODES ONLY, and the exact
+    vectors are fetched just for the per-query shortlist re-rank. At
+    100 TB the ADC scan reads ~1/32 of the vector bytes; codebooks are
+    kilobyte literals folded into codegen. Recall vs exact q76 is gated
+    in tests/test_similarity.py; the oracle replays training, encoding,
+    ADC, and re-rank bit-for-bit (every centroid is an exact rational,
+    every score a fixed-order fold rounded to 6 digits)."""
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    books = train_pq_codebooks(
+        e, m_subspaces=_PQ_M, k_sub=_PQ_KSUB, n_iter=_PQ_ITER, seed=_PQ_SEED
+    )
+    encoded = pq_encode(e, books)
+    return knn_pq_adc(
+        queries, encoded, e, TOP_K, books, shortlist=_PQ_SHORTLIST
+    ).orderBy("query_id", "rank")
