@@ -100,6 +100,9 @@ PROBES = [
     "q149_locf_forward_fill",
     "q121_bm25_scoring",
     "q126_token_cooccurrence",
+    # round 5 fourth wave: PQ/ADC — training is fixed-size driver-side
+    # codebook math; encode+ADC are the scaling passes
+    "q152_pq_adc_knn",
     "q134_hll_sketch_rollup",
     "q137_running_distinct_users",
     # round-4 fourth wave: KLL rollup (sketch pass must stay one scan +
