@@ -66,6 +66,11 @@ PROBES = [
     # are data-defined, not partition-defined)
     "q139b_triangles_colorful",
     "q151_pps_systematic_sample",
+    # PQ/ADC: codebook training folds per-cell means from distributed
+    # partial sums — the scaled-long pattern must make the codebooks
+    # (and so every code, reconstruction, and score) invariant to how
+    # the corpus was partitioned during training
+    "q152_pq_adc_knn",
 ]
 
 # (shuffle partitions, AQE) — a skinny cluster vs the default wide one.
