@@ -106,6 +106,11 @@ LARGE_OUTPUT = {
     # per-row window outputs: collect() would time driver transfer
     "q148_distribution_windows",
     "q149_locf_forward_fill",
+    # near-pair output grows QUADRATICALLY on the id-shifted copy
+    # corpus (identical names across copies are true distance-0 pairs:
+    # 1510 pairs at 1x -> 16.5M at 10x, measured) — collect() would
+    # time a 16.5M-row transfer, not the join
+    "q140_levenshtein_pairs",
 }
 
 

@@ -103,6 +103,13 @@ PROBES = [
     # round 5 fourth wave: PQ/ADC — training is fixed-size driver-side
     # codebook math; encode+ADC are the scaling passes
     "q152_pq_adc_knn",
+    # round 5 fifth wave: the remaining join-risk shapes — brand+length
+    # blocked levenshtein (quadratic within blocks), full-outer
+    # snapshot diff (two fact scans, one key shuffle), forward as-of
+    # (union + partitioned window)
+    "q140_levenshtein_pairs",
+    "q124_snapshot_diff",
+    "q131_asof_join_forward",
     "q134_hll_sketch_rollup",
     "q137_running_distinct_users",
     # round-4 fourth wave: KLL rollup (sketch pass must stay one scan +
