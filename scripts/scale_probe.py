@@ -103,8 +103,8 @@ PROBES = [
     # round 5 fourth wave: PQ/ADC — training is fixed-size driver-side
     # codebook math; encode+ADC are the scaling passes
     "q152_pq_adc_knn",
-    # round 5 fifth wave: the remaining join-risk shapes — brand+length
-    # blocked levenshtein (quadratic within blocks), full-outer
+    # round 5 fifth wave: the remaining join-risk shapes — the fuzzy
+    # join (output-quadratic on this corpus, see SCALE.md), full-outer
     # snapshot diff (two fact scans, one key shuffle), forward as-of
     # (union + partitioned window)
     "q140_levenshtein_pairs",
