@@ -478,3 +478,76 @@ def knn_pq_adc(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cos_sim", "rank")
     )
+
+
+def knn_ivfpq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    cell_centroids: np.ndarray,
+    books: list[np.ndarray],
+    nprobe: int,
+    shortlist: int,
+    query_id: str = "query_id",
+    query_vec: str = "qv",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the composed production ANN shape. The corpus is encoded
+    ONCE into (cell, pq_codes) — one coarse IVF cell (partition-prunable
+    storage key) plus the PQ code word; at query time:
+
+    1. probe ``nprobe`` nearest cells (IVF pruning: only
+       nprobe/k_cells of the encoded rows are touched — with the
+       encoded table written ``partitionBy("cell")``, partition-pruned
+       reads);
+    2. ADC-score the probed rows from CODES ONLY (cosine vs the PQ
+       reconstruction) and keep a per-query shortlist;
+    3. exact re-rank of the shortlist against the true vectors.
+
+    Pure composition of the tested pieces (`_nearest_cells` cell
+    assignment, `pq_encode`, `pq_reconstruct`), so the scan-byte story
+    multiplies: nprobe/k_cells of the rows x m codes instead of 4·D
+    vector bytes. Deterministic end to end like its parents; recall is
+    gated in tests/test_similarity.py."""
+    from pyspark.sql import Window
+
+    encoded = pq_encode(
+        corpus.withColumn("cell", _nearest_cells(F.col(corpus_vec), cell_centroids)[0]["cell"]),
+        books,
+        corpus_vec=corpus_vec,
+    )
+    probes = F.slice(_nearest_cells(F.col(query_vec), cell_centroids), 1, nprobe)
+    q_probes = queries.select(
+        F.col(query_id),
+        F.col(query_vec),
+        F.explode(F.transform(probes, lambda s: s["cell"])).alias("cell"),
+    )
+    recon = pq_reconstruct(F.col("pq_codes"), books)
+    adc = (
+        encoded.join(F.broadcast(q_probes), "cell")
+        .filter(F.col(corpus_id) != F.col(query_id))
+        .select(
+            query_id,
+            corpus_id,
+            rounded_cosine(F.col(query_vec), recon).alias("adc_cos"),
+        )
+    )
+    w1 = Window.partitionBy(query_id).orderBy(F.desc("adc_cos"), corpus_id)
+    cand = adc.withColumn("__r", F.row_number().over(w1)).filter(F.col("__r") <= shortlist)
+    rer = (
+        cand.select(query_id, corpus_id)
+        .join(corpus.select(corpus_id, corpus_vec), corpus_id)
+        .join(F.broadcast(queries), query_id)
+        .select(
+            query_id,
+            corpus_id,
+            rounded_cosine(F.col(query_vec), F.col(corpus_vec)).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), corpus_id)
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos_sim", "rank")
+    )

@@ -125,3 +125,43 @@ def test_pq_encoded_table_is_narrow(spark):
     for r in rows:
         assert len(r.pq_codes) == 8
         assert all(0 <= c < 16 for c in r.pq_codes)
+
+
+def test_ivfpq_composition_recall(spark):
+    """IVF-PQ (coarse cell pruning + codes-only ADC + exact re-rank)
+    must keep useful recall while touching only nprobe/k_cells of the
+    encoded rows. Composition of tested pieces; gate is looser than
+    pure PQ because cell pruning can evict true neighbors the ADC
+    stage never sees."""
+    from pyspark.sql import functions as F
+
+    from flink_mingo_tail_spark.operators.similarity import (
+        knn_ivfpq,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from flink_mingo_tail_spark.queries.similarity import _emb
+
+    e = _emb(spark, SF_ORACLE)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cells = train_ivf_centroids(e, k_cells=8, n_iter=2, seed=42)
+    books = train_pq_codebooks(e, m_subspaces=8, k_sub=16, n_iter=2, seed=42)
+    approx = knn_ivfpq(q, e, 5, cells, books, nprobe=4, shortlist=100).collect()
+
+    exact = REGISTRY["q76_knn_bruteforce"].fn(spark, SF_ORACLE).collect()
+    exact_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets: dict = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(exact_sets[qid] & approx_sets.get(qid, set())) for qid in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.4, f"IVF-PQ recall collapsed: {hits}/{total}"
+    # scores are exact cosines (re-rank stage)
+    exact_scores = {(r.query_id, r.vec_id): r.cos_sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.vec_id) in exact_scores:
+            assert r.cos_sim == exact_scores[(r.query_id, r.vec_id)]
