@@ -80,12 +80,14 @@ def normalize_change_events(raw: DataFrame) -> DataFrame:
     """Map connector change-stream events onto OPLOG_SOURCE_SCHEMA.
 
     Pure projection (testable without a cluster): `clusterTime` seconds
-    → ts_t, a stable 60-bit hash of the document key → h (the oplog's
+    → ts_t, a stable 60-bit hash of the event identity → h (the oplog's
     op id role), operationType initials → op ('insert'→'i', ...), and
     the full document JSON → o. Columns the connector does not surface
     (per-member identity) are NULL — change streams are cluster-level,
     which is exactly why quorum can relax to depth 1 here.
     """
+    from pyspark.sql.types import StructType
+
     op_initial = (
         F.when(F.col("operationType") == "insert", "i")
         .when(F.col("operationType") == "update", "u")
@@ -94,27 +96,45 @@ def normalize_change_events(raw: DataFrame) -> DataFrame:
         .otherwise("n")
     )
     doc_key = F.to_json(F.col("documentKey"))
-    ts_t = F.col("clusterTime").cast("timestamp").cast("long").cast("int")
+    field_types = {f.name: f.dataType for f in raw.schema.fields}
+    # BSON Timestamp carries (t seconds, i sub-second ordinal). When the
+    # upstream surfaces the struct form, keep the ordinal — it is the
+    # only thing that orders (and distinguishes) two ops committed in
+    # the same wall-clock second. Scalar clusterTime forms lose it.
+    ct = field_types.get("clusterTime")
+    if isinstance(ct, StructType) and {"t", "i"} <= set(ct.fieldNames()):
+        ts_t = F.col("clusterTime.t").cast("int")
+        ts_i = F.col("clusterTime.i").cast("int")
+    else:
+        ts_t = F.col("clusterTime").cast("timestamp").cast("long").cast("int")
+        ts_i = F.lit(0)
     # 60-bit stable OP id. The oplog's `h` identifies an OPERATION, not a
     # document: hashing the document key alone collapsed every op on the
     # same document into one id, and the quorum stage then deduplicated
     # an insert→update→delete sequence down to its first event (caught by
-    # tests/test_change_stream_contract.py). Hash the full event identity
-    # instead — (key, clusterTime, operationType) — so a resume-token
-    # redelivery of the SAME event still collapses while distinct ops on
-    # one document never do.
-    op_id = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", doc_key, ts_t.cast("string"), F.col("operationType"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    # tests/test_change_stream_contract.py). The change stream's resume
+    # token (`_id._data`) is the server's unique per-event identity and a
+    # replay redelivers the SAME token, so hash it whenever present.
+    # Fallback identity is (key, clusterTime t AND i, operationType) —
+    # including the sub-second ordinal, without which two rapid
+    # same-type updates to one document inside one second would collide
+    # and the quorum stage would silently drop the second (data loss).
+    idt = field_types.get("_id")
+    fallback_identity = F.concat_ws(
+        "|",
+        doc_key,
+        ts_t.cast("string"),
+        ts_i.cast("string"),
+        F.col("operationType"),
+    )
+    if isinstance(idt, StructType) and "_data" in idt.fieldNames():
+        event_identity = F.coalesce(F.col("_id._data"), fallback_identity)
+    else:
+        event_identity = fallback_identity
+    op_id = F.conv(F.substring(F.md5(event_identity), 1, 15), 16, 10).cast("long")
     return raw.select(
         ts_t.alias("ts_t"),
-        F.lit(0).alias("ts_i"),
+        ts_i.cast("int").alias("ts_i"),
         op_id.alias("h"),
         op_initial.alias("op"),
         F.concat_ws(".", F.col("ns.db"), F.col("ns.coll")).alias("ns"),

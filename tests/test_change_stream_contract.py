@@ -59,9 +59,11 @@ def _recorded_events():
     ]
 
 
-def _expected_h(document_key_json: str, ts_t: int, operation_type: str) -> int:
+def _expected_h(
+    document_key_json: str, ts_t: int, operation_type: str, ts_i: int = 0
+) -> int:
     """The projection's stable 60-bit op id, recomputed independently."""
-    ident = f"{document_key_json}|{ts_t}|{operation_type}"
+    ident = f"{document_key_json}|{ts_t}|{ts_i}|{operation_type}"
     return int(hashlib.md5(ident.encode()).hexdigest()[:15], 16)
 
 
@@ -91,6 +93,51 @@ def test_normalize_matches_oplog_schema_and_values(spark):
     assert json.loads(first.o) == {"_id": 1, "name": "alpha", "qty": 5}
     # delete carries no fullDocument
     assert rows[5].op == "d" and rows[5].o is None
+
+
+def test_resume_token_is_the_op_identity_when_present(spark):
+    """ADVICE r5 (medium): with only second-granularity clusterTime in
+    the hash, two rapid same-type ops on one document inside one second
+    collided and the quorum stage silently dropped the second. The
+    connector's resume token (`_id._data`) is unique per event — when the
+    frame carries it, it IS the op id, so same-second ops stay distinct
+    while a resume-token replay (same token) still collapses."""
+    ddl = "_id struct<_data:string>, " + CHANGE_EVENT_DDL
+    rows = [
+        # two updates to doc 1 inside second 1000 — distinct tokens
+        (("tok-A",), "update", _ts(1000), ("shop", "orders"), (1,), (1, "a", 1)),
+        (("tok-B",), "update", _ts(1000), ("shop", "orders"), (1,), (1, "a", 2)),
+        # replay of tok-B: same token, must collapse to the same id
+        (("tok-B",), "update", _ts(1000), ("shop", "orders"), (1,), (1, "a", 2)),
+        # a row whose token is NULL falls back to the composite identity
+        ((None,), "update", _ts(1000), ("shop", "orders"), (1,), (1, "a", 3)),
+    ]
+    out = normalize_change_events(spark.createDataFrame(rows, schema=ddl)).collect()
+    h = [r.h for r in out]
+    assert h[0] != h[1], "distinct resume tokens must yield distinct op ids"
+    assert h[1] == h[2], "a resume-token replay must keep the same op id"
+    assert h[3] == _expected_h(out[3].o2, 1000, "update"), "NULL token -> composite fallback"
+    assert hashlib.md5(b"tok-A").hexdigest()[:15] == format(h[0], "x").zfill(15)
+
+
+def test_struct_clustertime_surfaces_subsecond_ordinal(spark):
+    """When the upstream surfaces BSON Timestamp as a struct<t,i>, the
+    ordinal lands in ts_i and distinguishes same-second ops even without
+    a resume token (the fallback identity includes it)."""
+    ddl = (
+        "operationType string, clusterTime struct<t:int, i:int>, "
+        "ns struct<db:string, coll:string>, "
+        "documentKey struct<_id:long>, "
+        "fullDocument struct<_id:long, name:string, qty:int>"
+    )
+    rows = [
+        ("update", (1000, 1), ("shop", "orders"), (1,), (1, "a", 1)),
+        ("update", (1000, 2), ("shop", "orders"), (1,), (1, "a", 2)),
+    ]
+    out = normalize_change_events(spark.createDataFrame(rows, schema=ddl)).collect()
+    assert [(r.ts_t, r.ts_i) for r in out] == [(1000, 1), (1000, 2)]
+    assert out[0].h != out[1].h, "same-second ops must not collide when i differs"
+    assert out[0].h == _expected_h(out[0].o2, 1000, "update", ts_i=1)
 
 
 def test_change_stream_to_quorum_end_to_end(spark, tmp_path):

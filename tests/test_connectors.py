@@ -262,10 +262,10 @@ def test_normalize_change_events_properties(spark, events):
     """For ANY generated change-stream event mix: op-type initials map
     correctly (CRUD only; DDL -> 'n' for oplog_filter to drop), ts_t is
     the clusterTime second, h is the documented 60-bit md5 of the full
-    EVENT identity (documentKey JSON | ts_t | operationType — per-op,
-    not per-document, so an insert/update/delete sequence on one
-    document never collapses in the quorum stage; recomputed here in
-    pure Python), and o is null exactly when the connector surfaced no
+    EVENT identity (documentKey JSON | ts_t | ts_i | operationType —
+    per-op, not per-document, so an insert/update/delete sequence on
+    one document never collapses in the quorum stage; recomputed here
+    in pure Python), and o is null exactly when the connector surfaced no
     fullDocument (deletes)."""
     import hashlib
 
@@ -300,7 +300,7 @@ def test_normalize_change_events_properties(spark, events):
         assert r.ns == f"db{abs(key) % 3}.c{abs(key) % 2}"
         doc_key_json = '{"_id":%d}' % key
         assert r.o2 == doc_key_json
-        ident = f"{doc_key_json}|{ct}|{op}"
+        ident = f"{doc_key_json}|{ct}|0|{op}"
         assert r.h == int(hashlib.md5(ident.encode()).hexdigest()[:15], 16)
         if op == "delete" or not has_doc:
             assert r.o is None, (op, has_doc, r.o)
