@@ -1,0 +1,110 @@
+"""Bounded-memory exact heavy hitters (two-pass Misra-Gries).
+
+The problem shape: find every item whose global count is at least
+``n / k`` over a corpus whose item domain is far too large to hash-
+aggregate per executor (token n-grams at 100 TB: billions of distinct
+keys, so a plain ``groupBy(item).count()`` builds O(distinct-per-
+partition) map-side state, spills, and then shuffles the entire domain).
+
+The classic two-pass answer, distributed:
+
+Pass 1 (candidate generation, one corpus scan): each input partition
+maintains a Misra-Gries summary of capacity ``m`` — a dict of at most
+``m`` items. Batches are absorbed vectorized (pandas ``value_counts``
+then a summary merge); whenever the dict exceeds capacity, the
+(m+1)-th largest count is subtracted from every entry and non-positive
+entries are dropped. This is the *mergeable-summaries* formulation of
+Misra-Gries (Agarwal et al., PODS'12): each merge preserves the
+invariant ``true_count - n_seen/(m+1) <= summary_count <= true_count``,
+so any item with global count > n/(m+1) survives in at least one
+partition summary. With ``m >= k``, the union of partition summaries is
+therefore a GUARANTEED SUPERSET of the true phi=1/k heavy hitters —
+candidate generation is lossless, not heuristic. Each partition emits
+at most ``m`` rows, so the shuffle after pass 1 moves O(m × partitions)
+rows no matter how large the item domain is.
+
+Pass 2 (exact verify, one corpus scan): the candidate set (bounded by
+m × partitions, in practice far smaller) is broadcast; a hash-semi-join
+keeps only candidate items, and an exact count over that filtered
+stream applies the integer predicate ``count * k >= n``. The output is
+EXACT — identical to the full group-by — which is why the DuckDB oracle
+can be the naive spelling.
+
+Scale: pass-1 executor memory is O(m) per partition regardless of skew
+or domain size; the only shuffles are the tiny summary union and the
+candidate-only exact count. At 1000 executors × m=1024 the candidate
+table is ~1M rows upper bound — broadcast range.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_absorb(counts: dict, vc: "pd.Series", capacity: int) -> None:
+    """Merge a batch's exact value_counts into the running MG summary,
+    then restore the capacity invariant by one decrement step."""
+    for item, c in vc.items():
+        counts[item] = counts.get(item, 0) + int(c)
+    if len(counts) > capacity:
+        # subtract the (capacity+1)-th largest count from every entry;
+        # at most `capacity` entries stay positive (MG merge step)
+        kth = sorted(counts.values(), reverse=True)[capacity]
+        dead = []
+        for item in counts:
+            counts[item] -= kth
+            if counts[item] <= 0:
+                dead.append(item)
+        for item in dead:
+            del counts[item]
+
+
+def mg_partition_summaries(items: DataFrame, col: str, capacity: int) -> DataFrame:
+    """Pass 1: one Misra-Gries summary per input partition.
+
+    ``items`` is a single-column stream of occurrences (one row per
+    occurrence). Returns at most ``capacity`` rows per partition with
+    the summary's lower-bound counts — input to candidate selection.
+    """
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict = {}
+        for pdf in batches:
+            if len(pdf):
+                _mg_absorb(counts, pdf[col].value_counts(), capacity)
+        yield pd.DataFrame(
+            {col: pd.Series(list(counts), dtype="object"), "cnt_lb": list(counts.values())}
+        )
+
+    return items.mapInPandas(summarize, schema=f"{col} string, cnt_lb long")
+
+
+def exact_heavy_hitters(items: DataFrame, col: str, k: int, capacity: int | None = None) -> DataFrame:
+    """Exact phi=1/k heavy hitters of ``items[col]`` in two scans with
+    O(capacity) executor memory, as documented in the module docstring.
+
+    Returns (col, cnt, n_total) for every item with ``cnt * k >= n``.
+    ``capacity`` defaults to the smallest value that makes candidate
+    generation lossless (k); larger values shrink the candidate set.
+    """
+    if capacity is None:
+        capacity = k
+    if capacity < k:
+        raise ValueError(f"capacity {capacity} < k {k} breaks the superset guarantee")
+    candidates = (
+        mg_partition_summaries(items, col, capacity)
+        .select(col)
+        .distinct()
+    )
+    totals = items.agg(F.count("*").alias("n_total"))
+    return (
+        items.join(F.broadcast(candidates), on=col, how="left_semi")
+        .groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("cnt") * F.lit(k) >= F.col("n_total"))
+    )

@@ -67,6 +67,8 @@ _MODULES = (
     "layout",
     "graph",
     "sketches",
+    "frequency",
+    "timeseries",
 )
 
 # The driver's CORRECTNESS pass checks a bounded prefix of the declared

@@ -1,0 +1,303 @@
+"""Time-series resampling and anomaly queries over the event log.
+
+Linear-interpolation resampling, time-weighted averages, and rolling
+z-score anomaly flags — the irregular-series operations an event
+pipeline runs at the 100 TB grain (sensor/metric streams resampled to a
+calendar grid, duration-weighted rollups, online outlier screens).
+Reference parity: the reference engine (JaiHirsch/flink-mingo-tail)
+ships events but computes nothing over time; these extend the declared
+engine alongside q107 (count gap-fill) and q149 (LOCF).
+
+Cross-engine determinism: timestamps are integer microseconds
+(``unix_micros`` / ``epoch_us``), values enter as exact scaled longs
+(``round(value*100)`` — the fixture stores 2-decimal fixed-point as
+double), and every emitted number is either an integer or a micro-
+scaled long produced by an IDENTICAL IEEE-754 expression tree in both
+engines (+,-,*,/ are bit-deterministic; only libm functions differ —
+none are used here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_mingo_tail_spark.queries import query
+from flink_mingo_tail_spark.session import prepare_session
+from flink_mingo_tail_spark.tables import load_table
+
+_US_DAY = 86_400_000_000
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare_session(spark)
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v100"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q155 — linear-interpolation resampling to a daily grid
+# ---------------------------------------------------------------------------
+
+@query(
+    "q155_linear_interpolate",
+    oracle=f"""
+    WITH obs AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events WHERE event_type = 'purchase'
+    ), bounds AS (
+      SELECT user_id, MIN(us) AS mn, MAX(us) AS mx FROM obs GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, UNNEST(range((mn + {_US_DAY} - 1) // {_US_DAY},
+                                   mx // {_US_DAY} + 1)) AS day_idx
+      FROM bounds
+    ), u AS (
+      SELECT user_id, us, 0 AS kind, v100, NULL::BIGINT AS day_idx FROM obs
+      UNION ALL
+      SELECT user_id, day_idx * {_US_DAY} AS us, 1 AS kind,
+             NULL::BIGINT AS v100, day_idx
+      FROM grid
+    ), n AS (
+      SELECT *,
+        last_value(v100 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, kind
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN kind = 0 THEN us END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY us, kind
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pus,
+        first_value(v100 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, kind
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN kind = 0 THEN us END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY us, kind
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nus
+      FROM u
+    )
+    SELECT user_id, day_idx,
+      CAST(round(CASE WHEN nus IS NULL OR nus = pus THEN pv * 10000.0
+                 ELSE (pv * CAST(nus - us AS DOUBLE) + nv * CAST(us - pus AS DOUBLE))
+                      * 10000.0 / CAST(nus - pus AS DOUBLE) END) AS BIGINT)
+        AS interp_micro
+    FROM n
+    WHERE kind = 1 AND pv IS NOT NULL AND (nv IS NOT NULL OR pus = us)
+    ORDER BY user_id, day_idx
+    """,
+)
+def q155_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's irregular purchase-value series onto the
+    daily calendar grid by LINEAR interpolation between the surrounding
+    observations (the two-sided complement of q149's LOCF).
+
+    Plan: per-user day grid from a broadcast bounds frame (sequence +
+    explode — |days| rows, never event volume), UNION ALL with the
+    observations, then ONE shuffle on user_id serves both direction
+    windows (last/first IGNORE NULLS over the merged timeline). The
+    interpolation itself is a per-row expression. At 100 TB the sort is
+    per-user and the grid is calendar-bounded, so nothing here is wider
+    than the q105/q149 window family.
+    """
+    obs = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "us", "v100")
+    )
+    bounds = obs.groupBy("user_id").agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"(mn + {_US_DAY - 1}) div {_US_DAY}"),
+                F.expr(f"mx div {_US_DAY}"),
+            )
+        ).alias("day_idx"),
+    )
+    u = obs.select(
+        "user_id", "us", F.lit(0).alias("kind"), "v100", F.lit(None).cast("long").alias("day_idx")
+    ).unionAll(
+        grid.select(
+            "user_id",
+            (F.col("day_idx") * _US_DAY).alias("us"),
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("long").alias("v100"),
+            "day_idx",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "kind")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_us = F.when(F.col("kind") == 0, F.col("us"))
+    n = u.select(
+        "user_id",
+        "us",
+        "kind",
+        "day_idx",
+        F.last("v100", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_us, ignorenulls=True).over(back).alias("pus"),
+        F.first("v100", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_us, ignorenulls=True).over(fwd).alias("nus"),
+    )
+    # A grid point that coincides with the series' LAST observation has
+    # pv but no forward neighbour (the observation sorts before the grid
+    # row, so the following-frame misses it): pus == us identifies the
+    # exact hit and the value is pv itself. Every other one-sided row is
+    # outside the observed span and is dropped, not extrapolated.
+    interp = F.when(
+        F.col("nus").isNull() | (F.col("nus") == F.col("pus")),
+        F.col("pv") * F.lit(10000.0),
+    ).otherwise(
+        (
+            F.col("pv") * (F.col("nus") - F.col("us")).cast("double")
+            + F.col("nv") * (F.col("us") - F.col("pus")).cast("double")
+        )
+        * F.lit(10000.0)
+        / (F.col("nus") - F.col("pus")).cast("double")
+    )
+    return (
+        n.filter(
+            (F.col("kind") == 1)
+            & F.col("pv").isNotNull()
+            & (F.col("nv").isNotNull() | (F.col("pus") == F.col("us")))
+        )
+        .select(
+            "user_id",
+            "day_idx",
+            F.round(interp, 0).cast("long").alias("interp_micro"),
+        )
+        .orderBy("user_id", "day_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q156 — time-weighted average (TWAP)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q156_time_weighted_avg",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS v100,
+             event_id
+      FROM events
+    ), d AS (
+      SELECT user_id, v100,
+             lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dt
+      FROM t
+    )
+    SELECT user_id,
+           CAST(sum(v100 * dt) AS BIGINT) AS num,
+           CAST(sum(dt) AS BIGINT) AS den,
+           CAST(round(CAST(sum(v100 * dt) AS DOUBLE) * 10000.0
+                      / CAST(sum(dt) AS DOUBLE)) AS BIGINT) AS twap_micro
+    FROM d WHERE dt IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q156_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted mean event value per user: each value holds
+    from its event until the user's next event (lead), weight = exact
+    integer microsecond duration. The un-weighted AVG over-counts burst
+    periods; TWAP is the standard fix for irregular sampling.
+
+    Determinism: numerator and denominator are exact long sums
+    (v100 <= 56,021 and per-user total duration <= the 30-day span in
+    microseconds keep the products far below 2^63); the single final
+    division is IEEE-deterministic. ONE shuffle on user_id serves the
+    lead window and the aggregate runs partition-local under it.
+    """
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    d = e.select(
+        "user_id",
+        "v100",
+        (F.lead("us").over(w) - F.col("us")).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.sum(F.col("v100") * F.col("dt")).alias("num"),
+            F.sum("dt").alias("den"),
+        )
+        .select(
+            "user_id",
+            "num",
+            "den",
+            F.round(F.col("num").cast("double") * F.lit(10000.0) / F.col("den").cast("double"), 0)
+            .cast("long")
+            .alias("twap_micro"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q157 — rolling z-score anomaly screen
+# ---------------------------------------------------------------------------
+
+_ZW = 20  # trailing window size (rows)
+_ZMIN = 8  # minimum history before flagging
+_ZSQ = 9  # |z| > 3  <=>  z^2 > 9
+
+
+@query(
+    "q157_rolling_zscore",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events
+    ), s AS (
+      SELECT user_id, event_id, v100,
+        count(v100) OVER w AS n,
+        CAST(sum(v100) OVER w AS BIGINT) AS s1,
+        CAST(sum(v100 * v100) OVER w AS BIGINT) AS s2
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN {_ZW} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, v100, n, s1, s2
+    FROM s
+    WHERE n >= {_ZMIN}
+      AND (n * v100 - s1) * (n * v100 - s1) > {_ZSQ} * (n * s2 - s1 * s1)
+    ORDER BY user_id, event_id
+    """,
+)
+def q157_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling anomaly screen: flag an event whose value sits
+    more than 3 trailing standard deviations from the trailing-window
+    mean (last 20 events, at least 8 of history).
+
+    The test |x - mu| > 3*sigma is evaluated ENTIRELY in int64:
+    (n*x - S1)^2 > 9*(n*S2 - S1^2) — multiplying through by n^2
+    removes both divisions and the sqrt, so there is no floating point
+    anywhere and the oracle comparison is exact (v100 <= 56,021 and
+    n <= 20 bound every product below 2^63). One shuffle on user_id;
+    the frame is a constant-size ROWS window, state O(window).
+    """
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-_ZW, -1)
+    )
+    s = e.select(
+        "user_id",
+        "event_id",
+        "v100",
+        F.count("v100").over(w).alias("n"),
+        F.sum("v100").over(w).alias("s1"),
+        F.sum(F.col("v100") * F.col("v100")).over(w).alias("s2"),
+    )
+    dev = F.col("n") * F.col("v100") - F.col("s1")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return (
+        s.filter((F.col("n") >= _ZMIN) & (dev * dev > F.lit(_ZSQ) * var_n2))
+        .select("user_id", "event_id", "v100", "n", "s1", "s2")
+        .orderBy("user_id", "event_id")
+    )
