@@ -43,14 +43,24 @@ def tokens(text: Column) -> Column:
 
 
 def word_shingles(toks: Column, n: int) -> Column:
-    """Word n-gram shingles as strings, built with array lambdas only."""
+    """Word n-gram shingles as strings, built with array lambdas only.
+
+    Documents shorter than n tokens yield an EMPTY array. (Spark's
+    ``sequence(1, 0)`` steps DOWNWARD to ``[1, 0]`` rather than being
+    empty, and position 0 is an invalid ``slice`` start — so the
+    short-document case must be guarded with an explicit CASE, not a
+    ``greatest(..., 0)`` upper bound.)
+    """
     if n == 1:
         return toks
     # positions 1..size-n+1, each joined n-gram via slice+concat
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    return F.when(
+        F.size(toks) >= F.lit(n),
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # Universal-hash permutation family for MinHash: h_j(x) = (a_j*x + b_j) mod P
@@ -191,6 +201,21 @@ def _index_shard(key: Column, n_shards: int) -> Column:
     return F.pmod(md5_long(key), F.lit(n_shards))
 
 
+_MANIFEST_SCHEMA = "k int, rows_per_band int, n_shards int"
+
+
+def _read_index_manifest(spark, path: str) -> dict | None:
+    """Load the persisted index parameters, or None for a pre-manifest
+    index. Stored as a one-row parquet table so the read/write path is
+    filesystem-scheme-agnostic (local, HDFS, object store) — no
+    driver-side open() that would break off-box."""
+    try:
+        row = spark.read.schema(_MANIFEST_SCHEMA).parquet(f"{path}/manifest").head()
+    except Exception:
+        return None
+    return None if row is None else row.asDict()
+
+
 def build_dedup_index(
     docs: DataFrame,
     path: str,
@@ -199,6 +224,7 @@ def build_dedup_index(
     k: int = 8,
     rows_per_band: int = 4,
     n_shards: int = 16,
+    mode: str = "overwrite",
 ) -> None:
     """Materialize the standing dedup index that q117 derives in-query:
 
@@ -206,20 +232,48 @@ def build_dedup_index(
       by ``shard`` (md5-long low bits);
     * ``{path}/bands`` — DISTINCT MinHash-LSH band keys, same sharding.
 
-    Written once per corpus (or appended per ingest batch after the
-    batch is admitted); the daily dedup pass then probes these tables
-    instead of re-hashing the whole corpus — the difference between
-    O(batch) and O(corpus) work per day at 100 TB. The shard column
-    exists for layout hygiene (bounded directory count, parallel
-    writers) and to give the probe join a co-partitionable prefix key;
-    both sides compute it from the key itself, so it is never guessed.
+    Written once per corpus (``mode='overwrite'``), then extended per
+    ingest batch after the batch is admitted (``mode='append'``); the
+    daily dedup pass then probes these tables instead of re-hashing the
+    whole corpus — the difference between O(batch) and O(corpus) work
+    per day at 100 TB. The shard column exists for layout hygiene
+    (bounded directory count, parallel writers) and to give the probe
+    join a co-partitionable prefix key; both sides compute it from the
+    key itself, so it is never guessed.
+
+    A one-row ``{path}/manifest`` parquet records (k, rows_per_band,
+    n_shards). ``mode='append'`` refuses to extend an index built with
+    different parameters (silently mixing shardings would misroute
+    probe joins and misclassify everything as 'new'), and
+    ``probe_dedup_index`` reads its parameters from the manifest rather
+    than trusting caller-supplied defaults. Appended batches may
+    re-insert hashes/bands already present from earlier batches; the
+    probe side is membership-only (left-semi joins), so cross-batch
+    duplicates cost index bytes, never correctness — compact with an
+    occasional overwrite rebuild if the index churns heavily.
     """
+    params = {"k": k, "rows_per_band": rows_per_band, "n_shards": n_shards}
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
+    spark = docs.sparkSession
+    if mode == "append":
+        existing = _read_index_manifest(spark, path)
+        if existing is None:
+            raise ValueError(
+                f"cannot append to {path!r}: no manifest found "
+                "(build with mode='overwrite' first)"
+            )
+        if existing != params:
+            raise ValueError(
+                f"index at {path!r} was built with {existing}, "
+                f"refusing to append with {params}"
+            )
     content = (
         docs.select(F.md5(F.col(text_col)).alias("ch"))
         .distinct()
         .withColumn("shard", _index_shard(F.col("ch"), n_shards))
     )
-    content.write.mode("overwrite").partitionBy("shard").parquet(f"{path}/content")
+    content.write.mode(mode).partitionBy("shard").parquet(f"{path}/content")
     bands = (
         docs.select(
             F.explode(
@@ -233,7 +287,11 @@ def build_dedup_index(
         .distinct()
         .withColumn("shard", _index_shard(F.col("band"), n_shards))
     )
-    bands.write.mode("overwrite").partitionBy("shard").parquet(f"{path}/bands")
+    bands.write.mode(mode).partitionBy("shard").parquet(f"{path}/bands")
+    if mode == "overwrite":
+        spark.createDataFrame(
+            [(k, rows_per_band, n_shards)], _MANIFEST_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
 
 
 def probe_dedup_index(
@@ -242,9 +300,9 @@ def probe_dedup_index(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    k: int = 8,
-    rows_per_band: int = 4,
-    n_shards: int = 16,
+    k: int | None = None,
+    rows_per_band: int | None = None,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Classify each incoming document against a persisted index
     (``build_dedup_index``): 'exact_dup' on content-hash membership,
@@ -253,8 +311,34 @@ def probe_dedup_index(
     left-semi equi-joins on (shard, key): the shard prefix is computed
     from the key on the probe side too, so the join lines up with the
     hive layout and a selective probe set lets dynamic partition
-    pruning skip index directories outright."""
+    pruning skip index directories outright.
+
+    Probe parameters come from the index's own manifest — a k /
+    rows_per_band / n_shards mismatch between build and probe silently
+    classifies every document as 'new', so callers may only NARROW the
+    defaults, never contradict the manifest (explicit arguments are
+    validated against it; for a pre-manifest index all three must be
+    supplied explicitly)."""
     spark = incoming.sparkSession
+    manifest = _read_index_manifest(spark, path)
+    supplied = {"k": k, "rows_per_band": rows_per_band, "n_shards": n_shards}
+    if manifest is None:
+        missing = [name for name, val in supplied.items() if val is None]
+        if missing:
+            raise ValueError(
+                f"index at {path!r} has no manifest; pass {missing} explicitly "
+                "(or rebuild the index to persist one)"
+            )
+    else:
+        for name, val in supplied.items():
+            if val is not None and val != manifest[name]:
+                raise ValueError(
+                    f"probe {name}={val} contradicts the index manifest "
+                    f"{manifest} at {path!r}"
+                )
+        k, rows_per_band, n_shards = (
+            manifest["k"], manifest["rows_per_band"], manifest["n_shards"]
+        )
     content = spark.read.parquet(f"{path}/content")
     bands_idx = spark.read.parquet(f"{path}/bands")
 

@@ -85,3 +85,40 @@ def test_probe_new_rows_only(spark, tmp_path):
     got = {r.doc_id: r.status for r in probe_dedup_index(probe, idx_path).collect()}
     assert got[10] == "exact_dup"
     assert got[11] == "new"
+
+def test_append_extends_index_and_manifest_is_enforced(spark, tmp_path):
+    """mode='append' extends the standing index per ingest batch; the
+    persisted manifest blocks parameter drift in both directions
+    (append with different params, probe contradicting the manifest)."""
+    import pytest
+
+    idx_path = str(tmp_path / "dedup_index")
+    batch1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(2, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(batch1, idx_path)
+    build_dedup_index(batch2, idx_path, mode="append")
+
+    probe = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),
+         (11, "one two three four five six seven eight"),
+         (12, "totally different words that never appeared anywhere here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in probe_dedup_index(probe, idx_path).collect()}
+    assert got == {10: "exact_dup", 11: "exact_dup", 12: "new"}
+
+    # probe inherits manifest params; contradicting them is an error
+    with pytest.raises(ValueError, match="contradicts the index manifest"):
+        probe_dedup_index(probe, idx_path, n_shards=4).collect()
+    # appending with drifted params is an error
+    with pytest.raises(ValueError, match="refusing to append"):
+        build_dedup_index(batch2, idx_path, mode="append", k=4)
+    # appending to a path never built is an error
+    with pytest.raises(ValueError, match="no manifest found"):
+        build_dedup_index(batch2, str(tmp_path / "nowhere"), mode="append")
