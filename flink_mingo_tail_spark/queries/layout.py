@@ -302,9 +302,22 @@ def q140_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram to bound block sizes by gram rarity. The earlier
     brand+length-band-only blocking measured 61.6 s at the 10x probe
     (25 brands -> per-brand blocks grow linearly with copies, pairs
-    quadratically); the prefix join keeps every block tiny. The oracle
-    is the unblocked brute join, so the driver hash check IS the
-    soundness proof: a lost pair would hash-mismatch."""
+    quadratically); the prefix join keeps every block tiny.
+
+    SOUNDNESS PRECONDITION: the ED-Join count bound |shared grams| >=
+    max(|GA|,|GB|) - q*t is vacuous when the larger distinct-bigram set
+    has <= q*t grams — e.g. 'ab' vs 'ac' are distance 1 yet share ZERO
+    bigrams, and length-1 names have no bigrams at all. Such names
+    (size(grams) <= q*t: every name shorter than q*t+2 chars, plus
+    degenerate repetitive ones like 'ababab') are routed through a
+    separate brand+length-band block joined all-pairs — the set of
+    strings with <= 2 distinct bigrams is alphabet-bounded and tiny on
+    any corpus, so the quadratic block is safe. Mixed pairs (one short,
+    one long) keep max(|GA|,|GB|) >= q*t+1, where the q*t+1-prefix join
+    is sound on both sides (prefix length needed on the smaller side is
+    |GA| - max + q*t + 1 <= q*t+1). The oracle is the unblocked brute
+    join, so the driver hash check IS the soundness proof: a lost pair
+    would hash-mismatch."""
     prepare_session(spark)
     p = load_table(spark, sf_dir, "part")
     base = p.select(
@@ -346,6 +359,25 @@ def q140_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pk").alias("p2"), F.col("name").alias("name2"),
     )
     cand = a.join(b, ["brand", "g", "lk"]).filter(F.col("p1") < F.col("p2"))
+    # fallback block for names where the prefix bound is vacuous
+    # (<= q*t distinct bigrams — see docstring): all-pairs within
+    # brand + length band. BOTH orientations of a short/short pair are
+    # emitted only once via p1 < p2; short/long pairs stay in the main
+    # prefix join, which remains sound for them.
+    short = base.filter(F.size("grams") <= 2 * _LEV_MAX)
+    a_s = short.select(
+        "brand", F.col("len").alias("lk"),
+        F.col("pk").alias("p1"), F.col("name").alias("name1"),
+    )
+    b_s = short.select(
+        "brand",
+        F.explode(F.array(F.col("len") - 1, F.col("len"), F.col("len") + 1)).alias("lk"),
+        F.col("pk").alias("p2"), F.col("name").alias("name2"),
+    )
+    cand_short = a_s.join(b_s, ["brand", "lk"]).filter(F.col("p1") < F.col("p2"))
+    cand = cand.select("p1", "name1", "p2", "name2").unionByName(
+        cand_short.select("p1", "name1", "p2", "name2")
+    )
     # Score BEFORE deduplicating: a pair can arrive via <=3 shared
     # prefix grams, but the duplicate rows are narrow and the
     # early-exit threshold call is cheap — deduplicating first would
