@@ -69,6 +69,7 @@ _MODULES = (
     "sketches",
     "frequency",
     "timeseries",
+    "stats",
 )
 
 # The driver's CORRECTNESS pass checks a bounded prefix of the declared

@@ -1,0 +1,398 @@
+"""Statistical / behavioral analytics: transition matrices, RFM
+segmentation, two-sample tests, distribution distances, robust stats.
+
+The experiment-analysis and corpus-comparison layer a 100 TB pipeline
+runs beside the relational core: Markov transition matrices over event
+sequences, RFM customer segmentation, Welch two-sample t statistics,
+Hellinger/chi-square distances between per-source token distributions,
+and winsorized robust means. Reference parity: the reference engine
+(JaiHirsch/flink-mingo-tail) has no analytics surface; these extend the
+declared engine the same way the dedup/text families do.
+
+Cross-engine determinism: counts and scaled-long sums everywhere;
+where a statistic is irreducibly real-valued (t statistic, sqrt-based
+distances) both engines evaluate the IDENTICAL IEEE-754 expression
+tree over exact integer aggregates (+,-,*,/ and sqrt are all
+correctly-rounded per IEEE-754, so bit-equality holds; no libm
+transcendentals — which are NOT correctly rounded — are used
+anywhere)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_mingo_tail_spark.queries import query
+from flink_mingo_tail_spark.session import prepare_session
+from flink_mingo_tail_spark.tables import load_table
+
+_US_DAY = 86_400_000_000
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prepare_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q160 — first-order Markov transition matrix over event sequences
+# ---------------------------------------------------------------------------
+
+@query(
+    "q160_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type AS state_from,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS state_to
+      FROM events
+    ), c AS (
+      SELECT state_from, state_to, count(*) AS n_trans
+      FROM s WHERE state_to IS NOT NULL
+      GROUP BY state_from, state_to
+    )
+    SELECT state_from, state_to, n_trans,
+           CAST(round(n_trans * 1000000.0 /
+                      sum(n_trans) OVER (PARTITION BY state_from)) AS BIGINT)
+             AS p_micro
+    FROM c
+    ORDER BY state_from, state_to
+    """,
+)
+def q160_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next = b | current = a), the sequence model behind
+    next-action prediction and session simulation.
+
+    Plan: ONE shuffle on user_id serves the lead() window; the
+    transition count is a map-side-combinable hash aggregate over the
+    (|states|^2)-sized key space, and the row-normalization rides a
+    window over that tiny frame — nothing downstream of the first
+    shuffle scales with event volume. Sequence order is the total
+    (event-time, event_id) order, so replays are deterministic.
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state_from"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    c = (
+        e.withColumn("state_to", F.lead("state_from").over(w))
+        .filter(F.col("state_to").isNotNull())
+        .groupBy("state_from", "state_to")
+        .agg(F.count("*").alias("n_trans"))
+    )
+    tot = Window.partitionBy("state_from")
+    return (
+        c.withColumn(
+            "p_micro",
+            F.round(F.col("n_trans") * 1000000.0 / F.sum("n_trans").over(tot), 0).cast("long"),
+        )
+        .orderBy("state_from", "state_to")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q161 — RFM customer segmentation (recency / frequency / monetary quartiles)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q161_rfm_segments",
+    oracle=f"""
+    WITH ref AS (
+      SELECT max(epoch_us(o_orderdate)) // {_US_DAY} AS ref_day FROM orders
+    ), rfm AS (
+      SELECT o_custkey,
+             (SELECT ref_day FROM ref)
+               - max(epoch_us(o_orderdate)) // {_US_DAY} AS r_days,
+             count(*) AS f_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_100
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, r_days, f_orders, m_100,
+           ntile(4) OVER (ORDER BY r_days, o_custkey) AS r_q,
+           ntile(4) OVER (ORDER BY f_orders DESC, o_custkey) AS f_q,
+           ntile(4) OVER (ORDER BY m_100 DESC, o_custkey) AS m_q,
+           ntile(4) OVER (ORDER BY r_days, o_custkey) * 100
+             + ntile(4) OVER (ORDER BY f_orders DESC, o_custkey) * 10
+             + ntile(4) OVER (ORDER BY m_100 DESC, o_custkey) AS segment
+    FROM rfm
+    ORDER BY o_custkey
+    """,
+)
+def q161_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, days since last order (recency),
+    order count (frequency), lifetime spend (monetary), each cut into
+    quartiles — segment 111 is the best-of-all-three cohort.
+
+    The per-customer rollup is one keyed hash aggregate; the reference
+    day is a 1-row broadcast. The three ntile windows are global sorts
+    of the CUSTOMER frame (|customers| << |orders|; at 100 TB this
+    frame is the one that fits — range-partitioned sort, no single-node
+    collect). Quartile ties are broken by custkey so the cut is a total
+    order and replay-deterministic in both engines (ntile's
+    equal-split rule is the same SQL-standard algorithm in Spark and
+    DuckDB).
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_DAY}").alias("day"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("p100"),
+    )
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("day").alias("last_day"),
+        F.count("*").alias("f_orders"),
+        F.sum("p100").alias("m_100"),
+    )
+    ref = rfm.agg(F.max("last_day").alias("ref_day"))
+    rfm = rfm.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        (F.col("ref_day") - F.col("last_day")).alias("r_days"),
+        "f_orders",
+        "m_100",
+    )
+    r_q = F.ntile(4).over(Window.orderBy("r_days", "o_custkey"))
+    f_q = F.ntile(4).over(Window.orderBy(F.col("f_orders").desc(), "o_custkey"))
+    m_q = F.ntile(4).over(Window.orderBy(F.col("m_100").desc(), "o_custkey"))
+    return (
+        rfm.select(
+            "o_custkey", "r_days", "f_orders", "m_100",
+            r_q.alias("r_q"), f_q.alias("f_q"), m_q.alias("m_q"),
+            (r_q * 100 + f_q * 10 + m_q).alias("segment"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q162 — Welch two-sample t statistic per event type (A/B cohorts)
+# ---------------------------------------------------------------------------
+
+# identical final expression tree in BOTH engines, evaluated over exact
+# integer aggregates (n, s, ss in v100 units). Welch's t and the
+# Welch–Satterthwaite degrees of freedom; sqrt is IEEE-correctly-rounded,
+# so the doubles agree bit-for-bit.
+_WELCH_FINAL = """
+  CAST(round((CAST(s1 AS DOUBLE)/n1 - CAST(s2 AS DOUBLE)/n2) * 100.0
+             / sqrt(((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n1)/(n1-1))/n1
+                  + ((CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)/n2)/(n2-1))/n2)
+             * 1000000.0 / 100.0) AS BIGINT)
+"""
+
+
+@query(
+    "q162_welch_ttest",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type, user_id % 2 AS cohort,
+             CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events
+    ), g AS (
+      SELECT event_type,
+             count(*) FILTER (cohort = 0) AS n1,
+             CAST(sum(v100) FILTER (cohort = 0) AS BIGINT) AS s1,
+             CAST(sum(v100 * v100) FILTER (cohort = 0) AS BIGINT) AS ss1,
+             count(*) FILTER (cohort = 1) AS n2,
+             CAST(sum(v100) FILTER (cohort = 1) AS BIGINT) AS s2,
+             CAST(sum(v100 * v100) FILTER (cohort = 1) AS BIGINT) AS ss2
+      FROM t GROUP BY event_type
+    )
+    SELECT event_type, n1, n2,
+           CAST(round((CAST(s1 AS DOUBLE)/n1 - CAST(s2 AS DOUBLE)/n2) * 100.0) AS BIGINT)
+             AS mean_diff_cents,
+           {_WELCH_FINAL} AS t_micro
+    FROM g WHERE n1 >= 2 AND n2 >= 2
+    ORDER BY event_type
+    """,
+)
+def q162_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t statistic comparing event
+    values between two user cohorts (split on user parity — the stand-in
+    for an A/B assignment column), per event type: the experiment
+    read-out primitive.
+
+    One hash aggregate with FILTER clauses produces both cohorts' exact
+    integer moments (n, sum, sum-of-squares in v100 units) in a single
+    pass — no self-join of per-cohort subqueries, map-side combinable,
+    scale-free downstream. The t statistic itself is a per-group scalar
+    expression over those six integers; both engines evaluate the same
+    tree (sqrt included) bit-for-bit.
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("cohort"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v100"),
+    )
+    c0, c1 = F.col("cohort") == 0, F.col("cohort") == 1
+    g = e.groupBy("event_type").agg(
+        F.count_if(c0).alias("n1"),
+        F.sum(F.when(c0, F.col("v100"))).alias("s1"),
+        F.sum(F.when(c0, F.col("v100") * F.col("v100"))).alias("ss1"),
+        F.count_if(c1).alias("n2"),
+        F.sum(F.when(c1, F.col("v100"))).alias("s2"),
+        F.sum(F.when(c1, F.col("v100") * F.col("v100"))).alias("ss2"),
+    )
+    return (
+        g.filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
+        .select(
+            "event_type", "n1", "n2",
+            F.expr(
+                "CAST(round((CAST(s1 AS DOUBLE)/n1 - CAST(s2 AS DOUBLE)/n2) * 100.0) AS BIGINT)"
+            ).alias("mean_diff_cents"),
+            F.expr(_WELCH_FINAL).alias("t_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q163 — Hellinger affinity + chi-square distance between source vocabularies
+# ---------------------------------------------------------------------------
+
+_P12 = 1_000_000_000_000  # distribution terms are summed as 1e-12-scaled longs
+
+
+@query(
+    "q163_source_divergence",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tk FROM documents
+    ), c AS (
+      SELECT source, tk, count(*) AS c FROM tok GROUP BY source, tk
+    ), tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS t FROM c GROUP BY source
+    ), d AS (
+      SELECT c.source, c.tk, CAST(c.c AS DOUBLE) / tot.t AS p
+      FROM c JOIN tot USING (source)
+    ), pair AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(round(sqrt(a.p * b.p) * {_P12}) AS BIGINT) AS bc_t,
+             CAST(round((a.p - b.p) * (a.p - b.p) / (a.p + b.p) * {_P12}) AS BIGINT) AS x2_t,
+             CAST(round(a.p * {_P12}) AS BIGINT) AS pa_t,
+             CAST(round(b.p * {_P12}) AS BIGINT) AS pb_t
+      FROM d a JOIN d b ON a.tk = b.tk AND a.source < b.source
+    )
+    SELECT source_a, source_b, count(*) AS n_shared,
+           CAST(sum(bc_t) AS BIGINT) AS bc_p12,
+           CAST(sum(x2_t) + ({_P12} - sum(pa_t)) + ({_P12} - sum(pb_t)) AS BIGINT)
+             AS chi2_p12
+    FROM pair
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def q163_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distance between per-source token distributions:
+    Bhattacharyya/Hellinger affinity sum(sqrt(p*q)) and chi-square
+    distance sum((p-q)^2/(p+q)) — the corpus-drift monitors a training
+    pipeline runs when mixing sources (Hellinger^2 = 1 - affinity/1e12).
+
+    Tokens OUTSIDE the shared vocabulary never join, so their
+    closed-form contributions (0 for the affinity; p resp. q for
+    chi-square) are folded in algebraically via sum_inter(p): chi2 =
+    sum_inter + (1 - sum_inter p) + (1 - sum_inter q). That turns a
+    full-outer join with zero-fill into an INNER join on (token) — one
+    equi-join over the |vocab x sources| frame, event volume touched
+    once by the count aggregate. Distance terms (sqrt is IEEE-exact)
+    are rounded to 1e-12-scaled longs BEFORE summing, so the
+    order-dependent double sum becomes an exact integer sum.
+    """
+    doc = _t(spark, sf_dir, "documents")
+    c = (
+        doc.select("source", F.explode(F.split("text", " ", -1)).alias("tk"))
+        .groupBy("source", "tk")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = c.groupBy("source").agg(F.sum("c").alias("t"))
+    d = c.join(F.broadcast(tot), "source").select(
+        "source", "tk", (F.col("c").cast("double") / F.col("t")).alias("p")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pair = (
+        a.join(b, (F.col("a.tk") == F.col("b.tk")) & (F.col("a.source") < F.col("b.source")))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.round(F.sqrt(F.col("a.p") * F.col("b.p")) * _P12, 0).cast("long").alias("bc_t"),
+            F.round(
+                (F.col("a.p") - F.col("b.p")) * (F.col("a.p") - F.col("b.p"))
+                / (F.col("a.p") + F.col("b.p")) * _P12, 0,
+            ).cast("long").alias("x2_t"),
+            F.round(F.col("a.p") * _P12, 0).cast("long").alias("pa_t"),
+            F.round(F.col("b.p") * _P12, 0).cast("long").alias("pb_t"),
+        )
+    )
+    return (
+        pair.groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.sum("bc_t").alias("bc_p12"),
+            (
+                F.sum("x2_t")
+                + (F.lit(_P12) - F.sum("pa_t"))
+                + (F.lit(_P12) - F.sum("pb_t"))
+            ).alias("chi2_p12"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q167 — winsorized robust mean per event type (clamp at p05/p95)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q167_winsorized_stats",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v100 FROM events
+    ), b AS (
+      SELECT event_type,
+             CAST(round(quantile_cont(v100, 0.05)) AS BIGINT) AS lo_100,
+             CAST(round(quantile_cont(v100, 0.95)) AS BIGINT) AS hi_100
+      FROM t GROUP BY event_type
+    ), w AS (
+      SELECT t.event_type, b.lo_100, b.hi_100,
+             least(greatest(t.v100, b.lo_100), b.hi_100) AS wv
+      FROM t JOIN b USING (event_type)
+    )
+    SELECT event_type, lo_100, hi_100, count(*) AS n,
+           CAST(sum(wv) AS BIGINT) AS wsum_100,
+           CAST(round(sum(wv) * 10000.0 / count(*)) AS BIGINT) AS wmean_micro
+    FROM w GROUP BY event_type, lo_100, hi_100
+    ORDER BY event_type
+    """,
+)
+def q167_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: clamp values into the exact
+    [p05, p95] interpolated-percentile band, then average — the robust
+    location estimate that survives the heavy tails raw means drown in.
+
+    Two passes over events (percentile aggregate, then clamp+sum) with
+    the 1-row-per-type bounds frame joined back by BROADCAST — no
+    second shuffle of the fact table. Bounds are rounded to integer
+    v100 BEFORE clamping so every clamped value is an exact long and
+    the winsorized sum is order-independent across any partitioning.
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("v100")
+    )
+    b = e.groupBy("event_type").agg(
+        F.round(F.percentile("v100", 0.05), 0).cast("long").alias("lo_100"),
+        F.round(F.percentile("v100", 0.95), 0).cast("long").alias("hi_100"),
+    )
+    w = e.join(F.broadcast(b), "event_type").select(
+        "event_type", "lo_100", "hi_100",
+        F.least(F.greatest(F.col("v100"), F.col("lo_100")), F.col("hi_100")).alias("wv"),
+    )
+    return (
+        w.groupBy("event_type", "lo_100", "hi_100")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("wv").alias("wsum_100"),
+            F.round(F.sum("wv") * 10000.0 / F.count("*"), 0).cast("long").alias("wmean_micro"),
+        )
+        .orderBy("event_type")
+    )

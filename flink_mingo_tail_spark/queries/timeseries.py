@@ -301,3 +301,137 @@ def q157_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "v100", "n", "s1", "s2")
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q158 — OHLC downsampling (candlestick bars per event_type x day)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q158_ohlc_bars",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us,
+             epoch_us(ts) // {_US_DAY} AS day_idx,
+             CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events
+    )
+    SELECT event_type, day_idx,
+           first(v100 ORDER BY us, event_id) AS open_100,
+           CAST(max(v100) AS BIGINT) AS high_100,
+           CAST(min(v100) AS BIGINT) AS low_100,
+           last(v100 ORDER BY us, event_id) AS close_100,
+           count(*) AS n_events,
+           CAST(sum(v100) AS BIGINT) AS vol_100
+    FROM t GROUP BY event_type, day_idx
+    ORDER BY event_type, day_idx
+    """,
+)
+def q158_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the irregular event stream to daily OHLC(V) bars per
+    event type — the classic market-data resample, and the general
+    shape of any numeric-stream compaction at 100 TB (keep 4 anchors +
+    2 totals per bucket instead of raw ticks).
+
+    Open/close are the values at the first/last event of the bucket
+    under the TOTAL order (us, event_id) — computed as
+    ``min(struct(us, event_id, v100))`` so the whole bar is ONE
+    map-side-combinable hash aggregate (no window sort, no second
+    shuffle; an ordered-row_number spelling would need both). The
+    struct min/max merge is associative and the leading key pair is
+    unique per row, so ties cannot reach the value field and the result
+    is deterministic across any partitioning.
+    """
+    e = _events(spark, sf_dir)
+    t = e.select(
+        "event_type",
+        F.expr(f"us div {_US_DAY}").alias("day_idx"),
+        F.struct("us", "event_id", "v100").alias("anchor"),
+        "v100",
+    )
+    return (
+        t.groupBy("event_type", "day_idx")
+        .agg(
+            F.min("anchor").getField("v100").alias("open_100"),
+            F.max("v100").alias("high_100"),
+            F.min("v100").alias("low_100"),
+            F.max("anchor").getField("v100").alias("close_100"),
+            F.count("*").alias("n_events"),
+            F.sum("v100").alias("vol_100"),
+        )
+        .orderBy("event_type", "day_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q159 — truncated exponentially-weighted moving average (span-16 EWMA)
+# ---------------------------------------------------------------------------
+
+_EWMA_W = 16  # trailing rows per frame; decay 0.75 => tail weight < 1%
+
+
+@query(
+    "q159_ewma_truncated",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events WHERE event_type = 'purchase'
+    ), l AS (
+      SELECT user_id, event_id,
+             list(v100) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN {_EWMA_W - 1} PRECEDING AND CURRENT ROW)
+               AS lst
+      FROM t
+    ), f AS (
+      SELECT user_id, event_id, len(lst) AS n_in_window,
+             list_reduce(list_transform(lst, x -> [CAST(x AS DOUBLE), 1.0]),
+                         (acc, e) -> [0.75*acc[1] + e[1], 0.75*acc[2] + 1.0]) AS sw
+      FROM l
+    )
+    SELECT user_id, event_id, n_in_window,
+           CAST(round(sw[1] * 10000.0 / sw[2]) AS BIGINT) AS ewma_micro
+    FROM f
+    ORDER BY user_id, event_id
+    """,
+)
+def q159_ewma_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing EWMA (decay 0.75, truncated to the last 16 observations
+    — tail weight < 1%) of each user's purchase values: the smoothing
+    primitive behind rate trends and anomaly baselines, in the form
+    that actually distributes. The textbook infinite-history recurrence
+    serializes per key; a constant-size ROWS frame keeps state O(W),
+    shuffles once on user_id, and loses <1% of the weight mass.
+
+    Determinism across engines: the frame list is collected in frame
+    order, and BOTH engines fold it left-to-right through the identical
+    recurrence (s, w) <- (0.75*s + x, 0.75*w + 1) — same operand order,
+    same IEEE-754 doubles, bit-identical result (Spark ``aggregate``
+    from a zero init equals DuckDB ``list_reduce`` seeded by the first
+    element, since the step applied to (0,0) yields (x1, 1)).
+    """
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-(_EWMA_W - 1), 0)
+    )
+    l = e.select(
+        "user_id", "event_id", F.collect_list("v100").over(w).alias("lst")
+    )
+    sw = F.expr(
+        "aggregate(transform(lst, x -> array(CAST(x AS DOUBLE), 1.0D)),"
+        " array(0.0D, 0.0D),"
+        " (acc, e) -> array(0.75D*acc[0] + e[0], 0.75D*acc[1] + 1.0D))"
+    )
+    return (
+        l.select(
+            "user_id",
+            "event_id",
+            F.size("lst").alias("n_in_window"),
+            F.round(sw.getItem(0) * 10000.0 / sw.getItem(1), 0)
+            .cast("long")
+            .alias("ewma_micro"),
+        )
+        .orderBy("user_id", "event_id")
+    )
