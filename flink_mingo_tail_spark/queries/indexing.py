@@ -604,3 +604,117 @@ def q126_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c12"), "t1", "t2")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# q165 — one k-means Lloyd iteration (assign to nearest seed, re-center)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8           # seed centroids = embeddings of vec_id 0..7
+_KM_QD = 10_000     # fixed-point scale for assignment distances
+_KM_QC = 1_000_000  # fixed-point scale for re-centered means
+
+
+@query(
+    "q165_kmeans_lloyd_step",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), seed AS (
+      SELECT vec_id AS cid, emb AS semb FROM e WHERE vec_id < {_KM_K}
+    ), dist AS (
+      SELECT e.vec_id, seed.cid,
+             CAST(list_sum(list_transform(list_zip(e.emb, seed.semb),
+                 p -> (CAST(round(p[1] * {_KM_QD}) AS BIGINT)
+                       - CAST(round(p[2] * {_KM_QD}) AS BIGINT))
+                    * (CAST(round(p[1] * {_KM_QD}) AS BIGINT)
+                       - CAST(round(p[2] * {_KM_QD}) AS BIGINT)))) AS BIGINT) AS d
+      FROM e CROSS JOIN seed
+    ), assign AS (
+      SELECT vec_id, first(cid ORDER BY d, cid) AS cid FROM dist GROUP BY vec_id
+    ), ex AS (
+      SELECT a.cid, i AS pos, e.emb[i] AS v
+      FROM assign a JOIN e USING (vec_id), unnest(range(1, len(e.emb) + 1)) AS t(i)
+    ), mean_q AS (
+      SELECT cid, pos,
+             CAST(round(CAST(sum(CAST(round(v * {_KM_QC}) AS BIGINT)) AS DOUBLE)
+                        / count(*)) AS BIGINT) AS mq
+      FROM ex GROUP BY cid, pos
+    ), seed_q AS (
+      SELECT cid, i AS pos, CAST(round(semb[i] * {_KM_QC}) AS BIGINT) AS sq
+      FROM seed, unnest(range(1, len(semb) + 1)) AS t(i)
+    ), n AS (
+      SELECT cid, count(*) AS n_assigned FROM assign GROUP BY cid
+    )
+    SELECT m.cid, n.n_assigned,
+           CAST(sum(m.pos * m.mq) AS BIGINT) AS centroid_fp,
+           CAST(sum((m.mq - s.sq) * (m.mq - s.sq)) AS BIGINT) AS shift_sq
+    FROM mean_q m JOIN seed_q s USING (cid, pos) JOIN n USING (cid)
+    GROUP BY m.cid, n.n_assigned
+    ORDER BY m.cid
+    """,
+)
+def q165_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus:
+    assign every vector to its nearest of k=8 seed centroids (the
+    embeddings of vec_id 0..7 — a deterministic stand-in for k-means++
+    output), then re-center each cluster — the building block iterative
+    clustering repeats to a fixed point, exercised once so the oracle
+    stays SQL-expressible.
+
+    Determinism without floats: assignment distances are squared L2
+    over 1e4-quantized dims — EXACT int64 arithmetic (|q| <= 2e4 =>
+    per-term < 1.6e9, x64 dims < 2^37), so the argmin (ties broken by
+    centroid id via min(struct(d, cid))) is bit-free of rounding-order
+    effects; re-centered means use the scaled-long exact-sum pattern.
+
+    Scale: seeds are a k-row BROADCAST to the distance pass (one
+    narrow corpus scan, k folds per row, no shuffle); assignment is a
+    map-side-combinable min-struct aggregate keyed by vec_id ONLY in
+    name — it is per-row after the broadcast join, so the only real
+    shuffles are the (cid, pos) mean aggregate (k*dim groups) and the
+    k-row final join. Identical shape at 1000 executors.
+    """
+    e = _emb(spark, sf_dir)
+    seed = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("semb")
+    )
+    qd = lambda c: F.round(c * _KM_QD, 0).cast("long")  # noqa: E731
+    d = F.aggregate(
+        F.zip_with("embedding", "semb", lambda x, y: (qd(x) - qd(y)) * (qd(x) - qd(y))),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    dist = e.crossJoin(F.broadcast(seed)).select(
+        "vec_id", "cid", d.alias("d")
+    )
+    assign = (
+        dist.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cid")).getField("cid").alias("cid"))
+    )
+    ex = assign.join(e, "vec_id").select(
+        "cid", F.posexplode("embedding").alias("pos0", "v")
+    )
+    mean_q = ex.groupBy("cid", "pos0").agg(
+        F.round(
+            F.sum(F.round(F.col("v") * _KM_QC, 0).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            0,
+        )
+        .cast("long")
+        .alias("mq")
+    )
+    seed_q = seed.select(
+        "cid", F.posexplode("semb").alias("pos0", "sv")
+    ).select("cid", "pos0", F.round(F.col("sv") * _KM_QC, 0).cast("long").alias("sq"))
+    n = assign.groupBy("cid").agg(F.count("*").alias("n_assigned"))
+    return (
+        mean_q.join(seed_q, ["cid", "pos0"])
+        .join(F.broadcast(n), "cid")
+        .groupBy("cid", "n_assigned")
+        .agg(
+            F.sum((F.col("pos0") + 1) * F.col("mq")).alias("centroid_fp"),
+            F.sum((F.col("mq") - F.col("sq")) * (F.col("mq") - F.col("sq"))).alias("shift_sq"),
+        )
+        .orderBy("cid")
+    )

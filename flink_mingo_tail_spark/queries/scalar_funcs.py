@@ -690,3 +690,61 @@ def q144_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q166_higher_order_funcs",
+    oracle="""
+    WITH a AS (
+      SELECT l_orderkey,
+             list_sort(list(CAST(round(l_quantity * 100) AS BIGINT))) AS arr
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(arr) AS n_items,
+           CAST(list_reduce(arr, (acc, x) -> acc + x) AS BIGINT) AS total_q100,
+           CAST(coalesce(list_max(list_transform(list_zip(arr[2:], arr[:len(arr)-1]),
+                p -> p[1] - p[2])), 0) AS BIGINT) AS max_gap_q100,
+           len(list_filter(arr, x -> x % 200 = 0)) AS n_even_units,
+           len(list_filter(arr, x -> x > 4000)) > 0 AS any_above_40,
+           len(list_filter(arr, x -> x <= 0)) = 0 AS all_positive
+    FROM a
+    ORDER BY l_orderkey
+    """,
+)
+def q166_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-lambda battery over each order's sorted
+    quantity list: aggregate (fold), zip_with over shifted slices
+    (adjacent gaps), filter, exists, forall — all JVM array lambdas
+    inside one codegen'd projection, zero Python.
+
+    The list is sort_array(collect_list(...)) so its order — and
+    therefore the fold and the adjacent-gap zip — is deterministic
+    under any partitioning; quantities are exact v100 longs. DuckDB
+    spells exists/forall as len(list_filter(...)) comparisons and the
+    shifted zip as arr[2:] x arr[:n-1] (1-based slices); semantics are
+    identical.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.round(F.col("l_quantity") * 100, 0).cast("long").alias("q100")
+    )
+    a = li.groupBy("l_orderkey").agg(F.sort_array(F.collect_list("q100")).alias("arr"))
+    gaps = F.zip_with(
+        F.expr("slice(arr, 2, size(arr) - 1)"),
+        F.expr("slice(arr, 1, size(arr) - 1)"),
+        lambda hi, lo: hi - lo,
+    )
+    return (
+        a.select(
+            "l_orderkey",
+            F.size("arr").alias("n_items"),
+            F.aggregate("arr", F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+                "total_q100"
+            ),
+            F.coalesce(F.array_max(gaps), F.lit(0)).cast("long").alias("max_gap_q100"),
+            F.size(F.filter("arr", lambda x: x % 200 == 0)).alias("n_even_units"),
+            F.exists("arr", lambda x: x > 4000).alias("any_above_40"),
+            F.forall("arr", lambda x: x > 0).alias("all_positive"),
+        )
+        .orderBy("l_orderkey")
+    )

@@ -426,3 +426,109 @@ def q151_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars", "n_hits", "pick_pos")
         .orderBy("doc_id")
     )
+
+# ---------------------------------------------------------------------------
+# q164 — relational Bloom filter: build, probe, measure false positives
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 131072  # bits (1 << 17)
+_BLOOM_K = 5        # hash functions (seed prefixes '0|' .. '4|')
+
+
+@query(
+    "q164_bloom_membership",
+    oracle="""
+    WITH mem AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ), bits AS (
+      SELECT DISTINCT pos FROM (SELECT (('0x' || substr(md5(concat('0|', CAST(o_custkey AS VARCHAR))), 1, 15))::BIGINT % 131072) AS pos FROM mem UNION ALL SELECT (('0x' || substr(md5(concat('1|', CAST(o_custkey AS VARCHAR))), 1, 15))::BIGINT % 131072) AS pos FROM mem UNION ALL SELECT (('0x' || substr(md5(concat('2|', CAST(o_custkey AS VARCHAR))), 1, 15))::BIGINT % 131072) AS pos FROM mem UNION ALL SELECT (('0x' || substr(md5(concat('3|', CAST(o_custkey AS VARCHAR))), 1, 15))::BIGINT % 131072) AS pos FROM mem UNION ALL SELECT (('0x' || substr(md5(concat('4|', CAST(o_custkey AS VARCHAR))), 1, 15))::BIGINT % 131072) AS pos FROM mem)
+    ), pp AS (
+      SELECT c_custkey, 0 AS j, (('0x' || substr(md5(concat('0|', CAST(c_custkey AS VARCHAR))), 1, 15))::BIGINT % 131072) AS pos FROM customer UNION ALL SELECT c_custkey, 1 AS j, (('0x' || substr(md5(concat('1|', CAST(c_custkey AS VARCHAR))), 1, 15))::BIGINT % 131072) AS pos FROM customer UNION ALL SELECT c_custkey, 2 AS j, (('0x' || substr(md5(concat('2|', CAST(c_custkey AS VARCHAR))), 1, 15))::BIGINT % 131072) AS pos FROM customer UNION ALL SELECT c_custkey, 3 AS j, (('0x' || substr(md5(concat('3|', CAST(c_custkey AS VARCHAR))), 1, 15))::BIGINT % 131072) AS pos FROM customer UNION ALL SELECT c_custkey, 4 AS j, (('0x' || substr(md5(concat('4|', CAST(c_custkey AS VARCHAR))), 1, 15))::BIGINT % 131072) AS pos FROM customer
+    ), hits AS (
+      SELECT c_custkey, count(*) AS n_set
+      FROM pp JOIN bits USING (pos) GROUP BY c_custkey
+    ), verdict AS (
+      SELECT c.c_custkey,
+             coalesce(h.n_set, 0) = 5 AS bloom_pos,
+             m.o_custkey IS NOT NULL AS is_member
+      FROM customer c
+      LEFT JOIN hits h ON c.c_custkey = h.c_custkey
+      LEFT JOIN mem m ON c.c_custkey = m.o_custkey
+    )
+    SELECT count(*) AS n_probe,
+           count(*) FILTER (is_member) AS n_members,
+           count(*) FILTER (bloom_pos) AS n_bloom_pos,
+           count(*) FILTER (is_member AND NOT bloom_pos) AS n_false_neg,
+           count(*) FILTER (bloom_pos AND NOT is_member) AS n_false_pos
+    FROM verdict
+""",
+)
+def q164_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership as a RELATION: build an m-bit filter
+    over the customers holding 'F'-status orders, probe every customer,
+    and report exact false-positive/negative counts — the DataFrame
+    spelling of runtime row-level filtering (Spark's own
+    `bloom_filter_agg`/`might_contain` pair is internal-only in 4.x),
+    and the pre-join pruning primitive for 100 TB fact-to-fact joins.
+
+    The "filter" is the DISTINCT set of set bit positions — at most m
+    rows (~128Ki longs ≈ 1 MB) regardless of member count, so it
+    BROADCASTS to the probe side: candidate rows are eliminated
+    without shuffling the probe table, exactly the win a physical
+    bloom join buys. A probe key is positive iff ALL k seeded
+    md5-long positions are set (count of position hits == k). Both
+    engines compute the identical md5-long positions, so false-
+    positive counts match EXACTLY — the bloom guarantee (zero false
+    negatives) is asserted by the n_false_neg column, not assumed.
+    """
+    prepare_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    mem = (
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    )
+
+    def pos(key, j):
+        return F.pmod(
+            md5_long(F.concat(F.lit(f"{j}|"), key.cast("string"))), F.lit(_BLOOM_M)
+        )
+
+    bits = (
+        mem.select(
+            F.explode(
+                F.array(*[pos(F.col("o_custkey"), j) for j in range(_BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    pp = c.select(
+        "c_custkey",
+        F.explode(
+            F.array(*[pos(F.col("c_custkey"), j) for j in range(_BLOOM_K)])
+        ).alias("pos"),
+    )
+    hits = (
+        pp.join(F.broadcast(bits), "pos")
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("n_set"))
+    )
+    verdict = (
+        c.select("c_custkey")
+        .join(hits, "c_custkey", "left")
+        .join(
+            mem.select(F.col("o_custkey").alias("c_custkey"), F.lit(True).alias("is_member")),
+            "c_custkey",
+            "left",
+        )
+        .select(
+            (F.coalesce(F.col("n_set"), F.lit(0)) == _BLOOM_K).alias("bloom_pos"),
+            F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member"),
+        )
+    )
+    return verdict.agg(
+        F.count("*").alias("n_probe"),
+        F.count_if(F.col("is_member")).alias("n_members"),
+        F.count_if(F.col("bloom_pos")).alias("n_bloom_pos"),
+        F.count_if(F.col("is_member") & ~F.col("bloom_pos")).alias("n_false_neg"),
+        F.count_if(F.col("bloom_pos") & ~F.col("is_member")).alias("n_false_pos"),
+    )
