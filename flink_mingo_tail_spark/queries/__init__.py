@@ -75,88 +75,72 @@ _MODULES = (
 # The driver's CORRECTNESS pass checks a bounded prefix of the declared
 # registry (every round so far recorded exactly the first 50 entries).
 #
-# ROTATION, round 5 — drain the stale backlog (VERDICT r4 "Next round"
-# #1). 53 queries' freshest green row predates the round-3 events-loader
-# fix: 24 whose only green row is from ROUND 1 (q25, q27, q27b, q28,
-# q29, q30, q31, q33, q35, q36, q40-q45, q50-q55, q58, q59) and 29 from
-# ROUND 2 (q26b, q67-q69, q71-q77 incl. b-variants, q80-q85, q82b,
-# q87-q89, q94, q96-q99). The judge capped new queries this round so the
-# refresh isn't displaced again. The prefix below is exactly 50 names:
-#   (a) 1 new query — q139b, the skew-safe colorful triangle census the
-#       judge ordered (VERDICT #4) and asked to see a green row for;
-#   (b) 3 standing canaries from the round-4 greens (one stateful-CDC,
-#       one heavy-analytics, one Arrow-path — q145 also covers this
-#       round's featurizer pruning change); 3 not 4: with 46 + 1 + 3
-#       filling the window, the fourth canary would cost a stale slot
-#       and the judge's floor is >=46 stale refreshes;
-#   (c) the 46 oldest stale names — all 24 round-1 leftovers, then the
-#       first 22 of the 29 round-2 names in registry order.
-#
-# ROUND-6 NOTE: 7 stale names remain after this round — q88_unpivot,
-# q89_distinct_agg_minby_maxby, q94_multimodal_metadata,
-# q96_pandas_udf_scalar, q97_grouped_udaf, q98_udtf_tokenize,
-# q99_tfidf_top_term — plus two queries added late in round 5 BELOW
-# the prefix (the judge capped round-5 prefix additions, so their first
-# driver rows are deferred to round 6): q151_pps_systematic_sample and
-# q152_pq_adc_knn. Front-load those two and any round-6 additions, then
-# the 7 stale names, then canaries from the round-5 greens; after that
-# every query's freshest row is post-loader-fix and the steady state
-# is: new queries first, then oldest-green first.
+# ROTATION, round 6 — 50-entry prefix = every driver-unchecked query
+# first, then the oldest-green refresh (the steady-state policy the
+# round-5 note pre-planned):
+#   (a) 17 queries with NO driver row yet: q151/q152 (added below the
+#       capped round-5 prefix), q153-q157 (added late round 5 / early
+#       round 6), and the round-6 wave q154, q158-q167;
+#   (b) the 7 remaining names whose freshest green row is from ROUND 2
+#       (pre-loader-fix): q88, q89, q99, q94, q96, q97, q98 — after
+#       this round the stale backlog is fully drained;
+#   (c) 26 refresh slots: the oldest-green names (round 3) in registry
+#       order — doubling as canaries across the relational / CDC /
+#       streaming / dedup / UDF families.
 _NEEDS_DRIVER_ROW = (
-    # (a) new in round 5
-    "q139b_triangles_colorful",
-    # (b) standing canaries (green in round 4; re-check for regressions)
-    "q62_cdc_quorum_dedup",
-    "q125_equidepth_histogram",
-    "q145_arrow_native_features",
-    # (c1) only green row is from round 1 — oldest first, 24 names
-    "q25_collect_list_set",
-    "q27_exact_percentile",
-    "q27b_percentile_rank_select",
-    "q28_having_scalar_subquery",
-    "q29_pivot",
-    "q30_rank_topn_per_group",
-    "q31_rank_dense_ntile",
-    "q33_running_sum",
-    "q35_range_frame",
-    "q36_first_last_value",
-    "q40_union_all",
-    "q41_union_distinct",
-    "q42_intersect",
-    "q43_except",
-    "q44_intersect_all",
-    "q45_except_all",
-    "q50_string_funcs",
-    "q51_regex_split",
-    "q52_date_funcs",
-    "q53_math_funcs",
-    "q54_array_funcs",
-    "q55_explode_posexplode",
-    "q58_conditional_null",
-    "q59_hash_funcs",
-    # (c2) only green row is from round 2 — first 22 in registry order
-    "q26b_approx_percentile",
-    "q67_normalize_text",
-    "q68_embedding_quantize",
-    "q69_stratified_sample",
-    "q71_content_hash_dedup",
-    "q72_minhash_signature",
-    "q73_minhash_lsh_dedup",
-    "q73b_dedup_components",
-    "q74_simhash",
-    "q75_ngram_jaccard",
-    "q75b_decontaminate",
-    "q76_knn_bruteforce",
-    "q76b_knn_gemm",
-    "q77_embedding_near_dup",
-    "q80_token_stats",
-    "q81_lang_id",
-    "q82_quality_score",
-    "q82b_repetition_score",
-    "q83_doc_fingerprint",
-    "q84_levenshtein_datediff",
-    "q85_months_between",
-    "q87_subquery_in_exists",
+    # (a) no driver row yet — 17 names
+    "q151_pps_systematic_sample",
+    "q152_pq_adc_knn",
+    "q153_heavy_hitters",
+    "q154_set_similarity_join",
+    "q155_linear_interpolate",
+    "q156_time_weighted_avg",
+    "q157_rolling_zscore",
+    "q158_ohlc_bars",
+    "q159_ewma_truncated",
+    "q160_markov_transitions",
+    "q161_rfm_segments",
+    "q162_welch_ttest",
+    "q163_source_divergence",
+    "q164_bloom_membership",
+    "q165_kmeans_lloyd_step",
+    "q166_higher_order_funcs",
+    "q167_winsorized_stats",
+    # (b) freshest green row is round 2 — 7 names
+    "q88_unpivot",
+    "q89_distinct_agg_minby_maxby",
+    "q99_tfidf_top_term",
+    "q94_multimodal_metadata",
+    "q96_pandas_udf_scalar",
+    "q97_grouped_udaf",
+    "q98_udtf_tokenize",
+    # (c) oldest-green refresh (round 3) — 26 names
+    "q01_pricing_summary",
+    "q11_broadcast_dim_join",
+    "q20_groupby_battery",
+    "q26_approx_count_distinct",
+    "q19_salted_skew_agg",
+    "q18_multiway_join",
+    "q32_lag_lead",
+    "q34_moving_avg_rows_frame",
+    "q37_asof_join",
+    "q56_json_funcs",
+    "q57_map_funcs",
+    "q86_json_struct_access",
+    "q60_cdc_filter_pushdown",
+    "q61_cdc_envelope",
+    "q63_cdc_checkpoint_highwater",
+    "q64_cdc_resume_after_checkpoint",
+    "q65_cdc_apply_latest_state",
+    "q65b_scd2_history",
+    "q66_event_funnel",
+    "q70_exact_dedup_replay",
+    "q117_incremental_dedup",
+    "q79_knn_ivf",
+    "q118_curation_filter",
+    "q90_tumbling_window",
+    "q91_sliding_window",
+    "q92_session_window",
 )
 
 
