@@ -1,0 +1,96 @@
+"""Distributed exact global ranks / ntile without a single-partition window.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY moves every
+row to ONE task (Spark's WindowExec warns "No Partition Defined") — a
+non-starter on a 100 TB frame. These helpers compute the SAME exact
+global row numbers with bounded per-task state, using the two-level
+prefix pattern (value-range buckets -> per-bucket counts -> tiny cumsum
+-> within-bucket distributed window), the batch shape q151's systematic
+sampler already uses for cumulative character offsets.
+
+Level 1: rows bucket by ``value DIV width`` — a DATA-derived range
+bucketing, deterministic under any partitioning (unlike
+``repartitionByRange``, whose sampled boundaries are not a stable
+function of the data). Level 2: per-bucket row counts (|buckets| rows,
+bounded by the value domain / width) get an unpartitioned running-sum
+window — fine, because that frame is tiny by construction. The global
+row number is bucket offset + within-bucket ``row_number`` over a
+PARTITIONED window. Exact ntile then follows arithmetically from
+(rowno, n): SQL-standard ntile gives the first n%k buckets
+ceil(n/k) rows, i.e.
+
+    tile = if rowno <= r*(q+1): ceil(rowno/(q+1))
+           else:                r + ceil((rowno - r*(q+1))/q)
+    with q = n div k, r = n mod k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    value: Column,
+    tiebreak: Column,
+    *,
+    out: str = "rowno",
+    width: int = 64,
+) -> DataFrame:
+    """Exact 1-based global row number under ORDER BY (value, tiebreak),
+    without an unpartitioned window over the row frame.
+
+    ``value`` must be an integral column (negate it for DESC order);
+    ``tiebreak`` must make (value, tiebreak) a total order. ``width``
+    controls level-1 bucket granularity: the offsets frame has
+    (value-domain / width) rows — size it so that frame stays small
+    while per-bucket partitions stay balanced.
+    """
+    b = df.withColumn("__b", F.floor(value / F.lit(width)).cast("long")).withColumn(
+        "__v", value.cast("long")
+    )
+    counts = b.groupBy("__b").agg(F.count("*").alias("__c"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "__b", F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_in = Window.partitionBy("__b").orderBy("__v", tiebreak)
+    return (
+        b.join(F.broadcast(offs), "__b")
+        .withColumn(out, (F.col("__off") + F.row_number().over(w_in)).cast("long"))
+        .drop("__b", "__v", "__off")
+    )
+
+
+def ntile_from_rowno(rowno: Column, n: Column, k: int) -> Column:
+    """SQL-standard ntile(k) from an exact global row number and the
+    frame size n — pure arithmetic, no window."""
+    q = F.floor(n / k).cast("long")
+    r = (n % k).cast("long")
+    big = r * (q + 1)  # rows covered by the first r buckets of size q+1
+    return (
+        F.when(rowno <= big, F.ceil(rowno / (q + 1)))
+        .otherwise(r + F.ceil((rowno - big) / q))
+        .cast("int")
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    value: Column,
+    tiebreak: Column,
+    *,
+    k: int,
+    out: str,
+    width: int = 64,
+) -> DataFrame:
+    """ntile(k) OVER (ORDER BY value, tiebreak) with bounded per-task
+    state: global_row_number + the closed-form bucket assignment."""
+    with_rn = global_row_number(df, value, tiebreak, out="__rn", width=width)
+    n = with_rn.select(F.count("*").alias("__n"))
+    return (
+        with_rn.crossJoin(F.broadcast(n))
+        .withColumn(out, ntile_from_rowno(F.col("__rn"), F.col("__n"), k))
+        .drop("__rn", "__n")
+    )

@@ -128,14 +128,18 @@ def q161_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quartiles — segment 111 is the best-of-all-three cohort.
 
     The per-customer rollup is one keyed hash aggregate; the reference
-    day is a 1-row broadcast. The three ntile windows are global sorts
-    of the CUSTOMER frame (|customers| << |orders|; at 100 TB this
-    frame is the one that fits — range-partitioned sort, no single-node
-    collect). Quartile ties are broken by custkey so the cut is a total
-    order and replay-deterministic in both engines (ntile's
-    equal-split rule is the same SQL-standard algorithm in Spark and
-    DuckDB).
+    day is a 1-row broadcast. The quartile cuts do NOT use Spark's
+    ntile window: an ORDER-BY-only window moves the whole customer
+    frame to one task (WindowExec "No Partition Defined" — the
+    single-partition scale bug). Each cut instead runs
+    operators/ranks.distributed_ntile — value-bucketed exact global
+    row numbers (two-level prefix counts, the q151 pattern) + the
+    closed-form SQL-standard tile assignment — so per-task state stays
+    bounded at any customer count while remaining bit-identical to the
+    DuckDB ntile oracle. Ties are broken by custkey, so the cut is a
+    total order and replay-deterministic.
     """
+    from flink_mingo_tail_spark.operators.ranks import distributed_ntile
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey",
         F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_DAY}").alias("day"),
@@ -153,14 +157,21 @@ def q161_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_orders",
         "m_100",
     )
-    r_q = F.ntile(4).over(Window.orderBy("r_days", "o_custkey"))
-    f_q = F.ntile(4).over(Window.orderBy(F.col("f_orders").desc(), "o_custkey"))
-    m_q = F.ntile(4).over(Window.orderBy(F.col("m_100").desc(), "o_custkey"))
+    cut = rfm
+    # widths sized to the metric domains: offsets frames stay in the
+    # hundreds of rows while per-bucket partitions stay balanced
+    for value, out, width in (
+        (F.col("r_days"), "r_q", 16),
+        (-F.col("f_orders"), "f_q", 2),
+        (-F.col("m_100"), "m_q", 1_000_000),
+    ):
+        cut = distributed_ntile(
+            cut, value, F.col("o_custkey"), k=4, out=out, width=width
+        )
     return (
-        rfm.select(
-            "o_custkey", "r_days", "f_orders", "m_100",
-            r_q.alias("r_q"), f_q.alias("f_q"), m_q.alias("m_q"),
-            (r_q * 100 + f_q * 10 + m_q).alias("segment"),
+        cut.select(
+            "o_custkey", "r_days", "f_orders", "m_100", "r_q", "f_q", "m_q",
+            (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).alias("segment"),
         )
         .orderBy("o_custkey")
     )
