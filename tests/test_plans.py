@@ -417,3 +417,45 @@ def test_spread_gates_on_scan_file_count(spark, tmp_path):
     # identity return — not merely "no visible exchange": the scan is
     # handed back without any plan rewrite at all
     assert spread(many) is many
+
+
+def test_ohlc_is_one_aggregate_no_window(spark):
+    """q158's whole bar derives from ONE map-side-combinable hash
+    aggregate — no window sort, no join, one events scan."""
+    plan = plan_of(spark, "q158_ohlc_bars")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_rfm_has_no_unpartitioned_ntile_window(spark):
+    """q161 must use the distributed rank path: no ntile window node;
+    the only windows are the tiny offsets cumsums and partitioned
+    within-bucket row_numbers."""
+    plan = plan_of(spark, "q161_rfm_segments")
+    assert "ntile" not in plan
+    assert "row_number" in plan
+
+
+def test_bloom_bitset_broadcasts_to_probe(spark):
+    """q164: the bit-set side of the membership join is bounded by m
+    and must BROADCAST — the probe table is never shuffled for it."""
+    plan = plan_of(spark, "q164_bloom_membership")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_set_similarity_join_never_plans_all_pairs(spark):
+    """q154: candidate generation is a prefix equi-join on the bigram
+    key — no cartesian/nested-loop node anywhere in the plan."""
+    plan = plan_of(spark, "q154_set_similarity_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_seed_side_is_broadcast(spark):
+    """q165: the k-row seed frame broadcasts to the distance pass; the
+    corpus is never shuffled before assignment."""
+    plan = plan_of(spark, "q165_kmeans_lloyd_step")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
