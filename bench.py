@@ -86,6 +86,16 @@ HEADLINE = [
     # round 5 (below-prefix): weighted PPS systematic sample — the
     # two-level prefix-sum window pattern on the corpus path
     "q151_pps_systematic_sample",
+    # round 6: exact set-similarity self-join (prefix filtering — the
+    # lossless complement of q73's MinHash path), packed-anchor OHLC
+    # bars, distributed exact ntile (no single-partition window),
+    # relational bloom membership (broadcast bit-set), and one k-means
+    # Lloyd iteration (broadcast seeds, int64 distances)
+    "q154_set_similarity_join",
+    "q158_ohlc_bars",
+    "q161_rfm_segments",
+    "q164_bloom_membership",
+    "q165_kmeans_lloyd_step",
 ]
 
 

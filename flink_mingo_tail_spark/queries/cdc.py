@@ -401,3 +401,122 @@ def q124_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type", "o_orderkey")
     )
+
+
+@query(
+    "q168_incremental_agg_maintenance",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), new AS (
+      SELECT k, st, CASE WHEN k % 89 = 0 THEN cents + 100 ELSE cents END AS cents
+      FROM old WHERE k % 97 <> 0
+      UNION ALL
+      SELECT k + 100000000000000, st, cents FROM old WHERE k % 101 = 0
+    ), chg AS (
+      SELECT o.k AS ok, o.st AS ost, o.cents AS oc,
+             n.k AS nk, n.st AS nst, n.cents AS nc
+      FROM old o FULL OUTER JOIN new n ON o.k = n.k
+      WHERE o.k IS NULL OR n.k IS NULL OR o.cents <> n.cents OR o.st <> n.st
+    ), contrib AS (
+      SELECT ost AS st, -1 AS dn, -oc AS dc FROM chg WHERE ok IS NOT NULL
+      UNION ALL
+      SELECT nst AS st, 1 AS dn, nc AS dc FROM chg WHERE nk IS NOT NULL
+    ), base AS (
+      SELECT st, count(*) AS n0, CAST(sum(cents) AS BIGINT) AS s0
+      FROM old GROUP BY st
+    ), delta AS (
+      SELECT st, CAST(sum(dn) AS BIGINT) AS dn, CAST(sum(dc) AS BIGINT) AS dc
+      FROM contrib GROUP BY st
+    ), maintained AS (
+      SELECT coalesce(b.st, d.st) AS st,
+             coalesce(b.n0, 0) + coalesce(d.dn, 0) AS n_m,
+             coalesce(b.s0, 0) + coalesce(d.dc, 0) AS s_m
+      FROM base b FULL OUTER JOIN delta d ON b.st = d.st
+    ), recomputed AS (
+      SELECT st, count(*) AS n_r, CAST(sum(cents) AS BIGINT) AS s_r
+      FROM new GROUP BY st
+    )
+    SELECT m.st AS o_orderstatus, m.n_m AS n_maintained, m.s_m AS sum_maintained,
+           r.n_r AS n_recomputed, r.s_r AS sum_recomputed,
+           (m.n_m = r.n_r AND m.s_m = r.s_r) AS consistent
+    FROM maintained m JOIN recomputed r ON m.st = r.st
+    ORDER BY o_orderstatus
+    """,
+)
+def q168_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a grouped aggregate (count + sum per
+    order status) from a snapshot-diff changelog — materialized-view
+    maintenance: instead of re-aggregating the whole new snapshot, the
+    standing per-group totals absorb per-change contributions (delete
+    -> (-1, -cents) under the old group, insert -> (+1, +cents) under
+    the new group, update -> both rows, which also covers group-key
+    migrations). The recomputed aggregate is produced alongside and the
+    `consistent` column proves maintained == recomputed per group.
+
+    Scale shape: the contribution aggregate touches only the CHANGED
+    rows (~3% here, arbitrarily small in steady state) and the standing
+    totals are |groups| rows — the O(delta) nightly update versus the
+    O(corpus) re-aggregation, the same asymmetry the standing dedup
+    index (q117) buys for dedup. Snapshots reuse q124's deterministic
+    simulation so both engines build bit-identical inputs.
+    """
+    o = _t(spark, sf_dir, "orders")
+    old = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    kept = old.filter(F.col("k") % 97 != 0).select(
+        "k", "st",
+        F.when(F.col("k") % 89 == 0, F.col("cents") + 100).otherwise(F.col("cents")).alias("cents"),
+    )
+    cloned = old.filter(F.col("k") % 101 == 0).select(
+        (F.col("k") + F.lit(100_000_000_000_000)).alias("k"), "st", "cents"
+    )
+    new = kept.unionAll(cloned)
+    oo, nn = old.alias("o"), new.alias("n")
+    chg = (
+        oo.join(nn, F.col("o.k") == F.col("n.k"), "full_outer")
+        .filter(
+            F.col("o.k").isNull() | F.col("n.k").isNull()
+            | (F.col("o.cents") != F.col("n.cents")) | (F.col("o.st") != F.col("n.st"))
+        )
+        .select(
+            F.col("o.k").alias("ok"), F.col("o.st").alias("ost"), F.col("o.cents").alias("oc"),
+            F.col("n.k").alias("nk"), F.col("n.st").alias("nst"), F.col("n.cents").alias("nc"),
+        )
+    )
+    contrib = chg.filter(F.col("ok").isNotNull()).select(
+        F.col("ost").alias("st"), F.lit(-1).alias("dn"), (-F.col("oc")).alias("dc")
+    ).unionAll(
+        chg.filter(F.col("nk").isNotNull()).select(
+            F.col("nst").alias("st"), F.lit(1).alias("dn"), F.col("nc").alias("dc")
+        )
+    )
+    base = old.groupBy("st").agg(F.count("*").alias("n0"), F.sum("cents").alias("s0"))
+    delta = contrib.groupBy("st").agg(F.sum("dn").alias("dn"), F.sum("dc").alias("dc"))
+    maintained = (
+        base.alias("b")
+        .join(delta.alias("d"), F.col("b.st") == F.col("d.st"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.st"), F.col("d.st")).alias("st"),
+            (F.coalesce(F.col("n0"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias("n_m"),
+            (F.coalesce(F.col("s0"), F.lit(0)) + F.coalesce(F.col("dc"), F.lit(0))).alias("s_m"),
+        )
+    )
+    recomputed = new.groupBy("st").agg(F.count("*").alias("n_r"), F.sum("cents").alias("s_r"))
+    return (
+        maintained.join(recomputed, "st")
+        .select(
+            F.col("st").alias("o_orderstatus"),
+            F.col("n_m").alias("n_maintained"),
+            F.col("s_m").alias("sum_maintained"),
+            F.col("n_r").alias("n_recomputed"),
+            F.col("s_r").alias("sum_recomputed"),
+            ((F.col("n_m") == F.col("n_r")) & (F.col("s_m") == F.col("s_r"))).alias("consistent"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -49,6 +49,12 @@ FLAGSHIP = {
     "q146_theta_set_algebra": "exact cohort flags + both theta sketches from ONE orders scan and one custkey shuffle; set algebra on the final 1-row frame, zero joins",
     "q147_kll_quantile_rollup": "per-priority KLL sketches; both grains via explode + kll_merge_agg (one sketch-side scan); rank audit broadcast-joins the 6-row estimate frame",
     "q151_pps_systematic_sample": "two-level prefix sums: per-bucket running sum partition-parallel, ONE SinglePartition exchange over bucket totals only, offsets broadcast back; range-partitioned output sort",
+    "q154_set_similarity_join": "AllPairs/PPJoin prefix filtering: df-ranked prefix equi-join on single bigram keys + exact verify — no all-pairs node anywhere",
+    "q158_ohlc_bars": "whole OHLCV bar as ONE codegen HashAggregate via packed-long anchors (struct anchors would demote to SortAggregate)",
+    "q161_rfm_segments": "distributed exact ntile: value-bucket prefix counts + partitioned within-bucket windows; no single-partition ntile window",
+    "q163_source_divergence": "token-distribution distances via INNER join only (out-of-vocab mass folded in algebraically); terms summed as scaled longs",
+    "q164_bloom_membership": "bloom bit-set as a bounded relation (<= m rows) BROADCAST to the probe; k-position hit count == k, probe never shuffles",
+    "q165_kmeans_lloyd_step": "k-row seed broadcast to the narrow corpus distance pass; min-struct argmin aggregate; only (cid, pos) mean shuffles after",
 }
 
 #: hand-maintained PLANS.md sections that must survive regeneration

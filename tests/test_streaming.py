@@ -424,3 +424,67 @@ def test_quorum_rocksdb_state_store_same_semantics(spark, tmpdirs):
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     hs = sorted(r.h for r in spark.sql("SELECT h FROM quorum_rocks_out").collect())
     assert hs == sorted(1000 + i for i in range(12) if i != 10)
+
+
+def test_streaming_ohlc_matches_batch_q158(spark, tmp_path):
+    """Streaming OHLC bars via the packed-anchor aggregate (q158's
+    shape under a 1-day tumbling window with a watermark) == the batch
+    q158 result on the same rows — the compaction runs as a plain
+    watermarked windowed agg, no custom state."""
+    from flink_mingo_tail_spark.queries import load_registry
+    from flink_mingo_tail_spark.tables import load_table
+
+    US_DAY = 86_400_000_000
+    VBITS = 1 << 18
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    t = stream.select(
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v100"),
+    ).withColumn(
+        "packed",
+        F.expr(f"unix_micros(ts) % {US_DAY}") * VBITS + F.col("v100"),
+    )
+    agg = (
+        t.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day"), F.col("event_type"))
+        .agg(
+            (F.min("packed") % VBITS).alias("open_100"),
+            F.max("v100").alias("high_100"),
+            F.min("v100").alias("low_100"),
+            (F.max("packed") % VBITS).alias("close_100"),
+            F.count("*").alias("n_events"),
+            F.sum("v100").alias("vol_100"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ohlc_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (
+            r["window"].start.date().toordinal(), r["event_type"], r["open_100"],
+            r["high_100"], r["low_100"], r["close_100"], r["n_events"], r["vol_100"],
+        )
+        for r in spark.sql("SELECT * FROM ohlc_out").collect()
+    }
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1).toordinal()
+    want = {
+        (
+            r["day_idx"] + epoch, r["event_type"], r["open_100"], r["high_100"],
+            r["low_100"], r["close_100"], r["n_events"], r["vol_100"],
+        )
+        for r in load_registry()["q158_ohlc_bars"].fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want
