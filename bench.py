@@ -121,6 +121,9 @@ LARGE_OUTPUT = {
     # 1510 pairs at 1x -> 16.5M at 10x, measured) — collect() would
     # time a 16.5M-row transfer, not the join
     "q140_levenshtein_pairs",
+    # same copy-corpus quadratic-output shape: every document gains N-1
+    # exact copies, all Jaccard-1.0 true pairs
+    "q154_set_similarity_join",
 }
 
 

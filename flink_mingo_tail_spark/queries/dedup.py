@@ -635,12 +635,21 @@ def q154_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     time, never correctness — which is why the oracle can be the
     unblocked all-pairs spelling.
 
-    Scale shape: the only corpus-wide shuffles are the bigram-frequency
-    aggregate and the prefix equi-join on single bigram keys (AQE skew
-    handling applies); nothing all-pairs ever materializes. NOTE on
-    this fixture: a 916-bigram vocabulary makes even rare prefixes
-    collide broadly (like q140's corpus, SCALE.md) — at real corpus
-    vocabularies the rarest-first prefix is what makes this sublinear.
+    Scale shape: exact-duplicate sets are COLLAPSED before the join
+    (md5 over the sorted bigram list), so the prefix equi-join runs
+    over DISTINCT sets only — on duplicate-heavy corpora the naive
+    join's candidate count grows with the square of the copy
+    multiplicity inside every prefix bucket (the 10x probe corpus
+    wedged exactly this way before the collapse, SCALE.md), while the
+    collapsed join is invariant to it; identical-set pairs (J = 1
+    closed-form, no verification) and rep-match expansions are emitted
+    afterwards and are output-bound. The only corpus-wide shuffles are
+    the bigram-frequency aggregate and the prefix equi-join on single
+    bigram keys (AQE skew handling applies); nothing all-pairs ever
+    materializes. NOTE on this fixture: a 916-bigram vocabulary makes
+    even rare prefixes collide broadly (like q140's corpus, SCALE.md)
+    — at real corpus vocabularies the rarest-first prefix is what
+    makes this sublinear.
     """
     tau_num, tau_den = 1, 2  # tau = 0.5
     d = _t(spark, sf_dir, "documents").select(
@@ -648,43 +657,121 @@ def q154_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # single-token documents have EMPTY bigram sets; a pair of them would
     # hit union = 0 (a 0/0 Jaccard) — exclude empty sets outright
-    sets = d.withColumn("sz", F.size("st")).filter(F.col("sz") > 0)
-    tok = sets.select("doc_id", "sz", F.explode("st").alias("bg"))
+    docs = d.withColumn("sz", F.size("st")).filter(F.col("sz") > 0)
+    # DUPLICATE COLLAPSE: real corpora (and the id-shifted probe corpus,
+    # SCALE.md) are exact-duplicate-heavy, and identical sets would
+    # multiply every prefix bucket — candidates grow with the SQUARE of
+    # the copy count. Join DISTINCT sets only; identical-set pairs are
+    # emitted closed-form (J = 1) and rep-level matches re-expand to
+    # member pairs afterwards. Both expansions are output-bound.
+    keyed = docs.withColumn(
+        "skey", F.md5(F.concat_ws("\x1f", F.sort_array("st")))
+    )
+    members = keyed.select("skey", "doc_id")
+    sets = (
+        keyed.groupBy("skey")
+        .agg(F.min("st").alias("st"), F.min("sz").alias("sz"))
+    )
+    tok = sets.select("skey", "sz", F.explode("st").alias("bg"))
     dfreq = tok.groupBy("bg").agg(F.count("*").alias("df"))
     ranked = tok.join(dfreq, "bg").withColumn(
         "pos",
-        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "bg")),
+        F.row_number().over(Window.partitionBy("skey").orderBy("df", "bg")),
     )
     # prefix length |s| - ceil(tau*|s|) + 1 with ceil done in integers
     prefix_len = F.col("sz") - F.expr(
         f"CAST(ceil({tau_num} * sz / {tau_den}.0) AS INT)"
     ) + F.lit(1)
-    prefix = ranked.filter(F.col("pos") <= prefix_len).select("doc_id", "sz", "bg")
-    pairs = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "bg")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    # lb = floor(log2(sz)) via bin-string length — EXACT integer, no
+    # float log. J >= 1/2 forces a size ratio <= 2, so matching sizes
+    # differ by at most one lb step: the b side emits {lb-1, lb, lb+1}
+    # and (bg, lb) becomes the join key — ~6x the key cardinality of
+    # bg alone, which both splits the hot prefix buckets that AQE's
+    # byte-based skew split cannot see (join output is quadratic in a
+    # bucket while its INPUT bytes stay tiny) and prunes cross-size
+    # false candidates before they exist.
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select(
+        "skey", "sz", "bg", "pos", F.expr("length(bin(sz)) - 1").alias("lb")
+    )
+    a = prefix.alias("a")
+    b = prefix.select(
+        "skey", "sz", "bg", "pos",
+        F.explode(
+            F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)
+        ).alias("lb"),
+    ).alias("b")
+    # PPJoin positional filter: a shared prefix gram at positions
+    # (pa, pb) caps the achievable overlap at 1 + min(sa-pa, sb-pb);
+    # J >= 1/2 needs overlap >= ceil((sa+sb)/3). The FIRST shared gram
+    # under the global order always satisfies the cap for a true pair,
+    # so filtering each joined row is lossless (Xiao et al. VLDB'08).
+    alpha = F.floor((F.col("a.sz") + F.col("b.sz") + F.lit(2)) / F.lit(3))
+    ubound = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+    )
+    cand = (
+        a.join(b, (F.col("a.bg") == F.col("b.bg")) & (F.col("a.lb") == F.col("b.lb")))
+        .filter(F.col("a.skey") < F.col("b.skey"))
         # length filter: J >= tau needs tau*max(|A|,|B|) <= min(|A|,|B|)
         .filter(
             F.least(F.col("a.sz"), F.col("b.sz")) * tau_den
             >= F.greatest(F.col("a.sz"), F.col("b.sz")) * tau_num
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .filter(ubound >= alpha)
+        .select(F.col("a.skey").alias("ka"), F.col("b.skey").alias("kb"))
         .distinct()
     )
-    verified = (
-        pairs.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("st").alias("sa")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("st").alias("sb")), "doc_b")
+    # The verify stage is CPU-bound (array_intersect per candidate),
+    # but its shuffle inputs are byte-small, so AQE coalesces it to a
+    # handful of partitions and the intersects serialize (measured:
+    # 38.5 s on 3 post-coalesce tasks vs ~6 s wide at 1x, SCALE.md).
+    # Explicit key repartitions are user-specified and exempt from AQE
+    # coalescing, pinning the verify joins at full width.
+    n_verify = spark.sparkContext.defaultParallelism * 2
+    rep_pairs = (
+        cand.repartition(n_verify, "ka")
+        .join(sets.select(F.col("skey").alias("ka"), F.col("st").alias("sa")), "ka")
+        .repartition(n_verify, "kb")
+        .join(sets.select(F.col("skey").alias("kb"), F.col("st").alias("sb")), "kb")
         .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
         .withColumn("un", F.size("sa") + F.size("sb") - F.col("inter"))
         .filter(F.col("inter") * tau_den >= F.col("un") * tau_num)
+        .select("ka", "kb", "inter", "un")
     )
-    return verified.select(
-        "doc_a",
-        "doc_b",
-        "inter",
-        "un",
-        F.round(F.col("inter") * F.lit(1000000.0) / F.col("un"), 0)
-        .cast("long")
-        .alias("jacc_micro"),
-    ).orderBy("doc_a", "doc_b")
+    # expand rep matches to member pairs (distinct sets => doc ids differ)
+    cross = (
+        rep_pairs.join(members.select(F.col("skey").alias("ka"), F.col("doc_id").alias("ida")), "ka")
+        .join(members.select(F.col("skey").alias("kb"), F.col("doc_id").alias("idb")), "kb")
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            "inter",
+            "un",
+        )
+    )
+    # identical-set pairs: J = 1 by construction, no verification needed
+    same = (
+        members.alias("a")
+        .join(members.alias("b"), "skey")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .join(sets.select("skey", "sz"), "skey")
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("sz").alias("inter"),
+            F.col("sz").alias("un"),
+        )
+    )
+    return (
+        cross.unionByName(same)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "un",
+            F.round(F.col("inter") * F.lit(1000000.0) / F.col("un"), 0)
+            .cast("long")
+            .alias("jacc_micro"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -119,6 +119,16 @@ PROBES = [
     "q147_kll_quantile_rollup",
     "q95_multimodal_features",
     "q145_arrow_native_features",
+    # round 6: the exact set-similarity join (prefix filtering; output
+    # quadratic on THIS corpus like q140 — noop-sinked, growth judged
+    # against the pair count), the distributed-ntile customer cut, the
+    # source-divergence token join, one k-means Lloyd iteration, and
+    # O(delta) aggregate maintenance
+    "q154_set_similarity_join",
+    "q161_rfm_segments",
+    "q163_source_divergence",
+    "q165_kmeans_lloyd_step",
+    "q168_incremental_agg_maintenance",
 ]
 
 
