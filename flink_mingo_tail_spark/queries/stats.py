@@ -407,3 +407,64 @@ def q167_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q169 — categorical profile: mode + Gini impurity per event type
+# ---------------------------------------------------------------------------
+
+@query(
+    "q169_mode_gini_profile",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v100 FROM events
+    ), c AS (
+      SELECT event_type, v100, count(*) AS c FROM t GROUP BY event_type, v100
+    )
+    SELECT event_type,
+           first(v100 ORDER BY c DESC, v100) AS mode_100,
+           CAST(max(c) AS BIGINT) AS n_mode,
+           count(*) AS n_distinct,
+           CAST(sum(c) AS BIGINT) AS n,
+           CAST((sum(c)*sum(c) - sum(c*c)) * 1000000 // (sum(c)*sum(c)) AS BIGINT)
+             AS gini_ppm
+    FROM c GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q169_mode_gini_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical column profile per event type: the mode (most
+    frequent value, ties to the smallest), its support, distinct
+    count, and Gini impurity 1 - sum(p^2) — the concentration metric
+    that needs NO logarithm, so unlike Shannon entropy it is exactly
+    computable in integers and bit-matched across engines:
+    gini_ppm = (n^2 - sum(c^2)) * 1e6 DIV n^2 (n <= 6e5 at sf0.1 keeps
+    every product under 2^62).
+
+    Two hash aggregates: the (type, value) count frame is bounded by
+    the value domain times the type count regardless of event volume,
+    so the second pass — including the argmax-by-count struct min —
+    runs over a frame that never scales with the corpus.
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("v100")
+    )
+    c = e.groupBy("event_type", "v100").agg(F.count("*").alias("c"))
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.min(F.struct((-F.col("c")).alias("cneg"), F.col("v100")))
+            .getField("v100")
+            .alias("mode_100"),
+            F.max("c").alias("n_mode"),
+            F.count("*").alias("n_distinct"),
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.col("c")).alias("__s2"),
+        )
+        # integer DIV, not float division: the ppm numerator exceeds
+        # 2^53 once n > ~3e6 and double rounding would drift off the
+        # oracle's exact // by one ulp-sized step
+        .withColumn("gini_ppm", F.expr("(n * n - __s2) * 1000000 DIV (n * n)"))
+        .drop("__s2")
+        .orderBy("event_type")
+    )
