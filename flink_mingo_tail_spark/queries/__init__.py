@@ -78,17 +78,17 @@ _MODULES = (
 # ROTATION, round 6 — 50-entry prefix = every driver-unchecked query
 # first, then the oldest-green refresh (the steady-state policy the
 # round-5 note pre-planned):
-#   (a) 19 queries with NO driver row yet: q151/q152 (added below the
+#   (a) 20 queries with NO driver row yet: q151/q152 (added below the
 #       capped round-5 prefix), q153-q157 (added late round 5 / early
-#       round 6), and the round-6 wave q154, q158-q169;
+#       round 6), and the round-6 wave q154, q158-q170;
 #   (b) the 7 remaining names whose freshest green row is from ROUND 2
 #       (pre-loader-fix): q88, q89, q99, q94, q96, q97, q98 — after
 #       this round the stale backlog is fully drained;
-#   (c) 24 refresh slots: the oldest-green names (round 3) in registry
+#   (c) 23 refresh slots: the oldest-green names (round 3) in registry
 #       order — doubling as canaries across the relational / CDC /
 #       streaming / dedup / UDF families.
 _NEEDS_DRIVER_ROW = (
-    # (a) no driver row yet — 19 names
+    # (a) no driver row yet — 20 names
     "q151_pps_systematic_sample",
     "q152_pq_adc_knn",
     "q153_heavy_hitters",
@@ -108,6 +108,7 @@ _NEEDS_DRIVER_ROW = (
     "q167_winsorized_stats",
     "q168_incremental_agg_maintenance",
     "q169_mode_gini_profile",
+    "q170_semdedup_prune",
     # (b) freshest green row is round 2 — 7 names
     "q88_unpivot",
     "q89_distinct_agg_minby_maxby",
@@ -116,7 +117,7 @@ _NEEDS_DRIVER_ROW = (
     "q96_pandas_udf_scalar",
     "q97_grouped_udaf",
     "q98_udtf_tokenize",
-    # (c) oldest-green refresh (round 3) — 24 names
+    # (c) oldest-green refresh (round 3) — 23 names
     "q01_pricing_summary",
     "q11_broadcast_dim_join",
     "q20_groupby_battery",
@@ -140,7 +141,6 @@ _NEEDS_DRIVER_ROW = (
     "q117_incremental_dedup",
     "q79_knn_ivf",
     "q118_curation_filter",
-    "q90_tumbling_window",
 )
 
 

@@ -499,3 +499,62 @@ def q152_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_pq_adc(
         queries, encoded, e, TOP_K, books, shortlist=_PQ_SHORTLIST
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# q170 — SemDeDup: within-cell semantic dedup prune
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.25  # within-cell cosine above this = semantic duplicate
+
+
+@query(
+    "q170_semdedup_prune",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+    d AS (
+        SELECT DISTINCT a.vec_id
+        FROM e a JOIN e b ON a.label = b.label AND b.vec_id < a.vec_id
+        WHERE round({SQL_COSINE.format(a="a.emb", b="b.emb")}, 6) >= {_SEMDEDUP_TAU}
+    )
+    SELECT e.vec_id, e.label
+    FROM e LEFT JOIN d USING (vec_id)
+    WHERE d.vec_id IS NULL
+    ORDER BY e.vec_id
+    """,
+)
+def q170_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023 shape): within each
+    cluster cell, drop every vector that has a cosine >= tau neighbor
+    with a smaller vec_id — the deterministic, set-based spelling of
+    "keep one representative per epsilon-ball". Oracle-exact (not
+    accuracy-gated): both engines threshold the same 6-digit-rounded
+    cosine, so the kept set hash-matches.
+
+    Scale: the pair space is Sigma |cell|^2, NOT n^2 — candidate
+    generation is an equi-join on the cell key (shuffled, AQE
+    skew-split if one cell balloons) with the id ordering and the
+    cosine threshold applied inside the join stage, and the prune is a
+    left-anti join on vec_id. At 100 TB the cells come from the
+    distributed k-means already in operators/similarity.py (q104
+    assigns, q165 runs Lloyd steps); cell balance is exactly what
+    bounds the quadratic term in the SemDeDup paper's
+    k-means-then-intra-cluster design. Here the fixture's `label`
+    column plays the cell id so the oracle stays engine-neutral.
+    """
+    e = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    dup = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(
+            rounded_cosine(F.col("a.embedding"), F.col("b.embedding"))
+            >= _SEMDEDUP_TAU
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return e.join(dup, "vec_id", "left_anti").select("vec_id", "label").orderBy("vec_id")
