@@ -96,6 +96,9 @@ HEADLINE = [
     "q161_rfm_segments",
     "q164_bloom_membership",
     "q165_kmeans_lloyd_step",
+    # late round 6: SemDeDup within-cell prune — the cell-key equi-join
+    # that bounds the pair space (sum of cell sizes squared, not n^2)
+    "q170_semdedup_prune",
 ]
 
 

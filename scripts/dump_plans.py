@@ -55,6 +55,7 @@ FLAGSHIP = {
     "q163_source_divergence": "token-distribution distances via INNER join only (out-of-vocab mass folded in algebraically); terms summed as scaled longs",
     "q164_bloom_membership": "bloom bit-set as a bounded relation (<= m rows) BROADCAST to the probe; k-position hit count == k, probe never shuffles",
     "q165_kmeans_lloyd_step": "k-row seed broadcast to the narrow corpus distance pass; min-struct argmin aggregate; only (cid, pos) mean shuffles after",
+    "q170_semdedup_prune": "cell-key equi-join bounds the pair space (sum |cell|^2, never n^2); id-order + cosine threshold ride the join stage; LeftAnti prune on vec_id",
 }
 
 #: hand-maintained PLANS.md sections that must survive regeneration

@@ -129,6 +129,13 @@ PROBES = [
     "q163_source_divergence",
     "q165_kmeans_lloyd_step",
     "q168_incremental_agg_maintenance",
+    # late round 6: SemDeDup prune. Id-shifted copies multiply every
+    # CELL's population by N with the cell count fixed, so the pair
+    # space grows ~N^2 BY CONSTRUCTION — the probe tracks that the cost
+    # is exactly the pair count (no hidden extra step); the production
+    # control is k ∝ n (more centroids, bounded cell size), not a
+    # different plan. See SCALE.md note.
+    "q170_semdedup_prune",
 ]
 
 

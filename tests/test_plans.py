@@ -459,3 +459,14 @@ def test_kmeans_seed_side_is_broadcast(spark):
     plan = plan_of(spark, "q165_kmeans_lloyd_step")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_candidates_are_cell_equi_join(spark):
+    """q170: the pair space must be bounded by the cell key — candidate
+    generation is an equi-join on `label` (hash/sort-merge at scale),
+    never a cartesian/nested-loop over the corpus; the prune is an
+    anti-join on vec_id."""
+    plan = plan_of(spark, "q170_semdedup_prune")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan

@@ -165,3 +165,46 @@ def test_ivfpq_composition_recall(spark):
     for r in approx:
         if (r.query_id, r.vec_id) in exact_scores:
             assert r.cos_sim == exact_scores[(r.query_id, r.vec_id)]
+
+
+def test_semdedup_kept_set_is_independent_at_tau(spark):
+    """q170 invariant: if two kept rows in one cell had cosine >= tau,
+    the larger-id one would have been dropped — so the kept set is an
+    independent set at the (rounded) threshold within every cell; and
+    every dropped row has at least one smaller-id >= tau neighbor."""
+    import itertools
+    import math
+
+    from flink_mingo_tail_spark.queries.similarity import _SEMDEDUP_TAU
+
+    kept_rows = REGISTRY["q170_semdedup_prune"].fn(spark, SF_ORACLE).collect()
+    kept = {r.vec_id for r in kept_rows}
+
+    from flink_mingo_tail_spark.tables import load_table
+
+    all_rows = load_table(spark, SF_ORACLE, "embeddings").collect()
+    by_cell: dict[int, list] = {}
+    for r in all_rows:
+        by_cell.setdefault(r.label, []).append(r)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    dropped_with_witness = set()
+    for cell in by_cell.values():
+        cell.sort(key=lambda r: r.vec_id)
+        for a, b in itertools.combinations(cell, 2):  # a.vec_id < b.vec_id
+            c = cos([float(x) for x in a.embedding], [float(x) for x in b.embedding])
+            if c >= _SEMDEDUP_TAU:
+                assert not (a.vec_id in kept and b.vec_id in kept), (
+                    f"kept pair ({a.vec_id},{b.vec_id}) cos={c}"
+                )
+                dropped_with_witness.add(b.vec_id)
+
+    dropped = {r.vec_id for r in all_rows} - kept
+    assert dropped == dropped_with_witness, (
+        "dropped set must equal rows having a smaller-id >= tau neighbor"
+    )
