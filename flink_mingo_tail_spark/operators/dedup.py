@@ -211,8 +211,21 @@ def _read_index_manifest(spark, path: str) -> dict | None:
     driver-side open() that would break off-box."""
     try:
         row = spark.read.schema(_MANIFEST_SCHEMA).parquet(f"{path}/manifest").head()
-    except Exception:
-        return None
+    except Exception as exc:  # narrow below: only "path missing" means pre-manifest
+        # ADVICE round 6: a transient IO/permission error must NOT be
+        # read as "pre-manifest index" — that would let caller-supplied
+        # parameters override the real manifest (the exact misrouting
+        # the manifest exists to prevent). Only the path-not-found
+        # family maps to None.
+        msg = str(exc)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "FileNotFoundException" in msg
+            or "No such file or directory" in msg
+        ):
+            return None
+        raise
     return None if row is None else row.asDict()
 
 

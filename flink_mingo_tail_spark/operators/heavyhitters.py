@@ -67,20 +67,30 @@ def mg_partition_summaries(items: DataFrame, col: str, capacity: int) -> DataFra
     """Pass 1: one Misra-Gries summary per input partition.
 
     ``items`` is a single-column stream of occurrences (one row per
-    occurrence). Returns at most ``capacity`` rows per partition with
-    the summary's lower-bound counts — input to candidate selection.
-    """
+    occurrence). Returns at most ``capacity + 1`` rows per partition:
+    the summary's lower-bound counts (candidate input) plus ONE marker
+    row with ``{col} IS NULL`` carrying the partition's total row count
+    in ``cnt_lb`` — so the caller gets n_total without a separate
+    corpus scan (ADVICE round 6: the operator promised two scans but
+    ran three). The output item type mirrors ``items.schema[col]``
+    instead of assuming string."""
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: dict = {}
+        n_rows = 0
         for pdf in batches:
             if len(pdf):
+                n_rows += len(pdf)
                 _mg_absorb(counts, pdf[col].value_counts(), capacity)
         yield pd.DataFrame(
-            {col: pd.Series(list(counts), dtype="object"), "cnt_lb": list(counts.values())}
+            {
+                col: pd.Series([*counts, None], dtype="object"),
+                "cnt_lb": pd.Series([*counts.values(), n_rows], dtype="int64"),
+            }
         )
 
-    return items.mapInPandas(summarize, schema=f"{col} string, cnt_lb long")
+    item_type = items.schema[col].dataType.simpleString()
+    return items.mapInPandas(summarize, schema=f"{col} {item_type}, cnt_lb long")
 
 
 def exact_heavy_hitters(items: DataFrame, col: str, k: int, capacity: int | None = None) -> DataFrame:
@@ -95,12 +105,15 @@ def exact_heavy_hitters(items: DataFrame, col: str, k: int, capacity: int | None
         capacity = k
     if capacity < k:
         raise ValueError(f"capacity {capacity} < k {k} breaks the superset guarantee")
-    candidates = (
-        mg_partition_summaries(items, col, capacity)
-        .select(col)
-        .distinct()
+    # Persist the tiny summary frame (O(capacity x partitions) rows) so
+    # that reading it twice — candidate set + marker-row totals — does
+    # NOT rescan `items`: the corpus is scanned exactly twice (pass 1
+    # above, verify below), as the module contract promises.
+    summaries = mg_partition_summaries(items, col, capacity).persist()
+    candidates = summaries.filter(F.col(col).isNotNull()).select(col).distinct()
+    totals = summaries.filter(F.col(col).isNull()).agg(
+        F.coalesce(F.sum("cnt_lb"), F.lit(0)).alias("n_total")
     )
-    totals = items.agg(F.count("*").alias("n_total"))
     return (
         items.join(F.broadcast(candidates), on=col, how="left_semi")
         .groupBy(col)

@@ -47,8 +47,12 @@ def global_row_number(
     (value-domain / width) rows — size it so that frame stays small
     while per-bucket partitions stay balanced.
     """
-    b = df.withColumn("__b", F.floor(value / F.lit(width)).cast("long")).withColumn(
-        "__v", value.cast("long")
+    # Integer floor-div (ADVICE round 6): the double spelling
+    # floor(value / width) is exact only below 2^53 — a - pmod(a, b) is
+    # an exact multiple of b, so `div` (truncating) equals floor here,
+    # all in int64.
+    b = df.withColumn("__v", value.cast("long")).withColumn(
+        "__b", F.expr(f"(__v - pmod(__v, {int(width)})) div {int(width)}")
     )
     counts = b.groupBy("__b").agg(F.count("*").alias("__c"))
     w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
@@ -63,17 +67,22 @@ def global_row_number(
     )
 
 
-def ntile_from_rowno(rowno: Column, n: Column, k: int) -> Column:
-    """SQL-standard ntile(k) from an exact global row number and the
-    frame size n — pure arithmetic, no window."""
-    q = F.floor(n / k).cast("long")
-    r = (n % k).cast("long")
-    big = r * (q + 1)  # rows covered by the first r buckets of size q+1
-    return (
-        F.when(rowno <= big, F.ceil(rowno / (q + 1)))
-        .otherwise(r + F.ceil((rowno - big) / q))
-        .cast("int")
-    )
+def ntile_from_rowno(rowno: str, n: str, k: int) -> Column:
+    """SQL-standard ntile(k) from an exact global row number column
+    (named ``rowno``, 1-based) and the frame-size column (named ``n``)
+    — pure int64 arithmetic (`div`/`%`), no window, exact at any
+    magnitude. The prior double spelling (floor(n/k), ceil(rowno/(q+1)))
+    drifts by one rank once operands exceed 2^53 (ADVICE round 6).
+    ceil(a/b) for a >= 0, b > 0 is (a + b - 1) div b; when n < k the
+    ELSE divisor q is 0 but rowno <= r*(q+1) = n always takes the WHEN
+    branch, so the div-by-zero leg never evaluates."""
+    q = f"({n} div {k})"
+    r = f"({n} % {k})"
+    big = f"({r} * ({q} + 1))"  # rows covered by the first r buckets of size q+1
+    return F.expr(
+        f"CASE WHEN {rowno} <= {big} THEN ({rowno} + {q}) div ({q} + 1) "
+        f"ELSE {r} + ({rowno} - {big} + {q} - 1) div {q} END"
+    ).cast("int")
 
 
 def distributed_ntile(
@@ -91,6 +100,6 @@ def distributed_ntile(
     n = with_rn.select(F.count("*").alias("__n"))
     return (
         with_rn.crossJoin(F.broadcast(n))
-        .withColumn(out, ntile_from_rowno(F.col("__rn"), F.col("__n"), k))
+        .withColumn(out, ntile_from_rowno("__rn", "__n", k))
         .drop("__rn", "__n")
     )

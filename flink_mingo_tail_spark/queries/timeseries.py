@@ -50,7 +50,8 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH obs AS (
       SELECT user_id, epoch_us(ts) AS us,
-             CAST(round(value * 100) AS BIGINT) AS v100
+             CAST(round(value * 100) AS BIGINT) AS v100,
+             event_id AS eid
       FROM events WHERE event_type = 'purchase'
     ), bounds AS (
       SELECT user_id, MIN(us) AS mn, MAX(us) AS mx FROM obs GROUP BY user_id
@@ -59,22 +60,22 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    mx // {_US_DAY} + 1)) AS day_idx
       FROM bounds
     ), u AS (
-      SELECT user_id, us, 0 AS kind, v100, NULL::BIGINT AS day_idx FROM obs
+      SELECT user_id, us, 0 AS kind, v100, NULL::BIGINT AS day_idx, eid FROM obs
       UNION ALL
       SELECT user_id, day_idx * {_US_DAY} AS us, 1 AS kind,
-             NULL::BIGINT AS v100, day_idx
+             NULL::BIGINT AS v100, day_idx, CAST(-1 AS BIGINT) AS eid
       FROM grid
     ), n AS (
       SELECT *,
-        last_value(v100 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, kind
+        last_value(v100 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, kind, eid
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
         last_value(CASE WHEN kind = 0 THEN us END IGNORE NULLS)
-          OVER (PARTITION BY user_id ORDER BY us, kind
+          OVER (PARTITION BY user_id ORDER BY us, kind, eid
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pus,
-        first_value(v100 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, kind
+        first_value(v100 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, kind, eid
           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
         first_value(CASE WHEN kind = 0 THEN us END IGNORE NULLS)
-          OVER (PARTITION BY user_id ORDER BY us, kind
+          OVER (PARTITION BY user_id ORDER BY us, kind, eid
           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nus
       FROM u
     )
@@ -104,7 +105,7 @@ def q155_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = (
         _events(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
-        .select("user_id", "us", "v100")
+        .select("user_id", "us", "v100", F.col("event_id").alias("eid"))
     )
     bounds = obs.groupBy("user_id").agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
     grid = bounds.select(
@@ -117,7 +118,12 @@ def q155_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("day_idx"),
     )
     u = obs.select(
-        "user_id", "us", F.lit(0).alias("kind"), "v100", F.lit(None).cast("long").alias("day_idx")
+        "user_id",
+        "us",
+        F.lit(0).alias("kind"),
+        "v100",
+        F.lit(None).cast("long").alias("day_idx"),
+        "eid",
     ).unionAll(
         grid.select(
             "user_id",
@@ -125,9 +131,13 @@ def q155_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).alias("kind"),
             F.lit(None).cast("long").alias("v100"),
             "day_idx",
+            F.lit(-1).cast("long").alias("eid"),
         )
     )
-    w = Window.partitionBy("user_id").orderBy("us", "kind")
+    # eid tiebreak: two purchases in one microsecond would otherwise make
+    # pv/nv (last/first over a ROWS frame) physical-order-dependent. Grid
+    # rows carry eid = -1 but are unique per (user_id, us, kind) anyway.
+    w = Window.partitionBy("user_id").orderBy("us", "kind", "eid")
     back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     obs_us = F.when(F.col("kind") == 0, F.col("us"))
@@ -313,13 +323,18 @@ _OHLC_VBITS = 1 << 18  # v100 field width inside the packed anchor
 @query(
     "q158_ohlc_bars",
     oracle=f"""
-    WITH t AS (
-      SELECT event_type,
-             epoch_us(ts) // {_US_DAY} AS day_idx,
-             (epoch_us(ts) % {_US_DAY}) * {_OHLC_VBITS}
-               + CAST(round(value * 100) AS BIGINT) AS packed,
-             CAST(round(value * 100) AS BIGINT) AS v100
+    WITH r AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             CASE WHEN round(value * 100) < 0 OR round(value * 100) >= {_OHLC_VBITS}
+                  THEN error('q158: v100 out of packing domain')
+                  ELSE CAST(round(value * 100) AS BIGINT) END AS v100
       FROM events
+    ), t AS (
+      SELECT event_type,
+             us // {_US_DAY} AS day_idx,
+             (us % {_US_DAY}) * {_OHLC_VBITS} + v100 AS packed,
+             v100
+      FROM r
     )
     SELECT event_type, day_idx,
            CAST(min(packed) % {_OHLC_VBITS} AS BIGINT) AS open_100,
@@ -344,17 +359,25 @@ def q158_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct-anchor spelling (min(struct(us, id, v100))) is semantically
     identical but demotes the plan to SortAggregate (struct buffers
     aren't hash-aggregable), re-sorting every partition; the packed
-    form keeps the hash path. Precondition (asserted by the fixture
-    domain, max 56,021): 0 <= v100 < 2^18, and the within-day offset
-    needs 37 bits — packed < 2^55. Ties (same microsecond) resolve to
+    form keeps the hash path. Precondition 0 <= v100 < 2^18 is ENFORCED
+    per-row (raise_error / error() in both engines — a violation would
+    corrupt open/close identically on both sides, invisible to the hash
+    check); the within-day offset needs 37 bits — packed < 2^55. Ties (same microsecond) resolve to
     the smaller value for open / larger for close, identically in both
     engines.
     """
     e = _events(spark, sf_dir)
+    # Enforce the packing precondition loudly (ADVICE round 6): a v100
+    # outside [0, 2^18) would corrupt open/close IDENTICALLY in both
+    # engines, so the hash check could never catch it — raise instead.
+    guarded = F.when(
+        (F.col("v100") < 0) | (F.col("v100") >= _OHLC_VBITS),
+        F.expr("raise_error('q158: v100 out of packing domain')").cast("long"),
+    ).otherwise(F.col("v100"))
     t = e.select(
         "event_type",
         F.expr(f"us div {_US_DAY}").alias("day_idx"),
-        (F.expr(f"us % {_US_DAY}") * _OHLC_VBITS + F.col("v100")).alias("packed"),
+        (F.expr(f"us % {_US_DAY}") * _OHLC_VBITS + guarded).alias("packed"),
         "v100",
     )
     return (
