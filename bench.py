@@ -90,8 +90,15 @@ HEADLINE = [
     # lossless complement of q73's MinHash path), packed-anchor OHLC
     # bars, distributed exact ntile (no single-partition window),
     # relational bloom membership (broadcast bit-set), and one k-means
-    # Lloyd iteration (broadcast seeds, int64 distances)
-    "q154_set_similarity_join",
+    # Lloyd iteration (broadcast seeds, int64 distances).
+    # Round 7: the set-similarity bench citizen is q154b (tau = 0.7) —
+    # q154's tau = 0.5 on this 916-bigram-vocab fixture generates 3.5M
+    # candidate pairs (prefix filtering can't prune a tiny vocabulary)
+    # and alone was 37% of headline wall; tau = 0.7 runs the SAME
+    # int-encoded _ssj_impl code path at ~2.5x lower candidate volume.
+    # q154 itself is probe-only (scale story in SCALE.md), the q139
+    # precedent.
+    "q154b_set_similarity_tau07",
     "q158_ohlc_bars",
     "q161_rfm_segments",
     "q164_bloom_membership",
@@ -125,8 +132,10 @@ LARGE_OUTPUT = {
     # time a 16.5M-row transfer, not the join
     "q140_levenshtein_pairs",
     # same copy-corpus quadratic-output shape: every document gains N-1
-    # exact copies, all Jaccard-1.0 true pairs
+    # exact copies, all Jaccard-1.0 true pairs (J=1 >= any tau, so the
+    # tau=0.7 bench twin has it too)
     "q154_set_similarity_join",
+    "q154b_set_similarity_tau07",
 }
 
 

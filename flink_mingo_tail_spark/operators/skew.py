@@ -21,6 +21,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def pin_width(df: DataFrame, *keys: str, factor: int = 2, num_partitions: int | None = None) -> DataFrame:
+    """Pin a compute-bound-but-byte-small stage at full cluster width.
+
+    AQE coalesces shuffle partitions by BYTES, so a stage whose rows
+    are tiny but whose per-row work is heavy (set-intersection
+    verification, vectorized scoring) gets squeezed onto a handful of
+    tasks and serializes — q154's verify stage measured 38.5 s on 3
+    post-coalesce tasks vs ~6 s at full width (SCALE.md). A
+    USER-SPECIFIED repartition is exempt from AQE partition coalescing,
+    so an explicit key repartition pins every stage that consumes it at
+    the requested width. The default ``defaultParallelism * factor``
+    scales with the cluster, never with the data — the same code is
+    right on local[32] and on 1000 executors.
+
+    Shows up in the plan as ``REPARTITION_BY_NUM`` (asserted by
+    tests/test_plans.py), which AQE's coalesce rule skips.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism * factor
+    return df.repartition(n, *keys)
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],

@@ -29,6 +29,8 @@ from flink_mingo_tail_spark.operators.dedup import (
     tokens,
     word_shingles,
 )
+from flink_mingo_tail_spark.operators.ranks import global_row_number
+from flink_mingo_tail_spark.operators.skew import pin_width
 from flink_mingo_tail_spark.queries import query
 from flink_mingo_tail_spark.session import prepare_session
 from flink_mingo_tail_spark.tables import load_table, spread
@@ -651,7 +653,16 @@ def q154_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     — at real corpus vocabularies the rarest-first prefix is what
     makes this sublinear.
     """
-    tau_num, tau_den = 1, 2  # tau = 0.5
+    return _ssj_impl(spark, sf_dir, 1, 2)
+
+
+def _ssj_impl(spark: SparkSession, sf_dir: str, tau_num: int, tau_den: int) -> DataFrame:
+    """Shared AllPairs/PPJoin body for q154 (tau = 0.5, the correctness
+    anchor) and q154b (tau = 0.7, the bounded-output bench citizen).
+    Precondition 2*tau_num >= tau_den (size ratio <= 2) keeps the
+    {lb-1, lb, lb+1} length-band explode lossless."""
+    if 2 * tau_num < tau_den:
+        raise ValueError("set-similarity join requires tau >= 0.5 for the length-band explode")
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(word_shingles(tokens(F.col("text")), 2)).alias("st")
     )
@@ -664,20 +675,32 @@ def q154_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the copy count. Join DISTINCT sets only; identical-set pairs are
     # emitted closed-form (J = 1) and rep-level matches re-expand to
     # member pairs afterwards. Both expansions are output-bound.
+    # All downstream shuffle keys are LONGS, not strings (round-7 A/B:
+    # 1.35x wall at sf0.1): the set key is min(doc_id) of the identical-
+    # set group (exact — no hash-collision risk), computed with the same
+    # one shuffle on the content hash the groupBy spelling used.
     keyed = docs.withColumn(
         "skey", F.md5(F.concat_ws("\x1f", F.sort_array("st")))
-    )
-    members = keyed.select("skey", "doc_id")
-    sets = (
-        keyed.groupBy("skey")
-        .agg(F.min("st").alias("st"), F.min("sz").alias("sz"))
-    )
-    tok = sets.select("skey", "sz", F.explode("st").alias("bg"))
+    ).withColumn("rep", F.min("doc_id").over(Window.partitionBy("skey")))
+    members = keyed.select("rep", "doc_id")
+    sets = keyed.filter(F.col("doc_id") == F.col("rep")).select("rep", "st", "sz")
+    tok = sets.select("rep", "sz", F.explode("st").alias("bg"))
     dfreq = tok.groupBy("bg").agg(F.count("*").alias("df"))
-    ranked = tok.join(dfreq, "bg").withColumn(
+    # Dense int gram dictionary in rarest-first order: gid = exact
+    # global rank under (df, bg) via the two-level prefix pattern
+    # (operators/ranks — the vocab frame is corpus-scale at 100 TB, so
+    # no single-partition window here either). gid replaces the string
+    # bigram as join key AND element type: the prefix equi-join probes
+    # and the verify arrays move ints instead of strings.
+    gids = global_row_number(dfreq, F.col("df"), F.col("bg"), out="gid").select("bg", "gid")
+    ranked = tok.join(gids, "bg").withColumn(
         "pos",
-        F.row_number().over(Window.partitionBy("skey").orderBy("df", "bg")),
+        F.row_number().over(Window.partitionBy("rep").orderBy("gid")),
     )
+    # full sets as SORTED int arrays for the verify intersects — same
+    # ranked frame the prefixes come from, one extra shuffle on the
+    # long rep key
+    isets = ranked.groupBy("rep").agg(F.sort_array(F.collect_list("gid")).alias("ids"))
     # prefix length |s| - ceil(tau*|s|) + 1 with ceil done in integers
     prefix_len = F.col("sz") - F.expr(
         f"CAST(ceil({tau_num} * sz / {tau_den}.0) AS INT)"
@@ -685,54 +708,56 @@ def q154_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lb = floor(log2(sz)) via bin-string length — EXACT integer, no
     # float log. J >= 1/2 forces a size ratio <= 2, so matching sizes
     # differ by at most one lb step: the b side emits {lb-1, lb, lb+1}
-    # and (bg, lb) becomes the join key — ~6x the key cardinality of
-    # bg alone, which both splits the hot prefix buckets that AQE's
+    # and (gid, lb) becomes the join key — ~6x the key cardinality of
+    # gid alone, which both splits the hot prefix buckets that AQE's
     # byte-based skew split cannot see (join output is quadratic in a
     # bucket while its INPUT bytes stay tiny) and prunes cross-size
     # false candidates before they exist.
     prefix = ranked.filter(F.col("pos") <= prefix_len).select(
-        "skey", "sz", "bg", "pos", F.expr("length(bin(sz)) - 1").alias("lb")
+        "rep", "sz", "gid", "pos", F.expr("length(bin(sz)) - 1").alias("lb")
     )
     a = prefix.alias("a")
     b = prefix.select(
-        "skey", "sz", "bg", "pos",
+        "rep", "sz", "gid", "pos",
         F.explode(
             F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)
         ).alias("lb"),
     ).alias("b")
     # PPJoin positional filter: a shared prefix gram at positions
     # (pa, pb) caps the achievable overlap at 1 + min(sa-pa, sb-pb);
-    # J >= 1/2 needs overlap >= ceil((sa+sb)/3). The FIRST shared gram
+    # J >= tau needs overlap >= ceil(tau/(1+tau) * (sa+sb)) — for
+    # tau = num/den that is ceil(num*(sa+sb) / (num+den)), computed in
+    # exact int64 (ceil(a/b) = (a+b-1) div b). The FIRST shared gram
     # under the global order always satisfies the cap for a true pair,
     # so filtering each joined row is lossless (Xiao et al. VLDB'08).
-    alpha = F.floor((F.col("a.sz") + F.col("b.sz") + F.lit(2)) / F.lit(3))
+    nd = tau_num + tau_den
+    alpha = F.expr(f"({tau_num} * (a.sz + b.sz) + {nd - 1}) div {nd}")
     ubound = F.lit(1) + F.least(
         F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
     )
     cand = (
-        a.join(b, (F.col("a.bg") == F.col("b.bg")) & (F.col("a.lb") == F.col("b.lb")))
-        .filter(F.col("a.skey") < F.col("b.skey"))
+        a.join(b, (F.col("a.gid") == F.col("b.gid")) & (F.col("a.lb") == F.col("b.lb")))
+        .filter(F.col("a.rep") < F.col("b.rep"))
         # length filter: J >= tau needs tau*max(|A|,|B|) <= min(|A|,|B|)
         .filter(
             F.least(F.col("a.sz"), F.col("b.sz")) * tau_den
             >= F.greatest(F.col("a.sz"), F.col("b.sz")) * tau_num
         )
         .filter(ubound >= alpha)
-        .select(F.col("a.skey").alias("ka"), F.col("b.skey").alias("kb"))
+        .select(F.col("a.rep").alias("ka"), F.col("b.rep").alias("kb"))
         .distinct()
     )
     # The verify stage is CPU-bound (array_intersect per candidate),
     # but its shuffle inputs are byte-small, so AQE coalesces it to a
     # handful of partitions and the intersects serialize (measured:
     # 38.5 s on 3 post-coalesce tasks vs ~6 s wide at 1x, SCALE.md).
-    # Explicit key repartitions are user-specified and exempt from AQE
-    # coalescing, pinning the verify joins at full width.
-    n_verify = spark.sparkContext.defaultParallelism * 2
+    # pin_width (operators/skew.py) is the hoisted idiom: an explicit
+    # user repartition is exempt from AQE coalescing, pinning the
+    # verify joins at full cluster width.
     rep_pairs = (
-        cand.repartition(n_verify, "ka")
-        .join(sets.select(F.col("skey").alias("ka"), F.col("st").alias("sa")), "ka")
-        .repartition(n_verify, "kb")
-        .join(sets.select(F.col("skey").alias("kb"), F.col("st").alias("sb")), "kb")
+        pin_width(pin_width(cand, "ka")
+        .join(isets.select(F.col("rep").alias("ka"), F.col("ids").alias("sa")), "ka"), "kb")
+        .join(isets.select(F.col("rep").alias("kb"), F.col("ids").alias("sb")), "kb")
         .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
         .withColumn("un", F.size("sa") + F.size("sb") - F.col("inter"))
         .filter(F.col("inter") * tau_den >= F.col("un") * tau_num)
@@ -740,8 +765,8 @@ def q154_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # expand rep matches to member pairs (distinct sets => doc ids differ)
     cross = (
-        rep_pairs.join(members.select(F.col("skey").alias("ka"), F.col("doc_id").alias("ida")), "ka")
-        .join(members.select(F.col("skey").alias("kb"), F.col("doc_id").alias("idb")), "kb")
+        rep_pairs.join(members.select(F.col("rep").alias("ka"), F.col("doc_id").alias("ida")), "ka")
+        .join(members.select(F.col("rep").alias("kb"), F.col("doc_id").alias("idb")), "kb")
         .select(
             F.least("ida", "idb").alias("doc_a"),
             F.greatest("ida", "idb").alias("doc_b"),
@@ -752,9 +777,9 @@ def q154_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical-set pairs: J = 1 by construction, no verification needed
     same = (
         members.alias("a")
-        .join(members.alias("b"), "skey")
+        .join(members.alias("b"), "rep")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .join(sets.select("skey", "sz"), "skey")
+        .join(sets.select("rep", "sz"), "rep")
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -775,3 +800,35 @@ def q154_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "q154b_set_similarity_tau07",
+    oracle=f"""
+    WITH {_SSJ_BIGRAMS},
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.st, b.st)) AS inter,
+             len(a.st) + len(b.st) - len(list_intersect(a.st, b.st)) AS un
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(a.st) > 0 AND len(b.st) > 0
+    )
+    SELECT doc_a, doc_b, inter, un,
+           CAST(round(inter * 1000000.0 / un) AS BIGINT) AS jacc_micro
+    FROM p WHERE inter * 10 >= un * 7
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q154b_set_similarity_tau07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q154 at tau = 0.7 — the BENCH-FAIR twin of the tau = 0.5
+    correctness anchor (round-6 verdict: q154 was 37% of headline wall
+    purely because tau = 0.5 on a copy-heavy corpus emits quadratically
+    many true pairs, so the bench measured pair EMISSION, not the
+    join). At tau = 0.7 the prefix length drops from ~|s|/2 to ~3|s|/10
+    (candidate volume is quadratic in prefix density) and the surviving
+    pair set is near-dup-only, so wall time tracks the candidate
+    generation + verify plan — the thing the bench should gate. Same
+    _ssj_impl code path, so the tau = 0.5 anchor keeps proving the
+    shared plan's correctness at the widest threshold.
+    """
+    return _ssj_impl(spark, sf_dir, 7, 10)

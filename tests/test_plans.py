@@ -453,6 +453,32 @@ def test_set_similarity_join_never_plans_all_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_pin_width_survives_aqe_as_user_repartition(spark):
+    """operators/skew.pin_width: the explicit key repartition must plan
+    as a user-specified shuffle (REPARTITION_BY_NUM) — the marker AQE's
+    partition-coalescing rule is required to skip — at the width the
+    helper computed, so a byte-small compute-bound stage keeps full
+    parallelism (q154's verify stage: 38.5 s coalesced vs ~6 s wide)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from flink_mingo_tail_spark.operators.skew import pin_width
+
+    df = spark.range(1000).withColumn("k", F.col("id") % 7)
+    pinned = pin_width(df, "k", factor=2)
+    n = spark.sparkContext.defaultParallelism * 2
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pinned.explain("formatted")
+    plan = buf.getvalue()
+    assert "REPARTITION_BY_NUM" in plan
+    assert f"hashpartitioning(k#" in plan and f", {n})" in plan
+    # and the executed width really is the pinned width, AQE on
+    assert pinned.rdd.getNumPartitions() == n
+
+
 def test_kmeans_seed_side_is_broadcast(spark):
     """q165: the k-row seed frame broadcasts to the distance pass; the
     corpus is never shuffled before assignment."""
