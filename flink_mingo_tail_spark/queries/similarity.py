@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from flink_mingo_tail_spark.operators.similarity import (
     IVF_MEAN_SCALE,
     SQL_COSINE,
+    _nearest_cells,
     hyperplane_tables,
     knn_bruteforce,
     knn_ivf,
@@ -253,8 +254,9 @@ def q68_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_K, _IVF_NPROBE, _IVF_ITER, _IVF_SEED = 8, 4, 2, 42
 
 
-def _ivf_oracle_sql() -> str:
-    """Replay train_ivf_centroids + knn_ivf in DuckDB, bit-exactly:
+def _ivf_training_sql(k_cells: int, n_iter: int, seed: int) -> str:
+    """WITH-body that replays ``train_ivf_centroids`` in DuckDB,
+    bit-exactly (the q79 replay contract):
 
     * init = k rows with smallest md5(vec_id || seed) (same hex ordering);
     * assignment = argmax cosine, cell-id tiebreak (scale-invariant, so
@@ -262,8 +264,11 @@ def _ivf_oracle_sql() -> str:
     * per-dim means = scaled-long exact sums (the q104 pattern) — the
       integer sum is order-independent, so the centroid doubles are
       bit-identical across engines;
-    * 2 Lloyd iterations unrolled as CTEs, then probe nprobe cells and
-      re-rank by rounded cosine.
+    * n_iter Lloyd iterations unrolled as CTEs; ``af`` = the final
+      whole-corpus assignment, ``cl{n_iter}`` = the trained centroids.
+
+    Compose as ``WITH {_ivf_training_sql(...)}, <your CTEs>`` — shared
+    by q79 (IVF probe) and q171 (SemDeDup end-to-end).
     """
     cos_vc = SQL_COSINE.format(a="e.v", b="c.cv")
     assign = (
@@ -275,7 +280,7 @@ def _ivf_oracle_sql() -> str:
         "    ) WHERE rn {cond}"
     )
     iters = []
-    for i in (1, 2):
+    for i in range(1, n_iter + 1):
         iters.append(
             f"""a{i} AS (
     {assign.format(prev=i - 1, extra="", cond="= 1")}
@@ -296,14 +301,12 @@ def _ivf_oracle_sql() -> str:
     cl{i} AS (SELECT cell, list(cval ORDER BY pos) AS cv FROM c{i} GROUP BY cell)"""
         )
     body = ",\n    ".join(iters)
-    n = _IVF_ITER
-    return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     init AS (
-        SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR || '{_IVF_SEED}')) - 1 AS cell, v
+        SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR || '{seed}')) - 1 AS cell, v
         FROM e
-        ORDER BY md5(vec_id::VARCHAR || '{_IVF_SEED}')
-        LIMIT {_IVF_K}
+        ORDER BY md5(vec_id::VARCHAR || '{seed}')
+        LIMIT {k_cells}
     ),
     c0 AS (
         SELECT cell, i AS pos, v[i] AS cval
@@ -312,8 +315,18 @@ def _ivf_oracle_sql() -> str:
     cl0 AS (SELECT cell, list(cval ORDER BY pos) AS cv FROM c0 GROUP BY cell),
     {body},
     af AS (
-    {assign.format(prev=n, extra="", cond="= 1")}
-    ),
+    {assign.format(prev=n_iter, extra="", cond="= 1")}
+    )"""
+
+
+def _ivf_oracle_sql() -> str:
+    """Replay train_ivf_centroids + knn_ivf in DuckDB, bit-exactly:
+    the shared training replay (_ivf_training_sql) plus the nprobe-cell
+    probe join and rounded-cosine re-rank."""
+    cos_vc = SQL_COSINE.format(a="e.v", b="c.cv")
+    n = _IVF_ITER
+    return f"""
+    WITH {_ivf_training_sql(_IVF_K, _IVF_ITER, _IVF_SEED)},
     qp AS (
         SELECT vec_id AS query_id, v AS qv, cell FROM (
             SELECT e.vec_id, e.v, c.cell,
@@ -558,3 +571,77 @@ def q170_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return e.join(dup, "vec_id", "left_anti").select("vec_id", "label").orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q171 — SemDeDup END-TO-END on engine-trained cells (round-7 verdict #3)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_e2e_oracle_sql() -> str:
+    """Train -> assign -> prune replayed in DuckDB: the shared
+    _ivf_training_sql CTEs produce the SAME trained cells the Spark
+    side gets from train_ivf_centroids (q79 contract), then the q170
+    prune runs within those cells instead of the fixture label."""
+    return f"""
+    WITH {_ivf_training_sql(_IVF_K, _IVF_ITER, _IVF_SEED)},
+    d AS (
+        SELECT DISTINCT a.vec_id
+        FROM af a JOIN af b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        WHERE round({SQL_COSINE.format(a="a.v", b="b.v")}, 6) >= {_SEMDEDUP_TAU}
+    )
+    SELECT af.vec_id, af.cell
+    FROM af LEFT JOIN d USING (vec_id)
+    WHERE d.vec_id IS NULL
+    ORDER BY af.vec_id
+    """
+
+
+@query("q171_semdedup_end_to_end", oracle=_semdedup_e2e_oracle_sql())
+def q171_semdedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup as ONE pipeline on engine-trained cells (Abbas et al.
+    2023): train the k=8 spherical k-means quantizer on `embeddings`
+    (train_ivf_centroids — 2 deterministic Lloyd iterations), assign
+    every vector to its argmax-cosine cell, then drop every vector with
+    a cosine >= tau smaller-id neighbor WITHIN ITS CELL. q104/q165/q170
+    each proved a stage in isolation (q170 against the fixture label);
+    this composes them end-to-end, so the cells that bound the prune's
+    pair space are the engine's own — the actual production shape.
+
+    Oracle-exact: DuckDB replays training bit-for-bit (shared
+    _ivf_training_sql, the q79 contract), so assignment and the kept
+    set hash-match — no accuracy gate anywhere.
+
+    Scale: training touches the corpus n_iter times with a k-row
+    centroid matrix on the driver (KB); assignment is one narrow
+    codegen pass (centroid literals folded); the prune pair space is
+    Sigma |cell|^2 via the cell equi-join (AQE skew-split applies), and
+    the final prune is a left-anti join on vec_id — no all-pairs, no
+    corpus-sized driver state anywhere.
+    """
+    e = _emb(spark, sf_dir)
+    centroids = train_ivf_centroids(e, k_cells=_IVF_K, n_iter=_IVF_ITER, seed=_IVF_SEED)
+    assigned = e.select(
+        "vec_id",
+        "embedding",
+        _nearest_cells(F.col("embedding"), centroids)[0]["cell"].alias("cell"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dup = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(
+            rounded_cosine(F.col("a.embedding"), F.col("b.embedding"))
+            >= _SEMDEDUP_TAU
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dup, "vec_id", "left_anti")
+        .select("vec_id", "cell")
+        .orderBy("vec_id")
+    )
