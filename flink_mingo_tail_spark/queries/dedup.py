@@ -832,3 +832,126 @@ def q154b_set_similarity_tau07(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared plan's correctness at the widest threshold.
     """
     return _ssj_impl(spark, sf_dir, 7, 10)
+
+
+# ---------------------------------------------------------------------------
+# q172 — repeated-substring span dedup (round-7 verdict #4)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 5             # repeated-span granularity: k-token shingles
+_SPAN_POS = 1 << 20     # pos field width in the packed (doc_id, pos) key
+
+
+@query(
+    "q172_repeated_span_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), sh AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(ts[i:i+{_SPAN_K}-1], ' ')) AS h,
+             CASE WHEN i >= {_SPAN_POS} THEN error('q172: pos out of packing domain')
+                  ELSE doc_id * {_SPAN_POS} + i END AS packed
+      FROM toks, unnest(range(1, len(ts) - {_SPAN_K} + 2)) AS t(i)
+      WHERE len(ts) >= {_SPAN_K}
+    ), firsts AS (
+      SELECT h, min(packed) AS first_packed FROM sh GROUP BY h
+    ), rep AS (
+      SELECT s.doc_id, s.pos
+      FROM sh s JOIN firsts f USING (h)
+      WHERE s.packed > f.first_packed
+    ), marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + {_SPAN_K} - 1) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM rep
+    ), grp AS (
+      SELECT doc_id, pos,
+             CAST(sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span_id
+      FROM marked
+    )
+    SELECT doc_id, span_id,
+           min(pos) AS span_start,
+           max(pos) + {_SPAN_K} - 1 AS span_end,
+           max(pos) + {_SPAN_K} - min(pos) AS n_tokens
+    FROM grp GROUP BY doc_id, span_id
+    ORDER BY doc_id, span_start
+    """,
+)
+def q172_repeated_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring span detection — the distributed approximation
+    of suffix-array span dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every {k}-token
+    shingle occurrence that is NOT the global first occurrence of its
+    content (first = smallest packed (doc_id, pos) — the keep-first
+    rule) marks its k tokens as repeated; overlapping-or-adjacent
+    marked windows within a document merge into MAXIMAL spans
+    (interval union via the running prev-max-end window). Output: one
+    row per maximal repeated span (doc, start, end, token count) —
+    exactly the byte ranges a span-level dedup pass would cut, covering
+    both cross-document and intra-document repetition uniformly.
+
+    Determinism / exactness: occurrences are keyed by md5 of the
+    shingle text (the q71 precedent) and ordered by the packed long
+    doc_id * 2^20 + pos — the pos domain is ENFORCED per row
+    (raise_error / error()), doc_id < 2^43 is a documented fixture
+    bound. Both engines run the identical integer pipeline, so spans
+    hash-match exactly.
+
+    Scale: one shingle explode (corpus-linear), ONE shuffle on the
+    shingle hash for first-occurrence election (map-side-combinable
+    min), one equi-join back on the hash, then per-document windows
+    whose frames are bounded by document length. Nothing all-pairs,
+    nothing driver-side; the suffix-array global sort this
+    approximates is replaced by the hash group-by, which is the form
+    that survives 100 TB (fixed-k shingles catch every repeat of
+    length >= k; spans reassemble the long ones).
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("ts")).filter(
+        F.size("ts") >= _SPAN_K
+    )
+    guarded_pos = F.when(
+        F.col("pos") >= _SPAN_POS,
+        F.expr("raise_error('q172: pos out of packing domain')").cast("long"),
+    ).otherwise(F.col("pos"))
+    sh = (
+        toks.select(
+            "doc_id", F.posexplode(word_shingles(F.col("ts"), _SPAN_K)).alias("pos0", "g")
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), F.md5("g").alias("h"))
+        .withColumn("packed", F.col("doc_id") * _SPAN_POS + guarded_pos)
+    )
+    firsts = sh.groupBy("h").agg(F.min("packed").alias("first_packed"))
+    rep = (
+        sh.join(firsts, "h")
+        .filter(F.col("packed") > F.col("first_packed"))
+        .select("doc_id", "pos")
+    )
+    w_prev = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    marked = rep.withColumn(
+        "is_new",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max(F.col("pos") + _SPAN_K - 1).over(w_prev), F.lit(-1)) + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    grp = marked.withColumn("span_id", F.sum("is_new").over(w_run))
+    return (
+        grp.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(_SPAN_K - 1)).alias("span_end"),
+            (F.max("pos") + F.lit(_SPAN_K) - F.min("pos")).alias("n_tokens"),
+        )
+        .orderBy("doc_id", "span_start")
+    )

@@ -136,6 +136,15 @@ PROBES = [
     # control is k ∝ n (more centroids, bounded cell size), not a
     # different plan. See SCALE.md note.
     "q170_semdedup_prune",
+    # round 7: set-similarity at tau=0.7 (the bench citizen — candidate
+    # volume ~2.5x below the tau=0.5 anchor, same int-encoded plan),
+    # SemDeDup end-to-end (training + assign + prune; cells inherit the
+    # q170 N^2-pairs-by-construction caveat), and repeated-span dedup
+    # (copies make every shingle beyond copy 1 a repeat, so rep rows and
+    # spans grow ~linearly — the near-linear growth the verdict asks for)
+    "q154b_set_similarity_tau07",
+    "q171_semdedup_end_to_end",
+    "q172_repeated_span_dedup",
 ]
 
 
