@@ -181,6 +181,55 @@ def _nearest_cells(vec: Column, centroids: np.ndarray) -> Column:
 
 IVF_MEAN_SCALE = 1_000_000  # fixed-point scale for exact centroid means
 
+# Above this k the literal-fold assignment (_nearest_cells) stops being
+# the right physical plan: it embeds k x dim double literals plus k
+# cosine folds in ONE projection, and whole-stage codegen blows past
+# the JVM's 64KB method limit into interpreted fallback. The
+# broadcast-join path trades that for one map-side-combinable argmin
+# aggregate (verdict round 6 item 8).
+LITERAL_ASSIGN_MAX_K = 16
+
+
+def assign_cells_join(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    out: str = "_cell",
+) -> DataFrame:
+    """Argmax-cosine cell assignment via a BROADCAST JOIN — the large-k
+    twin of ``_nearest_cells`` (property-tested identical at small k).
+
+    The centroid matrix ships as a broadcast k-row frame instead of
+    codegen literals; each corpus row scores k cells and an argmin over
+    struct(negcos, cell) picks the winner with the same cosine
+    expression and the same cell-id tiebreak as the literal path, so
+    the two strategies are bit-equal. Physical shape: broadcast
+    nested-loop join (k rows / corpus row, never materialized wider
+    than the map task) + hash aggregate keyed by ``corpus_id`` whose
+    partial phase collapses every group to one row map-side — the wire
+    moves n one-row groups, not n*k. Returns (corpus_id, corpus_vec,
+    out); first(corpus_vec) is value-deterministic because all k rows
+    of a group carry the same vector.
+    """
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, cv array<double>",
+    )
+    scored = corpus.select(corpus_id, corpus_vec).crossJoin(F.broadcast(cent))
+    return scored.groupBy(corpus_id).agg(
+        F.first(corpus_vec).alias(corpus_vec),
+        F.min(
+            F.struct(
+                (-cosine(F.col(corpus_vec), F.col("cv"))).alias("negcos"),
+                F.col("cell").alias("cell"),
+            )
+        )
+        .getField("cell")
+        .alias(out),
+    )
+
 
 def train_ivf_centroids(
     corpus: DataFrame,
@@ -189,6 +238,7 @@ def train_ivf_centroids(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     seed: int = 42,
+    assign_method: str = "auto",
 ) -> np.ndarray:
     """Spherical k-means coarse quantizer, trained with DataFrame ops.
 
@@ -216,9 +266,26 @@ def train_ivf_centroids(
         .select(corpus_vec)
         .collect()
     )
+    if assign_method not in ("auto", "literal", "join"):
+        raise ValueError(f"assign_method must be auto|literal|join, got {assign_method!r}")
+    method = (
+        ("literal" if k_cells <= LITERAL_ASSIGN_MAX_K else "join")
+        if assign_method == "auto"
+        else assign_method
+    )
     centroids = np.array([r[0] for r in sample], dtype=np.float64)
     for _ in range(n_iter):
-        assigned = corpus.withColumn("_cell", _nearest_cells(F.col(corpus_vec), centroids)[0]["cell"])
+        # literal-fold at small k (zero-shuffle narrow pass), broadcast
+        # join + map-side argmin at large k (codegen stays bounded);
+        # identical assignments either way (test_similarity property)
+        if method == "literal":
+            assigned = corpus.withColumn(
+                "_cell", _nearest_cells(F.col(corpus_vec), centroids)[0]["cell"]
+            )
+        else:
+            assigned = assign_cells_join(
+                corpus, centroids, corpus_id=corpus_id, corpus_vec=corpus_vec, out="_cell"
+            )
         stats = (
             assigned.select("_cell", F.posexplode(corpus_vec).alias("_pos", "_val"))
             .groupBy("_cell", "_pos")

@@ -208,3 +208,65 @@ def test_semdedup_kept_set_is_independent_at_tau(spark):
     assert dropped == dropped_with_witness, (
         "dropped set must equal rows having a smaller-id >= tau neighbor"
     )
+
+
+def test_assign_cells_join_equals_literal_path(spark):
+    """Large-k assignment twin (verdict round-6 #8): the broadcast-join
+    argmin must assign every vector to the SAME cell as the
+    literal-fold path, and training must be invariant to the strategy."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from flink_mingo_tail_spark.operators.similarity import (
+        _nearest_cells,
+        assign_cells_join,
+        train_ivf_centroids,
+    )
+    from flink_mingo_tail_spark.tables import load_table
+
+    e = (
+        load_table(spark, SF_ORACLE, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    cents = train_ivf_centroids(e, k_cells=8, n_iter=1, seed=42)
+    lit = {
+        r.vec_id: r.cell
+        for r in e.select(
+            "vec_id", _nearest_cells(F.col("embedding"), cents)[0]["cell"].alias("cell")
+        ).collect()
+    }
+    joined = {
+        r.vec_id: r._cell
+        for r in assign_cells_join(e, cents).select("vec_id", "_cell").collect()
+    }
+    assert lit == joined
+
+    # full training runs bit-identically under either strategy
+    c_lit = train_ivf_centroids(e, k_cells=8, n_iter=2, seed=42, assign_method="literal")
+    c_join = train_ivf_centroids(e, k_cells=8, n_iter=2, seed=42, assign_method="join")
+    assert np.array_equal(c_lit, c_join)
+
+
+def test_assign_cells_join_large_k_smoke(spark):
+    """k=128 — the regime the literal path is wrong for (k x dim
+    literals blow codegen): the join path must still assign every
+    vector to a valid cell, exactly one per vector."""
+    from pyspark.sql import functions as F
+
+    from flink_mingo_tail_spark.operators.similarity import (
+        assign_cells_join,
+        train_ivf_centroids,
+    )
+    from flink_mingo_tail_spark.tables import load_table
+
+    e = (
+        load_table(spark, SF_ORACLE, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    cents = train_ivf_centroids(e, k_cells=128, n_iter=1, seed=42)  # auto => join
+    assert cents.shape[0] == 128
+    a = assign_cells_join(e, cents)
+    n = e.count()
+    assert a.count() == n
+    cells = a.agg(F.min("_cell"), F.max("_cell")).first()
+    assert 0 <= cells[0] and cells[1] <= 127
