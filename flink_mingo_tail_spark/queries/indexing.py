@@ -718,3 +718,104 @@ def q165_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# q176 — temperature-weighted source mixture resample
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q176_mixture_resample",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+             list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                              list(sqrt(CAST(n_s AS DOUBLE)) ORDER BY source)),
+                 (acc, x) -> acc + x) AS sum_w
+      FROM s
+    ), r AS (
+      SELECT source, n_s,
+             CAST(least(1000000.0, round(1000000.0
+                  * (CAST(n_total AS DOUBLE) / 2.0)
+                  * sqrt(CAST(n_s AS DOUBLE))
+                  / (sum_w * CAST(n_s AS DOUBLE)))) AS BIGINT) AS th_ppm
+      FROM s CROSS JOIN tot
+    ), adm AS (
+      SELECT d.source
+      FROM documents d JOIN r USING (source)
+      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 1000000 < th_ppm
+    ), c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_sampled FROM adm GROUP BY source
+    )
+    SELECT r.source, r.n_s, r.th_ppm, COALESCE(c.n_sampled, 0) AS n_sampled
+    FROM r LEFT JOIN c USING (source)
+    ORDER BY r.source
+    """,
+)
+def q176_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced source mixture (the alpha=0.5 domain
+    rebalancing of multilingual/multi-source training sets, XLM-R
+    style): target share of source s is sqrt(n_s)/sum(sqrt(n_s)) of a
+    half-corpus budget, realized as a DETERMINISTIC per-source
+    admission threshold on the doc-id hash (the q135 retry-stable
+    idiom — rerunning admits the identical doc set, no RNG state).
+    Output audits requested rate vs achieved take per source.
+
+    Scale: per-source counts are one map-combinable aggregate; the
+    temperature weights fold over the |sources|-row frame (source-
+    ordered, both engines); admission is a narrow broadcast-join
+    predicate over the corpus — no shuffle of the data being sampled.
+    Exactness: thresholds are integer ppm computed from identical
+    IEEE trees (sqrt is correctly rounded), membership is an integer
+    hash compare, so the sampled set — not just its size — is
+    bit-reproducible across engines and runs."""
+    from flink_mingo_tail_spark.operators.dedup import md5_long
+
+    d = _docs(spark, sf_dir)
+    stats = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = stats.agg(
+        F.sum("n_s").alias("n_total"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("source", "n_s"))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.sqrt(s["n_s"].cast("double")),
+        ).alias("sum_w"),
+    )
+    rates = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            F.least(
+                F.lit(1000000.0),
+                F.round(
+                    F.lit(1e6)
+                    * (F.col("n_total").cast("double") / 2.0)
+                    * F.sqrt(F.col("n_s").cast("double"))
+                    / (F.col("sum_w") * F.col("n_s").cast("double")),
+                    0,
+                ),
+            )
+            .cast("long")
+            .alias("th_ppm"),
+        )
+    )
+    adm = d.join(F.broadcast(rates), "source").filter(
+        md5_long(F.col("doc_id").cast("string")) % 1000000 < F.col("th_ppm")
+    )
+    counts = adm.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
+    return (
+        rates.join(counts, "source", "left")
+        .select(
+            "source",
+            "n_s",
+            "th_ppm",
+            F.coalesce(F.col("n_sampled"), F.lit(0).cast("long")).alias("n_sampled"),
+        )
+        .orderBy("source")
+    )

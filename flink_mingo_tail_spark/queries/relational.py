@@ -1074,3 +1074,62 @@ def q143_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(a.seg, "n_a", "n_b")
         .orderBy("seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# q173 — PIVOT (wide conditional-aggregation report)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q173_pivot_report",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag AS flag, l_linestatus AS status,
+             CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS rev
+      FROM lineitem
+    )
+    SELECT flag,
+           CAST(sum(rev) FILTER (WHERE status = 'F') AS BIGINT) AS rev_f,
+           CAST(sum(rev) FILTER (WHERE status = 'O') AS BIGINT) AS rev_o,
+           CAST(count(*) FILTER (WHERE status = 'F') AS BIGINT) AS n_f,
+           CAST(count(*) FILTER (WHERE status = 'O') AS BIGINT) AS n_o
+    FROM t GROUP BY flag
+    ORDER BY flag
+    """,
+)
+def q173_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: rotate the l_linestatus dimension into columns
+    (``DataFrame.pivot`` with an EXPLICIT value list — the declared-
+    surface operator q88/q136's unpivot reverses). Revenue enters as an
+    exact 1e4-scaled long so sums are order-independent.
+
+    Scale: pivot with explicit values compiles to ONE hash aggregate
+    whose buffer holds |values| x |aggs| slots — same single-shuffle
+    shape as the FILTER-clause spelling the oracle uses (and what
+    Catalyst rewrites pivot into); omitting the value list would add a
+    distinct-scan of the pivot column first, which is why the explicit
+    list is the 100-TB form.
+    """
+    prepare_session(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_linestatus").alias("status"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0)
+        .cast("long")
+        .alias("rev"),
+    )
+    p = (
+        t.groupBy("flag")
+        .pivot("status", ["F", "O"])
+        .agg(F.sum("rev").alias("rev"), F.count(F.lit(1)).alias("n"))
+    )
+    # pivot names columns {value}_{aggalias}; project to the oracle's names
+    return p.select(
+        "flag",
+        F.col("F_rev").alias("rev_f"),
+        F.col("O_rev").alias("rev_o"),
+        F.col("F_n").alias("n_f"),
+        F.col("O_n").alias("n_o"),
+    ).orderBy("flag")

@@ -468,3 +468,103 @@ def q169_mode_gini_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__s2")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q174 — per-group OLS (slope / intercept / R^2 from exact moments)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q174_group_ols",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_quantity * 100) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT flag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM t GROUP BY flag
+    )
+    SELECT flag, n,
+           CAST(round(1000000.0
+                * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+               AS slope_micro,
+           CAST(round(1000000.0
+                * (CAST(sy AS DOUBLE)
+                   - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                     * CAST(sx AS DOUBLE))
+                / CAST(n AS DOUBLE)) AS BIGINT)
+               AS intercept_micro,
+           CAST(round(1000000.0
+                * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * syy
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT)
+               AS r2_micro
+    FROM s
+    ORDER BY flag
+    """,
+)
+def q174_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares (extendedprice ~ quantity per
+    return flag): slope, intercept and R^2 from ONE exact-integer
+    moment pass — the grouped regression a feature/experiment pipeline
+    runs at the 100 TB grain, in the q130 determinism discipline
+    (F.corr / Spark's covar are running accumulations and therefore
+    partition-order dependent; integer moments are not).
+
+    One map-side-combinable hash aggregate collects n/Σx/Σy/Σxy/Σx²
+    (Σy² rides the decimal accumulator — cents² passes 2^63); slope =
+    (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept = (Σy − slope·Σx)/n, R² =
+    cov²/(var_x·var_y), each evaluated once per group on doubles from
+    identical integers with an identical IEEE tree — bit-equal across
+    engines, micro-rounded long output."""
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    y_dec = F.col("y").cast("decimal(12,0)")
+    s = t.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(y_dec * y_dec).cast("double").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov = d("n") * d("sxy") - d("sx") * d("sy")
+    var_x = d("n") * d("sxx") - d("sx") * d("sx")
+    var_y = d("n") * F.col("syy") - d("sy") * d("sy")
+    slope = cov / var_x
+    return s.select(
+        "flag",
+        "n",
+        F.round(F.lit(1e6) * slope, 0).cast("long").alias("slope_micro"),
+        F.round(F.lit(1e6) * (d("sy") - slope * d("sx")) / d("n"), 0)
+        .cast("long")
+        .alias("intercept_micro"),
+        F.round(F.lit(1e6) * cov * cov / (var_x * var_y), 0)
+        .cast("long")
+        .alias("r2_micro"),
+    ).orderBy("flag")

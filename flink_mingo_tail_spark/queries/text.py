@@ -608,3 +608,154 @@ def q129_token_length_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_lens").alias("n_distinct_lens"),
         F.round(entropy, 0).cast("long").alias("entropy_micro"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q175 — corpus-trained char-bigram LM score (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q175_charlm_nll",
+    oracle="""
+    WITH d2 AS (SELECT doc_id, text FROM documents WHERE length(text) >= 2),
+    bg AS (
+      SELECT doc_id, i AS pos, substr(text, i, 1) AS a, substr(text, i, 2) AS ab
+      FROM d2, unnest(range(1, length(text))) AS t(i)
+    ),
+    ca AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a FROM bg GROUP BY a),
+    cab AS (SELECT ab, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY ab),
+    v AS (SELECT CAST(count(DISTINCT substr(ab, 2, 1)) AS BIGINT) AS nv FROM bg),
+    sc AS (
+      SELECT bg.doc_id, bg.pos,
+             ln(CAST(c_ab + 1 AS DOUBLE) / CAST(c_a + nv AS DOUBLE)) AS lnp
+      FROM bg JOIN cab USING (ab) JOIN ca USING (a) CROSS JOIN v
+    ),
+    per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lnp ORDER BY pos)),
+                         (acc, x) -> acc + x) AS s
+      FROM sc GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(round(-s * 1000000.0 / n_bigrams) AS BIGINT) AS avg_nll_micro
+    FROM per ORDER BY doc_id
+    """,
+)
+def q175_charlm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring with a model TRAINED IN-ENGINE:
+    an add-one-smoothed character-bigram LM fitted on the corpus's own
+    bigram counts, then each document scored by its mean negative
+    log-likelihood under that model — the CCNet/KenLM perplexity-filter
+    shape with the LM reduced to what the engine can fit exactly
+    (log-perplexity = avg NLL; no exp, so no transcendental blowup).
+    High avg_nll = atypical character statistics (binary junk, wrong
+    language, mojibake); low = templated/boilerplate.
+
+    Scale: the "model" is the char-bigram count table — bounded by the
+    character-vocabulary SQUARED no matter the corpus size, so both
+    stat joins are broadcasts; scoring is one narrow pass over the
+    exploded bigrams and one per-doc aggregate. Determinism: per-doc
+    double summation is position-fold-ordered in both engines (the
+    q129 idiom); the only cross-engine wiggle is the last ulp of ln,
+    absorbed by the micro-rounding."""
+    d = _docs(spark, sf_dir).filter(F.length("text") >= 2)
+    # expr form: substring's pos argument must be a lambda-bound column
+    bg = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1), "
+                "i -> struct(substring(text, i, 1) AS a, substring(text, i, 2) AS ab))"
+            )
+        ).alias("pos0", "s"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), F.col("s.a"), F.col("s.ab")
+    )
+    ca = bg.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    cab = bg.groupBy("ab").agg(F.count(F.lit(1)).alias("c_ab"))
+    v = bg.agg(F.countDistinct(F.substring("ab", 2, 1)).alias("nv"))
+    sc = (
+        bg.join(F.broadcast(cab), "ab")
+        .join(F.broadcast(ca), "a")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "pos",
+            F.log(
+                (F.col("c_ab") + 1).cast("double") / (F.col("c_a") + F.col("nv")).cast("double")
+            ).alias("lnp"),
+        )
+    )
+    fold = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("pos", "lnp"))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["lnp"],
+    )
+    per = sc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bigrams"), fold.alias("s"))
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(-F.col("s") * 1e6 / F.col("n_bigrams"), 0).cast("long").alias("avg_nll_micro"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q177 — readability scoring (Flesch reading ease, deterministic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q177_readability",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syl,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]'))) AS BIGINT) AS n_sent
+      FROM documents
+      WHERE length(text) > 0
+    )
+    SELECT doc_id, n_words, n_syl, n_sent,
+           CAST(round(1000000.0 * (206.835
+                - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+                - 84.6 * (CAST(n_syl AS DOUBLE) / CAST(n_words AS DOUBLE)))) AS BIGINT)
+               AS flesch_micro
+    FROM m
+    WHERE n_words > 0
+    ORDER BY doc_id
+    """,
+)
+def q177_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with a DETERMINISTIC syllable
+    estimator (count of vowel-group runs — the standard heuristic that
+    needs no dictionary): the readability band is a routine quality/
+    curation feature beside q82's stopword ratios and q175's LM score.
+
+    All three inputs are integer counts from regex scans (one narrow
+    pass, zero shuffle, codegen regexes); the score is one shared IEEE
+    expression over identical integers — bit-equal across engines,
+    micro-rounded. Sentences clamp to >= 1 so fragments don't divide
+    by zero."""
+    d = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    m = d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_words"),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")).cast("long").alias("n_syl"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.regexp_count(F.col("text"), F.lit("[.!?]")).cast("long"),
+        ).alias("n_sent"),
+    ).filter(F.col("n_words") > 0)
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sent").cast("double"))
+        - F.lit(84.6) * (F.col("n_syl").cast("double") / F.col("n_words").cast("double"))
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_syl",
+        "n_sent",
+        F.round(F.lit(1e6) * flesch, 0).cast("long").alias("flesch_micro"),
+    ).orderBy("doc_id")
