@@ -75,72 +75,78 @@ _MODULES = (
 # The driver's CORRECTNESS pass checks a bounded prefix of the declared
 # registry (every round so far recorded exactly the first 50 entries).
 #
-# ROTATION, round 6 — 50-entry prefix = every driver-unchecked query
-# first, then the oldest-green refresh (the steady-state policy the
-# round-5 note pre-planned):
-#   (a) 20 queries with NO driver row yet: q151/q152 (added below the
-#       capped round-5 prefix), q153-q157 (added late round 5 / early
-#       round 6), and the round-6 wave q154, q158-q170;
-#   (b) the 7 remaining names whose freshest green row is from ROUND 2
-#       (pre-loader-fix): q88, q89, q99, q94, q96, q97, q98 — after
-#       this round the stale backlog is fully drained;
-#   (c) 23 refresh slots: the oldest-green names (round 3) in registry
-#       order — doubling as canaries across the relational / CDC /
-#       streaming / dedup / UDF families.
+# ROTATION, round 7 — steady-state policy (round-6 verdict #1), 50
+# slots:
+#   (a) 8 queries with NO driver row yet: the round-7 wave
+#       (q154b tau=0.7 bench twin, q171 SemDeDup end-to-end, q172
+#       repeated-span dedup, q173 pivot, q174 grouped OLS, q175
+#       char-LM NLL, q176 mixture resample, q177 readability);
+#   (b) 6 queries whose CODE or ORACLE changed this round and need a
+#       fresh proof: q154 (int-key restructure), q155/q158 (ADVICE
+#       tiebreak/guard — oracle text changed), q161/q153 (ranks /
+#       heavy-hitters operator rewrites), q79 (oracle refactored into
+#       the shared _ivf_training_sql);
+#   (c) 23 refresh slots: the oldest-green names (round 3), draining
+#       that cohort completely — after this round the oldest green row
+#       repo-wide is round 4;
+#   (d) 2 canaries green last round (relational + streaming-batch
+#       families) + 11 oldest round-4 greens in registry order, so the
+#       round-4 cohort starts draining too.
 _NEEDS_DRIVER_ROW = (
-    # (a) no driver row yet — 20 names
-    "q151_pps_systematic_sample",
-    "q152_pq_adc_knn",
-    "q153_heavy_hitters",
+    # (a) no driver row yet — 8 names
+    "q154b_set_similarity_tau07",
+    "q171_semdedup_end_to_end",
+    "q172_repeated_span_dedup",
+    "q173_pivot_report",
+    "q174_group_ols",
+    "q175_charlm_nll",
+    "q176_mixture_resample",
+    "q177_readability",
+    # (b) changed this round — 6 names
     "q154_set_similarity_join",
     "q155_linear_interpolate",
-    "q156_time_weighted_avg",
-    "q157_rolling_zscore",
     "q158_ohlc_bars",
-    "q159_ewma_truncated",
-    "q160_markov_transitions",
     "q161_rfm_segments",
-    "q162_welch_ttest",
-    "q163_source_divergence",
-    "q164_bloom_membership",
-    "q165_kmeans_lloyd_step",
-    "q166_higher_order_funcs",
-    "q167_winsorized_stats",
-    "q168_incremental_agg_maintenance",
-    "q169_mode_gini_profile",
-    "q170_semdedup_prune",
-    # (b) freshest green row is round 2 — 7 names
-    "q88_unpivot",
-    "q89_distinct_agg_minby_maxby",
-    "q99_tfidf_top_term",
-    "q94_multimodal_metadata",
-    "q96_pandas_udf_scalar",
-    "q97_grouped_udaf",
-    "q98_udtf_tokenize",
-    # (c) oldest-green refresh (round 3) — 23 names
-    "q01_pricing_summary",
-    "q11_broadcast_dim_join",
-    "q20_groupby_battery",
-    "q26_approx_count_distinct",
-    "q19_salted_skew_agg",
-    "q18_multiway_join",
-    "q32_lag_lead",
-    "q34_moving_avg_rows_frame",
-    "q37_asof_join",
-    "q56_json_funcs",
-    "q57_map_funcs",
-    "q86_json_struct_access",
-    "q60_cdc_filter_pushdown",
-    "q61_cdc_envelope",
-    "q63_cdc_checkpoint_highwater",
-    "q64_cdc_resume_after_checkpoint",
-    "q65_cdc_apply_latest_state",
-    "q65b_scd2_history",
-    "q66_event_funnel",
-    "q70_exact_dedup_replay",
-    "q117_incremental_dedup",
+    "q153_heavy_hitters",
     "q79_knn_ivf",
-    "q118_curation_filter",
+    # (c) oldest-green refresh (round 3) — 23 names
+    "q90_tumbling_window",
+    "q91_sliding_window",
+    "q92_session_window",
+    "q93_windowed_topk_users",
+    "q95_multimodal_features",
+    "q100_inverted_index",
+    "q101_top_trigrams",
+    "q102_source_stats",
+    "q103_length_histogram",
+    "q105_batch_sessionize",
+    "q105_pack_sequences",
+    "q106_cohort_retention",
+    "q106_split_assign",
+    "q107_chunk_documents",
+    "q107_gap_fill_daily",
+    "q108_column_profile",
+    "q109_mixture_reweight",
+    "q110_pareto_frontier",
+    "q111_fuzzy_name_join",
+    "q112_zorder_layout",
+    "q113_scalar_py_udf",
+    "q115_dedup_within_watermark",
+    "q116_interval_join_clicks_purchases",
+    # (d) canaries + oldest round-4 greens — 13 names
+    "q01_pricing_summary",
+    "q114_watermark_late_drop",
+    "q02_filter_project_topk",
+    "q03_isnull_in_between",
+    "q10_inner_join_agg",
+    "q12_left_outer_join",
+    "q13_right_full_outer",
+    "q14_semi_join",
+    "q15_anti_join",
+    "q16_cross_theta_join",
+    "q17_range_join",
+    "q21_rollup",
+    "q22_cube",
 )
 
 
