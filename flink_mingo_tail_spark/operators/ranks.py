@@ -103,3 +103,73 @@ def distributed_ntile(
         .withColumn(out, ntile_from_rowno("__rn", "__n", k))
         .drop("__rn", "__n")
     )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    keys: list[str],
+    value: Column,
+    measures: dict[str, Column],
+    *,
+    width: int = 64,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Per-group running sums ordered by an integral ``value`` column,
+    with bounded per-task state — the two-level pattern
+    ``global_row_number`` uses, generalized to arbitrary summed
+    measures (ECDF numerators, rank-sum weights, cumulative counts).
+
+    Contract: ``df`` must hold ONE row per (keys..., value) — i.e. the
+    caller has already aggregated to the distinct-value frame — so the
+    within-bucket window's ORDER BY is a total order and the running
+    sum is replay-deterministic. For each ``out_name -> column`` in
+    ``measures`` the result gains ``out_name`` = the running sum of
+    that column over rows with smaller ``value`` in the same key group
+    (``inclusive=True`` includes the current row; ``False`` is the
+    strictly-below / exclusive prefix).
+
+    Scale shape: level 1 buckets rows by ``value div width`` and
+    aggregates per-(keys, bucket) subtotals; the cross-bucket cumsum
+    windows over THAT frame — |value-domain / width| rows per key
+    group, tiny by construction (the documented WindowExec exception
+    when ``keys`` is empty); the within-bucket leg windows over
+    (keys..., bucket), so no task ever sees more than one bucket of
+    one group.
+    """
+    mcols = [c.alias(f"__m_{n}") for n, c in measures.items()]
+    b = (
+        df.withColumn("__v", value.cast("long"))
+        .withColumn("__b", F.expr(f"(__v - pmod(__v, {int(width)})) div {int(width)}"))
+        .select("*", *mcols)
+    )
+    lvl1 = b.groupBy(*keys, "__b").agg(
+        *[F.sum(f"__m_{n}").alias(f"__s_{n}") for n in measures]
+    )
+    w_off = (
+        Window.partitionBy(*keys).orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = lvl1.select(
+        *keys,
+        "__b",
+        *[
+            F.coalesce(F.sum(f"__s_{n}").over(w_off), F.lit(0)).alias(f"__off_{n}")
+            for n in measures
+        ],
+    )
+    upper = 0 if inclusive else -1
+    w_in = (
+        Window.partitionBy(*keys, "__b")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    out = b.join(offs, [*keys, "__b"])
+    for n in measures:
+        out = out.withColumn(
+            n,
+            (
+                F.col(f"__off_{n}")
+                + F.coalesce(F.sum(f"__m_{n}").over(w_in), F.lit(0))
+            ).cast("long"),
+        )
+    drop = ["__v", "__b"] + [f"__m_{n}" for n in measures] + [f"__off_{n}" for n in measures]
+    return out.drop(*drop)

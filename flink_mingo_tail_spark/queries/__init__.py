@@ -77,10 +77,12 @@ _MODULES = (
 #
 # ROTATION, round 7 — steady-state policy (round-6 verdict #1), 50
 # slots:
-#   (a) 8 queries with NO driver row yet: the round-7 wave
+#   (a) 14 queries with NO driver row yet: the round-7 wave
 #       (q154b tau=0.7 bench twin, q171 SemDeDup end-to-end, q172
 #       repeated-span dedup, q173 pivot, q174 grouped OLS, q175
-#       char-LM NLL, q176 mixture resample, q177 readability);
+#       char-LM NLL, q176 mixture resample, q177 readability, q178 BPE
+#       merge pairs, q179 exact AUC, q180 two-sample KS, q181 chi-square
+#       cells, q182 phrase search, q183 percent_rank/cume_dist);
 #   (b) 6 queries whose CODE or ORACLE changed this round and need a
 #       fresh proof: q154 (int-key restructure), q155/q158 (ADVICE
 #       tiebreak/guard — oracle text changed), q161/q153 (ranks /
@@ -90,8 +92,9 @@ _MODULES = (
 #       that cohort completely — after this round the oldest green row
 #       repo-wide is round 4;
 #   (d) 2 canaries green last round (relational + streaming-batch
-#       families) + 11 oldest round-4 greens in registry order, so the
-#       round-4 cohort starts draining too.
+#       families) + 5 oldest round-4 greens in registry order, so the
+#       round-4 cohort starts draining too (6 slots ceded to the
+#       mid-round q178-q183 wave — new queries displace refreshes).
 _NEEDS_DRIVER_ROW = (
     # (a) no driver row yet — 8 names
     "q154b_set_similarity_tau07",
@@ -102,6 +105,12 @@ _NEEDS_DRIVER_ROW = (
     "q175_charlm_nll",
     "q176_mixture_resample",
     "q177_readability",
+    "q178_bpe_merge_pairs",
+    "q179_auc_mann_whitney",
+    "q180_ks_two_sample",
+    "q181_chi2_independence",
+    "q182_phrase_search",
+    "q183_percent_rank_cume_dist",
     # (b) changed this round — 6 names
     "q154_set_similarity_join",
     "q155_linear_interpolate",
@@ -133,7 +142,7 @@ _NEEDS_DRIVER_ROW = (
     "q113_scalar_py_udf",
     "q115_dedup_within_watermark",
     "q116_interval_join_clicks_purchases",
-    # (d) canaries + oldest round-4 greens — 13 names
+    # (d) canaries + oldest round-4 greens — 7 names
     "q01_pricing_summary",
     "q114_watermark_late_drop",
     "q02_filter_project_topk",
@@ -141,12 +150,6 @@ _NEEDS_DRIVER_ROW = (
     "q10_inner_join_agg",
     "q12_left_outer_join",
     "q13_right_full_outer",
-    "q14_semi_join",
-    "q15_anti_join",
-    "q16_cross_theta_join",
-    "q17_range_join",
-    "q21_rollup",
-    "q22_cube",
 )
 
 

@@ -819,3 +819,115 @@ def q176_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q178 — BPE merge-pair counting (tokenizer-induction inner loop)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q178_bpe_merge_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      FROM words WHERE length(w) >= 2 GROUP BY w
+    ), pairs AS (
+      SELECT substr(w, CAST(i AS INT), 1) AS a,
+             substr(w, CAST(i AS INT) + 1, 1) AS b, cnt
+      FROM wc, unnest(range(1, length(w))) AS r(i)
+    )
+    SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY a, b
+    ORDER BY pair_count DESC, a, b
+    LIMIT 50
+    """,
+)
+def q178_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting pass of byte-pair-encoding tokenizer induction:
+    adjacent-symbol pair frequencies over the corpus, weighted by word
+    frequency — the top pair is the next BPE merge. (The apply step
+    folds the winning pair into the symbol inventory and re-runs this
+    count; each iteration is this same query over the re-segmented
+    vocabulary.)
+
+    The classic BPE speedup is built in: pairs are counted over the
+    DISTINCT-word frame weighted by word count, so the pair explode
+    touches |vocabulary| rows, not |corpus tokens| — on a 100 TB crawl
+    the vocabulary is millions of rows while the token stream is
+    trillions. Two word-count-shaped aggregates (word freq, then pair
+    freq), both map-side combinable; the per-word pair expansion is an
+    in-expression array lambda, nothing materializes.
+    """
+    d = _docs(spark, sf_dir)
+    wc = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    pair_expr = F.expr(
+        "transform(sequence(1, length(w) - 1),"
+        " i -> struct(substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b))"
+    )
+    return (
+        wc.select(F.explode(pair_expr).alias("p"), "cnt")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "a", "b")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q182 — positional phrase search (the positional-index probe plan)
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("fast", "table")
+
+
+@query(
+    "q182_phrase_search",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), pos AS (
+      SELECT doc_id, i, t[CAST(i AS INT)] AS term
+      FROM d, unnest(range(1, len(t) + 1)) AS r(i)
+    ),
+    a AS (SELECT doc_id, i FROM pos WHERE term = '{_PHRASE[0]}'),
+    b AS (SELECT doc_id, i FROM pos WHERE term = '{_PHRASE[1]}')
+    SELECT a.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM a JOIN b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    GROUP BY a.doc_id
+    ORDER BY doc_id
+    """,
+)
+def q182_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("fast table") via positional postings:
+    per-term (doc_id, position) lists equi-joined on
+    (doc_id, pos + 1 = pos) adjacency — the probe plan of a positional
+    inverted index (q100 builds the non-positional form; production
+    persists this layout so the scan below becomes an index lookup).
+
+    The term filter lands BEFORE the explode output is shuffled: each
+    posting stream carries only the phrase's terms, so the adjacency
+    join's key space is the phrase's document frequency, not corpus
+    positions. Both sides shuffle on doc_id once; phrase extension to
+    k terms chains k-1 such joins, each narrowing the candidate set.
+    """
+    d = _docs(spark, sf_dir)
+    pos = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "term")
+    )
+    # posexplode is 0-based; the oracle's range() is 1-based — adjacency
+    # (i_b = i_a + 1) is offset-invariant, so no correction is needed.
+    a = pos.filter(F.col("term") == _PHRASE[0]).select("doc_id", F.col("i").alias("ia"))
+    b = pos.filter(F.col("term") == _PHRASE[1]).select("doc_id", F.col("i").alias("ib"))
+    return (
+        a.join(b, (a["doc_id"] == b["doc_id"]) & (b["ib"] == a["ia"] + 1))
+        .groupBy(a["doc_id"].alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy("doc_id")
+    )

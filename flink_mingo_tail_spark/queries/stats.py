@@ -568,3 +568,253 @@ def q174_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("r2_micro"),
     ).orderBy("flag")
+
+
+# ---------------------------------------------------------------------------
+# q179 — distributed exact AUC (Mann-Whitney) per source
+# ---------------------------------------------------------------------------
+
+@query(
+    "q179_auc_mann_whitney",
+    oracle="""
+    WITH t AS (
+      SELECT source, n_chars AS v,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ), g AS (
+      SELECT source, v,
+             CAST(sum(pos) AS BIGINT) AS np,
+             CAST(count(*) - sum(pos) AS BIGINT) AS nn
+      FROM t GROUP BY source, v
+    ), p AS (
+      SELECT source, v, np, nn,
+             CAST(coalesce(sum(nn) OVER (
+                 PARTITION BY source ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS nbelow
+      FROM g
+    )
+    SELECT source,
+           CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(nn) AS BIGINT) AS n_neg,
+           CAST(round(CAST(sum(2 * nbelow * np + nn * np) AS DOUBLE) * 1000000.0
+                      / (2.0 * sum(np) * sum(nn))) AS BIGINT) AS auc_micro
+    FROM p GROUP BY source
+    HAVING sum(np) > 0 AND sum(nn) > 0
+    ORDER BY source
+    """,
+)
+def q179_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC (Mann-Whitney U) per source: how well document length
+    separates English from non-English — the classifier-evaluation
+    primitive a quality-filter pipeline runs after every scoring model.
+
+    AUC = P(score_pos > score_neg) + P(score_pos = score_neg)/2,
+    computed exactly from the distinct-score frame: group to
+    (source, score) with positive/negative counts, then the
+    strictly-below negative count per distinct score is a
+    ``grouped_prefix_sum`` — the two-level bounded-state prefix (no
+    corpus-sized window task; the cross-bucket cumsum rides the tiny
+    per-(source, bucket) subtotal frame). The ×2 numerator keeps the
+    half-credit tie term in exact int64; the ONLY double op is the
+    final division, the identical IEEE expression in both engines.
+    """
+    from flink_mingo_tail_spark.operators.ranks import grouped_prefix_sum
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").alias("v"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("pos"),
+    )
+    g = d.groupBy("source", "v").agg(
+        F.sum("pos").cast("long").alias("np"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("nn"),
+    )
+    p = grouped_prefix_sum(
+        g, ["source"], F.col("v"), {"nbelow": F.col("nn")}, width=64, inclusive=False
+    )
+    return (
+        p.groupBy("source")
+        .agg(
+            F.sum("np").cast("long").alias("n_pos"),
+            F.sum("nn").cast("long").alias("n_neg"),
+            F.sum(
+                F.lit(2) * F.col("nbelow") * F.col("np") + F.col("nn") * F.col("np")
+            ).alias("numer2"),
+        )
+        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "source",
+            "n_pos",
+            "n_neg",
+            F.expr(
+                "CAST(round(CAST(numer2 AS DOUBLE) * 1000000.0"
+                " / (2.0 * n_pos * n_neg)) AS BIGINT)"
+            ).alias("auc_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q180 — two-sample Kolmogorov-Smirnov distance per event type
+# ---------------------------------------------------------------------------
+
+@query(
+    "q180_ks_two_sample",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v100,
+             user_id % 2 AS cohort
+      FROM events
+    ), g AS (
+      SELECT event_type, v100,
+             CAST(count(*) FILTER (cohort = 0) AS BIGINT) AS c1,
+             CAST(count(*) FILTER (cohort = 1) AS BIGINT) AS c2
+      FROM t GROUP BY event_type, v100
+    ), p AS (
+      SELECT event_type, v100, c1, c2,
+             CAST(sum(c1) OVER (PARTITION BY event_type ORDER BY v100
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+             CAST(sum(c2) OVER (PARTITION BY event_type ORDER BY v100
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+      FROM g
+    ), n AS (
+      SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      FROM g GROUP BY event_type
+    )
+    SELECT p.event_type AS event_type, n1, n2,
+           CAST(round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE) * 1000000.0
+                      / (1.0 * n1 * n2)) AS BIGINT) AS ks_micro
+    FROM p JOIN n ON p.event_type = n.event_type
+    WHERE n1 > 0 AND n2 > 0
+    GROUP BY p.event_type, n1, n2
+    ORDER BY event_type
+    """,
+)
+def q180_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the value
+    distributions of two user cohorts (parity split), per event type —
+    the distribution-drift alarm run between every data refresh.
+
+    D = max over distinct values of |ECDF1 - ECDF2|. Both ECDFs are
+    inclusive running counts over the distinct-(event_type, v100)
+    frame via ONE ``grouped_prefix_sum`` call (two measures share the
+    same two-level pass). The comparison is cross-multiplied —
+    |cum1*n2 - cum2*n1| — so the max is taken over exact int64s; the
+    single final division is the identical IEEE expression in both
+    engines. Everything after the first groupBy scales with the
+    distinct-value domain, not event volume.
+    """
+    from flink_mingo_tail_spark.operators.ranks import grouped_prefix_sum
+
+    t = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+        (F.col("user_id") % 2).alias("cohort"),
+    )
+    g = t.groupBy("event_type", "v100").agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    p = grouped_prefix_sum(
+        g,
+        ["event_type"],
+        F.col("v100"),
+        {"cum1": F.col("c1"), "cum2": F.col("c2")},
+        width=1024,
+        inclusive=True,
+    )
+    n = g.groupBy("event_type").agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    return (
+        p.join(F.broadcast(n), "event_type")
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .groupBy("event_type", "n1", "n2")
+        .agg(
+            F.max(
+                F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+            ).alias("maxd")
+        )
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            F.expr(
+                "CAST(round(CAST(maxd AS DOUBLE) * 1000000.0 / (1.0 * n1 * n2))"
+                " AS BIGINT)"
+            ).alias("ks_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q181 — chi-square independence cells: source x length-bucket
+# ---------------------------------------------------------------------------
+
+@query(
+    "q181_chi2_independence",
+    oracle="""
+    WITH t AS (
+      SELECT source, n_chars // 100 AS bucket FROM documents
+    ), o AS (
+      SELECT source, bucket, CAST(count(*) AS BIGINT) AS obs
+      FROM t GROUP BY source, bucket
+    ), r AS (
+      SELECT source, CAST(sum(obs) AS BIGINT) AS row_tot FROM o GROUP BY source
+    ), c AS (
+      SELECT bucket, CAST(sum(obs) AS BIGINT) AS col_tot FROM o GROUP BY bucket
+    ), n AS (
+      SELECT CAST(sum(obs) AS BIGINT) AS n_tot FROM o
+    )
+    SELECT o.source AS source, o.bucket AS bucket, obs,
+           CAST(round((CAST(row_tot AS DOUBLE) * col_tot / n_tot) * 1000000.0)
+             AS BIGINT) AS e_micro,
+           CAST(round((obs - CAST(row_tot AS DOUBLE) * col_tot / n_tot)
+                      * (obs - CAST(row_tot AS DOUBLE) * col_tot / n_tot)
+                      / (CAST(row_tot AS DOUBLE) * col_tot / n_tot)
+                      * 1000000.0) AS BIGINT) AS contrib_micro
+    FROM o JOIN r ON o.source = r.source
+           JOIN c ON o.bucket = c.bucket
+           CROSS JOIN n
+    ORDER BY source, bucket
+    """,
+)
+def q181_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for the source x length-bucket
+    contingency table: observed count, expected count under
+    independence, and the per-cell chi-square contribution — the
+    corpus-balance diagnostic (is length distribution uniform across
+    sources?) behind mixture reweighting.
+
+    One hash aggregate builds the contingency table; the row/column/
+    grand margins are three aggregates OF that tiny table (bounded by
+    |sources| x |buckets|, never by corpus size), broadcast back onto
+    it. The expected-count expression is spelled once and identically
+    in both engines: e = (double(row_tot) * col_tot) / n_tot.
+    """
+    t = _t(spark, sf_dir, "documents").select(
+        "source", F.expr("n_chars div 100").alias("bucket")
+    )
+    o = t.groupBy("source", "bucket").agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    r = o.groupBy("source").agg(F.sum("obs").cast("long").alias("row_tot"))
+    c = o.groupBy("bucket").agg(F.sum("obs").cast("long").alias("col_tot"))
+    n = o.agg(F.sum("obs").cast("long").alias("n_tot"))
+    e = "(CAST(row_tot AS DOUBLE) * col_tot / n_tot)"
+    return (
+        o.join(F.broadcast(r), "source")
+        .join(F.broadcast(c), "bucket")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "bucket",
+            "obs",
+            F.expr(f"CAST(round({e} * 1000000.0) AS BIGINT)").alias("e_micro"),
+            F.expr(
+                f"CAST(round((obs - {e}) * (obs - {e}) / {e} * 1000000.0) AS BIGINT)"
+            ).alias("contrib_micro"),
+        )
+        .orderBy("source", "bucket")
+    )

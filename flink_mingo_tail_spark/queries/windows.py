@@ -468,3 +468,55 @@ def q149_locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.last(v, ignorenulls=True).over(w).alias("last_purchase_value"),
     ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q183 — percent_rank / cume_dist battery (distribution windows)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q183_percent_rank_cume_dist",
+    oracle="""
+    WITH t AS (
+      SELECT c_nationkey, c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal100
+      FROM customer
+    )
+    SELECT c_nationkey, c_custkey, bal100,
+           CAST(round(percent_rank() OVER w * 1000000.0) AS BIGINT) AS pr_micro,
+           CAST(round(cume_dist() OVER w * 1000000.0) AS BIGINT) AS cd_micro
+    FROM t
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY bal100, c_custkey)
+    ORDER BY c_nationkey, c_custkey
+    """,
+)
+def q183_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank and cume_dist over customer balances within each
+    nation — the relative-position windows (SURVEY §2B ranking family)
+    that q30/q31's rank/dense_rank/ntile battery did not yet cover.
+
+    The window partitions by nation (high-cardinality-enough key; no
+    global single-task window), and the ORDER BY carries a custkey
+    tiebreak so both functions are evaluated over a total order:
+    percent_rank = (rank-1)/(n-1) and cume_dist = rank/n then reduce
+    to the same exact-integer-ratio expression in both engines (IEEE
+    division of exact ints, bit-equal), micro-rounded for the hash.
+    """
+    t = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_custkey",
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("bal100"),
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("bal100", "c_custkey")
+    return (
+        t.withColumn("pr", F.percent_rank().over(w))
+        .withColumn("cd", F.cume_dist().over(w))
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            "bal100",
+            F.expr("CAST(round(pr * 1000000.0) AS BIGINT)").alias("pr_micro"),
+            F.expr("CAST(round(cd * 1000000.0) AS BIGINT)").alias("cd_micro"),
+        )
+        .orderBy("c_nationkey", "c_custkey")
+    )

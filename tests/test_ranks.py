@@ -45,3 +45,37 @@ def test_descending_via_negation(spark):
     got = distributed_ntile(df, -F.col("v"), F.col("id"), k=3, out="t", width=8)
     want = df.withColumn("t", F.ntile(3).over(Window.orderBy(F.col("v").desc(), "id")))
     assert {(r.id, r.t) for r in got.collect()} == {(r.id, r.t) for r in want.collect()}
+
+
+def test_grouped_prefix_sum_matches_window(spark):
+    # one row per (g, v) as the contract requires; negative values,
+    # adjacent buckets, two measures in one pass
+    rows = [
+        ("a", -130, 3, 1), ("a", -65, 1, 0), ("a", -64, 2, 5),
+        ("a", 0, 7, 2), ("a", 63, 1, 1), ("a", 64, 4, 0),
+        ("a", 200, 2, 9), ("b", -1, 5, 5), ("b", 0, 1, 1),
+        ("b", 1, 2, 0), ("c", 42, 3, 3),
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, m1 long, m2 long").repartition(5)
+    from flink_mingo_tail_spark.operators.ranks import grouped_prefix_sum
+
+    for inclusive in (True, False):
+        got = grouped_prefix_sum(
+            df,
+            ["g"],
+            F.col("v"),
+            {"s1": F.col("m1"), "s2": F.col("m2")},
+            width=64,
+            inclusive=inclusive,
+        )
+        upper = 0 if inclusive else -1
+        w = Window.partitionBy("g").orderBy("v").rowsBetween(
+            Window.unboundedPreceding, upper
+        )
+        want = df.withColumn(
+            "s1", F.coalesce(F.sum("m1").over(w), F.lit(0)).cast("long")
+        ).withColumn("s2", F.coalesce(F.sum("m2").over(w), F.lit(0)).cast("long"))
+        a = {(r.g, r.v, r.s1, r.s2) for r in got.collect()}
+        b = {(r.g, r.v, r.s1, r.s2) for r in want.collect()}
+        assert a == b, f"inclusive={inclusive}"
+        assert set(got.columns) == set(df.columns) | {"s1", "s2"}
