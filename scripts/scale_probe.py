@@ -145,6 +145,19 @@ PROBES = [
     "q154b_set_similarity_tau07",
     "q171_semdedup_end_to_end",
     "q172_repeated_span_dedup",
+    # round-7 second wave: BPE pair counting (explode rides the distinct
+    # vocabulary — copies do NOT grow it, so near-flat growth is the
+    # expected signature), the two grouped_prefix_sum consumers (AUC,
+    # KS — distinct-value-domain passes after the first groupBy), the
+    # chi-square contingency cells (margins bounded by |sources| x
+    # |buckets|), positional phrase search (postings joins keyed on the
+    # phrase's df), and the percent_rank battery (per-nation windows).
+    "q178_bpe_merge_pairs",
+    "q179_auc_mann_whitney",
+    "q180_ks_two_sample",
+    "q181_chi2_independence",
+    "q182_phrase_search",
+    "q183_percent_rank_cume_dist",
 ]
 
 
