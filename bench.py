@@ -106,6 +106,18 @@ HEADLINE = [
     # late round 6: SemDeDup within-cell prune — the cell-key equi-join
     # that bounds the pair space (sum of cell sizes squared, not n^2)
     "q170_semdedup_prune",
+    # round 7 second wave: BPE merge-pair counting (vocabulary-sized
+    # explode), exact Mann-Whitney AUC + two-sample KS (both are
+    # grouped_prefix_sum consumers — the two-level bounded-state
+    # prefix), positional phrase search (postings adjacency join), and
+    # the percent_rank/cume_dist battery (per-nation windows). q181's
+    # broadcast-margin chi-square is probe-only (its cost is three
+    # aggregates of a tiny table — nothing to gate).
+    "q178_bpe_merge_pairs",
+    "q179_auc_mann_whitney",
+    "q180_ks_two_sample",
+    "q182_phrase_search",
+    "q183_percent_rank_cume_dist",
 ]
 
 
@@ -136,6 +148,8 @@ LARGE_OUTPUT = {
     # tau=0.7 bench twin has it too)
     "q154_set_similarity_join",
     "q154b_set_similarity_tau07",
+    # per-customer window output: one row per input row
+    "q183_percent_rank_cume_dist",
 }
 
 
