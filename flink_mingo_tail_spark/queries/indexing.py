@@ -931,3 +931,214 @@ def q182_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q184 — reciprocal-rank fusion of lexical and semantic retrieval
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60      # the standard RRF damping constant (Cormack et al. SIGIR'09)
+_RRF_TOP = 50    # per-system list depth
+
+
+@query(
+    "q184_rrf_fusion",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), lex AS (
+      SELECT doc_id,
+             CAST(len(list_filter(toks, t -> t = 'spark')) +
+                  len(list_filter(toks, t -> t = 'join')) +
+                  len(list_filter(toks, t -> t = 'window')) AS BIGINT) AS score
+      FROM d
+      ORDER BY score DESC, doc_id LIMIT {_RRF_TOP}
+    ), lexr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM lex
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+    ), q AS (
+      SELECT embedding AS qv FROM e WHERE vec_id = 0
+    ), sem AS (
+      SELECT c.vec_id AS doc_id,
+             round({SQL_COSINE.format(a="q.qv", b="c.embedding")}, 6) AS cos_sim
+      FROM e c CROSS JOIN q WHERE c.vec_id <> 0
+      ORDER BY cos_sim DESC, doc_id LIMIT {_RRF_TOP}
+    ), semr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r FROM sem
+    )
+    SELECT coalesce(lexr.doc_id, semr.doc_id) AS doc_id,
+           CAST(coalesce(lexr.r, 0) AS BIGINT) AS lex_rank,
+           CAST(coalesce(semr.r, 0) AS BIGINT) AS sem_rank,
+           CAST(round((coalesce(1.0 / ({_RRF_K} + lexr.r), 0.0)
+                     + coalesce(1.0 / ({_RRF_K} + semr.r), 0.0)) * 1000000.0)
+             AS BIGINT) AS rrf_micro
+    FROM lexr FULL OUTER JOIN semr ON lexr.doc_id = semr.doc_id
+    ORDER BY rrf_micro DESC, doc_id
+    """,
+)
+def q184_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval systems — the lexical
+    (BM25-family term-count) list and the semantic (embedding-cosine)
+    list — rrf(d) = sum over systems of 1/(k + rank_s(d)), the standard
+    ensemble step between sparse and dense retrieval.
+
+    Scale shape: each leg is a corpus pass ending in a
+    TakeOrderedAndProject (top-{_RRF_TOP}); ranking then runs on the
+    {_RRF_TOP}-row lists (the documented tiny-frame window exception —
+    bounded by the LIMIT, not the corpus), and the fusion join is
+    list-sized. The 1/(k+r) terms are IEEE divisions of exact ints,
+    summed in the same written order in both engines, micro-rounded.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    score = sum(
+        F.size(F.filter(toks, lambda t: t == F.lit(term)))
+        for term in ("spark", "join", "window")
+    ).cast("long")
+    lex = (
+        d.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_RRF_TOP)
+    )
+    lexr = lex.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("score"), "doc_id")).alias("rl"),
+    )
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    sem = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "doc_id")
+        .limit(_RRF_TOP)
+    )
+    semr = sem.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("cos_sim"), "doc_id")).alias("rs"),
+    )
+    fused = lexr.join(semr, "doc_id", "full_outer")
+    return fused.select(
+        "doc_id",
+        F.coalesce(F.col("rl"), F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce(F.col("rs"), F.lit(0)).cast("long").alias("sem_rank"),
+        F.round(
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rl")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rs")), F.lit(0.0))
+            )
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    ).orderBy(F.desc("rrf_micro"), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q185 — BPE merge application (round 2 of tokenizer induction)
+# ---------------------------------------------------------------------------
+
+_BPE_WC = """
+    words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      FROM words WHERE length(w) >= 2 GROUP BY w
+    )
+"""
+
+
+@query(
+    "q185_bpe_merge_apply",
+    oracle=f"""
+    WITH {_BPE_WC},
+    pairs1 AS (
+      SELECT substr(w, CAST(i AS INT), 1) AS a,
+             substr(w, CAST(i AS INT) + 1, 1) AS b, cnt
+      FROM wc, unnest(range(1, length(w))) AS r(i)
+    ), top1 AS (
+      SELECT a, b FROM pairs1 GROUP BY a, b
+      ORDER BY sum(cnt) DESC, a, b LIMIT 1
+    ), seg AS (
+      SELECT replace('|' || array_to_string(string_split(w, ''), '|'),
+                     '|' || a || '|' || b, '|' || a || b) AS s, cnt
+      FROM wc CROSS JOIN top1
+    ), syms AS (
+      SELECT string_split(s, '|') AS ss, cnt FROM seg
+    ), pairs2 AS (
+      -- ss[1] is the empty pre-separator field; symbols are ss[2..]
+      SELECT ss[CAST(i AS INT)] AS a, ss[CAST(i AS INT) + 1] AS b, cnt
+      FROM syms, unnest(range(2, len(ss))) AS r(i)
+    )
+    SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_count
+    FROM pairs2 GROUP BY a, b
+    ORDER BY pair_count DESC, a, b
+    LIMIT 50
+    """,
+)
+def q185_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 2 of BPE tokenizer induction: take round 1's winning merge
+    pair (q178's argmax), APPLY it to the symbol inventory, and recount
+    adjacent pairs over the merged segmentation — the apply+recount
+    step that, iterated, yields the full merge table.
+
+    Merge application is a single string replace over the
+    '|'-prefixed symbol spelling ('hello' -> '|h|e|l|l|o'): replacing
+    '|a|b' with '|ab' left-to-right non-overlapping IS greedy BPE merge
+    order ('aaa' with merge (a,a) -> [aa, a]), and the leading '|' on
+    every symbol makes a mid-symbol false match impossible while round-1
+    symbols are single characters (later rounds would need the
+    boundary-aware spelling — this query pins round 2 exactly).
+
+    Scale shape: both counting passes ride the DISTINCT-word frame
+    weighted by word count (the q178 invariance); the winning pair is a
+    one-row broadcast crossJoin; merge apply + re-segmentation are
+    in-expression string ops, nothing materializes per token.
+    """
+    d = _docs(spark, sf_dir)
+    wc = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    pair_expr = F.expr(
+        "transform(sequence(1, length(w) - 1),"
+        " i -> struct(substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b))"
+    )
+    top1 = (
+        wc.select(F.explode(pair_expr).alias("p"), "cnt")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("c"))
+        .orderBy(F.desc("c"), "a", "b")
+        .limit(1)
+        .select("a", "b")
+    )
+    seg = wc.crossJoin(F.broadcast(top1)).select(
+        F.expr(
+            "replace('|' || concat_ws('|', split(w, '')),"
+            " '|' || a || '|' || b, '|' || a || b)"
+        ).alias("s"),
+        "cnt",
+    )
+    # a fully-merged word ('ab' -> '|ab') has ONE symbol and no pairs;
+    # Spark's sequence(2, 1) would step DOWNWARD (the q154 gotcha), so
+    # single-symbol rows are filtered out before the transform
+    pairs2 = F.expr(
+        "transform(sequence(2, size(split(s, '[|]')) - 1),"
+        " i -> struct(split(s, '[|]')[i - 1] AS a, split(s, '[|]')[i] AS b))"
+    )
+    return (
+        seg.filter(F.size(F.split("s", "[|]")) >= 3)
+        .select(F.explode(pairs2).alias("p"), "cnt")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "a", "b")
+        .limit(50)
+    )

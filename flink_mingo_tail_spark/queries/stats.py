@@ -818,3 +818,142 @@ def q181_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q186 — Cohen's kappa: agreement between two cheap quality raters
+# ---------------------------------------------------------------------------
+
+@query(
+    "q186_cohens_kappa",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS r1,
+             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS r2
+      FROM documents
+    ), c AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r1 * r2) AS BIGINT) AS n11,
+             CAST(sum(r1 * (1 - r2)) AS BIGINT) AS n10,
+             CAST(sum((1 - r1) * r2) AS BIGINT) AS n01,
+             CAST(sum((1 - r1) * (1 - r2)) AS BIGINT) AS n00
+      FROM t GROUP BY source
+    )
+    SELECT source, n, n11, n10, n01, n00,
+           CAST(round(
+             CAST((n11 + n00) * n - ((n11 + n10) * (n11 + n01)
+                                   + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+             * 1000000.0
+             / (CAST(n AS DOUBLE) * n - ((n11 + n10) * (n11 + n01)
+                                       + (n01 + n00) * (n10 + n00)))
+           ) AS BIGINT) AS kappa_micro
+    FROM c
+    WHERE CAST(n AS DOUBLE) * n <> ((n11 + n10) * (n11 + n01)
+                                  + (n01 + n00) * (n10 + n00))
+    ORDER BY source
+    """,
+)
+def q186_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa per source between two cheap raters — the
+    language-ID rater (lang = 'en') and a length-threshold quality
+    rater (n_chars >= 300): the inter-annotator-agreement statistic a
+    labeling pipeline computes before trusting silver labels.
+
+    kappa = (po - pe) / (1 - pe) rewritten over exact int64 counts:
+    numerator (n11+n00)*n - pe_num and denominator n^2 - pe_num with
+    pe_num = row1*col1 + row0*col0 — ONE IEEE division at the end,
+    spelled identically in both engines. One hash aggregate over the
+    corpus; everything after is per-group scalar arithmetic.
+    """
+    t = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("r1"),
+        F.when(F.col("n_chars") >= 300, F.lit(1)).otherwise(F.lit(0)).alias("r2"),
+    )
+    c = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("r1") * F.col("r2")).cast("long").alias("n11"),
+        F.sum(F.col("r1") * (1 - F.col("r2"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("r1")) * F.col("r2")).cast("long").alias("n01"),
+        F.sum((1 - F.col("r1")) * (1 - F.col("r2"))).cast("long").alias("n00"),
+    )
+    pe_num = "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+    return (
+        c.filter(F.expr(f"CAST(n AS DOUBLE) * n <> {pe_num}"))
+        .select(
+            "source", "n", "n11", "n10", "n01", "n00",
+            F.expr(
+                f"CAST(round(CAST((n11 + n00) * n - {pe_num} AS DOUBLE) * 1000000.0"
+                f" / (CAST(n AS DOUBLE) * n - {pe_num})) AS BIGINT)"
+            ).alias("kappa_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q187 — classifier calibration bins + ECE contributions
+# ---------------------------------------------------------------------------
+
+@query(
+    "q187_calibration_ece",
+    oracle="""
+    WITH t AS (
+      SELECT n_chars % 100 AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ), b AS (
+      SELECT s // 10 AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(s) AS BIGINT) AS sum_s,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM t GROUP BY s // 10
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS big_n FROM b
+    )
+    SELECT bin, n, n_pos,
+           CAST(round(sum_s * 1000000.0 / (100.0 * n)) AS BIGINT) AS conf_micro,
+           CAST(round(n_pos * 1000000.0 / (1.0 * n)) AS BIGINT) AS acc_micro,
+           CAST(round(abs(100 * n_pos - sum_s) * 1000000.0 / (100.0 * big_n))
+             AS BIGINT) AS ece_contrib_micro
+    FROM b CROSS JOIN tot
+    ORDER BY bin
+    """,
+)
+def q187_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for a classifier score (the n_chars %
+    100 proxy probability, in percent) against the lang = 'en' label:
+    per-bin mean confidence, empirical accuracy, and the bin's
+    expected-calibration-error contribution (n_b / N * |acc - conf|) —
+    the post-training eval every quality-scoring model gets.
+
+    The ECE numerator is kept exact: |acc - conf| = |100*n_pos - sum_s|
+    / (100n), so the contribution reduces to |100*n_pos - sum_s| /
+    (100N) — ONE int64 absolute difference and ONE IEEE division,
+    identical in both engines. One hash aggregate to 10 bins; the
+    grand total is a broadcast one-row frame.
+    """
+    t = _t(spark, sf_dir, "documents").select(
+        (F.col("n_chars") % 100).alias("s"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("pos"),
+    )
+    b = t.groupBy(F.expr("s div 10").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s").cast("long").alias("sum_s"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    tot = b.agg(F.sum("n").cast("long").alias("big_n"))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "bin", "n", "n_pos",
+            F.expr("CAST(round(sum_s * 1000000.0 / (100.0 * n)) AS BIGINT)").alias("conf_micro"),
+            F.expr("CAST(round(n_pos * 1000000.0 / (1.0 * n)) AS BIGINT)").alias("acc_micro"),
+            F.expr(
+                "CAST(round(abs(100 * n_pos - sum_s) * 1000000.0 / (100.0 * big_n)) AS BIGINT)"
+            ).alias("ece_contrib_micro"),
+        )
+        .orderBy("bin")
+    )

@@ -158,6 +158,14 @@ PROBES = [
     "q181_chi2_independence",
     "q182_phrase_search",
     "q183_percent_rank_cume_dist",
+    # round-7 third wave: RRF fusion (two corpus passes each ending in a
+    # top-50 TakeOrdered — ranks ride 50-row frames), BPE merge apply
+    # (two vocabulary-frame passes + 1-row broadcast), Cohen's kappa and
+    # calibration ECE (one hash aggregate each, per-group scalar math).
+    "q184_rrf_fusion",
+    "q185_bpe_merge_apply",
+    "q186_cohens_kappa",
+    "q187_calibration_ece",
 ]
 
 
