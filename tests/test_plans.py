@@ -496,3 +496,61 @@ def test_semdedup_candidates_are_cell_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
+
+
+def test_rrf_legs_are_take_ordered(spark):
+    """q184: each retrieval leg ends in a TakeOrderedAndProject (top-50
+    never global-sorts the corpus); the fusion join runs on the 50-row
+    lists, and the per-list ranks are the documented tiny-frame windows
+    ABOVE the limit, never below it."""
+    plan = plan_of(spark, "q184_rrf_fusion")
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_auc_ks_have_no_unpartitioned_corpus_window(spark):
+    """q179/q180 ride grouped_prefix_sum: every window node must be
+    partitioned (the only ORDER-BY-only window allowed is none — the
+    cross-bucket cumsum partitions by the group keys here), and the
+    pass starts from a hash aggregate to the distinct-value frame."""
+    import re
+
+    for name in ("q179_auc_mann_whitney", "q180_ks_two_sample"):
+        plan = plan_of(spark, name)
+        assert "HashAggregate" in plan, name
+        # a partitioned Window's Arguments line has THREE bracketed
+        # lists ([exprs], [partition], [order]); an ORDER-BY-only one
+        # has TWO — so every window argument line must carry two "], ["
+        # separators
+        lines = plan.splitlines()
+        saw_window = False
+        for i, line in enumerate(lines):
+            if re.match(r"\(\d+\) Window", line.strip()):
+                args = next(
+                    ln for ln in lines[i + 1 :] if ln.strip().startswith("Arguments:")
+                )
+                assert args.count("], [") == 2, (name, args)
+                saw_window = True
+        assert saw_window, name
+
+
+def test_bpe_counts_ride_distinct_word_frame(spark):
+    """q178/q185: the pair explode's input is the word-count aggregate
+    (vocabulary-sized), so the plan shows the aggregate BELOW the
+    generator — and no window or join in q178 at all."""
+    plan = plan_of(spark, "q178_bpe_merge_pairs")
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    assert "Generate" in plan  # the explode
+    plan2 = plan_of(spark, "q185_bpe_merge_apply")
+    assert "BroadcastNestedLoopJoin" in plan2 or "CartesianProduct" in plan2 or "BroadcastHashJoin" in plan2  # the 1-row top-merge broadcast
+    assert "SortMergeJoin" not in plan2
+
+
+def test_calibration_margins_broadcast(spark):
+    """q181/q187: the contingency/bin margins join back by BROADCAST —
+    the corpus-sized side is never shuffled for a margin."""
+    for name in ("q181_chi2_independence", "q187_calibration_ece"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
