@@ -1142,3 +1142,123 @@ def q185_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "a", "b")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# q188 — multi-round BPE training (the merge table, 3 rounds unrolled)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+# greedy left-to-right merge fold, spelled once per engine. The DuckDB
+# fold seeds list_reduce with a prepended empty VARCHAR[] (it has no
+# explicit init); both folds implement the same recurrence, so the
+# resulting segmentations are equal element-wise.
+_DUCK_FOLD = (
+    "list_reduce("
+    "list_prepend([]::VARCHAR[], list_transform(syms, s -> [s])),"
+    "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m{r}.a AND x[1] = m{r}.b"
+    " THEN list_append(acc[1:-2], m{r}.a || m{r}.b)"
+    " ELSE list_concat(acc, x) END)"
+)
+_SPARK_FOLD = (
+    "aggregate(syms, CAST(array() AS array<string>),"
+    "(acc, s) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = a AND s = b"
+    " THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, b)))"
+    " ELSE concat(acc, array(s)) END)"
+)
+
+
+def _bpe_rounds_oracle(n_rounds: int) -> str:
+    parts = [
+        """
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      FROM words WHERE length(w) >= 2 GROUP BY w
+    ), seg0 AS (
+      SELECT string_split(w, '') AS syms, cnt FROM wc
+    )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""
+    , p{r} AS (
+      SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b,
+             CAST(sum(cnt) AS BIGINT) AS c
+      FROM seg{r - 1}, unnest(range(1, len(syms))) AS r(i)
+      GROUP BY 1, 2
+    ), m{r} AS (
+      SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1
+    ), seg{r} AS (
+      SELECT {_DUCK_FOLD.format(r=f"{r}")} AS syms, cnt
+      FROM seg{r - 1} CROSS JOIN m{r}
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {r} AS round, a, b, c AS pair_count FROM m{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    parts.append(f"""
+    SELECT CAST(round AS BIGINT) AS round, a, b, pair_count
+    FROM ({unions})
+    ORDER BY round""")
+    return "".join(parts)
+
+
+@query("q188_bpe_train_rounds", oracle=_bpe_rounds_oracle(_BPE_ROUNDS))
+def q188_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, {_BPE_ROUNDS} merge rounds unrolled: each
+    round counts adjacent symbol pairs over the current segmentation,
+    takes the argmax as the round's merge, and re-segments by a greedy
+    left-to-right fold — the output IS the (ordered) merge table, the
+    artifact a tokenizer trainer persists.
+
+    Unlike q185's string-replace spelling (sound only while symbols are
+    single characters), the re-segmentation here is an explicit array
+    fold — acc ends with `a` and next is `b` => replace the tail with
+    the merged symbol — which is exact at ANY symbol width, so rounds
+    compose indefinitely; DuckDB replays the identical fold via
+    list_reduce. Per round: one vocabulary-frame pair aggregate + a
+    1-row broadcast of the winning merge + a narrow fold pass — the
+    corpus (token stream) is touched exactly once, in the initial word
+    count. Extending to production round counts keeps this exact shape
+    per round (a driver loop over the same three steps, q79's
+    train-loop pattern).
+    """
+    d = _docs(spark, sf_dir)
+    wc = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    seg = wc.select(F.split("w", "").alias("syms"), "cnt")
+    pair_expr = F.expr(
+        "transform(sequence(1, size(syms) - 1),"
+        " i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+    )
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        top = (
+            seg.filter(F.size("syms") >= 2)
+            .select(F.explode(pair_expr).alias("p"), "cnt")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").cast("long").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+        )
+        merges.append(
+            top.select(
+                F.lit(r).cast("long").alias("round"),
+                "a",
+                "b",
+                F.col("c").alias("pair_count"),
+            )
+        )
+        seg = seg.crossJoin(F.broadcast(top)).select(
+            F.expr(_SPARK_FOLD).alias("syms"), "cnt"
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("round")
