@@ -77,14 +77,15 @@ _MODULES = (
 #
 # ROTATION, round 7 — steady-state policy (round-6 verdict #1), 50
 # slots:
-#   (a) 19 queries with NO driver row yet: the round-7 wave
+#   (a) 20 queries with NO driver row yet: the round-7 wave
 #       (q154b tau=0.7 bench twin, q171 SemDeDup end-to-end, q172
 #       repeated-span dedup, q173 pivot, q174 grouped OLS, q175
 #       char-LM NLL, q176 mixture resample, q177 readability, q178 BPE
 #       merge pairs, q179 exact AUC, q180 two-sample KS, q181 chi-square
 #       cells, q182 phrase search, q183 percent_rank/cume_dist, q184 RRF
 #       fusion, q185 BPE merge apply, q186 Cohen's kappa, q187
-#       calibration ECE, q188 multi-round BPE training);
+#       calibration ECE, q188 multi-round BPE training, q189 windowed
+#       drift statistic — the streaming monitor's batch twin);
 #   (b) 6 queries whose CODE or ORACLE changed this round and need a
 #       fresh proof: q154 (int-key restructure), q155/q158 (ADVICE
 #       tiebreak/guard — oracle text changed), q161/q153 (ranks /
@@ -118,6 +119,7 @@ _NEEDS_DRIVER_ROW = (
     "q186_cohens_kappa",
     "q187_calibration_ece",
     "q188_bpe_train_rounds",
+    "q189_drift_windows",
     # (b) changed this round — 6 names
     "q154_set_similarity_join",
     "q155_linear_interpolate",
@@ -149,10 +151,9 @@ _NEEDS_DRIVER_ROW = (
     "q113_scalar_py_udf",
     "q115_dedup_within_watermark",
     "q116_interval_join_clicks_purchases",
-    # (d) canaries — 2 names (round-4 refresh slots all ceded to the
+    # (d) canary — 1 name (round-4 refresh slots all ceded to the
     # mid-round new-query waves; that cohort drains next round)
     "q01_pricing_summary",
-    "q114_watermark_late_drop",
 )
 
 

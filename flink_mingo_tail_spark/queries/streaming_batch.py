@@ -379,3 +379,87 @@ def q141_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("click_id", "purchase_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q189 — windowed distribution-drift statistic vs the corpus reference
+# ---------------------------------------------------------------------------
+
+@query(
+    "q189_drift_windows",
+    oracle="""
+    WITH t AS (
+      SELECT date_trunc('hour', ts) AS window_start,
+             CAST(round(value * 100) AS BIGINT) // 1000 AS bucket
+      FROM events
+    ), o AS (
+      SELECT window_start, bucket, CAST(count(*) AS BIGINT) AS obs
+      FROM t GROUP BY window_start, bucket
+    ), ref AS (
+      SELECT bucket, CAST(sum(obs) AS BIGINT) AS ref_n FROM o GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(sum(obs) AS BIGINT) AS big_n FROM o
+    ), wn AS (
+      SELECT window_start, CAST(sum(obs) AS BIGINT) AS n_w FROM o GROUP BY window_start
+    ), terms AS (
+      SELECT o.window_start AS window_start, n_w,
+             CAST(round(
+               (obs - 1.0 * n_w * ref_n / big_n)
+               * (obs - 1.0 * n_w * ref_n / big_n)
+               / (1.0 * n_w * ref_n / big_n) * 1000000.0) AS BIGINT) AS term_micro
+      FROM o JOIN ref ON o.bucket = ref.bucket
+             JOIN wn ON o.window_start = wn.window_start
+             CROSS JOIN tot
+    )
+    SELECT window_start, n_w AS n,
+           CAST(sum(term_micro) AS BIGINT) AS chi2_micro
+    FROM terms GROUP BY window_start, n_w
+    ORDER BY window_start
+    """,
+)
+def q189_drift_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tumbling-window distribution drift: the chi-square statistic
+    of each hour's value-bucket histogram against the whole corpus's
+    reference histogram — the batch twin of the streaming drift monitor
+    (streaming/drift.py, tests/test_drift.py), which runs the identical
+    expression tree over windowed state with a broadcast reference.
+
+    Determinism: each per-bucket chi-square term is micro-rounded to an
+    int64 BEFORE the per-window sum (the q163 scaled-term idiom), so
+    the aggregate is an exact integer sum — no float-summation-order
+    dependence across engines or partitionings. Scale shape: one hash
+    aggregate to (window, bucket) — everything downstream (reference,
+    window totals, terms) is histogram-sized; the reference and grand
+    total ride broadcast joins.
+    """
+    t = _events(spark, sf_dir).select(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        F.expr("CAST(round(value * 100) AS BIGINT) div 1000").alias("bucket"),
+    )
+    o = t.groupBy("window_start", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    ref = o.groupBy("bucket").agg(F.sum("obs").cast("long").alias("ref_n"))
+    tot = o.agg(F.sum("obs").cast("long").alias("big_n"))
+    wn = o.groupBy("window_start").agg(F.sum("obs").cast("long").alias("n_w"))
+    e = "(1.0 * n_w * ref_n / big_n)"
+    terms = (
+        o.join(F.broadcast(ref), "bucket")
+        .join(F.broadcast(wn), "window_start")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "window_start",
+            "n_w",
+            F.expr(
+                f"CAST(round((obs - {e}) * (obs - {e}) / {e} * 1000000.0) AS BIGINT)"
+            ).alias("term_micro"),
+        )
+    )
+    return (
+        terms.groupBy("window_start", "n_w")
+        .agg(F.sum("term_micro").cast("long").alias("chi2_micro"))
+        .select(
+            "window_start", F.col("n_w").alias("n"), "chi2_micro"
+        )
+        .orderBy("window_start")
+    )

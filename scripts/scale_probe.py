@@ -166,6 +166,12 @@ PROBES = [
     "q185_bpe_merge_apply",
     "q186_cohens_kappa",
     "q187_calibration_ece",
+    # round-7 fourth wave: multi-round BPE training (3x the q178 shape —
+    # per round one vocab aggregate + 1-row broadcast + narrow fold) and
+    # the windowed drift statistic (one (window, bucket) aggregate; all
+    # downstream frames histogram-sized).
+    "q188_bpe_train_rounds",
+    "q189_drift_windows",
 ]
 
 
