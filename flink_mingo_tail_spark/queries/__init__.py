@@ -77,7 +77,7 @@ _MODULES = (
 #
 # ROTATION, round 7 — steady-state policy (round-6 verdict #1), 50
 # slots:
-#   (a) 20 queries with NO driver row yet: the round-7 wave
+#   (a) 21 queries with NO driver row yet: the round-7 wave
 #       (q154b tau=0.7 bench twin, q171 SemDeDup end-to-end, q172
 #       repeated-span dedup, q173 pivot, q174 grouped OLS, q175
 #       char-LM NLL, q176 mixture resample, q177 readability, q178 BPE
@@ -85,7 +85,8 @@ _MODULES = (
 #       cells, q182 phrase search, q183 percent_rank/cume_dist, q184 RRF
 #       fusion, q185 BPE merge apply, q186 Cohen's kappa, q187
 #       calibration ECE, q188 multi-round BPE training, q189 windowed
-#       drift statistic — the streaming monitor's batch twin);
+#       drift statistic — the streaming monitor's batch twin, q190
+#       per-source token-budget cut);
 #   (b) 6 queries whose CODE or ORACLE changed this round and need a
 #       fresh proof: q154 (int-key restructure), q155/q158 (ADVICE
 #       tiebreak/guard — oracle text changed), q161/q153 (ranks /
@@ -120,6 +121,7 @@ _NEEDS_DRIVER_ROW = (
     "q187_calibration_ece",
     "q188_bpe_train_rounds",
     "q189_drift_windows",
+    "q190_token_budget_cut",
     # (b) changed this round — 6 names
     "q154_set_similarity_join",
     "q155_linear_interpolate",
@@ -151,9 +153,9 @@ _NEEDS_DRIVER_ROW = (
     "q113_scalar_py_udf",
     "q115_dedup_within_watermark",
     "q116_interval_join_clicks_purchases",
-    # (d) canary — 1 name (round-4 refresh slots all ceded to the
-    # mid-round new-query waves; that cohort drains next round)
-    "q01_pricing_summary",
+    # (d) no canary slots this round: all ceded to the 21-query new
+    # wave (q01 stays smoke-checked every round via entry(); the
+    # round-4 cohort drains next round)
 )
 
 

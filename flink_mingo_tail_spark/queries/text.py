@@ -759,3 +759,82 @@ def q177_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sent",
         F.round(F.lit(1e6) * flesch, 0).cast("long").alias("flesch_micro"),
     ).orderBy("doc_id")
+
+# ---------------------------------------------------------------------------
+# q190 — per-source token-budget cut in quality order
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 100       # per-source token budget (the curation knob)
+_PACK_DOC_BITS = 34        # packed order key: doc_id must fit 34 bits
+_PACK_CHAR_BITS = 29       # ... and n_chars 29 bits (2^34 * 2^29 < 2^63)
+
+
+@query(
+    "q190_token_budget_cut",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      FROM documents
+    ), p AS (
+      SELECT source, doc_id, n_toks,
+             CAST(coalesce(sum(n_toks) OVER (
+                 PARTITION BY source ORDER BY n_chars DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM d
+    )
+    SELECT source, doc_id, n_toks, cum_before
+    FROM p WHERE cum_before < {_BUDGET_TOKENS}
+    ORDER BY source, doc_id
+    """,
+)
+def q190_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source token-budget curation cut: rank each
+    source's documents by a quality proxy (n_chars desc, doc_id
+    tiebreak) and keep the prefix whose tokens fit the budget — the
+    "cap every source at N tokens, best docs first" step of mixture
+    construction. The document that straddles the boundary is kept
+    whole (budget is a floor on the cut, as in practice).
+
+    The running token total is `operators/ranks.grouped_prefix_sum`
+    over a PACKED order key (-n_chars << {_PACK_DOC_BITS} | doc_id) —
+    quality-descending, id-tiebroken, one bucket per n_chars value
+    (width = 2^{_PACK_DOC_BITS}) so the cross-bucket cumsum frame is
+    bounded by the n_chars DOMAIN per source, never by corpus size, and
+    no single-partition window exists at any document count. The
+    packing domain (doc_id < 2^{_PACK_DOC_BITS}, n_chars <
+    2^{_PACK_CHAR_BITS}) is ENFORCED with assert_true — a corpus
+    beyond it fails loudly (widen the bit split), never silently
+    misorders (the q158 ADVICE lesson).
+    """
+    from flink_mingo_tail_spark.operators.ranks import grouped_prefix_sum
+
+    d = _docs(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    guard = F.assert_true(
+        (F.col("doc_id") >= 0)
+        & (F.col("doc_id") < F.lit(1 << _PACK_DOC_BITS))
+        & (F.col("n_chars") >= 0)
+        & (F.col("n_chars") < F.lit(1 << _PACK_CHAR_BITS)),
+        F.lit("q190: packed order key domain exceeded — widen the bit split"),
+    )
+    d = d.withColumn("__g", guard).drop("__g")
+    value = (-F.col("n_chars")) * F.lit(1 << _PACK_DOC_BITS) + F.col("doc_id")
+    p = grouped_prefix_sum(
+        d,
+        ["source"],
+        value,
+        {"cum_before": F.col("n_toks")},
+        width=1 << _PACK_DOC_BITS,
+        inclusive=False,
+    )
+    return (
+        p.filter(F.col("cum_before") < _BUDGET_TOKENS)
+        .select("source", "doc_id", "n_toks", "cum_before")
+        .orderBy("source", "doc_id")
+    )

@@ -172,6 +172,9 @@ PROBES = [
     # downstream frames histogram-sized).
     "q188_bpe_train_rounds",
     "q189_drift_windows",
+    # q190: one corpus pass + grouped_prefix_sum over the packed quality
+    # key — the cumsum frame is bounded by the n_chars domain per source
+    "q190_token_budget_cut",
 ]
 
 
