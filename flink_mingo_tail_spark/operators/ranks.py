@@ -130,11 +130,19 @@ def grouped_prefix_sum(
 
     Scale shape: level 1 buckets rows by ``value div width`` and
     aggregates per-(keys, bucket) subtotals; the cross-bucket cumsum
-    windows over THAT frame — |value-domain / width| rows per key
-    group, tiny by construction (the documented WindowExec exception
-    when ``keys`` is empty); the within-bucket leg windows over
-    (keys..., bucket), so no task ever sees more than one bucket of
-    one group.
+    windows over THAT frame — one row per NON-EMPTY bucket per key
+    group (the documented WindowExec exception when ``keys`` is
+    empty); the within-bucket leg windows over (keys..., bucket), so
+    no task ever sees more than one bucket of one group.
+
+    WIDTH CONTRACT: pick ``width`` so the non-empty bucket count stays
+    bounded. For dense integer domains (counts, bucketed values) any
+    small width works (|domain| / width buckets). For SPARSE domains —
+    e.g. packed composite order keys like q190's (quality << 34 |
+    doc_id) — a small width puts every row in its own bucket and the
+    cross-bucket window degenerates to the single-task corpus scan
+    this operator exists to avoid; set width to the packing stride
+    (2^34 there) so buckets track the DENSE component's domain.
     """
     mcols = [c.alias(f"__m_{n}") for n, c in measures.items()]
     b = (
