@@ -685,7 +685,7 @@ def q179_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.event_type AS event_type, n1, n2,
            CAST(round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE) * 1000000.0
-                      / (1.0 * n1 * n2)) AS BIGINT) AS ks_micro
+                      / (CAST(n1 AS DOUBLE) * n2)) AS BIGINT) AS ks_micro
     FROM p JOIN n ON p.event_type = n.event_type
     WHERE n1 > 0 AND n2 > 0
     GROUP BY p.event_type, n1, n2
@@ -742,7 +742,7 @@ def q180_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n1",
             "n2",
             F.expr(
-                "CAST(round(CAST(maxd AS DOUBLE) * 1000000.0 / (1.0 * n1 * n2))"
+                "CAST(round(CAST(maxd AS DOUBLE) * 1000000.0 / (CAST(n1 AS DOUBLE) * n2))"
                 " AS BIGINT)"
             ).alias("ks_micro"),
         )
@@ -914,10 +914,10 @@ def q186_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(sum(n) AS BIGINT) AS big_n FROM b
     )
     SELECT bin, n, n_pos,
-           CAST(round(sum_s * 1000000.0 / (100.0 * n)) AS BIGINT) AS conf_micro,
-           CAST(round(n_pos * 1000000.0 / (1.0 * n)) AS BIGINT) AS acc_micro,
-           CAST(round(abs(100 * n_pos - sum_s) * 1000000.0 / (100.0 * big_n))
-             AS BIGINT) AS ece_contrib_micro
+           CAST(round(CAST(sum_s AS DOUBLE) * 1000000.0 / (100.0 * n)) AS BIGINT) AS conf_micro,
+           CAST(round(CAST(n_pos AS DOUBLE) * 1000000.0 / n) AS BIGINT) AS acc_micro,
+           CAST(round(CAST(abs(100 * n_pos - sum_s) AS DOUBLE) * 1000000.0
+                      / (100.0 * big_n)) AS BIGINT) AS ece_contrib_micro
     FROM b CROSS JOIN tot
     ORDER BY bin
     """,
@@ -949,10 +949,10 @@ def q187_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.crossJoin(F.broadcast(tot))
         .select(
             "bin", "n", "n_pos",
-            F.expr("CAST(round(sum_s * 1000000.0 / (100.0 * n)) AS BIGINT)").alias("conf_micro"),
-            F.expr("CAST(round(n_pos * 1000000.0 / (1.0 * n)) AS BIGINT)").alias("acc_micro"),
+            F.expr("CAST(round(CAST(sum_s AS DOUBLE) * 1000000.0 / (100.0 * n)) AS BIGINT)").alias("conf_micro"),
+            F.expr("CAST(round(CAST(n_pos AS DOUBLE) * 1000000.0 / n) AS BIGINT)").alias("acc_micro"),
             F.expr(
-                "CAST(round(abs(100 * n_pos - sum_s) * 1000000.0 / (100.0 * big_n)) AS BIGINT)"
+                "CAST(round(CAST(abs(100 * n_pos - sum_s) AS DOUBLE) * 1000000.0 / (100.0 * big_n)) AS BIGINT)"
             ).alias("ece_contrib_micro"),
         )
         .orderBy("bin")

@@ -404,9 +404,10 @@ def q141_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     ), terms AS (
       SELECT o.window_start AS window_start, n_w,
              CAST(round(
-               (obs - 1.0 * n_w * ref_n / big_n)
-               * (obs - 1.0 * n_w * ref_n / big_n)
-               / (1.0 * n_w * ref_n / big_n) * 1000000.0) AS BIGINT) AS term_micro
+               (obs - CAST(n_w AS DOUBLE) * ref_n / big_n)
+               * (obs - CAST(n_w AS DOUBLE) * ref_n / big_n)
+               / (CAST(n_w AS DOUBLE) * ref_n / big_n) * 1000000.0)
+               AS BIGINT) AS term_micro
       FROM o JOIN ref ON o.bucket = ref.bucket
              JOIN wn ON o.window_start = wn.window_start
              CROSS JOIN tot
@@ -442,7 +443,7 @@ def q189_drift_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = o.groupBy("bucket").agg(F.sum("obs").cast("long").alias("ref_n"))
     tot = o.agg(F.sum("obs").cast("long").alias("big_n"))
     wn = o.groupBy("window_start").agg(F.sum("obs").cast("long").alias("n_w"))
-    e = "(1.0 * n_w * ref_n / big_n)"
+    e = "(CAST(n_w AS DOUBLE) * ref_n / big_n)"
     terms = (
         o.join(F.broadcast(ref), "bucket")
         .join(F.broadcast(wn), "window_start")

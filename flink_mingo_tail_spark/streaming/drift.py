@@ -83,7 +83,7 @@ def chi2_drift(
     never saw scores obs^2/0.5 — loud, never a division by zero; q189's
     oracle needs no floor because its reference IS the corpus. Terms
     are micro-rounded to int64 before the per-window sum."""
-    e = "greatest(1.0 * n_w * ref_n / big_n, 0.5)"
+    e = "greatest(CAST(n_w AS DOUBLE) * ref_n / big_n, 0.5)"
     wn = bucket_counts.groupBy("window_start").agg(
         F.sum("obs").cast("long").alias("n_w")
     )
