@@ -99,3 +99,54 @@ def test_drift_monitor_stream_end_to_end(spark, tmp_path):
     assert seen[2][1] is True, seen  # shifted window: flagged
     # append mode: each closed window emitted exactly once
     assert sorted(emissions) == [1, 2], emissions
+
+
+def test_drift_monitor_resumes_from_checkpoint(spark, tmp_path):
+    """Kill the monitor between phases and restart on the same
+    checkpoint: the windowed state and watermark survive, closed
+    windows are not re-finalized, and the pending window still closes
+    with the right verdict after the restart."""
+    src = str(tmp_path / "feed")
+    ck = str(tmp_path / "ck")
+
+    def feed(rows):
+        spark.createDataFrame(rows, "ts timestamp, value double").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    ref = reference_histogram(
+        spark.createDataFrame([(v,) for v in _REF_VALUES], "value double")
+    )
+
+    seen: list[tuple[int, bool]] = []
+
+    def on_batch(df, batch_id):
+        seen.extend((r.window_start.hour, bool(r.drifted)) for r in df.collect())
+
+    def start():
+        stream = spark.readStream.schema("ts timestamp, value double").parquet(src)
+        return start_drift_monitor(
+            stream, ref, ck, on_batch, watermark="30 minutes", threshold_micro=5_000_000
+        )
+
+    feed(_rows(1, _MATCH))
+    q = start()
+    try:
+        q.processAllAvailable()
+        # phase 2 plus a minute-45 straggler: watermark = 02:45 - 30min
+        # = 02:15 > hour-1 end, so hour-1 finalizes before the kill
+        feed(_rows(2, _SHIFT) + [(datetime(2026, 1, 1, 2, 45), 91.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen == [(1, False)], seen
+
+    # restart on the same checkpoint; only hour-2 may still finalize
+    q = start()
+    try:
+        q.processAllAvailable()  # replays nothing new
+        feed(_rows(4, _MATCH[:3]))  # watermark passes hour-2
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen == [(1, False), (2, True)], seen
