@@ -56,6 +56,15 @@ FLAGSHIP = {
     "q164_bloom_membership": "bloom bit-set as a bounded relation (<= m rows) BROADCAST to the probe; k-position hit count == k, probe never shuffles",
     "q165_kmeans_lloyd_step": "k-row seed broadcast to the narrow corpus distance pass; min-struct argmin aggregate; only (cid, pos) mean shuffles after",
     "q170_semdedup_prune": "cell-key equi-join bounds the pair space (sum |cell|^2, never n^2); id-order + cosine threshold ride the join stage; LeftAnti prune on vec_id",
+    # round 7
+    "q172_repeated_span_dedup": "k-token shingle fingerprints; first-occurrence keep via the two-level global rank (no single-task window); span reassembly as key-partitioned windows",
+    "q178_bpe_merge_pairs": "pair explode rides the DISTINCT-word aggregate (vocabulary-sized); two word-count-shaped partial+final aggregates, zero joins, zero windows",
+    "q179_auc_mann_whitney": "grouped_prefix_sum: per-(source,bucket) subtotals partition-parallel, cross-bucket cumsum over the bucket-summary frame only; every window node partitioned (plan-pinned)",
+    "q182_phrase_search": "per-term postings filtered BEFORE the shuffle (key space = the phrase's document frequency); (doc_id, pos+1) adjacency equi-join",
+    "q184_rrf_fusion": "both retrieval legs end in TakeOrderedAndProject (plan-pinned); ranks and the fusion join ride the 50-row lists",
+    "q188_bpe_train_rounds": "3 training rounds: each one vocabulary pair aggregate + 1-row merge BroadcastNestedLoopJoin + narrow greedy-fold projection; the token stream is scanned once (initial word count)",
+    "q189_drift_windows": "one (window, bucket) hash aggregate; reference/window-total margins broadcast back onto the histogram-sized frame; chi-square terms micro-rounded before the exact int sum",
+    "q190_token_budget_cut": "grouped_prefix_sum over the packed quality key (one bucket per n_chars value): cumsum frame bounded by the per-source value domain, no single-partition window",
 }
 
 #: hand-maintained PLANS.md sections that must survive regeneration
