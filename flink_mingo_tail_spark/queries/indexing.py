@@ -923,11 +923,28 @@ def q182_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # posexplode is 0-based; the oracle's range() is 1-based — adjacency
     # (i_b = i_a + 1) is offset-invariant, so no correction is needed.
-    a = pos.filter(F.col("term") == _PHRASE[0]).select("doc_id", F.col("i").alias("ia"))
-    b = pos.filter(F.col("term") == _PHRASE[1]).select("doc_id", F.col("i").alias("ib"))
+    # Both posting streams derive from ONE plan — alias each side
+    # explicitly so the join condition resolves against distinct
+    # relations instead of leaning on Spark's self-join fixup (which
+    # logs "Constructing trivially true equals predicate" and is
+    # version-fragile — round-7 verdict #3).
+    a = (
+        pos.filter(F.col("term") == _PHRASE[0])
+        .select("doc_id", F.col("i").alias("ia"))
+        .alias("a")
+    )
+    b = (
+        pos.filter(F.col("term") == _PHRASE[1])
+        .select("doc_id", F.col("i").alias("ib"))
+        .alias("b")
+    )
     return (
-        a.join(b, (a["doc_id"] == b["doc_id"]) & (b["ib"] == a["ia"] + 1))
-        .groupBy(a["doc_id"].alias("doc_id"))
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.ib") == F.col("a.ia") + 1),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
         .orderBy("doc_id")
     )

@@ -804,9 +804,12 @@ def q190_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the n_chars DOMAIN per source, never by corpus size, and
     no single-partition window exists at any document count. The
     packing domain (doc_id < 2^{_PACK_DOC_BITS}, n_chars <
-    2^{_PACK_CHAR_BITS}) is ENFORCED with assert_true — a corpus
-    beyond it fails loudly (widen the bit split), never silently
-    misorders (the q158 ADVICE lesson).
+    2^{_PACK_CHAR_BITS}) is ENFORCED inside the packed expression
+    itself (CASE WHEN out-of-domain THEN raise_error ELSE packed, the
+    q158 pattern) — the error branch is part of the CONSUMED order key,
+    so column pruning cannot eliminate it (a detached assert on a
+    dropped column is dead code — round-7 verdict). A corpus beyond the
+    domain fails loudly (widen the bit split), never silently misorders.
     """
     from flink_mingo_tail_spark.operators.ranks import grouped_prefix_sum
 
@@ -816,15 +819,20 @@ def q190_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
     )
-    guard = F.assert_true(
-        (F.col("doc_id") >= 0)
-        & (F.col("doc_id") < F.lit(1 << _PACK_DOC_BITS))
-        & (F.col("n_chars") >= 0)
-        & (F.col("n_chars") < F.lit(1 << _PACK_CHAR_BITS)),
-        F.lit("q190: packed order key domain exceeded — widen the bit split"),
-    )
-    d = d.withColumn("__g", guard).drop("__g")
-    value = (-F.col("n_chars")) * F.lit(1 << _PACK_DOC_BITS) + F.col("doc_id")
+    # Domain guard folded INTO the packed key (round-7 verdict #1): the
+    # raise_error branch is consumed by grouped_prefix_sum's bucketing
+    # and ordering, so Catalyst cannot prune it — unlike the previous
+    # withColumn(assert).drop spelling, which optimized away.
+    value = F.when(
+        (F.col("doc_id") < 0)
+        | (F.col("doc_id") >= F.lit(1 << _PACK_DOC_BITS))
+        | (F.col("n_chars") < 0)
+        | (F.col("n_chars") >= F.lit(1 << _PACK_CHAR_BITS)),
+        F.expr(
+            "raise_error('q190: packed order key domain exceeded"
+            " — widen the bit split')"
+        ).cast("long"),
+    ).otherwise((-F.col("n_chars")) * F.lit(1 << _PACK_DOC_BITS) + F.col("doc_id"))
     p = grouped_prefix_sum(
         d,
         ["source"],
