@@ -231,6 +231,26 @@ def assign_cells_join(
     )
 
 
+def sample_threshold_hex(fraction: float) -> str:
+    """8-hex-digit threshold such that ``substr(md5(x), 1, 8) <
+    threshold`` keeps ~``fraction`` of uniformly-hashed rows. Lowercase
+    hex strings of equal length compare lexicographically as numbers,
+    and Spark and DuckDB produce identical lowercase md5 hex — so the
+    SAME predicate string selects the SAME rows in both engines."""
+    if not 0.0 < fraction < 1.0:
+        raise ValueError(f"fraction must be in (0, 1), got {fraction}")
+    return format(int(round(fraction * (1 << 32))), "08x")
+
+
+def train_sample_predicate(corpus_id: str, seed: int, fraction: float) -> Column:
+    """Deterministic hash-sample membership test (Spark side); the
+    DuckDB twin is ``substr(md5(id::VARCHAR || ':s:<seed>'), 1, 8) <
+    '<hex>'``. Salted differently from the init-row hash so the two
+    pseudo-random draws are independent."""
+    h = F.md5(F.concat(F.col(corpus_id).cast("string"), F.lit(f":s:{seed}")))
+    return F.substring(h, 1, 8) < F.lit(sample_threshold_hex(fraction))
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     k_cells: int,
@@ -239,6 +259,7 @@ def train_ivf_centroids(
     corpus_vec: str = "embedding",
     seed: int = 42,
     assign_method: str = "auto",
+    sample_fraction: float = 1.0,
 ) -> np.ndarray:
     """Spherical k-means coarse quantizer, trained with DataFrame ops.
 
@@ -249,6 +270,15 @@ def train_ivf_centroids(
     posexplode — both distributed aggs; only the k_cells x dim centroid
     matrix ever reaches the driver.
 
+    ``sample_fraction`` < 1 is the 100 TB path (round-7 verdict #4):
+    centroids are STATISTICS, not an index, so Lloyd iterations run on
+    a deterministic md5-hash sample (``train_sample_predicate``) while
+    the caller's assignment pass still covers the full corpus. The
+    sample is a stable function of the data — same rows in any engine,
+    any partitioning — so the DuckDB oracle replays sampled training
+    bit-exactly too. Full-corpus training (the default) keeps the q79
+    replay contract unchanged.
+
     Determinism contract (cross-engine, see q79's oracle): centroids are
     never L2-normalized — argmax-cosine is scale-invariant, so the
     normalization would only introduce sqrt/rounding drift. Per-dim
@@ -256,8 +286,11 @@ def train_ivf_centroids(
     sum(round(v * S) :: long) / (n * S) is bit-identical in Spark,
     Python, and DuckDB because the integer sum is order-independent and
     the final division is one IEEE op on identical operands."""
+    train = corpus
+    if sample_fraction != 1.0:
+        train = corpus.filter(train_sample_predicate(corpus_id, seed, sample_fraction))
     sample = (
-        corpus.select(
+        train.select(
             F.col(corpus_vec),
             F.md5(F.concat(F.col(corpus_id).cast("string"), F.lit(str(seed)))).alias("_h"),
         )
@@ -279,12 +312,12 @@ def train_ivf_centroids(
         # join + map-side argmin at large k (codegen stays bounded);
         # identical assignments either way (test_similarity property)
         if method == "literal":
-            assigned = corpus.withColumn(
+            assigned = train.withColumn(
                 "_cell", _nearest_cells(F.col(corpus_vec), centroids)[0]["cell"]
             )
         else:
             assigned = assign_cells_join(
-                corpus, centroids, corpus_id=corpus_id, corpus_vec=corpus_vec, out="_cell"
+                train, centroids, corpus_id=corpus_id, corpus_vec=corpus_vec, out="_cell"
             )
         stats = (
             assigned.select("_cell", F.posexplode(corpus_vec).alias("_pos", "_val"))

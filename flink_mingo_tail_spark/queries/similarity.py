@@ -18,6 +18,7 @@ from flink_mingo_tail_spark.operators.similarity import (
     knn_pq_adc,
     pq_encode,
     rounded_cosine,
+    sample_threshold_hex,
     train_ivf_centroids,
     train_pq_codebooks,
 )
@@ -254,7 +255,9 @@ def q68_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_K, _IVF_NPROBE, _IVF_ITER, _IVF_SEED = 8, 4, 2, 42
 
 
-def _ivf_training_sql(k_cells: int, n_iter: int, seed: int) -> str:
+def _ivf_training_sql(
+    k_cells: int, n_iter: int, seed: int, sample_fraction: float = 1.0
+) -> str:
     """WITH-body that replays ``train_ivf_centroids`` in DuckDB,
     bit-exactly (the q79 replay contract):
 
@@ -267,23 +270,32 @@ def _ivf_training_sql(k_cells: int, n_iter: int, seed: int) -> str:
     * n_iter Lloyd iterations unrolled as CTEs; ``af`` = the final
       whole-corpus assignment, ``cl{n_iter}`` = the trained centroids.
 
+    ``sample_fraction`` < 1 replays the trainer's 100 TB path: init and
+    the Lloyd passes read the deterministic md5-hash sample ``et``
+    (same predicate string as ``train_sample_predicate`` — identical
+    rows in both engines), while ``af`` still assigns the FULL corpus.
+
     Compose as ``WITH {_ivf_training_sql(...)}, <your CTEs>`` — shared
     by q79 (IVF probe) and q171 (SemDeDup end-to-end).
     """
-    cos_vc = SQL_COSINE.format(a="e.v", b="c.cv")
-    assign = (
-        "SELECT vec_id, v, cell FROM (\n"
-        "        SELECT e.vec_id, e.v, c.cell,\n"
-        "               row_number() OVER (PARTITION BY e.vec_id\n"
-        f"                                  ORDER BY {cos_vc} DESC, c.cell) AS rn\n"
-        "        FROM e CROSS JOIN cl{prev} c{extra}\n"
-        "    ) WHERE rn {cond}"
-    )
+
+    def assign_from(src: str) -> str:
+        cos_vc = SQL_COSINE.format(a=f"{src}.v", b="c.cv")
+        return (
+            "SELECT vec_id, v, cell FROM (\n"
+            f"        SELECT {src}.vec_id, {src}.v, c.cell,\n"
+            f"               row_number() OVER (PARTITION BY {src}.vec_id\n"
+            f"                                  ORDER BY {cos_vc} DESC, c.cell) AS rn\n"
+            f"        FROM {src} CROSS JOIN cl{{prev}} c\n"
+            "    ) WHERE rn = 1"
+        )
+
+    train_src = "e" if sample_fraction == 1.0 else "et"
     iters = []
     for i in range(1, n_iter + 1):
         iters.append(
             f"""a{i} AS (
-    {assign.format(prev=i - 1, extra="", cond="= 1")}
+    {assign_from(train_src).format(prev=i - 1)}
     ),
     m{i} AS (
         SELECT cell, i AS pos,
@@ -301,10 +313,20 @@ def _ivf_training_sql(k_cells: int, n_iter: int, seed: int) -> str:
     cl{i} AS (SELECT cell, list(cval ORDER BY pos) AS cv FROM c{i} GROUP BY cell)"""
         )
     body = ",\n    ".join(iters)
+    et = ""
+    if sample_fraction != 1.0:
+        et = (
+            f"""et AS (
+        SELECT * FROM e
+        WHERE substr(md5(vec_id::VARCHAR || ':s:{seed}'), 1, 8)"""
+            f""" < '{sample_threshold_hex(sample_fraction)}'
+    ),
+    """
+        )
     return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    init AS (
+    {et}init AS (
         SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR || '{seed}')) - 1 AS cell, v
-        FROM e
+        FROM {train_src}
         ORDER BY md5(vec_id::VARCHAR || '{seed}')
         LIMIT {k_cells}
     ),
@@ -315,7 +337,7 @@ def _ivf_training_sql(k_cells: int, n_iter: int, seed: int) -> str:
     cl0 AS (SELECT cell, list(cval ORDER BY pos) AS cv FROM c0 GROUP BY cell),
     {body},
     af AS (
-    {assign.format(prev=n_iter, extra="", cond="= 1")}
+    {assign_from("e").format(prev=n_iter)}
     )"""
 
 
@@ -578,13 +600,17 @@ def q170_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_SEMDEDUP_SAMPLE = 0.25  # q171 trains on this md5-hash fraction (100 TB path)
+
+
 def _semdedup_e2e_oracle_sql() -> str:
     """Train -> assign -> prune replayed in DuckDB: the shared
     _ivf_training_sql CTEs produce the SAME trained cells the Spark
-    side gets from train_ivf_centroids (q79 contract), then the q170
-    prune runs within those cells instead of the fixture label."""
+    side gets from train_ivf_centroids (q79 contract, here on the
+    sampled-training path), then the q170 prune runs within those
+    cells instead of the fixture label."""
     return f"""
-    WITH {_ivf_training_sql(_IVF_K, _IVF_ITER, _IVF_SEED)},
+    WITH {_ivf_training_sql(_IVF_K, _IVF_ITER, _IVF_SEED, _SEMDEDUP_SAMPLE)},
     d AS (
         SELECT DISTINCT a.vec_id
         FROM af a JOIN af b ON a.cell = b.cell AND b.vec_id < a.vec_id
@@ -608,11 +634,18 @@ def q171_semdedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     this composes them end-to-end, so the cells that bound the prune's
     pair space are the engine's own — the actual production shape.
 
+    Training runs on a 25% deterministic md5-hash sample
+    (sample_fraction, round-7 verdict #4): centroids are statistics,
+    so Lloyd never needs the full corpus — at 100 TB the n_iter passes
+    touch sample_fraction of the bytes while the one assignment pass
+    still covers every row. The sample predicate is a stable function
+    of vec_id, so DuckDB replays SAMPLED training bit-for-bit too.
+
     Oracle-exact: DuckDB replays training bit-for-bit (shared
     _ivf_training_sql, the q79 contract), so assignment and the kept
     set hash-match — no accuracy gate anywhere.
 
-    Scale: training touches the corpus n_iter times with a k-row
+    Scale: training touches the sample n_iter times with a k-row
     centroid matrix on the driver (KB); assignment is one narrow
     codegen pass (centroid literals folded); the prune pair space is
     Sigma |cell|^2 via the cell equi-join (AQE skew-split applies), and
@@ -620,7 +653,13 @@ def q171_semdedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized driver state anywhere.
     """
     e = _emb(spark, sf_dir)
-    centroids = train_ivf_centroids(e, k_cells=_IVF_K, n_iter=_IVF_ITER, seed=_IVF_SEED)
+    centroids = train_ivf_centroids(
+        e,
+        k_cells=_IVF_K,
+        n_iter=_IVF_ITER,
+        seed=_IVF_SEED,
+        sample_fraction=_SEMDEDUP_SAMPLE,
+    )
     assigned = e.select(
         "vec_id",
         "embedding",
