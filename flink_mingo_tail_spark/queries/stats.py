@@ -138,6 +138,15 @@ def q161_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded at any customer count while remaining bit-identical to the
     DuckDB ntile oracle. Ties are broken by custkey, so the cut is a
     total order and replay-deterministic.
+
+    The three cuts run INDEPENDENTLY on the narrow rfm frame and join
+    back on o_custkey (round-8 post-mortem, PLANS.md): the previous
+    spelling CHAINED them (each ntile windowing the previous cut's
+    ever-wider output), which serialized the window stages and
+    quintupled the physical plan (1533 nodes -> 291; 2.65 s -> 1.71 s
+    at sf0.1 in-session). Independent cuts are also the 100 TB shape:
+    the three (custkey, tile) legs are embarrassingly parallel and the
+    final joins co-partition on the same key.
     """
     from flink_mingo_tail_spark.operators.ranks import distributed_ntile
     o = _t(spark, sf_dir, "orders").select(
@@ -157,7 +166,7 @@ def q161_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_orders",
         "m_100",
     )
-    cut = rfm
+    res = rfm
     # widths sized to the metric domains: offsets frames stay in the
     # hundreds of rows while per-bucket partitions stay balanced
     for value, out, width in (
@@ -166,10 +175,11 @@ def q161_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("m_100"), "m_q", 1_000_000),
     ):
         cut = distributed_ntile(
-            cut, value, F.col("o_custkey"), k=4, out=out, width=width
-        )
+            rfm, value, F.col("o_custkey"), k=4, out=out, width=width
+        ).select("o_custkey", out)
+        res = res.join(cut, "o_custkey")
     return (
-        cut.select(
+        res.select(
             "o_custkey", "r_days", "f_orders", "m_100", "r_q", "f_q", "m_q",
             (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).alias("segment"),
         )
