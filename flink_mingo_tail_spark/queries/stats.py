@@ -967,3 +967,141 @@ def q187_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q191 — Spearman rank correlation per event type (value vs hour-of-day)
+# ---------------------------------------------------------------------------
+
+_US_HOUR = 3_600_000_000
+
+
+@query(
+    "q191_spearman_corr",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v100,
+             (epoch_us(ts) % {_US_DAY}) // {_US_HOUR} AS hr
+      FROM events
+    ), g AS (
+      SELECT event_type, v100, hr, CAST(count(*) AS BIGINT) AS cnt
+      FROM t GROUP BY event_type, v100, hr
+    ), gx AS (
+      SELECT event_type, v100, CAST(sum(cnt) AS BIGINT) AS cx
+      FROM g GROUP BY event_type, v100
+    ), px AS (
+      SELECT event_type, v100,
+             2 * CAST(coalesce(sum(cx) OVER (
+                 PARTITION BY event_type ORDER BY v100
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               + cx + 1 AS rx2
+      FROM gx
+    ), gy AS (
+      SELECT event_type, hr, CAST(sum(cnt) AS BIGINT) AS cy
+      FROM g GROUP BY event_type, hr
+    ), py AS (
+      SELECT event_type, hr,
+             2 * CAST(coalesce(sum(cy) OVER (
+                 PARTITION BY event_type ORDER BY hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               + cy + 1 AS ry2
+      FROM gy
+    ), gn AS (
+      SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+      FROM g GROUP BY event_type
+    ), j AS (
+      SELECT g.event_type, g.cnt,
+             px.rx2 - (gn.n + 1) AS rxc,
+             py.ry2 - (gn.n + 1) AS ryc,
+             gn.n
+      FROM g
+      JOIN px ON px.event_type = g.event_type AND px.v100 = g.v100
+      JOIN py ON py.event_type = g.event_type AND py.hr = g.hr
+      JOIN gn ON gn.event_type = g.event_type
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           CAST(round(CAST(sum(cnt * rxc * ryc) AS DOUBLE) * 1000000.0
+                      / sqrt(CAST(sum(cnt * rxc * rxc) AS DOUBLE)
+                             * CAST(sum(cnt * ryc * ryc) AS DOUBLE))) AS BIGINT)
+             AS rho_micro
+    FROM j GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q191_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per event type between value and
+    hour-of-day — "does this metric drift monotonically across the
+    day", the nonparametric twin of q130's Pearson profile and a
+    standard data-quality / drift diagnostic.
+
+    Exact tie-averaged ranks WITHOUT a corpus window: both rank frames
+    ride the DISTINCT-VALUE domain, not rows — (type, v100) and
+    (type, hour) get strictly-below prefix counts via
+    ``grouped_prefix_sum`` (two-level bounded state), and the doubled
+    average rank 2*below + cnt + 1 stays in exact int64. Centering by
+    -(n+1) makes each group's rank sum EXACTLY zero (average ranks
+    preserve the total), so rho needs no mean-correction terms: one
+    joint-frame aggregate of cnt*rxc*ryc / cnt*rxc^2 / cnt*ryc^2, all
+    integer-exact, and the single double op is the final
+    round(1e6 * sxy / sqrt(sxx*syy)) — the identical IEEE expression in
+    both engines. The joint frame is bounded by |v100 domain| x 24 per
+    type, never by row count; int64 holds while n^3 * 4 < 2^63 (n <
+    ~1.3M rows per type) and BOTH engines fail loudly past it (ANSI
+    overflow), never silently.
+    """
+    from flink_mingo_tail_spark.operators.ranks import grouped_prefix_sum
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v100"),
+        F.expr(
+            f"(unix_micros(CAST(ts AS TIMESTAMP)) % {_US_DAY}) div {_US_HOUR}"
+        ).alias("hr"),
+    )
+    g = e.groupBy("event_type", "v100", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    gx = g.groupBy("event_type", "v100").agg(F.sum("cnt").cast("long").alias("cx"))
+    px = grouped_prefix_sum(
+        gx, ["event_type"], F.col("v100"), {"below": F.col("cx")}, width=64,
+        inclusive=False,
+    ).select(
+        "event_type", "v100",
+        (F.lit(2) * F.col("below") + F.col("cx") + 1).alias("rx2"),
+    )
+    gy = g.groupBy("event_type", "hr").agg(F.sum("cnt").cast("long").alias("cy"))
+    py = grouped_prefix_sum(
+        gy, ["event_type"], F.col("hr"), {"below": F.col("cy")}, width=4,
+        inclusive=False,
+    ).select(
+        "event_type", "hr",
+        (F.lit(2) * F.col("below") + F.col("cy") + 1).alias("ry2"),
+    )
+    gn = g.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n"))
+    j = (
+        g.join(px, ["event_type", "v100"])
+        .join(F.broadcast(py), ["event_type", "hr"])
+        .join(F.broadcast(gn), "event_type")
+        .select(
+            "event_type", "cnt", "n",
+            (F.col("rx2") - (F.col("n") + 1)).alias("rxc"),
+            (F.col("ry2") - (F.col("n") + 1)).alias("ryc"),
+        )
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.sum(F.col("cnt") * F.col("rxc") * F.col("ryc")).alias("sxy"),
+            F.sum(F.col("cnt") * F.col("rxc") * F.col("rxc")).alias("sxx"),
+            F.sum(F.col("cnt") * F.col("ryc") * F.col("ryc")).alias("syy"),
+        )
+        .select(
+            "event_type", "n",
+            F.expr(
+                "CAST(round(CAST(sxy AS DOUBLE) * 1000000.0"
+                " / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))) AS BIGINT)"
+            ).alias("rho_micro"),
+        )
+        .orderBy("event_type")
+    )

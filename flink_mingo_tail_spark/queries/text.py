@@ -846,3 +846,74 @@ def q190_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_toks", "cum_before")
         .orderBy("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q193 — hashing-trick linear quality scorer (fasttext-style inference)
+# ---------------------------------------------------------------------------
+
+# weight(token) = (md5-hash of the token mod 1001) - 500, i.e. a fixed
+# pseudo-random linear model over hashed unigram features in [-500, 500].
+_SCORER_MOD = 1001
+_SCORER_SHIFT = 500
+
+
+@query(
+    "q193_hashed_linear_scorer",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), w AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(sum(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                      % {_SCORER_MOD} - {_SCORER_SHIFT}) AS BIGINT) AS score
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, n_toks, score,
+           CAST(round(CAST(score AS DOUBLE) * 1000.0 / n_toks) AS BIGINT)
+             AS score_per_tok_milli
+    FROM w
+    ORDER BY doc_id
+    """,
+)
+def q193_hashed_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE with the hashing trick
+    (fasttext / Vowpal-Wabbit style): every token hashes straight to
+    its weight — here a fixed pseudo-random model w(tok) =
+    (int(md5(tok)[:8]) mod 1001) - 500, so the whole scorer needs NO
+    weight table at all, let alone a broadcast — and a document's score
+    is the sum of its token weights. This is the shape of the
+    model-based quality filter step in a curation pipeline (score ->
+    threshold -> keep), with the md5-derived weights standing in for a
+    trained model's hash-bucketed weight vector; with real weights the
+    only change is one broadcast join on the hash bucket.
+
+    Plan: explode to tokens -> md5 -> hex-prefix to int64 -> weight
+    arithmetic -> one map-side-combinable hash aggregate per doc.
+    Everything is codegen'd JVM expressions (no UDF); both engines
+    parse the IDENTICAL lowercase hex prefix (8 hex digits < 2^32, so
+    the bigint is exact and the mod is engine-independent), making the
+    score an exact integer. The per-token normalization is the single
+    IEEE division, rounded to a milli grid.
+    """
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    w = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+        F.sum(
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+            % _SCORER_MOD
+            - _SCORER_SHIFT
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    return w.select(
+        "doc_id",
+        "n_toks",
+        "score",
+        F.expr(
+            "CAST(round(CAST(score AS DOUBLE) * 1000.0 / n_toks) AS BIGINT)"
+        ).alias("score_per_tok_milli"),
+    ).orderBy("doc_id")

@@ -466,3 +466,187 @@ def q159_ewma_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q192 — autocorrelation function (lags 1..5) of the daily mean series
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 5
+
+
+@query(
+    "q192_acf_daily_mean",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // {86_400_000_000} AS day,
+             CAST(round(sum(CAST(round(value * 100) AS BIGINT)) * 1000.0
+                        / count(*)) AS BIGINT) AS xm
+      FROM events GROUP BY event_type, day
+    ), s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xm) AS BIGINT) AS sx,
+             CAST(sum(xm * xm) AS BIGINT) AS sxx
+      FROM d GROUP BY event_type
+    ), lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG} + 1)) AS lag),
+    p AS (
+      SELECT a.event_type, l.lag,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(a.xm * b.xm) AS BIGINT) AS sab,
+             CAST(sum(a.xm) AS BIGINT) AS sa,
+             CAST(sum(b.xm) AS BIGINT) AS sb
+      FROM d a
+      CROSS JOIN lags l
+      JOIN d b ON b.event_type = a.event_type AND b.day = a.day + l.lag
+      GROUP BY a.event_type, l.lag
+    )
+    SELECT p.event_type, p.lag, p.m,
+           CAST(round((CAST(sab AS DOUBLE)
+                       - (CAST(sx AS DOUBLE) / n) * (sa + sb)
+                       + m * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                      * 1000000.0
+                      / (CAST(sxx AS DOUBLE)
+                         - n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)))
+             AS BIGINT) AS acf_micro
+    FROM p JOIN s ON s.event_type = p.event_type
+    ORDER BY p.event_type, p.lag
+    """,
+)
+def q192_acf_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of each event type's daily-mean value series at
+    lags 1..5 — the seasonality/persistence diagnostic a monitoring
+    pipeline computes before alerting on drift (q189's statistical
+    sibling: drift asks "did the distribution move", ACF asks "does the
+    series remember itself").
+
+    The series frame is one hash aggregate to (type, day) — bounded by
+    the calendar, not row count — with the daily mean frozen to a
+    scaled long (round(1000 * sum_v100 / count)): the division is one
+    IEEE op on identical operands, the round makes both engines' series
+    bit-equal, and every downstream sum is exact int64. Lagged pairs
+    are an equi-join of that tiny frame to itself on (type, day + lag)
+    — no window at all, so gaps in the calendar pair up exactly like
+    the textbook estimator r_l = sum((x_t - xbar)(x_(t+l) - xbar)) /
+    sum((x_t - xbar)^2) with full-series mean and variance; the final
+    expression is the identical IEEE tree in both engines.
+    """
+    e = _events(spark, sf_dir)
+    d = (
+        e.groupBy("event_type", F.expr(f"us div {_US_DAY}").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(round(sum(v100) * 1000.0 / count(*)) AS BIGINT)"
+            ).alias("xm")
+        )
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xm").cast("long").alias("sx"),
+        F.sum(F.col("xm") * F.col("xm")).cast("long").alias("sxx"),
+    )
+    lags = F.explode(F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))).alias("lag")
+    a = d.alias("a").crossJoin(F.broadcast(d.sparkSession.range(1).select(lags)))
+    b = d.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.day") == F.col("a.day") + F.col("lag")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum(F.col("a.xm") * F.col("b.xm")).cast("long").alias("sab"),
+            F.sum(F.col("a.xm")).cast("long").alias("sa"),
+            F.sum(F.col("b.xm")).cast("long").alias("sb"),
+        )
+    )
+    return (
+        p.join(F.broadcast(s), "event_type")
+        .select(
+            "event_type",
+            "lag",
+            "m",
+            F.expr(
+                "CAST(round((CAST(sab AS DOUBLE)"
+                " - (CAST(sx AS DOUBLE) / n) * (sa + sb)"
+                " + m * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))"
+                " * 1000000.0"
+                " / (CAST(sxx AS DOUBLE)"
+                " - n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)))"
+                " AS BIGINT)"
+            ).alias("acf_micro"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q194 — day-of-week seasonal index per event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q194_seasonal_dow_index",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type,
+             (epoch_us(ts) // {86_400_000_000} + 4) % 7 AS dow,
+             CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events
+    ), g AS (
+      SELECT event_type, dow,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(v100) AS BIGINT) AS s
+      FROM t GROUP BY event_type, dow
+    ), tot AS (
+      SELECT event_type, CAST(sum(c) AS BIGINT) AS ct, CAST(sum(s) AS BIGINT) AS st
+      FROM g GROUP BY event_type
+    )
+    SELECT g.event_type, g.dow, g.c AS n_events,
+           CAST(round((CAST(g.s AS DOUBLE) / g.c)
+                      / (CAST(tot.st AS DOUBLE) / tot.ct) * 1000000.0) AS BIGINT)
+             AS index_micro
+    FROM g JOIN tot ON tot.event_type = g.event_type
+    ORDER BY g.event_type, g.dow
+    """,
+)
+def q194_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event type: mean value on each
+    weekday divided by the overall mean (1e6 = no seasonality) — the
+    detrending table a forecasting or anomaly pipeline divides by
+    before comparing days.
+
+    The weekday is PURE int64 arithmetic — (epoch_day + 4) % 7, 0 =
+    Sunday (1970-01-01 was a Thursday) — identical in both engines by
+    construction, with no dependence on either engine's date-part
+    conventions (Spark dayofweek is 1-based-Sunday, DuckDB's 0-based —
+    the arithmetic spelling sidesteps the mismatch). One hash aggregate
+    to the (type, 7)-sized frame, a second to per-type totals, one
+    broadcast join; the ratio-of-means is evaluated as the identical
+    IEEE tree over exact integer sums.
+    """
+    e = _events(spark, sf_dir)
+    g = e.groupBy(
+        "event_type",
+        ((F.expr(f"us div {_US_DAY}") + 4) % 7).alias("dow"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("v100").cast("long").alias("s"),
+    )
+    tot = g.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("ct"), F.sum("s").cast("long").alias("st")
+    )
+    return (
+        g.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            F.col("c").alias("n_events"),
+            F.expr(
+                "CAST(round((CAST(s AS DOUBLE) / c)"
+                " / (CAST(st AS DOUBLE) / ct) * 1000000.0) AS BIGINT)"
+            ).alias("index_micro"),
+        )
+        .orderBy("event_type", "dow")
+    )
