@@ -70,6 +70,7 @@ _MODULES = (
     "frequency",
     "timeseries",
     "stats",
+    "model",
 )
 
 # The driver's CORRECTNESS pass checks a bounded prefix of the declared

@@ -955,3 +955,143 @@ def q172_repeated_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "span_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# q197 — exact containment join (quote / subset detection, C-PPJoin style)
+# ---------------------------------------------------------------------------
+
+_CONT_NUM, _CONT_DEN = 4, 5  # tau = 0.8
+
+
+@query(
+    "q197_containment_join",
+    oracle=f"""
+    WITH {_SSJ_BIGRAMS},
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.st, b.st)) AS inter,
+             len(a.st) AS sz_a
+      FROM s a JOIN s b ON a.doc_id <> b.doc_id
+      WHERE len(a.st) > 0 AND len(b.st) > 0
+    )
+    SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+           CAST(sz_a AS BIGINT) AS sz_a,
+           CAST(round(inter * 1000000.0 / sz_a) AS BIGINT) AS cont_micro
+    FROM p WHERE inter * {_CONT_DEN} >= {_CONT_NUM} * sz_a
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q197_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT directed containment join: every ordered document pair
+    (a, b) where >= 80% of a's bigram set lies inside b's —
+    quote/excerpt/subset detection, the ASYMMETRIC sibling of q154's
+    Jaccard join (a tweet quoted inside an article has tiny Jaccard but
+    containment ~1; symmetric similarity can never find it).
+
+    Prefix filtering adapts to containment one-sidedly (C-PPJoin):
+    under the global rarest-first gram order, if |A ∩ B| >= ceil(tau
+    |A|) then A's prefix of length |A| - ceil(tau |A|) + 1 must hit B
+    (pigeonhole) — but ONLY the contained side can be prefix-pruned;
+    the containing side has no length bound (B may be arbitrarily
+    large), so b probes with its FULL gram list, i.e. the candidate
+    join is A-prefix x inverted-index(B), bounded by sum over grams of
+    prefix_df * df — which the rarest-first order minimizes (prefixes
+    concentrate in the df tail). No length bands apply (containment
+    has no size-ratio bound, unlike Jaccard >= 0.5).
+
+    Exact-duplicate sets are collapsed to a representative before the
+    join (q154's lesson: identical sets square every prefix bucket on
+    duplicate-heavy corpora); identical-set member pairs are contained
+    both ways by definition (closed form, output-bound), and rep-level
+    matches re-expand to member pairs afterwards. The verify step
+    recomputes the exact intersection from full int-gram arrays, so
+    candidates only cost time, never correctness — the oracle is the
+    unblocked all-pairs spelling.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(word_shingles(tokens(F.col("text")), 2)).alias("st")
+    )
+    docs = d.withColumn("sz", F.size("st")).filter(F.col("sz") > 0)
+    keyed = docs.withColumn(
+        "skey", F.md5(F.concat_ws("\x1f", F.sort_array("st")))
+    ).withColumn("rep", F.min("doc_id").over(Window.partitionBy("skey")))
+    members = keyed.select("rep", "doc_id")
+    sets = keyed.filter(F.col("doc_id") == F.col("rep")).select("rep", "st", "sz")
+    tok = sets.select("rep", "sz", F.explode("st").alias("bg"))
+    dfreq = tok.groupBy("bg").agg(F.count("*").alias("df"))
+    gids = global_row_number(dfreq, F.col("df"), F.col("bg"), out="gid").select(
+        "bg", "gid"
+    )
+    ranked = tok.join(gids, "bg").withColumn(
+        "pos", F.row_number().over(Window.partitionBy("rep").orderBy("gid"))
+    )
+    isets = ranked.groupBy("rep").agg(
+        F.sort_array(F.collect_list("gid")).alias("ids"),
+        F.first("sz").alias("sz"),
+    )
+    # contained-side prefix: |s| - ceil(tau*|s|) + 1 in exact integers
+    prefix_len = (
+        F.col("sz")
+        - F.expr(f"CAST(ceil({_CONT_NUM} * sz / {_CONT_DEN}.0) AS INT)")
+        + F.lit(1)
+    )
+    aprobe = ranked.filter(F.col("pos") <= prefix_len).select(
+        F.col("rep").alias("ra"), "gid"
+    )
+    ball = ranked.select(F.col("rep").alias("rb"), "gid")
+    cand = (
+        aprobe.join(ball, "gid")
+        .filter(F.col("ra") != F.col("rb"))
+        .select("ra", "rb")
+        .distinct()
+    )
+    ia = isets.select(
+        F.col("rep").alias("ra"), F.col("ids").alias("ids_a"), F.col("sz").alias("sz_a")
+    )
+    ib = isets.select(F.col("rep").alias("rb"), F.col("ids").alias("ids_b"))
+    rep_pairs = (
+        cand.join(ia, "ra")
+        .join(ib, "rb")
+        .withColumn("inter", F.size(F.array_intersect("ids_a", "ids_b")).cast("long"))
+        .filter(F.col("inter") * _CONT_DEN >= _CONT_NUM * F.col("sz_a"))
+        .select("ra", "rb", "inter", F.col("sz_a").cast("long").alias("sz_a"))
+    )
+    # rep-level matches expand to member pairs: every copy of group a is
+    # contained in every copy of group b (identical sets per group)
+    ma = members.select(F.col("rep").alias("ra"), F.col("doc_id").alias("doc_a"))
+    mb = members.select(F.col("rep").alias("rb"), F.col("doc_id").alias("doc_b"))
+    cross_group = rep_pairs.join(ma, "ra").join(mb, "rb").select(
+        "doc_a", "doc_b", "inter", "sz_a"
+    )
+    # identical-set members contain each other exactly (both directions)
+    twins = (
+        members.alias("x")
+        .join(
+            members.alias("y"),
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .join(
+            sets.select(
+                F.col("rep").alias("trep"), F.col("sz").cast("long").alias("sz_a")
+            ),
+            F.col("x.rep") == F.col("trep"),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("sz_a").alias("inter"),
+            "sz_a",
+        )
+    )
+    return (
+        cross_group.unionByName(twins)
+        .select(
+            "doc_a", "doc_b", "inter", "sz_a",
+            F.expr(
+                "CAST(round(inter * 1000000.0 / sz_a) AS BIGINT)"
+            ).alias("cont_micro"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,272 @@
+"""Model-adjacent distributed computations: power-law fits and an
+iterative-classifier training step — the "small ML inside the engine"
+layer (q165's k-means Lloyd step and q174's grouped OLS are the
+existing members of this family; these extend it to log-domain fits
+and logistic regression).
+
+Cross-engine determinism doctrine for this module: unlike stats.py
+(which admits NO libm transcendentals), these operators genuinely need
+log/exp. Transcendentals are not IEEE-correctly-rounded, so the two
+engines may differ by ~1 ulp — the fix is the PER-ROW ROUNDING pattern
+(rounded_cosine's argument): every transcendental result is rounded to
+a coarse fixed grid (1e-6 of a log, 1e-3 of a probability) BEFORE
+entering any sum, making the summands bit-identical integers in both
+engines; all aggregation is then exact int64 and the final statistic
+is one identical IEEE expression. A 1-ulp input drift only matters if
+the true value sits within ~1e-10 of a grid boundary — negligible at
+any corpus size we can hash-check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_mingo_tail_spark.operators.dedup import tokens
+from flink_mingo_tail_spark.queries import query
+from flink_mingo_tail_spark.session import prepare_session
+from flink_mingo_tail_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prepare_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q195 — Zipf slope per source (power-law fit of the term-frequency curve)
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 100  # fit over each source's top-N terms
+
+
+@query(
+    "q195_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tf AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY source, tok
+    ), ranked AS (
+      SELECT source, cnt,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, tok) AS rnk
+      FROM tf QUALIFY rnk <= {_ZIPF_TOP}
+    ), pts AS (
+      SELECT source,
+             CAST(round(ln(rnk) * 1000000.0) AS BIGINT) AS lx,
+             CAST(round(ln(cnt) * 1000000.0) AS BIGINT) AS ly
+      FROM ranked
+    ), agg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(lx) AS BIGINT) AS slx,
+             CAST(sum(ly) AS BIGINT) AS sly,
+             CAST(sum(lx * ly) AS BIGINT) AS slxy,
+             CAST(sum(lx * lx) AS BIGINT) AS slxx
+      FROM pts GROUP BY source
+    )
+    SELECT source, m,
+           CAST(round((m * CAST(slxy AS DOUBLE) - CAST(slx AS DOUBLE) * sly)
+                      * 1000000.0
+                      / (m * CAST(slxx AS DOUBLE) - CAST(slx AS DOUBLE) * slx))
+             AS BIGINT) AS slope_micro
+    FROM agg
+    ORDER BY source
+    """,
+)
+def q195_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf (power-law) slope of each source's term-frequency curve:
+    OLS of log(freq) on log(rank) over the top-100 terms. Natural text
+    sits near slope -1; a source whose slope is far off (too flat =
+    boilerplate/spam vocabulary, too steep = template repetition) is a
+    curation red flag — this is the corpus-level quality twin of q82's
+    per-document score.
+
+    The term-frequency frame is one hash aggregate (vocabulary-bounded,
+    never row-bounded); the per-source top-100 is a window over that
+    frame partitioned BY SOURCE (q30's top-k-per-group shape — bounded
+    by per-source vocabulary, the documented safe window). The fit
+    itself runs on 100 points per source: each log is rounded to a
+    1e-6 grid before summation (module doctrine), so the OLS moments
+    are exact int64 and the closed-form slope is the identical IEEE
+    expression in both engines.
+    """
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("tok"))
+    ranked = tf.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _ZIPF_TOP
+    )
+    pts = ranked.select(
+        "source",
+        F.round(F.log(F.col("rnk").cast("double")) * 1000000.0, 0)
+        .cast("long")
+        .alias("lx"),
+        F.round(F.log(F.col("cnt").cast("double")) * 1000000.0, 0)
+        .cast("long")
+        .alias("ly"),
+    )
+    return (
+        pts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("lx").cast("long").alias("slx"),
+            F.sum("ly").cast("long").alias("sly"),
+            F.sum(F.col("lx") * F.col("ly")).cast("long").alias("slxy"),
+            F.sum(F.col("lx") * F.col("lx")).cast("long").alias("slxx"),
+        )
+        .select(
+            "source",
+            "m",
+            F.expr(
+                "CAST(round((m * CAST(slxy AS DOUBLE) - CAST(slx AS DOUBLE) * sly)"
+                " * 1000000.0"
+                " / (m * CAST(slxx AS DOUBLE) - CAST(slx AS DOUBLE) * slx))"
+                " AS BIGINT)"
+            ).alias("slope_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q196 — two Newton/IRLS steps of logistic regression per event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q196_logistic_irls_step",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             CAST(round(value) AS BIGINT) AS x,
+             CAST(user_id % 2 AS BIGINT) AS y
+      FROM events
+    ), s1 AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(2 * y - 1) AS BIGINT) AS u0,
+             CAST(sum(x * (2 * y - 1)) AS BIGINT) AS u1
+      FROM t GROUP BY event_type
+    ), b1 AS (
+      SELECT event_type, n,
+             2.0 * (CAST(sxx AS DOUBLE) * u0 - CAST(sx AS DOUBLE) * u1)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b0,
+             2.0 * (CAST(n AS DOUBLE) * u1 - CAST(sx AS DOUBLE) * u0)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b1
+      FROM s1
+    ), r AS (
+      SELECT t.event_type, t.x, t.y, b1.b0, b1.b1, b1.n,
+             CAST(round(1000.0 / (1.0 + exp(-(b1.b0 + b1.b1 * CAST(t.x AS DOUBLE)))))
+               AS BIGINT) AS pk
+      FROM t JOIN b1 ON b1.event_type = t.event_type
+    ), s2 AS (
+      SELECT event_type, any_value(b0) AS b0, any_value(b1) AS b1,
+             any_value(n) AS n,
+             CAST(sum(pk * (1000 - pk)) AS BIGINT) AS a00,
+             CAST(sum(pk * (1000 - pk) * x) AS BIGINT) AS a01,
+             CAST(sum(pk * (1000 - pk) * x * x) AS BIGINT) AS a11,
+             CAST(sum(1000 * y - pk) AS BIGINT) AS g0,
+             CAST(sum((1000 * y - pk) * x) AS BIGINT) AS g1
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(round((b0 + 1000.0 * (CAST(a11 AS DOUBLE) * g0 - CAST(a01 AS DOUBLE) * g1)
+                       / (CAST(a00 AS DOUBLE) * a11 - CAST(a01 AS DOUBLE) * a01))
+                      * 1000000.0) AS BIGINT) AS b0_micro,
+           CAST(round((b1 + 1000.0 * (CAST(a00 AS DOUBLE) * g1 - CAST(a01 AS DOUBLE) * g0)
+                       / (CAST(a00 AS DOUBLE) * a11 - CAST(a01 AS DOUBLE) * a01))
+                      * 1000000000.0) AS BIGINT) AS b1_nano
+    FROM s2
+    ORDER BY event_type
+    """,
+)
+def q196_logistic_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO Newton/IRLS steps of a per-group logistic regression
+    (y = user-parity label, x = event value), trained entirely with
+    DataFrame aggregates — the distributed-trainer pattern: each step
+    is ONE corpus pass producing a handful of moment statistics per
+    group; the driver-side state is the (k-groups x 2) coefficient
+    frame, broadcast back for the next pass. q165 (k-means Lloyd) and
+    q174 (grouped OLS) are this family's closed-form members; logistic
+    IRLS adds the iterative/transcendental case.
+
+    Step 1 from beta = 0 is CLOSED FORM (p = 1/2, W = I/4), so it needs
+    no exp at all: beta1 = 2 M^-1 u over exact integer moments. Step 2
+    evaluates p_i = sigmoid(b0 + b1 x_i) per row and ROUNDS it to a
+    1e-3 grid before the weighted moments (module doctrine — exp is
+    not correctly rounded, the grid absorbs the ulp), making every
+    step-2 aggregate exact int64; the 2x2 Newton solve is the
+    identical IEEE expression in both engines. int64 holds while
+    sum(w x^2) = 2.5e5 * x^2 * n fits — x <= 500 here, so n per group
+    up to ~1.4e11 rows; past that both engines fail loudly (ANSI
+    overflow), never silently.
+    """
+    t = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value"), 0).cast("long").alias("x"),
+        (F.col("user_id") % 2).cast("long").alias("y"),
+    )
+    s1 = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.lit(2) * F.col("y") - 1).cast("long").alias("u0"),
+        F.sum(F.col("x") * (F.lit(2) * F.col("y") - 1)).cast("long").alias("u1"),
+    )
+    b1 = s1.select(
+        "event_type",
+        "n",
+        F.expr(
+            "2.0 * (CAST(sxx AS DOUBLE) * u0 - CAST(sx AS DOUBLE) * u1)"
+            " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        ).alias("b0"),
+        F.expr(
+            "2.0 * (CAST(n AS DOUBLE) * u1 - CAST(sx AS DOUBLE) * u0)"
+            " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        ).alias("b1"),
+    )
+    r = t.join(F.broadcast(b1), "event_type").withColumn(
+        "pk",
+        F.expr(
+            "CAST(round(1000.0 / (1.0 + exp(-(b0 + b1 * CAST(x AS DOUBLE)))))"
+            " AS BIGINT)"
+        ),
+    )
+    s2 = r.groupBy("event_type").agg(
+        F.any_value("b0").alias("b0"),
+        F.any_value("b1").alias("b1"),
+        F.any_value("n").cast("long").alias("n"),
+        F.sum(F.col("pk") * (F.lit(1000) - F.col("pk"))).cast("long").alias("a00"),
+        F.sum(F.col("pk") * (F.lit(1000) - F.col("pk")) * F.col("x"))
+        .cast("long")
+        .alias("a01"),
+        F.sum(F.col("pk") * (F.lit(1000) - F.col("pk")) * F.col("x") * F.col("x"))
+        .cast("long")
+        .alias("a11"),
+        F.sum(F.lit(1000) * F.col("y") - F.col("pk")).cast("long").alias("g0"),
+        F.sum((F.lit(1000) * F.col("y") - F.col("pk")) * F.col("x"))
+        .cast("long")
+        .alias("g1"),
+    )
+    return s2.select(
+        "event_type",
+        "n",
+        F.expr(
+            "CAST(round((b0 + 1000.0 * (CAST(a11 AS DOUBLE) * g0 - CAST(a01 AS DOUBLE) * g1)"
+            " / (CAST(a00 AS DOUBLE) * a11 - CAST(a01 AS DOUBLE) * a01))"
+            " * 1000000.0) AS BIGINT)"
+        ).alias("b0_micro"),
+        F.expr(
+            "CAST(round((b1 + 1000.0 * (CAST(a00 AS DOUBLE) * g1 - CAST(a01 AS DOUBLE) * g0)"
+            " / (CAST(a00 AS DOUBLE) * a11 - CAST(a01 AS DOUBLE) * a01))"
+            " * 1000000000.0) AS BIGINT)"
+        ).alias("b1_nano"),
+    ).orderBy("event_type")
