@@ -76,87 +76,73 @@ _MODULES = (
 # The driver's CORRECTNESS pass checks a bounded prefix of the declared
 # registry (every round so far recorded exactly the first 50 entries).
 #
-# ROTATION, round 7 — steady-state policy (round-6 verdict #1), 50
-# slots:
-#   (a) 21 queries with NO driver row yet: the round-7 wave
-#       (q154b tau=0.7 bench twin, q171 SemDeDup end-to-end, q172
-#       repeated-span dedup, q173 pivot, q174 grouped OLS, q175
-#       char-LM NLL, q176 mixture resample, q177 readability, q178 BPE
-#       merge pairs, q179 exact AUC, q180 two-sample KS, q181 chi-square
-#       cells, q182 phrase search, q183 percent_rank/cume_dist, q184 RRF
-#       fusion, q185 BPE merge apply, q186 Cohen's kappa, q187
-#       calibration ECE, q188 multi-round BPE training, q189 windowed
-#       drift statistic — the streaming monitor's batch twin, q190
-#       per-source token-budget cut);
-#   (b) 6 queries whose CODE or ORACLE changed this round and need a
-#       fresh proof: q154 (int-key restructure), q155/q158 (ADVICE
-#       tiebreak/guard — oracle text changed), q161/q153 (ranks /
-#       heavy-hitters operator rewrites), q79 (oracle refactored into
-#       the shared _ivf_training_sql);
-#   (c) 23 refresh slots: the oldest-green names (round 3), draining
-#       that cohort completely — after this round the oldest green row
-#       repo-wide is round 4;
-#   (d) 2 canaries green last round (relational + streaming-batch
-#       families) + 5 oldest round-4 greens in registry order, so the
-#       round-4 cohort starts draining too (6 slots ceded to the
-#       mid-round q178-q183 wave — new queries displace refreshes).
+# ROTATION, round 8 — steady-state policy, 50 slots:
+#   (a) 7 queries with NO driver row yet: the round-8 wave (q191
+#       Spearman, q192 ACF, q193 hashed linear scorer, q194 seasonal
+#       index, q195 Zipf slope, q196 logistic IRLS, q197 containment
+#       join);
+#   (b) 4 queries whose CODE or ORACLE changed this round: q190
+#       (unprunable packing guard), q182 (aliased self-join), q171
+#       (sample-trained k-means, oracle changed), q161 (independent
+#       ntile cuts);
+#   (c) 39 refresh slots: the oldest-green cohort (round 4, 47 names)
+#       in ascending query order — the remaining 8 (q142-q150) drain
+#       in round 9.
 _NEEDS_DRIVER_ROW = (
-    # (a) no driver row yet — 8 names
-    "q154b_set_similarity_tau07",
-    "q171_semdedup_end_to_end",
-    "q172_repeated_span_dedup",
-    "q173_pivot_report",
-    "q174_group_ols",
-    "q175_charlm_nll",
-    "q176_mixture_resample",
-    "q177_readability",
-    "q178_bpe_merge_pairs",
-    "q179_auc_mann_whitney",
-    "q180_ks_two_sample",
-    "q181_chi2_independence",
-    "q182_phrase_search",
-    "q183_percent_rank_cume_dist",
-    "q184_rrf_fusion",
-    "q185_bpe_merge_apply",
-    "q186_cohens_kappa",
-    "q187_calibration_ece",
-    "q188_bpe_train_rounds",
-    "q189_drift_windows",
+    # (a) round-8 wave, no driver row yet — 7 names
+    "q191_spearman_corr",
+    "q192_acf_daily_mean",
+    "q193_hashed_linear_scorer",
+    "q194_seasonal_dow_index",
+    "q195_zipf_slope",
+    "q196_logistic_irls_step",
+    "q197_containment_join",
+    # (b) code/oracle changed in round 8 — 4 names
     "q190_token_budget_cut",
-    # (b) changed this round — 6 names
-    "q154_set_similarity_join",
-    "q155_linear_interpolate",
-    "q158_ohlc_bars",
+    "q182_phrase_search",
+    "q171_semdedup_end_to_end",
     "q161_rfm_segments",
-    "q153_heavy_hitters",
-    "q79_knn_ivf",
-    # (c) oldest-green refresh (round 3) — 23 names
-    "q90_tumbling_window",
-    "q91_sliding_window",
-    "q92_session_window",
-    "q93_windowed_topk_users",
-    "q95_multimodal_features",
-    "q100_inverted_index",
-    "q101_top_trigrams",
-    "q102_source_stats",
-    "q103_length_histogram",
-    "q105_batch_sessionize",
-    "q105_pack_sequences",
-    "q106_cohort_retention",
-    "q106_split_assign",
-    "q107_chunk_documents",
-    "q107_gap_fill_daily",
-    "q108_column_profile",
-    "q109_mixture_reweight",
-    "q110_pareto_frontier",
-    "q111_fuzzy_name_join",
-    "q112_zorder_layout",
-    "q113_scalar_py_udf",
-    "q115_dedup_within_watermark",
-    "q116_interval_join_clicks_purchases",
-    # (d) no canary slots this round: all ceded to the 21-query new
-    # wave (q01 stays smoke-checked every round via entry(); the
-    # round-4 cohort drains next round)
+    # (c) oldest-green refresh (round-4 cohort, 39 of 47;
+    #     q142-q150 drain in round 9)
+    "q02_filter_project_topk",
+    "q03_isnull_in_between",
+    "q09_correlated_agg_subquery",
+    "q10_inner_join_agg",
+    "q12_left_outer_join",
+    "q13_right_full_outer",
+    "q14_semi_join",
+    "q15_anti_join",
+    "q16_cross_theta_join",
+    "q17_range_join",
+    "q21_rollup",
+    "q22_cube",
+    "q23_grouping_sets",
+    "q24_dedup_batch",
+    "q78_knn_lsh",
+    "q104_centroid_assign",
+    "q114_watermark_late_drop",
+    "q119_minhash_jaccard_estimate",
+    "q120_pii_redaction",
+    "q121_bm25_scoring",
+    "q122_mad_outlier",
+    "q123_salted_skew_join",
+    "q124_snapshot_diff",
+    "q126_token_cooccurrence",
+    "q127_pagerank_trade_graph",
+    "q128_bfs_reach",
+    "q129_token_length_entropy",
+    "q130_corr_profile",
+    "q131_asof_join_forward",
+    "q132_recursive_exposure",
+    "q133_variant_shredding",
+    "q134_hll_sketch_rollup",
+    "q135_stratified_hash_sample",
+    "q136_unpivot_nation_metrics",
+    "q137_running_distinct_users",
+    "q138_week_over_week",
+    "q139_copurchase_triangles",
+    "q140_levenshtein_pairs",
+    "q141_interval_join_left_outer",
 )
 
 

@@ -1037,12 +1037,33 @@ def q197_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(1)
     )
     aprobe = ranked.filter(F.col("pos") <= prefix_len).select(
-        F.col("rep").alias("ra"), "gid"
+        F.col("rep").alias("ra"),
+        F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"),
+        "gid",
     )
-    ball = ranked.select(F.col("rep").alias("rb"), "gid")
+    ball = ranked.select(
+        F.col("rep").alias("rb"),
+        F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"),
+        "gid",
+    )
+    # PPJoin prunes before the pair-dedup shuffle: (1) length —
+    # |A∩B| <= |B|, so containment needs sz_b >= ceil(tau*sz_a); (2)
+    # position — grams are sorted by gid on both sides, so a match at
+    # (pos_a, pos_b) bounds the remaining overlap by 1 + min(sz_a -
+    # pos_a, sz_b - pos_b). On this fixture's 931-gram vocabulary the
+    # raw candidate stream measured 14.1M rows at sf0.1 and the two
+    # filters cut it to 8.4M before the distinct (SCALE.md).
+    need = F.expr(f"CAST(ceil({_CONT_NUM} * sz_a / {_CONT_DEN}.0) AS INT)")
     cand = (
         aprobe.join(ball, "gid")
         .filter(F.col("ra") != F.col("rb"))
+        .filter(F.col("sz_b") * _CONT_DEN >= _CONT_NUM * F.col("sz_a"))
+        .filter(
+            1 + F.least(F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b"))
+            >= need
+        )
         .select("ra", "rb")
         .distinct()
     )

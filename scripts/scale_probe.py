@@ -175,6 +175,21 @@ PROBES = [
     # q190: one corpus pass + grouped_prefix_sum over the packed quality
     # key — the cumsum frame is bounded by the n_chars domain per source
     "q190_token_budget_cut",
+    # round-8 wave: Spearman (rank frames ride distinct-value domains —
+    # copies do not grow the v100/hour domains, so near-flat growth),
+    # ACF + seasonal index (calendar-bounded frames after one hash
+    # aggregate), the hashing-trick scorer (one explode + aggregate,
+    # linear-in-tokens), Zipf slope (vocabulary-bounded tf frame),
+    # logistic IRLS (two corpus passes + (k x 2) broadcast), and the
+    # containment join (prefix x inverted-index candidates; copies
+    # collapse to reps, so candidates ride distinct sets like q154).
+    "q191_spearman_corr",
+    "q192_acf_daily_mean",
+    "q193_hashed_linear_scorer",
+    "q194_seasonal_dow_index",
+    "q195_zipf_slope",
+    "q196_logistic_irls_step",
+    "q197_containment_join",
 ]
 
 
