@@ -118,6 +118,17 @@ HEADLINE = [
     "q180_ks_two_sample",
     "q182_phrase_search",
     "q183_percent_rank_cume_dist",
+    # round 8: Spearman over distinct-domain rank frames, calendar-
+    # bounded ACF, hashing-trick scorer (the one honest linear-in-tokens
+    # pass), vocabulary-bounded Zipf fit, and two-pass logistic IRLS.
+    # All five carry 1x/10x curves in SCALE.md (the r7 discipline).
+    # q194 (two aggregates of a 35-row frame) and q197 (output-bound on
+    # this fixture's vocabulary, the q154-tau-0.5 policy) are probe-only.
+    "q191_spearman_corr",
+    "q192_acf_daily_mean",
+    "q193_hashed_linear_scorer",
+    "q195_zipf_slope",
+    "q196_logistic_irls_step",
 ]
 
 
