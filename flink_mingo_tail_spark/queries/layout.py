@@ -189,18 +189,10 @@ def q111_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q112 — Z-order (Morton) clustering keys
 # ---------------------------------------------------------------------------
 
-def _morton_sql(x_expr: str, y_expr: str) -> str:
-    """Interleave the low 16 bits of two BIGINT expressions into a Morton
-    code, using only `&`, `|`, `*` so the SAME text evaluates identically
-    as a Spark SQL expression and as DuckDB oracle SQL."""
-
-    def spread(e: str) -> str:
-        s = f"(CAST({e} AS BIGINT) & 65535)"
-        for shift, mask in ((256, 16711935), (16, 252645135), (4, 858993459), (2, 1431655765)):
-            s = f"(({s} | ({s} * {shift})) & {mask})"
-        return s
-
-    return f"({spread(x_expr)} | ({spread(y_expr)} * 2))"
+# the bit interleave is shared with the zone-map skip measurement
+# (operators/zonemap.py) so the write path, the q112 profile, and the
+# file-skipping evidence use ONE definition
+from flink_mingo_tail_spark.operators.zonemap import morton_sql as _morton_sql
 
 
 _MORTON = _morton_sql("o_custkey", "unix_micros_day")
