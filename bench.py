@@ -129,6 +129,9 @@ HEADLINE = [
     "q193_hashed_linear_scorer",
     "q195_zipf_slope",
     "q196_logistic_irls_step",
+    # round-8 second wave: two PCA power steps — four keyed aggregates
+    # over the exploded (vec_id, pos) frame, integer-exact throughout
+    "q198_pca_power_iteration",
 ]
 
 

@@ -77,19 +77,19 @@ _MODULES = (
 # registry (every round so far recorded exactly the first 50 entries).
 #
 # ROTATION, round 8 — steady-state policy, 50 slots:
-#   (a) 7 queries with NO driver row yet: the round-8 wave (q191
+#   (a) 8 queries with NO driver row yet: the round-8 wave (q191
 #       Spearman, q192 ACF, q193 hashed linear scorer, q194 seasonal
 #       index, q195 Zipf slope, q196 logistic IRLS, q197 containment
-#       join);
+#       join, q198 PCA power iteration);
 #   (b) 4 queries whose CODE or ORACLE changed this round: q190
 #       (unprunable packing guard), q182 (aliased self-join), q171
 #       (sample-trained k-means, oracle changed), q161 (independent
 #       ntile cuts);
-#   (c) 39 refresh slots: the oldest-green cohort (round 4, 47 names)
-#       in ascending query order — the remaining 8 (q142-q150) drain
+#   (c) 38 refresh slots: the oldest-green cohort (round 4, 47 names)
+#       in ascending query order — the remaining 9 (q141-q150) drain
 #       in round 9.
 _NEEDS_DRIVER_ROW = (
-    # (a) round-8 wave, no driver row yet — 7 names
+    # (a) round-8 wave, no driver row yet — 8 names
     "q191_spearman_corr",
     "q192_acf_daily_mean",
     "q193_hashed_linear_scorer",
@@ -97,6 +97,7 @@ _NEEDS_DRIVER_ROW = (
     "q195_zipf_slope",
     "q196_logistic_irls_step",
     "q197_containment_join",
+    "q198_pca_power_iteration",
     # (b) code/oracle changed in round 8 — 4 names
     "q190_token_budget_cut",
     "q182_phrase_search",
@@ -142,7 +143,6 @@ _NEEDS_DRIVER_ROW = (
     "q138_week_over_week",
     "q139_copurchase_triangles",
     "q140_levenshtein_pairs",
-    "q141_interval_join_left_outer",
 )
 
 

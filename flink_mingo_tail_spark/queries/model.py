@@ -270,3 +270,105 @@ def q196_logistic_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000000.0) AS BIGINT)"
         ).alias("b1_nano"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q198 — distributed PCA: two power-iteration steps for the top component
+# ---------------------------------------------------------------------------
+
+_PCA_S = 1_000_000  # fixed-point scale for vector components
+
+
+@query(
+    "q198_pca_power_iteration",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(round(embedding[i] * {_PCA_S}) AS BIGINT) AS xq
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+           unnest(range(1, len(embedding) + 1)) AS t(i)
+    ), s1 AS (
+      SELECT vec_id, CAST(sum(xq * 125000) AS BIGINT) // {_PCA_S} AS s
+      FROM e GROUP BY vec_id
+    ), w1 AS (
+      SELECT pos, CAST(sum(e.xq * s1.s) AS BIGINT) AS w
+      FROM e JOIN s1 USING (vec_id) GROUP BY pos
+    ), m1 AS (SELECT max(abs(w)) AS mx FROM w1),
+    v1 AS (
+      SELECT pos, CAST(round(CAST(w AS DOUBLE) * {_PCA_S} / mx) AS BIGINT) AS v
+      FROM w1 CROSS JOIN m1
+    ), s2 AS (
+      SELECT vec_id, CAST(sum(e.xq * v1.v) AS BIGINT) // {_PCA_S} AS s
+      FROM e JOIN v1 USING (pos) GROUP BY vec_id
+    ), w2 AS (
+      SELECT pos, CAST(sum(e.xq * s2.s) AS BIGINT) AS w
+      FROM e JOIN s2 USING (vec_id) GROUP BY pos
+    ), m2 AS (SELECT max(abs(w)) AS mx FROM w2)
+    SELECT pos, CAST(round(CAST(w AS DOUBLE) * {_PCA_S} / mx) AS BIGINT) AS v_micro
+    FROM w2 CROSS JOIN m2
+    ORDER BY pos
+    """,
+)
+def q198_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding Gram
+    matrix via TWO distributed power-iteration steps — the PCA
+    building block of embedding diagnostics (anisotropy checks,
+    whitening, ABTT postprocessing), run without ever materializing
+    the d x d covariance: each step is Xv (one keyed aggregate over
+    the exploded (vec_id, pos, xq) frame) followed by X'(Xv) (a second
+    aggregate grouped the other way) — O(n d) rows shuffled, never
+    O(d^2) per row, and only the d-row direction frame leaves a stage.
+
+    EXACT integer pipeline, no transcendentals and no per-row rounding
+    loss anywhere: components quantize once to 1e6 fixed point, every
+    dot product is an int64 sum, each step rescales by an integer
+    floor-div (`//` / `div` — identical semantics both engines) and
+    renormalizes by max|w| (order-independent, unlike an L2 norm's
+    sum-of-doubles), so both engines walk bit-identical integer states
+    and the two divisions per step are identical IEEE ops. Start
+    vector is uniform 0.125 = 1/sqrt(64), exact in binary.
+    """
+    prepare_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    e = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: F.round(x * _PCA_S, 0).cast("long"))
+        ).alias("pos", "xq"),
+    )
+    s1 = e.groupBy("vec_id").agg(
+        F.expr(f"CAST(sum(xq * 125000) AS BIGINT) div {_PCA_S}").alias("s")
+    )
+    w1 = (
+        e.join(s1, "vec_id")
+        .groupBy("pos")
+        .agg(F.sum(F.col("xq") * F.col("s")).cast("long").alias("w"))
+    )
+    m1 = w1.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+    v1 = w1.crossJoin(F.broadcast(m1)).select(
+        "pos",
+        F.expr(f"CAST(round(CAST(w AS DOUBLE) * {_PCA_S} / mx) AS BIGINT)").alias("v"),
+    )
+    s2 = (
+        e.join(F.broadcast(v1), "pos")
+        .groupBy("vec_id")
+        .agg(F.expr(f"CAST(sum(xq * v) AS BIGINT) div {_PCA_S}").alias("s"))
+    )
+    w2 = (
+        e.join(s2, "vec_id")
+        .groupBy("pos")
+        .agg(F.sum(F.col("xq") * F.col("s")).cast("long").alias("w"))
+    )
+    m2 = w2.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+    return (
+        w2.crossJoin(F.broadcast(m2))
+        .select(
+            "pos",
+            F.expr(
+                f"CAST(round(CAST(w AS DOUBLE) * {_PCA_S} / mx) AS BIGINT)"
+            ).alias("v_micro"),
+        )
+        .orderBy("pos")
+    )

@@ -190,6 +190,9 @@ PROBES = [
     "q195_zipf_slope",
     "q196_logistic_irls_step",
     "q197_containment_join",
+    # q198: two keyed aggregates per power step over the exploded
+    # (vec_id, pos) frame — O(n d) rows, d-row direction frames only
+    "q198_pca_power_iteration",
 ]
 
 
