@@ -51,7 +51,7 @@ FLAGSHIP = {
     "q151_pps_systematic_sample": "two-level prefix sums: per-bucket running sum partition-parallel, ONE SinglePartition exchange over bucket totals only, offsets broadcast back; range-partitioned output sort",
     "q154_set_similarity_join": "AllPairs/PPJoin prefix filtering: df-ranked prefix equi-join on single bigram keys + exact verify — no all-pairs node anywhere",
     "q158_ohlc_bars": "whole OHLCV bar as ONE codegen HashAggregate via packed-long anchors (struct anchors would demote to SortAggregate)",
-    "q161_rfm_segments": "distributed exact ntile: value-bucket prefix counts + partitioned within-bucket windows; no single-partition ntile window",
+    "q161_rfm_segments": "distributed exact ntile: value-bucket prefix counts + partitioned within-bucket windows; no single-partition ntile window; the three cuts run INDEPENDENTLY on the narrow rfm frame and join back on custkey (291-node plan vs 1533 chained — round-8 post-mortem)",
     "q163_source_divergence": "token-distribution distances via INNER join only (out-of-vocab mass folded in algebraically); terms summed as scaled longs",
     "q164_bloom_membership": "bloom bit-set as a bounded relation (<= m rows) BROADCAST to the probe; k-position hit count == k, probe never shuffles",
     "q165_kmeans_lloyd_step": "k-row seed broadcast to the narrow corpus distance pass; min-struct argmin aggregate; only (cid, pos) mean shuffles after",
@@ -64,7 +64,13 @@ FLAGSHIP = {
     "q184_rrf_fusion": "both retrieval legs end in TakeOrderedAndProject (plan-pinned); ranks and the fusion join ride the 50-row lists",
     "q188_bpe_train_rounds": "3 training rounds: each one vocabulary pair aggregate + 1-row merge BroadcastNestedLoopJoin + narrow greedy-fold projection; the token stream is scanned once (initial word count)",
     "q189_drift_windows": "one (window, bucket) hash aggregate; reference/window-total margins broadcast back onto the histogram-sized frame; chi-square terms micro-rounded before the exact int sum",
-    "q190_token_budget_cut": "grouped_prefix_sum over the packed quality key (one bucket per n_chars value): cumsum frame bounded by the per-source value domain, no single-partition window",
+    "q190_token_budget_cut": "grouped_prefix_sum over the packed quality key (one bucket per n_chars value): cumsum frame bounded by the per-source value domain, no single-partition window; the raise_error domain guard is INSIDE the consumed packed key (survives optimization — round-8 fix)",
+    # round 8
+    "q191_spearman_corr": "tie-averaged ranks on the DISTINCT-value frames via grouped_prefix_sum; joint frame bounded by the (v100 x hour) domain; one final integer aggregate per type",
+    "q193_hashed_linear_scorer": "one explode + map-side-combinable hash aggregate; token md5-hex weights entirely in codegen, no UDF and no weight table",
+    "q196_logistic_irls_step": "two corpus passes (closed-form step-1 moments; 1e-3-grid sigmoid weighted moments) + one (k x 2) coefficient broadcast between them",
+    "q197_containment_join": "one-sided C-PPJoin: contained-side prefix x full inverted index on int gram keys; PPJoin length+position filters BEFORE the pair-dedup shuffle; exact array verify after",
+    "q198_pca_power_iteration": "two power steps = four keyed aggregates over the exploded (vec_id, pos) frame; d-row direction frames broadcast; integer-exact states both engines",
 }
 
 #: hand-maintained PLANS.md sections that must survive regeneration
