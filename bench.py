@@ -132,6 +132,8 @@ HEADLINE = [
     # round-8 second wave: two PCA power steps — four keyed aggregates
     # over the exploded (vec_id, pos) frame, integer-exact throughout
     "q198_pca_power_iteration",
+    # vocabulary-growth fit: vocabulary-bounded first-occurrence pass
+    "q199_heaps_law",
 ]
 
 

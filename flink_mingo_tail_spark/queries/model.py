@@ -372,3 +372,135 @@ def q198_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# q199 — Heaps' law fit per source (vocabulary growth vs tokens seen)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q199_heaps_law",
+    oracle="""
+    WITH tok AS (
+      SELECT source, doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), per_doc AS (
+      SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n_toks
+      FROM tok GROUP BY source, doc_id
+    ), firsts AS (
+      SELECT source, min(doc_id) AS first_doc
+      FROM tok GROUP BY source, tok
+    ), new_types AS (
+      SELECT source, first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+      FROM firsts GROUP BY source, first_doc
+    ), d AS (
+      SELECT p.source, p.doc_id, p.n_toks, coalesce(n.n_new, 0) AS n_new
+      FROM per_doc p LEFT JOIN new_types n
+        ON n.source = p.source AND n.doc_id = p.doc_id
+    ), c AS (
+      SELECT source, doc_id,
+             CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+               AS cum_toks,
+             CAST(sum(n_new) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+               AS cum_types
+      FROM d
+    ), pts AS (
+      SELECT source,
+             CAST(round(ln(cum_toks) * 1000000.0) AS BIGINT) AS lx,
+             CAST(round(ln(cum_types) * 1000000.0) AS BIGINT) AS ly
+      FROM c
+    ), agg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(lx) AS BIGINT) AS slx,
+             CAST(sum(ly) AS BIGINT) AS sly,
+             CAST(sum(lx * ly) AS BIGINT) AS slxy,
+             CAST(sum(lx * lx) AS BIGINT) AS slxx
+      FROM pts GROUP BY source
+    )
+    SELECT source, m,
+           CAST(round((m * CAST(slxy AS DOUBLE) - CAST(slx AS DOUBLE) * sly)
+                      * 1000000.0
+                      / (m * CAST(slxx AS DOUBLE) - CAST(slx AS DOUBLE) * slx))
+             AS BIGINT) AS beta_micro
+    FROM agg
+    ORDER BY source
+    """,
+)
+def q199_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law exponent per source: the log-log slope of distinct
+    vocabulary size against tokens seen, measured at each document
+    boundary in doc_id order. Natural text grows types ~ tokens^0.5;
+    a source whose exponent collapses toward 0 is template/duplicate-
+    heavy (vocabulary saturates), one near 1 is noise — the
+    vocabulary-growth twin of q195's frequency-curve slope, and a
+    cheap corpus-health signal a curation pipeline tracks per shard.
+
+    The per-(source, token) first-occurrence doc is ONE hash aggregate
+    (vocabulary-bounded); new-type counts land on their first document,
+    and both cumulative curves are per-source prefix sums over the
+    per-DOCUMENT frame — bounded by document count per source, with the
+    window partitioned BY SOURCE (never corpus-wide; for a trillion-doc
+    source the same two sums run through operators/ranks.
+    grouped_prefix_sum — this fixture-scale spelling keeps the SQL twin
+    line-for-line). Logs round to the 1e-6 grid before the OLS moments
+    (module doctrine), so the fit is exact int64 + one identical IEEE
+    expression.
+    """
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    per_doc = tok.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks")
+    )
+    firsts = tok.groupBy("source", "tok").agg(F.min("doc_id").alias("first_doc"))
+    new_types = firsts.groupBy(
+        "source", F.col("first_doc").alias("doc_id")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    dd = per_doc.join(new_types, ["source", "doc_id"], "left").select(
+        "source",
+        "doc_id",
+        "n_toks",
+        F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = dd.select(
+        "source",
+        F.sum("n_toks").over(w).cast("long").alias("cum_toks"),
+        F.sum("n_new").over(w).cast("long").alias("cum_types"),
+    )
+    pts = c.select(
+        "source",
+        F.round(F.log(F.col("cum_toks").cast("double")) * 1000000.0, 0)
+        .cast("long")
+        .alias("lx"),
+        F.round(F.log(F.col("cum_types").cast("double")) * 1000000.0, 0)
+        .cast("long")
+        .alias("ly"),
+    )
+    return (
+        pts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("lx").cast("long").alias("slx"),
+            F.sum("ly").cast("long").alias("sly"),
+            F.sum(F.col("lx") * F.col("ly")).cast("long").alias("slxy"),
+            F.sum(F.col("lx") * F.col("lx")).cast("long").alias("slxx"),
+        )
+        .select(
+            "source",
+            "m",
+            F.expr(
+                "CAST(round((m * CAST(slxy AS DOUBLE) - CAST(slx AS DOUBLE) * sly)"
+                " * 1000000.0"
+                " / (m * CAST(slxx AS DOUBLE) - CAST(slx AS DOUBLE) * slx))"
+                " AS BIGINT)"
+            ).alias("beta_micro"),
+        )
+        .orderBy("source")
+    )

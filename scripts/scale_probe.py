@@ -193,6 +193,9 @@ PROBES = [
     # q198: two keyed aggregates per power step over the exploded
     # (vec_id, pos) frame — O(n d) rows, d-row direction frames only
     "q198_pca_power_iteration",
+    # q199: first-occurrence aggregate is vocabulary-bounded; cumulative
+    # curves ride the per-document frame partitioned by source
+    "q199_heaps_law",
 ]
 
 
