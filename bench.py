@@ -134,6 +134,9 @@ HEADLINE = [
     "q198_pca_power_iteration",
     # vocabulary-growth fit: vocabulary-bounded first-occurrence pass
     "q199_heaps_law",
+    # cross-source contamination matrix: pair join bounded by
+    # vocab x sources^2, never by corpus rows
+    "q200_source_overlap_matrix",
 ]
 
 

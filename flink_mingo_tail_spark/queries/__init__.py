@@ -77,19 +77,20 @@ _MODULES = (
 # registry (every round so far recorded exactly the first 50 entries).
 #
 # ROTATION, round 8 — steady-state policy, 50 slots:
-#   (a) 9 queries with NO driver row yet: the round-8 wave (q191
+#   (a) 10 queries with NO driver row yet: the round-8 wave (q191
 #       Spearman, q192 ACF, q193 hashed linear scorer, q194 seasonal
 #       index, q195 Zipf slope, q196 logistic IRLS, q197 containment
-#       join, q198 PCA power iteration, q199 Heaps' law);
+#       join, q198 PCA power iteration, q199 Heaps' law, q200 source
+#       overlap matrix);
 #   (b) 4 queries whose CODE or ORACLE changed this round: q190
 #       (unprunable packing guard), q182 (aliased self-join), q171
 #       (sample-trained k-means, oracle changed), q161 (independent
 #       ntile cuts);
-#   (c) 37 refresh slots: the oldest-green cohort (round 4, 47 names)
-#       in ascending query order — the remaining 10 (q140-q150) drain
+#   (c) 36 refresh slots: the oldest-green cohort (round 4, 47 names)
+#       in ascending query order — the remaining 11 (q139-q150) drain
 #       in round 9.
 _NEEDS_DRIVER_ROW = (
-    # (a) round-8 wave, no driver row yet — 9 names
+    # (a) round-8 wave, no driver row yet — 10 names
     "q191_spearman_corr",
     "q192_acf_daily_mean",
     "q193_hashed_linear_scorer",
@@ -99,13 +100,14 @@ _NEEDS_DRIVER_ROW = (
     "q197_containment_join",
     "q198_pca_power_iteration",
     "q199_heaps_law",
+    "q200_source_overlap_matrix",
     # (b) code/oracle changed in round 8 — 4 names
     "q190_token_budget_cut",
     "q182_phrase_search",
     "q171_semdedup_end_to_end",
     "q161_rfm_segments",
-    # (c) oldest-green refresh (round-4 cohort, 37 of 47;
-    #     q140-q150 drain in round 9)
+    # (c) oldest-green refresh (round-4 cohort, 36 of 47;
+    #     q139-q150 drain in round 9)
     "q02_filter_project_topk",
     "q03_isnull_in_between",
     "q09_correlated_agg_subquery",
@@ -142,7 +144,6 @@ _NEEDS_DRIVER_ROW = (
     "q136_unpivot_nation_metrics",
     "q137_running_distinct_users",
     "q138_week_over_week",
-    "q139_copurchase_triangles",
 )
 
 

@@ -1116,3 +1116,83 @@ def q197_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q200 — cross-source contamination matrix (pairwise 4-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q200_source_overlap_matrix",
+    oracle="""
+    WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT DISTINCT source,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS gram
+      FROM toks, unnest(range(1, len(t) - 2)) AS u(i)
+    ),
+    sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source),
+    p AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT p.src_a, p.src_b, p.inter,
+           CAST(round(p.inter * 1000000.0 / (sa.n + sb.n - p.inter)) AS BIGINT)
+             AS jacc_micro
+    FROM p
+    JOIN sz sa ON sa.source = p.src_a
+    JOIN sz sb ON sb.source = p.src_b
+    ORDER BY p.src_a, p.src_b
+    """,
+)
+def q200_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: exact pairwise 4-gram-set
+    Jaccard between every pair of sources — the mixture-level twin of
+    document dedup (q73/q154 find duplicate DOCUMENTS; this finds
+    duplicated CONTENT FLOWS between shards/feeds, the signal behind
+    "these two crawls re-scraped each other" and benchmark-contamination
+    audits at the corpus level, cf. q75b's per-document check).
+
+    Scale shape: the distinct (source, gram) frame is one aggregate,
+    bounded by |sources| x gram vocabulary; the pair join is keyed on
+    the GRAM, and every gram's contribution to the join output is at
+    most |sources|^2 rows — so the full matrix costs
+    O(vocab x sources^2) regardless of corpus row count, and the final
+    Jaccard is 190 rows of exact int64 arithmetic. No document-level
+    pair space exists anywhere.
+    """
+    d = _t(spark, sf_dir, "documents")
+    g = (
+        d.select(
+            "source",
+            F.explode(word_shingles(tokens(F.col("text")), 4)).alias("gram"),
+        )
+        .distinct()
+    )
+    sz = g.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = g.select(F.col("source").alias("src_a"), "gram")
+    b = g.select(F.col("source").alias("src_b"), "gram")
+    p = (
+        a.join(b, "gram")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        p.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "inter",
+            F.expr(
+                "CAST(round(inter * 1000000.0 / (na + nb - inter)) AS BIGINT)"
+            ).alias("jacc_micro"),
+        )
+        .orderBy("src_a", "src_b")
+    )

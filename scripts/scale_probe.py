@@ -196,6 +196,9 @@ PROBES = [
     # q199: first-occurrence aggregate is vocabulary-bounded; cumulative
     # curves ride the per-document frame partitioned by source
     "q199_heaps_law",
+    # q200: distinct (source, gram) frame; pair join output bounded by
+    # vocab x sources^2, independent of corpus rows
+    "q200_source_overlap_matrix",
 ]
 
 
