@@ -77,3 +77,25 @@ def test_batch_fn_replay_is_idempotent(spark, tmp_path):
     fn(bdf, 0)  # crash-replay of the same batch id: must be a no-op
     assert _zm_sorted(read_zone_map(spark, zmap)) == first
     assert len(first) == 3
+
+
+def test_multi_batch_catchup_with_max_files_per_trigger(spark, tmp_path):
+    """A catch-up run throttled to 2 files per micro-batch still maps
+    every file exactly once (AvailableNow drains the backlog across
+    several batches in one run)."""
+    data = str(tmp_path / "data")
+    zmap = str(tmp_path / "zonemap")
+    ckpt = str(tmp_path / "ckpt")
+    schema = _docs(spark).schema
+    _write_wave(spark, data, 0, 500, 6)
+    q = start_zonemap_ingest(
+        spark, data, zmap, ckpt, COLS, schema, max_files_per_trigger=2
+    )
+    q.awaitTermination(120)
+    inc = read_zone_map(spark, zmap)
+    assert inc.count() == 6
+    assert _zm_sorted(inc) == _zm_sorted(zone_map(spark, data, COLS))
+    # several batch directories, one per micro-batch
+    import os
+    batches = [d for d in os.listdir(zmap) if d.startswith("batch_id=")]
+    assert len(batches) >= 3
