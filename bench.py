@@ -137,6 +137,10 @@ HEADLINE = [
     # cross-source contamination matrix: pair join bounded by
     # vocab x sources^2, never by corpus rows
     "q200_source_overlap_matrix",
+    # deterministic weighted sampling (salted top-k-per-stratum) and
+    # the one-pass B=32 Poisson bootstrap
+    "q201_weighted_sample_aes",
+    "q202_poisson_bootstrap_ci",
 ]
 
 

@@ -504,3 +504,84 @@ def q199_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q201 — A-ES weighted sampling without replacement (top-k per stratum)
+# ---------------------------------------------------------------------------
+
+_AES_K = 5        # sample size per stratum
+_AES_SALTS = 32   # local top-k fan-in width (the scale knob)
+
+
+@query(
+    "q201_weighted_sample_aes",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             CAST(round(
+               ln((CAST(concat('0x', substr(md5('aes:' || doc_id::VARCHAR), 1, 8))
+                    AS BIGINT) + 1) / 4294967297.0)
+               / n_chars * 1000000000.0) AS BIGINT) AS lk_nano
+      FROM documents WHERE n_chars > 0
+    ), ranked AS (
+      SELECT source, doc_id, n_chars, lk_nano,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY lk_nano DESC, doc_id) AS rnk
+      FROM keyed QUALIFY rnk <= {_AES_K}
+    )
+    SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars, lk_nano
+    FROM ranked
+    ORDER BY source, rnk
+    """,
+)
+def q201_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=5 per source, by the
+    Efraimidis-Spirakis A-ES scheme: each row draws u from its own
+    md5 hash and ranks by key u^(1/w) (equivalently ln(u)/w) — the
+    top-k keys ARE a weighted sample without replacement (here w =
+    n_chars: longer documents proportionally likelier). Deterministic
+    end to end: u is an exact rational of the hash, the single ln
+    rounds to a 1e-9 grid before ranking (module doctrine), and ties
+    break by doc_id — re-running a 100 TB job reproduces the SAME
+    sample, the property RNG-based sampling cannot give.
+
+    The top-k-per-stratum is computed WITHOUT a stratum-sized window
+    task: a salted local pass takes the top k within each of 32
+    hash-salt slices of a source (window partitioned by (source,
+    salt)), and the global pass re-ranks only the <= 32k survivors per
+    source — exact (any global top-k row is top-k within its slice),
+    with per-task state bounded by slice size at any corpus scale. The
+    oracle is the unsalted single-window spelling; salting is
+    invisible to the result.
+    """
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    keyed = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "CAST(round("
+            " ln((CAST(conv(substring(md5(concat('aes:', CAST(doc_id AS STRING))), 1, 8),"
+            "           16, 10) AS BIGINT) + 1) / 4294967297.0)"
+            " / n_chars * 1000000000.0) AS BIGINT)"
+        ).alias("lk_nano"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(_AES_SALTS)).alias("salt"),
+    )
+    w_local = Window.partitionBy("source", "salt").orderBy(
+        F.col("lk_nano").desc(), F.col("doc_id")
+    )
+    survivors = (
+        keyed.withColumn("lrnk", F.row_number().over(w_local))
+        .filter(F.col("lrnk") <= _AES_K)
+        .drop("lrnk", "salt")
+    )
+    w_global = Window.partitionBy("source").orderBy(
+        F.col("lk_nano").desc(), F.col("doc_id")
+    )
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w_global).cast("long"))
+        .filter(F.col("rnk") <= _AES_K)
+        .select("source", "rnk", "doc_id", "n_chars", "lk_nano")
+        .orderBy("source", "rnk")
+    )

@@ -1105,3 +1105,123 @@ def q191_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q202 — Poisson-bootstrap confidence intervals for the per-type mean
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32  # bootstrap replicates
+
+# Poisson(1) inverse-CDF thresholds (exact double literals, identical in
+# both engines): multiplicity m = #{thresholds < u}.
+_POIS = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+
+
+def _pois_m_sql(u: str) -> str:
+    return "(" + " + ".join(f"CASE WHEN {u} >= {t} THEN 1 ELSE 0 END" for t in _POIS) + ")"
+
+
+@query(
+    "q202_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events
+    ), pt AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(round(sum(v100) * 1000000.0 / count(*)) AS BIGINT) AS mean_micro
+      FROM t GROUP BY event_type
+    ), reps AS (
+      SELECT t.event_type, b.b, t.v100,
+             CAST({_pois_m_sql(
+                 "((CAST(concat('0x', substr(md5(event_id::VARCHAR || ':' || b.b::VARCHAR), 1, 8)) AS BIGINT)) / 4294967296.0)"
+             )} AS BIGINT) AS m
+      FROM t CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+    ), rm AS (
+      SELECT event_type, b,
+             CAST(round(sum(m * v100) * 1000000.0 / sum(m)) AS BIGINT) AS rm_micro
+      FROM reps GROUP BY event_type, b
+    ), ranked AS (
+      SELECT event_type, rm_micro,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY rm_micro, b) AS rnk
+      FROM rm
+    )
+    SELECT p.event_type, p.n, p.mean_micro,
+           max(CASE WHEN rnk = 2 THEN rm_micro END) AS ci_lo_micro,
+           max(CASE WHEN rnk = {_BOOT_B - 1} THEN rm_micro END) AS ci_hi_micro
+    FROM ranked r JOIN pt p ON p.event_type = r.event_type
+    GROUP BY p.event_type, p.n, p.mean_micro
+    ORDER BY p.event_type
+    """,
+)
+def q202_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based bootstrap confidence interval for each event type's
+    mean value, via the POISSON bootstrap (the resampling scheme that
+    actually works distributed: classical bootstrap needs n draws WITH
+    replacement from the whole dataset — a global operation — while
+    Poisson(1) multiplicities are independent PER ROW, so all B=32
+    replicates ride one corpus pass). The interval is the 2nd/31st of
+    the 32 sorted replicate means — the standard rank-based CI at this
+    replicate count.
+
+    Deterministic: each (row, replicate) draws u from md5(event_id, b)
+    — an exact rational, no RNG state — and the Poisson inverse-CDF is
+    six literal threshold comparisons (no transcendentals at runtime;
+    the e^-x constants are baked as identical double literals in both
+    engines, keeping stats.py's no-libm contract). Replicate means are
+    micro-rounded to exact int64 before ranking; the rank window rides
+    the B-row per-type frame.
+    """
+    t = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v100"),
+    )
+    pt = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(round(sum(v100) * 1000000.0 / count(*)) AS BIGINT)").alias(
+            "mean_micro"
+        ),
+    )
+    u = (
+        "((CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':',"
+        " CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT)) / 4294967296.0)"
+    )
+    reps = t.select(
+        "event_type",
+        "v100",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        F.col("event_id"),
+    ).select(
+        "event_type",
+        "b",
+        "v100",
+        F.expr(f"CAST({_pois_m_sql(u)} AS BIGINT)").alias("m"),
+    )
+    rm = reps.groupBy("event_type", "b").agg(
+        F.expr("CAST(round(sum(m * v100) * 1000000.0 / sum(m)) AS BIGINT)").alias(
+            "rm_micro"
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("rm_micro", "b")
+    ranked = rm.withColumn("rnk", F.row_number().over(w))
+    ci = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rnk") == 2, F.col("rm_micro"))).alias("ci_lo_micro"),
+        F.max(F.when(F.col("rnk") == _BOOT_B - 1, F.col("rm_micro"))).alias(
+            "ci_hi_micro"
+        ),
+    )
+    return (
+        pt.join(ci, "event_type")
+        .select("event_type", "n", "mean_micro", "ci_lo_micro", "ci_hi_micro")
+        .orderBy("event_type")
+    )

@@ -199,6 +199,12 @@ PROBES = [
     # q200: distinct (source, gram) frame; pair join output bounded by
     # vocab x sources^2, independent of corpus rows
     "q200_source_overlap_matrix",
+    # q201: salted local top-k windows (slice-bounded), then the global
+    # re-rank over <= 32k survivors/stratum; q202: B=32 replicates in
+    # ONE corpus pass (per-row Poisson multiplicities), rank windows on
+    # the 32-row per-type frame
+    "q201_weighted_sample_aes",
+    "q202_poisson_bootstrap_ci",
 ]
 
 
