@@ -99,3 +99,52 @@ def test_random_topk_matches(spark_li, duck_li, k, asc):
             ORDER BY l_extendedprice {dir_sql}, l_orderkey, l_linenumber LIMIT {k}"""
     ).fetchall()
     assert got == [tuple(w) for w in want]
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    nums=st.lists(
+        st.integers(min_value=1, max_value=10**9), min_size=1, max_size=50, unique=True
+    ),
+    use_exp=st.booleans(),
+)
+def test_grid_rounded_transcendentals_agree_cross_engine(spark, nums, use_exp):
+    """The queries/model.py doctrine: transcendentals are not
+    correctly-rounded, so per-row results must be rounded to a coarse
+    grid BEFORE summation — this sweep checks Spark's and DuckDB's
+    ln/exp agree exactly on the 1e-6 grid over random integer inputs
+    (ln of 1..1e9; exp of the matching negative magnitudes)."""
+    import duckdb
+
+    con = duckdb.connect()
+    if use_exp:
+        # exp over [-20, 0): z = -n / 5e7 spans the sigmoid's active range
+        spark_vals = (
+            spark.createDataFrame([(n,) for n in nums], "n long")
+            .select(
+                F.expr(
+                    "CAST(round(exp(-(CAST(n AS DOUBLE) / 50000000.0)) * 1000000.0)"
+                    " AS BIGINT) AS g"
+                )
+            )
+            .collect()
+        )
+        duck_vals = con.execute(
+            "SELECT CAST(round(exp(-(CAST(n AS DOUBLE) / 50000000.0)) * 1000000.0)"
+            " AS BIGINT) FROM (SELECT unnest(?) AS n)",
+            [nums],
+        ).fetchall()
+    else:
+        spark_vals = (
+            spark.createDataFrame([(n,) for n in nums], "n long")
+            .select(
+                F.expr("CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS g")
+            )
+            .collect()
+        )
+        duck_vals = con.execute(
+            "SELECT CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)"
+            " FROM (SELECT unnest(?) AS n)",
+            [nums],
+        ).fetchall()
+    assert sorted(r[0] for r in spark_vals) == sorted(r[0] for r in duck_vals)
