@@ -141,6 +141,8 @@ HEADLINE = [
     # the one-pass B=32 Poisson bootstrap
     "q201_weighted_sample_aes",
     "q202_poisson_bootstrap_ci",
+    # conditional bigram entropy: vocabulary^2-bounded term frame
+    "q203_conditional_entropy",
 ]
 
 

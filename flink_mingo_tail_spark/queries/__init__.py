@@ -77,21 +77,21 @@ _MODULES = (
 # registry (every round so far recorded exactly the first 50 entries).
 #
 # ROTATION, round 8 — steady-state policy, 50 slots:
-#   (a) 12 queries with NO driver row yet: the round-8 wave (q191
+#   (a) 13 queries with NO driver row yet: the round-8 wave (q191
 #       Spearman, q192 ACF, q193 hashed linear scorer, q194 seasonal
 #       index, q195 Zipf slope, q196 logistic IRLS, q197 containment
 #       join, q198 PCA power iteration, q199 Heaps' law, q200 source
 #       overlap matrix, q201 A-ES weighted sampling, q202 Poisson
-#       bootstrap CI);
+#       bootstrap CI, q203 conditional bigram entropy);
 #   (b) 4 queries whose CODE or ORACLE changed this round: q190
 #       (unprunable packing guard), q182 (aliased self-join), q171
 #       (sample-trained k-means, oracle changed), q161 (independent
 #       ntile cuts);
-#   (c) 34 refresh slots: the oldest-green cohort (round 4, 47 names)
-#       in ascending query order — the remaining 13 (q137-q150) drain
+#   (c) 33 refresh slots: the oldest-green cohort (round 4, 47 names)
+#       in ascending query order — the remaining 14 (q136-q150) drain
 #       in round 9.
 _NEEDS_DRIVER_ROW = (
-    # (a) round-8 wave, no driver row yet — 12 names
+    # (a) round-8 wave, no driver row yet — 13 names
     "q191_spearman_corr",
     "q192_acf_daily_mean",
     "q193_hashed_linear_scorer",
@@ -104,13 +104,14 @@ _NEEDS_DRIVER_ROW = (
     "q200_source_overlap_matrix",
     "q201_weighted_sample_aes",
     "q202_poisson_bootstrap_ci",
+    "q203_conditional_entropy",
     # (b) code/oracle changed in round 8 — 4 names
     "q190_token_budget_cut",
     "q182_phrase_search",
     "q171_semdedup_end_to_end",
     "q161_rfm_segments",
-    # (c) oldest-green refresh (round-4 cohort, 34 of 47;
-    #     q137-q150 drain in round 9)
+    # (c) oldest-green refresh (round-4 cohort, 33 of 47;
+    #     q136-q150 drain in round 9)
     "q02_filter_project_topk",
     "q03_isnull_in_between",
     "q09_correlated_agg_subquery",
@@ -144,7 +145,6 @@ _NEEDS_DRIVER_ROW = (
     "q133_variant_shredding",
     "q134_hll_sketch_rollup",
     "q135_stratified_hash_sample",
-    "q136_unpivot_nation_metrics",
 )
 
 

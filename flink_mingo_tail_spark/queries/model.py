@@ -585,3 +585,89 @@ def q201_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "rnk", "doc_id", "n_chars", "lk_nano")
         .orderBy("source", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q203 — conditional bigram entropy per source (text predictability)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q203_conditional_entropy",
+    oracle="""
+    WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT source, t[i] AS a, t[i+1] AS b
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ), cab AS (
+      SELECT source, a, b, CAST(count(*) AS BIGINT) AS c_ab
+      FROM bg GROUP BY source, a, b
+    ), ca AS (
+      SELECT source, a, CAST(sum(c_ab) AS BIGINT) AS c_a
+      FROM cab GROUP BY source, a
+    ), terms AS (
+      SELECT cab.source,
+             cab.c_ab,
+             CAST(round(cab.c_ab * (ln(cab.c_ab) - ln(ca.c_a)) * 1000000.0)
+               AS BIGINT) AS term
+      FROM cab JOIN ca ON ca.source = cab.source AND ca.a = cab.a
+    )
+    SELECT source,
+           CAST(sum(c_ab) AS BIGINT) AS n_bigrams,
+           CAST(round(CAST(-sum(term) AS DOUBLE) / sum(c_ab)) AS BIGINT)
+             AS h_micro_nats
+    FROM terms GROUP BY source
+    ORDER BY source
+    """,
+)
+def q203_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional word-bigram entropy H(next | current) per source, in
+    micro-nats — the predictability of a source's text: templated or
+    machine-generated feeds sit near 0 (next word determined by the
+    previous), natural prose runs several nats. Pairs with q129's
+    marginal token-length entropy and q175's model-based NLL as the
+    information-theoretic corner of the corpus-QA battery.
+
+    H(B|A) = -(1/N) * sum over bigrams of c_ab * (ln c_ab - ln c_a),
+    which needs only the distinct-bigram count frame (vocabulary^2
+    bounded, never row count): one hash aggregate to (source, a, b),
+    a second to the (source, a) margins, one equi-join, then each
+    term's single transcendental difference rounds to the 1e-6 grid
+    before the exact int64 sum (module doctrine). The final division
+    is one identical IEEE op per source.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bg = d.select(
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) < 2 THEN array()"
+                " ELSE transform(sequence(0, size(split(text, ' ')) - 2),"
+                " i -> struct(split(text, ' ')[i] AS a, split(text, ' ')[i+1] AS b))"
+                " END"
+            )
+        ).alias("p"),
+    ).select("source", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    cab = bg.groupBy("source", "a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    ca = cab.groupBy("source", "a").agg(F.sum("c_ab").cast("long").alias("c_a"))
+    terms = cab.join(ca, ["source", "a"]).select(
+        "source",
+        "c_ab",
+        F.expr(
+            "CAST(round(c_ab * (ln(CAST(c_ab AS DOUBLE)) - ln(CAST(c_a AS DOUBLE)))"
+            " * 1000000.0) AS BIGINT)"
+        ).alias("term"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.sum("c_ab").cast("long").alias("n_bigrams"),
+            F.expr(
+                "CAST(round(CAST(-sum(term) AS DOUBLE) / sum(c_ab)) AS BIGINT)"
+            ).alias("h_micro_nats"),
+        )
+        .orderBy("source")
+    )

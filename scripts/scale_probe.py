@@ -205,6 +205,8 @@ PROBES = [
     # the 32-row per-type frame
     "q201_weighted_sample_aes",
     "q202_poisson_bootstrap_ci",
+    # q203: two vocabulary-bounded aggregates + one margin join
+    "q203_conditional_entropy",
 ]
 
 
