@@ -460,6 +460,7 @@ def train_pq_codebooks(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     seed: int = 42,
+    sample_fraction: float = 1.0,
 ) -> list[np.ndarray]:
     """Per-subspace spherical k-means codebooks for product quantization.
 
@@ -473,9 +474,12 @@ def train_pq_codebooks(
     Scale note: this trains subspace-by-subspace (m small corpus passes
     per iteration) because it REUSES the proven single-quantizer loop;
     at 100 TB fuse the m assignments into one pass per iteration (the
-    ENCODE step below already does exactly that fusion) and train on a
-    deterministic hash-sample of the corpus rather than the full table
-    — codebooks are statistics, not indexes."""
+    ENCODE step below already does exactly that fusion) and pass
+    ``sample_fraction`` < 1 to train on the deterministic md5-hash
+    sample — codebooks are statistics, not indexes. The knob forwards
+    to ``train_ivf_centroids``, so the sample (one predicate on the
+    row id) is the SAME row set for every subspace — exactly the
+    pre-filtered-corpus semantics the parity test pins."""
     dim = len(corpus.select(corpus_vec).first()[0])
     assert dim % m_subspaces == 0, f"dim {dim} not divisible by {m_subspaces}"
     sub = dim // m_subspaces
@@ -488,6 +492,7 @@ def train_pq_codebooks(
             train_ivf_centroids(
                 sliced, k_cells=k_sub, n_iter=n_iter,
                 corpus_id=corpus_id, corpus_vec=corpus_vec, seed=seed,
+                sample_fraction=sample_fraction,
             )
         )
     return books

@@ -356,3 +356,31 @@ def test_ivf_cell_partitioned_layout_prunes_probe_reads(spark, tmp_path):
     # row parity with the in-memory assignment
     expect = assigned.filter(F.col("cell").isin(1, 3)).count()
     assert probed.count() == expect
+
+
+def test_sampled_pq_codebooks_equal_manual_subset(spark):
+    """train_pq_codebooks(sample_fraction=f) must equal training at
+    fraction 1.0 on the same pre-filtered corpus — every subspace sees
+    the SAME md5-hash sample (one predicate on the row id)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from flink_mingo_tail_spark.operators.similarity import (
+        train_pq_codebooks,
+        train_sample_predicate,
+    )
+    from flink_mingo_tail_spark.tables import load_table
+
+    e = (
+        load_table(spark, SF_ORACLE, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    frac = 0.25
+    knob = train_pq_codebooks(e, m_subspaces=4, k_sub=8, n_iter=1, sample_fraction=frac)
+    manual = train_pq_codebooks(
+        e.filter(train_sample_predicate("vec_id", 42, frac)),
+        m_subspaces=4, k_sub=8, n_iter=1,
+    )
+    assert len(knob) == len(manual) == 4
+    for a, b in zip(knob, manual):
+        assert np.array_equal(a, b)
