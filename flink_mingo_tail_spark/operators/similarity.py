@@ -239,7 +239,10 @@ def sample_threshold_hex(fraction: float) -> str:
     SAME predicate string selects the SAME rows in both engines."""
     if not 0.0 < fraction < 1.0:
         raise ValueError(f"fraction must be in (0, 1), got {fraction}")
-    return format(int(round(fraction * (1 << 32))), "08x")
+    # clamp: a fraction within 2^-33 of 1 rounds to 2^32, whose hex is
+    # the 9-char '100000000' — the 8-char lexicographic compare would
+    # then keep only hashes starting '0' (~6% of rows) instead of ~100%
+    return format(min(int(round(fraction * (1 << 32))), (1 << 32) - 1), "08x")
 
 
 def train_sample_predicate(corpus_id: str, seed: int, fraction: float) -> Column:

@@ -520,8 +520,8 @@ _AES_SALTS = 32   # local top-k fan-in width (the scale knob)
     WITH keyed AS (
       SELECT source, doc_id, n_chars,
              CAST(round(
-               ln((CAST(concat('0x', substr(md5('aes:' || doc_id::VARCHAR), 1, 8))
-                    AS BIGINT) + 1) / 4294967297.0)
+               ln(CAST(CAST(concat('0x', substr(md5('aes:' || doc_id::VARCHAR), 1, 8))
+                    AS BIGINT) + 1 AS DOUBLE) / 4294967297.0)
                / n_chars * 1000000000.0) AS BIGINT) AS lk_nano
       FROM documents WHERE n_chars > 0
     ), ranked AS (
@@ -560,10 +560,13 @@ def q201_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "doc_id",
         "n_chars",
+        # the +1'd hash CASTs to DOUBLE before the decimal literal
+        # divides it (house decimal-literal rule; Spark ANSI would
+        # otherwise evaluate BIGINT / DECIMAL in decimal arithmetic)
         F.expr(
             "CAST(round("
-            " ln((CAST(conv(substring(md5(concat('aes:', CAST(doc_id AS STRING))), 1, 8),"
-            "           16, 10) AS BIGINT) + 1) / 4294967297.0)"
+            " ln(CAST(CAST(conv(substring(md5(concat('aes:', CAST(doc_id AS STRING))), 1, 8),"
+            "           16, 10) AS BIGINT) + 1 AS DOUBLE) / 4294967297.0)"
             " / n_chars * 1000000000.0) AS BIGINT)"
         ).alias("lk_nano"),
         F.pmod(F.xxhash64("doc_id"), F.lit(_AES_SALTS)).alias("salt"),
@@ -637,18 +640,21 @@ def q203_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one identical IEEE op per source.
     """
     d = _t(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    bg = d.select(
-        "source",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text, ' ')) < 2 THEN array()"
-                " ELSE transform(sequence(0, size(split(text, ' ')) - 2),"
-                " i -> struct(split(text, ' ')[i] AS a, split(text, ' ')[i+1] AS b))"
-                " END"
-            )
-        ).alias("p"),
-    ).select("source", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    bg = (
+        d.select("source", tokens(F.col("text")).alias("t"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) < 2 THEN array()"
+                    " ELSE transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS a, t[i+1] AS b))"
+                    " END"
+                )
+            ).alias("p"),
+        )
+        .select("source", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
     cab = bg.groupBy("source", "a", "b").agg(
         F.count(F.lit(1)).cast("long").alias("c_ab")
     )

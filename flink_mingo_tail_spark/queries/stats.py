@@ -1137,18 +1137,21 @@ def _pois_m_sql(u: str) -> str:
       FROM events
     ), pt AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-             CAST(round(sum(v100) * 1000000.0 / count(*)) AS BIGINT) AS mean_micro
+             CAST(round(CAST(sum(v100) AS DOUBLE) * 1000000.0 / count(*))
+               AS BIGINT) AS mean_micro
       FROM t GROUP BY event_type
     ), reps AS (
       SELECT t.event_type, b.b, t.v100,
              CAST({_pois_m_sql(
-                 "((CAST(concat('0x', substr(md5(event_id::VARCHAR || ':' || b.b::VARCHAR), 1, 8)) AS BIGINT)) / 4294967296.0)"
+                 "(CAST(CAST(concat('0x', substr(md5(event_id::VARCHAR || ':' || b.b::VARCHAR), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0)"
              )} AS BIGINT) AS m
       FROM t CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b
     ), rm AS (
       SELECT event_type, b,
-             CAST(round(sum(m * v100) * 1000000.0 / sum(m)) AS BIGINT) AS rm_micro
+             CAST(round(CAST(sum(m * v100) AS DOUBLE) * 1000000.0 / sum(m))
+               AS BIGINT) AS rm_micro
       FROM reps GROUP BY event_type, b
+      HAVING sum(m) > 0
     ), ranked AS (
       SELECT event_type, rm_micro,
              row_number() OVER (PARTITION BY event_type
@@ -1186,15 +1189,19 @@ def q202_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("value") * 100, 0).cast("long").alias("v100"),
     )
+    # every division below CASTs its int64 operand to DOUBLE before the
+    # decimal literal touches it (the house decimal-literal rule: Spark
+    # ANSI would otherwise run BIGINT-vs-DECIMAL arithmetic while DuckDB
+    # runs the identical text as DOUBLE)
     pt = t.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.expr("CAST(round(sum(v100) * 1000000.0 / count(*)) AS BIGINT)").alias(
-            "mean_micro"
-        ),
+        F.expr(
+            "CAST(round(CAST(sum(v100) AS DOUBLE) * 1000000.0 / count(*)) AS BIGINT)"
+        ).alias("mean_micro"),
     )
     u = (
-        "((CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':',"
-        " CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT)) / 4294967296.0)"
+        "(CAST(CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':',"
+        " CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) AS DOUBLE) / 4294967296.0)"
     )
     reps = t.select(
         "event_type",
@@ -1207,9 +1214,25 @@ def q202_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v100",
         F.expr(f"CAST({_pois_m_sql(u)} AS BIGINT)").alias("m"),
     )
-    rm = reps.groupBy("event_type", "b").agg(
-        F.expr("CAST(round(sum(m * v100) * 1000000.0 / sum(m)) AS BIGINT)").alias(
-            "rm_micro"
+    # HAVING sum(m) > 0 (spelled identically in the oracle): a replicate
+    # whose Poisson multiplicities are all zero (probability e^-n per
+    # replicate) would otherwise hit DIVIDE_BY_ZERO under Spark ANSI
+    # while DuckDB returns NULL — dropping the empty replicate is the
+    # same deterministic choice in both engines (a dropped replicate
+    # shifts the rank-based CI identically on both sides).
+    rm = (
+        reps.groupBy("event_type", "b")
+        .agg(
+            F.sum("m").cast("long").alias("sm"),
+            F.sum(F.col("m") * F.col("v100")).cast("long").alias("smv"),
+        )
+        .filter(F.col("sm") > 0)
+        .select(
+            "event_type",
+            "b",
+            F.expr(
+                "CAST(round(CAST(smv AS DOUBLE) * 1000000.0 / sm) AS BIGINT)"
+            ).alias("rm_micro"),
         )
     )
     w = Window.partitionBy("event_type").orderBy("rm_micro", "b")

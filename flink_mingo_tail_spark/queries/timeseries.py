@@ -480,8 +480,8 @@ _ACF_MAX_LAG = 5
     oracle=f"""
     WITH d AS (
       SELECT event_type, epoch_us(ts) // {86_400_000_000} AS day,
-             CAST(round(sum(CAST(round(value * 100) AS BIGINT)) * 1000.0
-                        / count(*)) AS BIGINT) AS xm
+             CAST(round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                        * 1000.0 / count(*)) AS BIGINT) AS xm
       FROM events GROUP BY event_type, day
     ), s AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -534,8 +534,13 @@ def q192_acf_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         e.groupBy("event_type", F.expr(f"us div {_US_DAY}").alias("day"))
         .agg(
+            # CAST the int64 sum to DOUBLE before the decimal literal
+            # touches it: Spark ANSI parses `1000.0` as DECIMAL and
+            # would evaluate BIGINT*DECIMAL/BIGINT in decimal arithmetic
+            # (rounded at decimal(38,…) precision) while DuckDB runs the
+            # identical text as DOUBLE — the house decimal-literal rule.
             F.expr(
-                "CAST(round(sum(v100) * 1000.0 / count(*)) AS BIGINT)"
+                "CAST(round(CAST(sum(v100) AS DOUBLE) * 1000.0 / count(*)) AS BIGINT)"
             ).alias("xm")
         )
     )

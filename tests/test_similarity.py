@@ -312,6 +312,11 @@ def test_sample_threshold_hex_bounds():
 
     assert sample_threshold_hex(0.25) == "40000000"
     assert sample_threshold_hex(0.5) == "80000000"
+    # fractions within 2^-33 of 1 round to 2^32 = 9 hex chars; the
+    # threshold must clamp to the max 8-char value, not silently turn
+    # the lexicographic compare into a ~6% sample (round-8 advice)
+    assert sample_threshold_hex(1.0 - 2.0**-40) == "ffffffff"
+    assert len(sample_threshold_hex(1.0 - 2.0**-40)) == 8
     import pytest
 
     for bad in (0.0, 1.0, -0.1, 1.5):
