@@ -254,15 +254,36 @@ def train_sample_predicate(corpus_id: str, seed: int, fraction: float) -> Column
     return F.substring(h, 1, 8) < F.lit(sample_threshold_hex(fraction))
 
 
+def auto_size_training(
+    n_rows: int,
+    target_cell_size: int = 1024,
+    target_sample_rows: int = 262_144,
+) -> tuple[int, float]:
+    """The SCALE.md k∝n / fraction∝n sizing rule, as code: given the
+    corpus row count, return ``(k_cells, sample_fraction)`` with
+    ``k = ceil(n / target_cell_size)`` (bounds every SemDeDup/IVF cell,
+    so the Σ|cell|² pair space stays LINEAR in n instead of quadratic
+    at fixed k) and ``fraction = target_sample_rows / n`` (Lloyd
+    training cost independent of corpus size; centroids are statistics,
+    not an index). Pure arithmetic — callers pass an existing count."""
+    if n_rows <= 0:
+        raise ValueError(f"n_rows must be positive, got {n_rows}")
+    k = max(1, -(-n_rows // target_cell_size))
+    frac = min(1.0, target_sample_rows / n_rows)
+    return k, frac
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
-    k_cells: int,
+    k_cells: int | None,
     n_iter: int = 2,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     seed: int = 42,
     assign_method: str = "auto",
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = 1.0,
+    target_cell_size: int = 1024,
+    target_sample_rows: int = 262_144,
 ) -> np.ndarray:
     """Spherical k-means coarse quantizer, trained with DataFrame ops.
 
@@ -288,7 +309,24 @@ def train_ivf_centroids(
     means use the scaled-long exact-sum pattern (same as q104):
     sum(round(v * S) :: long) / (n * S) is bit-identical in Spark,
     Python, and DuckDB because the integer sum is order-independent and
-    the final division is one IEEE op on identical operands."""
+    the final division is one IEEE op on identical operands.
+
+    ``k_cells=None`` / ``sample_fraction=None`` activate the measured
+    k∝n / fraction∝n sizing rule (SCALE.md round-8 attribution): one
+    cheap ``count()`` of the id column sizes both via
+    ``auto_size_training`` — equal, by property test, to passing the
+    same values explicitly. Explicit values keep the q79/q171 replay
+    contracts byte-identical."""
+    if k_cells is None or sample_fraction is None:
+        n_rows = corpus.select(corpus_id).count()
+        auto_k, auto_frac = auto_size_training(
+            n_rows, target_cell_size=target_cell_size,
+            target_sample_rows=target_sample_rows,
+        )
+        if k_cells is None:
+            k_cells = auto_k
+        if sample_fraction is None:
+            sample_fraction = auto_frac
     train = corpus
     if sample_fraction != 1.0:
         train = corpus.filter(train_sample_predicate(corpus_id, seed, sample_fraction))

@@ -307,6 +307,56 @@ def test_sampled_training_equals_manual_subset_training(spark):
     assert not np.array_equal(sampled_knob, full)
 
 
+def test_auto_sizing_rule_pure_arithmetic():
+    """auto_size_training IS the SCALE.md k∝n / fraction∝n rule."""
+    from flink_mingo_tail_spark.operators.similarity import auto_size_training
+
+    # k = ceil(n / target_cell_size), fraction = min(1, target/n)
+    assert auto_size_training(1, 1024, 100) == (1, 1.0)
+    assert auto_size_training(1024, 1024, 100) == (1, 100 / 1024)
+    assert auto_size_training(1025, 1024, 100) == (2, 100 / 1025)
+    k, frac = auto_size_training(10**12, 1024, 262_144)
+    assert k == -(-(10**12) // 1024) and 0 < frac < 1e-6
+    import pytest
+
+    with pytest.raises(ValueError):
+        auto_size_training(0)
+
+
+def test_auto_sized_training_equals_explicit(spark):
+    """k_cells=None / sample_fraction=None must train bit-identically
+    to passing the auto-derived values explicitly (round-8 verdict #3:
+    the sizing rule becomes executable without changing the replay
+    contract of any explicit-value caller)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from flink_mingo_tail_spark.operators.similarity import (
+        auto_size_training,
+        train_ivf_centroids,
+    )
+    from flink_mingo_tail_spark.tables import load_table
+
+    e = (
+        load_table(spark, SF_ORACLE, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    n = e.count()
+    # knobs chosen so BOTH auto paths are non-trivial on the fixture:
+    # several cells, and a genuine sub-1.0 training fraction
+    cell, target = max(1, n // 6), max(8, n // 4)
+    auto = train_ivf_centroids(
+        e, k_cells=None, n_iter=1, seed=42, sample_fraction=None,
+        target_cell_size=cell, target_sample_rows=target,
+    )
+    k, frac = auto_size_training(n, target_cell_size=cell, target_sample_rows=target)
+    assert k >= 2 and 0.0 < frac < 1.0
+    explicit = train_ivf_centroids(
+        e, k_cells=k, n_iter=1, seed=42, sample_fraction=frac
+    )
+    assert np.array_equal(auto, explicit)
+
+
 def test_sample_threshold_hex_bounds():
     from flink_mingo_tail_spark.operators.similarity import sample_threshold_hex
 
