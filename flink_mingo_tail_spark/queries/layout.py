@@ -382,3 +382,130 @@ def q140_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("p1", "p2")
     )
+
+
+# ---------------------------------------------------------------------------
+# q204 — file-level zone map + data-skipping measurement (round 9)
+# ---------------------------------------------------------------------------
+
+_ZM_ZONES = 16  # target zone count; production targets file-sized zones
+
+
+@query(
+    "q204_zonemap_skip_stats",
+    oracle=f"""
+    WITH m AS (
+      SELECT max(o_orderkey) AS mx, max(o_custkey) AS cmx FROM orders
+    ), z AS (
+      SELECT CAST(o_orderkey // (m.mx // {_ZM_ZONES} + 1) AS BIGINT) AS zone,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(min(o_orderkey) AS BIGINT) AS ok_min,
+             CAST(max(o_orderkey) AS BIGINT) AS ok_max,
+             CAST(min(o_custkey) AS BIGINT) AS ck_min,
+             CAST(max(o_custkey) AS BIGINT) AS ck_max
+      FROM orders, m
+      GROUP BY 1
+    )
+    SELECT z.zone, CAST(1 AS BIGINT) AS n_files, z.n_rows,
+           z.ok_min, z.ok_max, z.ck_min, z.ck_max,
+           CAST(CASE WHEN z.ok_max < m.mx // 4 OR z.ok_min > m.mx // 2
+                     THEN 1 ELSE 0 END AS BIGINT) AS skip_layout_key,
+           CAST(CASE WHEN z.ck_max < m.cmx // 4 OR z.ck_min > m.cmx // 2
+                     THEN 1 ELSE 0 END AS BIGINT) AS skip_random_key
+    FROM z, m
+    ORDER BY z.zone
+    """,
+)
+def q204_zonemap_skip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map round trip on REAL files (round-8 verdict #5: promote
+    `operators/zonemap.py` from test-only proof to a driver-green row).
+
+    Orders are written to a scratch layout partitioned by a
+    deterministic zone key (`o_orderkey DIV zone_width` — data-derived,
+    so the same rule sizes ~16 zones at any SF); `zone_map` then reads
+    back per-FILE (min, max, count) statistics through Spark's
+    `_metadata.file_path` hidden column — the file-statistics slice of
+    an Iceberg/Delta manifest — and each file's skip decision for two
+    equal-selectivity BETWEEN predicates is the exact footer-prune
+    test from `skip_stats`. The layout-key predicate skips most zones
+    (min/max ranges tile the key space); the uncorrelated-key predicate
+    skips ~none — the measured contrast that justifies sort/Morton
+    write layouts (q112) at 100 TB.
+
+    The oracle replays the zone CONTENTS logically (a zone's file holds
+    exactly the rows with that zone key; `repartition("zone")` pins one
+    file per zone, which the oracle asserts via the literal n_files=1)
+    — so a Spark-side stats drift, a lost row, or a double-written file
+    all hash-mismatch. The only collect is the zone-map itself: a
+    manifest of ≤ {_ZM_ZONES + 1} rows by construction (same bounded-
+    matrix policy as the centroid collects), so the scratch layout can
+    be deleted before returning.
+    """
+    import shutil
+    import tempfile
+
+    from flink_mingo_tail_spark.operators.zonemap import zone_map
+
+    prepare_session(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    mrow = o.agg(F.max("o_orderkey").alias("mx"), F.max("o_custkey").alias("cmx")).first()
+    mx, cmx = int(mrow["mx"]), int(mrow["cmx"])
+    zw = mx // _ZM_ZONES + 1
+    tmp = tempfile.mkdtemp(prefix="fmts-zonemap-q204-")
+    try:
+        path = f"{tmp}/orders_zoned"
+        (
+            o.withColumn("zone", F.expr(f"o_orderkey DIV {zw}"))
+            .repartition("zone")
+            .write.partitionBy("zone")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        zmap = zone_map(spark, path, ["o_orderkey", "o_custkey"])
+        rows = (
+            zmap.select(
+                F.regexp_extract("file", r"zone=(\d+)", 1).cast("long").alias("zone"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("o_orderkey_min").cast("long").alias("ok_min"),
+                F.col("o_orderkey_max").cast("long").alias("ok_max"),
+                F.col("o_custkey_min").cast("long").alias("ck_min"),
+                F.col("o_custkey_max").cast("long").alias("ck_max"),
+            )
+            .groupBy("zone")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_files"),
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                F.min("ok_min").alias("ok_min"),
+                F.max("ok_max").alias("ok_max"),
+                F.min("ck_min").alias("ck_min"),
+                F.max("ck_max").alias("ck_max"),
+            )
+            .select(
+                "zone",
+                "n_files",
+                "n_rows",
+                "ok_min",
+                "ok_max",
+                "ck_min",
+                "ck_max",
+                F.when((F.col("ok_max") < mx // 4) | (F.col("ok_min") > mx // 2), 1)
+                .otherwise(0)
+                .cast("long")
+                .alias("skip_layout_key"),
+                F.when((F.col("ck_max") < cmx // 4) | (F.col("ck_min") > cmx // 2), 1)
+                .otherwise(0)
+                .cast("long")
+                .alias("skip_random_key"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = spark.createDataFrame(
+        rows,
+        schema=(
+            "zone long, n_files long, n_rows long, ok_min long, ok_max long, "
+            "ck_min long, ck_max long, skip_layout_key long, skip_random_key long"
+        ),
+    )
+    return out.orderBy("zone")
