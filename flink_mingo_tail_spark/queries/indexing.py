@@ -1279,3 +1279,102 @@ def q188_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# q206 — query-likelihood retrieval with Dirichlet smoothing (round 9)
+# ---------------------------------------------------------------------------
+
+_QL_MU = 2000  # Dirichlet smoothing mass (standard default)
+
+
+def _ql_term_sql(t: str) -> str:
+    # identical text in Spark SQL and DuckDB over columns tf_t/cf_t/ctot/dl;
+    # cf + 1 keeps the ln argument positive even for a term absent from
+    # the corpus (where raw QL is undefined), and the int operand CASTs
+    # to DOUBLE before any decimal literal touches it (house rule)
+    return (
+        f"CAST(round(ln((tf_{t} + {_QL_MU}.0 * (CAST(cf_{t} + 1 AS DOUBLE) / ctot))"
+        f" / (dl + {_QL_MU})) * 1000000.0) AS BIGINT)"
+    )
+
+
+@query(
+    "q206_query_likelihood_dirichlet",
+    oracle=f"""
+    WITH stats AS (
+      SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ctot,
+             {', '.join(
+                 f"CAST(sum(len(list_filter(string_split(text, ' '), x -> x = '{t}'))) "
+                 f"AS BIGINT) AS cf_{t}" for t in _BM25_TERMS)}
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+             {', '.join(
+                 f"CAST(len(list_filter(string_split(text, ' '), x -> x = '{t}')) "
+                 f"AS BIGINT) AS tf_{t}" for t in _BM25_TERMS)}
+      FROM documents WHERE len(string_split(text, ' ')) > 0
+    )
+    SELECT doc_id, {', '.join(f"tf_{t}" for t in _BM25_TERMS)},
+           ({' + '.join(_ql_term_sql(t) for t in _BM25_TERMS)}) AS ql_micro
+    FROM s CROSS JOIN stats
+    ORDER BY ql_micro DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q206_query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (µ=2000) for
+    the same fixed 3-term query as q121 — the language-modeling school
+    of lexical ranking next to BM25's probabilistic-IR school:
+    score(q, d) = Σ_t ln((tf_t + µ·P(t|C)) / (|d| + µ)), with the
+    collection model P(t|C) = (cf_t + 1)/ctot. Unlike BM25 the score is
+    defined for EVERY document (smoothing fills zero-tf terms from the
+    collection), so no tf>0 filter exists and the top-20 ranking also
+    exercises the all-negative-score ordering path.
+
+    Same single-pass shape as q121: corpus statistics (total tokens,
+    per-term collection frequencies) reduce to ONE broadcast row; each
+    per-doc tf is an in-expression array count; the top-20 is a
+    TakeOrderedAndProject. Each term's ln rounds to the 1e-6 grid
+    before the exact int sum of the three terms (module doctrine), and
+    ordering uses the scaled long with doc_id tie-breaks."""
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    # SQL-text lambdas, not Python ones: several Python-built
+    # higher-order lambdas inside ONE aggregate can collide on their
+    # NamedLambdaVariable and mis-bind the comparison (observed as a
+    # CAST_INVALID_INPUT on a token string); the parser allocates fresh
+    # variables per SQL string
+    stats = d.agg(
+        F.sum(F.size(toks)).cast("long").alias("ctot"),
+        *[
+            F.expr(
+                f"CAST(sum(size(filter(split(text, ' '), x -> x = '{t}'))) AS BIGINT)"
+            ).alias(f"cf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    s = (
+        d.select("doc_id", toks.alias("tk"), F.size(toks).cast("long").alias("dl"))
+        .filter(F.col("dl") > 0)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "dl",
+            "ctot",
+            *[F.col(f"cf_{t}") for t in _BM25_TERMS],
+            *[
+                F.expr(f"CAST(size(filter(tk, x -> x = '{t}')) AS BIGINT)").alias(
+                    f"tf_{t}"
+                )
+                for t in _BM25_TERMS
+            ],
+        )
+    )
+    ql = F.expr(" + ".join(_ql_term_sql(t) for t in _BM25_TERMS)).alias("ql_micro")
+    return (
+        s.select("doc_id", *[f"tf_{t}" for t in _BM25_TERMS], ql)
+        .orderBy(F.col("ql_micro").desc(), "doc_id")
+        .limit(20)
+    )

@@ -677,3 +677,106 @@ def q203_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q205 — per-document bigram perplexity under a corpus-trained LM (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q205_bigram_perplexity",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT doc_id, t[i] AS a, t[i+1] AS b
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ), dcnt AS (
+      SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS cnt
+      FROM bg GROUP BY doc_id, a, b
+    ), cab AS (
+      SELECT a, b, CAST(sum(cnt) AS BIGINT) AS c_ab FROM dcnt GROUP BY a, b
+    ), ca AS (
+      SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a
+    ), v AS (
+      SELECT CAST(count(DISTINCT b) AS BIGINT) AS vsz FROM cab
+    )
+    SELECT dcnt.doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           CAST(round(
+             CAST(sum(cnt * CAST(round(
+               ln(CAST(ca.c_a + v.vsz AS DOUBLE) / (cab.c_ab + 1)) * 1000000.0)
+               AS BIGINT)) AS DOUBLE) / sum(cnt)) AS BIGINT) AS nll_micro_nats
+    FROM dcnt
+    JOIN cab ON cab.a = dcnt.a AND cab.b = dcnt.b
+    JOIN ca ON ca.a = dcnt.a
+    CROSS JOIN v
+    GROUP BY dcnt.doc_id
+    ORDER BY dcnt.doc_id
+    """,
+)
+def q205_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood (micro-nats/bigram)
+    under an add-one-smoothed bigram model trained on the WHOLE corpus
+    — the classic LM-based quality filter (CCNet/KenLM-style): text far
+    from the corpus distribution (boilerplate, other languages, noise)
+    scores high and gets cut. Complements q175's fixed character model
+    (here the model is induced from the data itself) and q203's
+    corpus-level entropy (here each DOCUMENT is scored).
+
+    NLL(doc) = (1/N_d) * sum over doc bigram types of
+    cnt * ln((c_a + V) / (c_ab + 1)) — add-one smoothing keeps unseen
+    continuations finite and every factor a corpus-level integer.
+
+    Scale shape: the per-doc bigram-type frame is corpus-linear with
+    tiny rows; the model frames (c_ab, c_a, V) are vocabulary²-bounded
+    — never row-bounded — so the two model joins broadcast at any
+    corpus size once the vocabulary saturates (Heaps' law, q199). The
+    single transcendental rounds to the 1e-6 grid per DISTINCT (a, b)
+    BEFORE the exact int64 cnt-weighted sum (module doctrine), and the
+    per-doc division is one IEEE op on identical operands."""
+    d = _t(spark, sf_dir, "documents")
+    bg = (
+        d.select("doc_id", tokens(F.col("text")).alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) < 2 THEN array()"
+                    " ELSE transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS a, t[i+1] AS b))"
+                    " END"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    dcnt = bg.groupBy("doc_id", "a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cab = dcnt.groupBy("a", "b").agg(F.sum("cnt").cast("long").alias("c_ab"))
+    ca = cab.groupBy("a").agg(F.sum("c_ab").cast("long").alias("c_a"))
+    v = cab.agg(F.countDistinct("b").cast("long").alias("vsz"))
+    scored = (
+        dcnt.join(cab, ["a", "b"])
+        .join(ca, ["a"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "cnt",
+            F.expr(
+                "cnt * CAST(round("
+                "ln(CAST(c_a + vsz AS DOUBLE) / (c_ab + 1)) * 1000000.0) AS BIGINT)"
+            ).alias("term"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.expr(
+                "CAST(round(CAST(sum(term) AS DOUBLE) / sum(cnt)) AS BIGINT)"
+            ).alias("nll_micro_nats"),
+        )
+        .orderBy("doc_id")
+    )

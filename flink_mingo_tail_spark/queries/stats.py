@@ -1248,3 +1248,97 @@ def q202_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n", "mean_micro", "ci_lo_micro", "ci_hi_micro")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q207 — Benford first-digit deviation per event type (round 9)
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) for d = 1..9, baked as identical double literals in both
+# engines (the q202 Poisson-threshold precedent: constants computed once
+# at import, never a runtime transcendental — stats.py's no-libm contract)
+import math as _math
+
+_BENFORD_CASE = "CASE dg " + " ".join(
+    f"WHEN {d} THEN {_math.log10(1 + 1 / d)!r}" for d in range(1, 10)
+) + " END"
+
+_BENFORD_TERM = (
+    "CAST(round(abs(CAST(c AS DOUBLE) / n - (" + _BENFORD_CASE + "))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+
+@query(
+    "q207_benford_deviation",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events WHERE round(value * 100) > 0
+    ), d1 AS (
+      SELECT event_type,
+             CAST(substr(CAST(v100 AS VARCHAR), 1, 1) AS BIGINT) AS dg
+      FROM t
+    ), cnt AS (
+      SELECT event_type, dg, CAST(count(*) AS BIGINT) AS c
+      FROM d1 GROUP BY event_type, dg
+    ), tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM d1 GROUP BY event_type
+    ), sc AS (
+      SELECT tot.event_type, tot.n, u.dg
+      FROM tot, unnest(range(1, 10)) AS u(dg)
+    ), j AS (
+      SELECT sc.event_type, sc.n, sc.dg, coalesce(cnt.c, 0) AS c
+      FROM sc LEFT JOIN cnt
+        ON cnt.event_type = sc.event_type AND cnt.dg = sc.dg
+    )
+    SELECT event_type, n,
+           CAST(sum({_BENFORD_TERM}) AS BIGINT) AS benford_dev_micro
+    FROM j GROUP BY event_type, n
+    ORDER BY event_type
+    """,
+)
+def q207_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 deviation of each event type's first-significant-digit
+    distribution from Benford's law (micro-scaled) — the classic
+    synthetic-data / fabrication screen: organically-generated
+    magnitudes follow P(d) = log10(1 + 1/d), while templated or
+    machine-stamped values pile onto a few leading digits. A corpus
+    pipeline runs exactly this over numeric metadata columns to flag
+    sources whose "measurements" were generated, not measured.
+
+    One corpus-linear pass extracts the leading digit of the positive
+    cent-scaled value (bigint → string → first char — locale-free and
+    identical in both engines); digit counts and per-type totals are
+    two map-side-combinable aggregates over ≤ 9·|types| groups. The
+    9-digit scaffold (explode of sequence(1,9) against the bounded
+    type frame) restores zero-count digits so missing digits still
+    contribute their full expected share to the deviation. Each
+    |observed/n − expected_d| rounds to the 1e-6 grid BEFORE the exact
+    9-term int64 sum; the Benford constants are baked double literals
+    (q202's threshold precedent), so no transcendental runs at query
+    time."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("v100")
+    )
+    d1 = e.filter(F.col("v100") > 0).select(
+        "event_type",
+        F.expr("CAST(substr(CAST(v100 AS STRING), 1, 1) AS BIGINT)").alias("dg"),
+    )
+    cnt = d1.groupBy("event_type", "dg").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = d1.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sc = tot.select(
+        "event_type", "n", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("dg")
+    ).withColumn("dg", F.col("dg").cast("long"))
+    j = sc.join(cnt, ["event_type", "dg"], "left").select(
+        "event_type", "n", "dg", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    return (
+        j.groupBy("event_type", "n")
+        .agg(F.expr(f"CAST(sum({_BENFORD_TERM}) AS BIGINT)").alias("benford_dev_micro"))
+        .select("event_type", "n", "benford_dev_micro")
+        .orderBy("event_type")
+    )
