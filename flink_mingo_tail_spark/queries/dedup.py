@@ -1196,3 +1196,83 @@ def q200_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q209 — per-document shingle novelty (first-occurrence share, round 9)
+# ---------------------------------------------------------------------------
+
+_NOV_K = 5  # novelty granularity: 5-token shingles (q172's span size)
+
+
+@query(
+    "q209_doc_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(ts[i:i+{_NOV_K}-1], ' ')) AS h
+      FROM toks, unnest(range(1, len(ts) - {_NOV_K} + 2)) AS t(i)
+      WHERE len(ts) >= {_NOV_K}
+    ), first AS (
+      SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h
+    )
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN first.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           CAST(round(CAST(sum(CASE WHEN first.first_doc = sh.doc_id
+                                    THEN 1 ELSE 0 END) * 1000000 AS DOUBLE)
+                      / count(*)) AS BIGINT) AS novel_micro
+    FROM sh JOIN first ON first.h = sh.h
+    GROUP BY sh.doc_id
+    ORDER BY sh.doc_id
+    """,
+)
+def q209_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a document's DISTINCT 5-token
+    shingles whose global first occurrence (minimum doc_id — ingestion
+    order) is in this document. The incremental-curation signal that
+    q172 (which CUTS repeated spans) and q73 (which pairs near-dups)
+    both imply but neither reports: a near-zero novelty share marks a
+    document that adds nothing the corpus hasn't already seen — the
+    cheap screen a 100 TB pipeline runs before admitting a new crawl
+    snapshot.
+
+    Shape: one corpus-linear shingle explode (per-doc DISTINCT via
+    array_distinct before exploding), the md5 shingle key shrinking
+    shuffle width exactly as q172's span election does; ONE shuffle on
+    the shingle hash elects min(doc_id) per shingle (map-side
+    combinable); the join back rides the same key. The novelty share is
+    an exact integer ratio — ×10⁶ CAST to DOUBLE before the one IEEE
+    division (house rule). Documents under 5 tokens have no shingles
+    and are absent in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), _NOV_K))
+        ).alias("s"),
+    ).select("doc_id", F.md5("s").alias("h"))
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        sh.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr(
+                "CAST(round(CAST(n_novel * 1000000 AS DOUBLE) / n_shingles) AS BIGINT)"
+            ).alias("novel_micro"),
+        )
+        .orderBy("doc_id")
+    )

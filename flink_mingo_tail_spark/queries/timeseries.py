@@ -655,3 +655,104 @@ def q194_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# q208 — Theil–Sen slope + Mann–Kendall S of the daily mean series (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q208_theil_sen_trend",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // {86_400_000_000} AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                        * 1000.0 / count(*)) AS BIGINT) AS xm
+      FROM events GROUP BY event_type, day
+    ), p AS (
+      SELECT a.event_type, a.day AS da, b.day AS db,
+             CAST(round(CAST((b.xm - a.xm) * 1000000 AS DOUBLE)
+                        / (b.day - a.day)) AS BIGINT) AS slope_micro,
+             CASE WHEN b.xm > a.xm THEN 1
+                  WHEN b.xm < a.xm THEN -1 ELSE 0 END AS s
+      FROM d a JOIN d b ON b.event_type = a.event_type AND b.day > a.day
+    ), agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS m_pairs,
+             CAST(sum(s) AS BIGINT) AS mk_s
+      FROM p GROUP BY event_type
+    ), r AS (
+      SELECT event_type, slope_micro,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope_micro, da, db) AS rnk
+      FROM p
+    )
+    SELECT agg.event_type, agg.m_pairs, agg.mk_s,
+           r.slope_micro AS ts_slope_micro
+    FROM agg JOIN r
+      ON r.event_type = agg.event_type AND r.rnk = (agg.m_pairs + 1) // 2
+    ORDER BY agg.event_type
+    """,
+)
+def q208_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend detection on each event type's daily-mean series:
+    the Theil–Sen slope (median of all pairwise slopes — up to ~29%
+    contamination-proof, vs OLS's zero) plus the Mann–Kendall S
+    statistic (Σ sign(x_j − x_i), the standard nonparametric trend
+    test). The monitoring-side complement to q192's ACF: ACF asks
+    "does the series remember itself", this asks "is it going
+    somewhere" — without trusting any distributional assumption, which
+    is what you want over corpus-health metrics that are full of
+    outliers.
+
+    The series frame is q192's calendar-bounded daily aggregate (one
+    hash aggregate; the daily mean frozen to a scaled long so both
+    engines' series are bit-equal). The pair frame is the self-join on
+    (type, day_j > day_i) — days²-bounded per type, i.e. bounded by
+    the CALENDAR squared at any corpus size, never by row count. Each
+    pairwise slope is one integer subtraction ratio rounded to the
+    1e-6 grid (the division CASTs its int64 numerator to DOUBLE first
+    — house rule); the median is rank-selected (lower median at rank
+    (m+1) div 2, ties broken by the day pair) with the window riding
+    the same bounded pair frame, so no statistics beyond exact int64
+    ever cross engines."""
+    e = _events(spark, sf_dir)
+    d = e.groupBy("event_type", F.expr(f"us div {_US_DAY}").alias("day")).agg(
+        F.expr(
+            "CAST(round(CAST(sum(v100) AS DOUBLE) * 1000.0 / count(*)) AS BIGINT)"
+        ).alias("xm")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    p = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.day") > F.col("a.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.day").alias("da"),
+        F.col("b.day").alias("db"),
+        F.expr(
+            "CAST(round(CAST((b.xm - a.xm) * 1000000 AS DOUBLE)"
+            " / (b.day - a.day)) AS BIGINT)"
+        ).alias("slope_micro"),
+        F.expr(
+            "CASE WHEN b.xm > a.xm THEN 1 WHEN b.xm < a.xm THEN -1 ELSE 0 END"
+        ).alias("s"),
+    )
+    agg = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("m_pairs"),
+        F.sum("s").cast("long").alias("mk_s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_micro", "da", "db")
+    r = p.withColumn("rnk", F.row_number().over(w))
+    return (
+        agg.join(r, "event_type")
+        .filter(F.col("rnk") == F.expr("(m_pairs + 1) DIV 2"))
+        .select(
+            "event_type",
+            "m_pairs",
+            "mk_s",
+            F.col("slope_micro").alias("ts_slope_micro"),
+        )
+        .orderBy("event_type")
+    )
