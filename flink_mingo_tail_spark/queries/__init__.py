@@ -76,75 +76,76 @@ _MODULES = (
 # The driver's CORRECTNESS pass checks a bounded prefix of the declared
 # registry (every round so far recorded exactly the first 50 entries).
 #
-# ROTATION, round 8 — steady-state policy, 50 slots:
-#   (a) 13 queries with NO driver row yet: the round-8 wave (q191
-#       Spearman, q192 ACF, q193 hashed linear scorer, q194 seasonal
-#       index, q195 Zipf slope, q196 logistic IRLS, q197 containment
-#       join, q198 PCA power iteration, q199 Heaps' law, q200 source
-#       overlap matrix, q201 A-ES weighted sampling, q202 Poisson
-#       bootstrap CI, q203 conditional bigram entropy);
-#   (b) 4 queries whose CODE or ORACLE changed this round: q190
-#       (unprunable packing guard), q182 (aliased self-join), q171
-#       (sample-trained k-means, oracle changed), q161 (independent
-#       ntile cuts);
-#   (c) 33 refresh slots: the oldest-green cohort (round 4, 47 names)
-#       in ascending query order — the remaining 14 (q136-q150) drain
-#       in round 9.
+# ROTATION, round 9 — steady-state policy, 50 slots:
+#   (a) 6 queries with NO driver row yet: the round-9 wave (q204
+#       zone-map skip stats, q205 bigram perplexity, q206 Dirichlet
+#       query likelihood, q207 Benford deviation, q208 Theil-Sen /
+#       Mann-Kendall trend, q209 shingle novelty share);
+#   (b) 4 queries whose CODE or ORACLE changed this round: q192, q201,
+#       q202 (decimal-literal DOUBLE casts; q202 also gained the
+#       sum(m) > 0 replicate guard) and q203 (bigrams rebuilt from the
+#       shared tokens() projection);
+#   (c) 40 refresh slots: the round-4 cohort's remaining 14 names
+#       (q136-q150 — after this round no green row predates round 5),
+#       then the oldest-green round-5 cohort (50 names) in ascending
+#       query order — the first 26 here, the remaining 24 lead round
+#       10's refresh.
 _NEEDS_DRIVER_ROW = (
-    # (a) round-8 wave, no driver row yet — 13 names
-    "q191_spearman_corr",
+    # (a) round-9 wave, no driver row yet — 6 names
+    "q204_zonemap_skip_stats",
+    "q205_bigram_perplexity",
+    "q206_query_likelihood_dirichlet",
+    "q207_benford_deviation",
+    "q208_theil_sen_trend",
+    "q209_doc_novelty",
+    # (b) code/oracle changed in round 9 — 4 names
     "q192_acf_daily_mean",
-    "q193_hashed_linear_scorer",
-    "q194_seasonal_dow_index",
-    "q195_zipf_slope",
-    "q196_logistic_irls_step",
-    "q197_containment_join",
-    "q198_pca_power_iteration",
-    "q199_heaps_law",
-    "q200_source_overlap_matrix",
     "q201_weighted_sample_aes",
     "q202_poisson_bootstrap_ci",
     "q203_conditional_entropy",
-    # (b) code/oracle changed in round 8 — 4 names
-    "q190_token_budget_cut",
-    "q182_phrase_search",
-    "q171_semdedup_end_to_end",
-    "q161_rfm_segments",
-    # (c) oldest-green refresh (round-4 cohort, 33 of 47;
-    #     q136-q150 drain in round 9)
-    "q02_filter_project_topk",
-    "q03_isnull_in_between",
-    "q09_correlated_agg_subquery",
-    "q10_inner_join_agg",
-    "q12_left_outer_join",
-    "q13_right_full_outer",
-    "q14_semi_join",
-    "q15_anti_join",
-    "q16_cross_theta_join",
-    "q17_range_join",
-    "q21_rollup",
-    "q22_cube",
-    "q23_grouping_sets",
-    "q24_dedup_batch",
-    "q78_knn_lsh",
-    "q104_centroid_assign",
-    "q114_watermark_late_drop",
-    "q119_minhash_jaccard_estimate",
-    "q120_pii_redaction",
-    "q121_bm25_scoring",
-    "q122_mad_outlier",
-    "q123_salted_skew_join",
-    "q124_snapshot_diff",
-    "q126_token_cooccurrence",
-    "q127_pagerank_trade_graph",
-    "q128_bfs_reach",
-    "q129_token_length_entropy",
-    "q130_corr_profile",
-    "q131_asof_join_forward",
-    "q132_recursive_exposure",
-    "q133_variant_shredding",
-    "q134_hll_sketch_rollup",
-    "q135_stratified_hash_sample",
+    # (c1) round-4 cohort drain — 14 names
+    "q136_unpivot_nation_metrics",
+    "q137_running_distinct_users",
+    "q138_week_over_week",
+    "q139_copurchase_triangles",
+    "q140_levenshtein_pairs",
+    "q141_interval_join_left_outer",
+    "q142_lateral_topk_per_region",
+    "q143_nullsafe_join",
+    "q144_try_arithmetic",
+    "q146_theta_set_algebra",
+    "q147_kll_quantile_rollup",
+    "q148_distribution_windows",
+    "q149_locf_forward_fill",
+    "q150_arrow_udf_scalar",
+    # (c2) oldest-green refresh (round-5 cohort, first 26 of 50 in
+    #      ascending order; q62...q145 follow in round 10)
+    "q25_collect_list_set",
+    "q26b_approx_percentile",
+    "q27_exact_percentile",
+    "q27b_percentile_rank_select",
+    "q28_having_scalar_subquery",
+    "q29_pivot",
+    "q30_rank_topn_per_group",
+    "q31_rank_dense_ntile",
+    "q33_running_sum",
+    "q35_range_frame",
+    "q36_first_last_value",
+    "q40_union_all",
+    "q41_union_distinct",
+    "q42_intersect",
+    "q43_except",
+    "q44_intersect_all",
+    "q45_except_all",
+    "q50_string_funcs",
+    "q51_regex_split",
+    "q52_date_funcs",
+    "q53_math_funcs",
+    "q54_array_funcs",
+    "q55_explode_posexplode",
+    "q58_conditional_null",
+    "q59_hash_funcs",
+    "q62_cdc_quorum_dedup",
 )
 
 
