@@ -146,6 +146,15 @@ HEADLINE = [
     "q202_poisson_bootstrap_ci",
     # conditional bigram entropy: vocabulary^2-bounded term frame
     "q203_conditional_entropy",
+    # round 9: corpus-trained bigram-LM document scoring (vocab²-bounded
+    # model joins; per-doc output → noop sink) and the shingle
+    # first-occurrence novelty election (one shuffle on the md5 shingle
+    # key). Both carry 1x/10x curves in SCALE.md: 1.5x and 3.7x at 10x.
+    # q204 (scratch-write-bound), q206 (one-pass top-20), q207 (tiny
+    # scaffold aggregates), q208 (calendar²-bounded pairs) are
+    # probe-only — flat at 10x, nothing for the bench to gate.
+    "q205_bigram_perplexity",
+    "q209_doc_novelty",
 ]
 
 
@@ -178,6 +187,9 @@ LARGE_OUTPUT = {
     "q154b_set_similarity_tau07",
     # per-customer window output: one row per input row
     "q183_percent_rank_cume_dist",
+    # per-document outputs: one row per doc, corpus-linear
+    "q205_bigram_perplexity",
+    "q209_doc_novelty",
 }
 
 

@@ -207,6 +207,19 @@ PROBES = [
     "q202_poisson_bootstrap_ci",
     # q203: two vocabulary-bounded aggregates + one margin join
     "q203_conditional_entropy",
+    # round 9 — q204: scratch zone-partitioned write + one narrow
+    # _metadata stats scan (timing includes the write, by design);
+    # q205: corpus-linear per-doc bigram types, vocab²-bounded LM
+    # joins; q206: one corpus pass + one-row broadcast stats + top-20;
+    # q207: digit-scaffold aggregates (≤ 9·|types| groups); q208:
+    # calendar²-bounded pair self-join per type; q209: shingle
+    # first-occurrence election (one shuffle on the md5 key) + join-back
+    "q204_zonemap_skip_stats",
+    "q205_bigram_perplexity",
+    "q206_query_likelihood_dirichlet",
+    "q207_benford_deviation",
+    "q208_theil_sen_trend",
+    "q209_doc_novelty",
 ]
 
 
