@@ -77,27 +77,32 @@ _MODULES = (
 # registry (every round so far recorded exactly the first 50 entries).
 #
 # ROTATION, round 9 — steady-state policy, 50 slots:
-#   (a) 6 queries with NO driver row yet: the round-9 wave (q204
+#   (a) 9 queries with NO driver row yet: the round-9 wave (q204
 #       zone-map skip stats, q205 bigram perplexity, q206 Dirichlet
 #       query likelihood, q207 Benford deviation, q208 Theil-Sen /
-#       Mann-Kendall trend, q209 shingle novelty share);
+#       Mann-Kendall trend, q209 shingle novelty share, q210 TextRank
+#       keywords, q211 Naive-Bayes confusion matrix, q212 SimHash
+#       Hamming near-pairs);
 #   (b) 4 queries whose CODE or ORACLE changed this round: q192, q201,
 #       q202 (decimal-literal DOUBLE casts; q202 also gained the
 #       sum(m) > 0 replicate guard) and q203 (bigrams rebuilt from the
 #       shared tokens() projection);
-#   (c) 40 refresh slots: the round-4 cohort's remaining 14 names
+#   (c) 37 refresh slots: the round-4 cohort's remaining 14 names
 #       (q136-q150 — after this round no green row predates round 5),
 #       then the oldest-green round-5 cohort (50 names) in ascending
-#       query order — the first 26 here, the remaining 24 lead round
-#       10's refresh.
+#       query order — the first 23 here, the remaining 27 lead round
+#       10's refresh (q58 onward).
 _NEEDS_DRIVER_ROW = (
-    # (a) round-9 wave, no driver row yet — 6 names
+    # (a) round-9 wave, no driver row yet — 9 names
     "q204_zonemap_skip_stats",
     "q205_bigram_perplexity",
     "q206_query_likelihood_dirichlet",
     "q207_benford_deviation",
     "q208_theil_sen_trend",
     "q209_doc_novelty",
+    "q210_textrank_keywords",
+    "q211_naive_bayes_confusion",
+    "q212_simhash_hamming_pairs",
     # (b) code/oracle changed in round 9 — 4 names
     "q192_acf_daily_mean",
     "q201_weighted_sample_aes",
@@ -118,8 +123,8 @@ _NEEDS_DRIVER_ROW = (
     "q148_distribution_windows",
     "q149_locf_forward_fill",
     "q150_arrow_udf_scalar",
-    # (c2) oldest-green refresh (round-5 cohort, first 26 of 50 in
-    #      ascending order; q62...q145 follow in round 10)
+    # (c2) oldest-green refresh (round-5 cohort, first 23 of 50 in
+    #      ascending order; q58...q145 follow in round 10)
     "q25_collect_list_set",
     "q26b_approx_percentile",
     "q27_exact_percentile",
@@ -143,9 +148,6 @@ _NEEDS_DRIVER_ROW = (
     "q53_math_funcs",
     "q54_array_funcs",
     "q55_explode_posexplode",
-    "q58_conditional_null",
-    "q59_hash_funcs",
-    "q62_cdc_quorum_dedup",
 )
 
 

@@ -1276,3 +1276,88 @@ def q209_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q212 — SimHash Hamming near-pairs via bit-band blocking (round 9)
+# ---------------------------------------------------------------------------
+
+_SH_BITS = 16   # q74's fingerprint width
+_SH_BANDS = 4   # 4 bands x 4 bits: pigeonhole-complete for hamming <= 3
+_SH_HAM = 3
+
+
+@query(
+    "q212_simhash_hamming_pairs",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id, {sql_token_hashes(_SQL_TOKS)} AS h FROM documents
+    ), fp AS (
+        SELECT doc_id, {sql_simhash_bits('h')} AS sh FROM hashed
+    ), bands AS (
+        SELECT doc_id, sh, u.band, (sh >> (4 * u.band)) & 15 AS bits
+        FROM fp, unnest(range(0, {_SH_BANDS})) AS u(band)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sh AS sha, b.sh AS shb
+        FROM bands a JOIN bands b
+          ON b.band = a.band AND b.bits = a.bits AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sha, shb)) <= {_SH_HAM}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q212_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate PAIRS from q74's 16-bit SimHash fingerprints —
+    the search step the q74 docstring promises ("near-dup search then
+    reduces to small-radius Hamming joins"): all document pairs whose
+    fingerprints differ in ≤ 3 bits, found WITHOUT an all-pairs
+    comparison. Blocking is the pigeonhole split of the fingerprint
+    into 4 disjoint 4-bit bands: two fingerprints within Hamming
+    distance 3 differ in at most 3 bands, so they agree EXACTLY on at
+    least one — a candidate pair iff some band's bits collide. Recall
+    is 100% by construction (vs q73's probabilistic MinHash bands);
+    precision is restored by the exact popcount filter on the xor.
+
+    Plan: fingerprints are one corpus-linear projection (q74); the
+    4-way band explode is a constant fan-out; candidates come from an
+    equi-join on (band, bits) — at 100 TB the same join keys more
+    band bits (e.g. 16 bands of 4 over a 64-bit fingerprint), keeping
+    per-bucket occupancy bounded exactly like q73's LSH banding. The
+    popcount is integer-exact in both engines (bit_count over xor);
+    Spark spells xor with ^, DuckDB with xor() — same values."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select("doc_id", simhash(tokens(F.col("text")), _SH_BITS).alias("sh"))
+    bands = fp.select(
+        "doc_id",
+        "sh",
+        F.explode(F.sequence(F.lit(0), F.lit(_SH_BANDS - 1))).alias("band"),
+    ).withColumn("bits", F.expr("shiftright(sh, 4 * band) & 15"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("b.band") == F.col("a.band"))
+            & (F.col("b.bits") == F.col("a.bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(bit_count(sha ^ shb) AS BIGINT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _SH_HAM)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -366,3 +366,100 @@ def q139b_triangles_colorful(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_mono_triangles",
         "n_triangles_est",
     )
+
+
+# ---------------------------------------------------------------------------
+# q210 — TextRank keywords: PageRank over the word-adjacency graph (round 9)
+# ---------------------------------------------------------------------------
+
+_TR_ITERS = 3
+_TR_TOP = 20
+
+
+def _textrank_oracle() -> str:
+    """Unroll _TR_ITERS integer-PageRank rounds over the word graph —
+    the q127 unroll with word-string nodes and bigram-adjacency edges."""
+    rounds = []
+    for i in range(1, _TR_ITERS + 1):
+        rounds.append(f"""
+    r{i} AS (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(i{i}.inflow, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT l.dst, CAST(sum(r.rank // l.outdeg) AS BIGINT) AS inflow
+        FROM links l JOIN r{i - 1} r ON r.node = l.src
+        GROUP BY l.dst
+      ) i{i} ON i{i}.dst = n.node
+    )""")
+    return f"""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT t[i] AS a, t[i+1] AS b
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ),
+    e0 AS (SELECT DISTINCT a, b FROM bg WHERE a <> b),
+    edges AS (
+      SELECT a AS src, b AS dst FROM e0
+      UNION
+      SELECT b AS src, a AS dst FROM e0
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+    links AS (SELECT e.src, e.dst, od.outdeg FROM edges e JOIN od USING (src)),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+    {','.join(rounds)}
+    SELECT node AS word, rank AS rank_x1m
+    FROM r{_TR_ITERS}
+    ORDER BY rank_x1m DESC, word
+    LIMIT {_TR_TOP}
+    """
+
+
+@query("q210_textrank_keywords", oracle=_textrank_oracle())
+def q210_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: integer PageRank (3 rounds, the
+    q127 operator verbatim) over the corpus word-adjacency graph —
+    distinct undirected bigram adjacencies as two directed edges. The
+    composition closes the keyword loop that q126 (co-occurrence
+    counts) and q127 (graph centrality) open separately: corpus-level
+    salient vocabulary for curation dashboards and stop-list induction,
+    computed without any per-document state.
+
+    The graph is VOCABULARY-bounded: distinct adjacent word pairs
+    saturate like q199's Heaps' curve, so the per-round edge⋈rank hash
+    join and per-dst partial+final sum stop growing with corpus rows.
+    Word strings serve as node keys directly (exact, engine-neutral);
+    at 100 TB the same plan runs on md5-hashed long ids (sql_md5_long)
+    to shrink shuffle width — a projection swap, not a plan change.
+    Ranks are q127's scaled longs (teleport 0.15, damping 85/100 in
+    integer arithmetic), so the oracle's unrolled rounds are bit-equal.
+    """
+    from flink_mingo_tail_spark.operators.graph import pagerank
+
+    prepare_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    bg = (
+        d.select(F.split(F.col("text"), " ", -1).alias("t"))
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) < 2 THEN array()"
+                    " ELSE transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS a, t[i+1] AS b))"
+                    " END"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    edges = bg.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        bg.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    ranks = pagerank(edges, n_iter=_TR_ITERS)
+    return (
+        ranks.select(F.col("node").alias("word"), "rank_x1m")
+        .orderBy(F.desc("rank_x1m"), "word")
+        .limit(_TR_TOP)
+    )

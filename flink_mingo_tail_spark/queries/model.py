@@ -780,3 +780,137 @@ def q205_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q211 — multinomial Naive-Bayes source classifier, confusion matrix (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q211_naive_bayes_confusion",
+    oracle="""
+    WITH dtok AS (
+      SELECT doc_id, source AS actual, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY doc_id, source, tok
+    ), csw AS (
+      SELECT actual AS s, tok, CAST(sum(cnt) AS BIGINT) AS c
+      FROM dtok GROUP BY actual, tok
+    ), ts AS (
+      SELECT s, CAST(sum(c) AS BIGINT) AS tt FROM csw GROUP BY s
+    ), v AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsz FROM csw
+    ), pri AS (
+      SELECT source AS s, CAST(count(*) AS BIGINT) AS ns FROM documents
+      GROUP BY source
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS nd FROM documents
+    ), words AS (
+      SELECT DISTINCT tok FROM csw
+    ), model AS (
+      SELECT ts.s, w.tok, coalesce(csw.c, 0) AS c0, ts.tt
+      FROM words w CROSS JOIN ts
+      LEFT JOIN csw ON csw.s = ts.s AND csw.tok = w.tok
+    ), cost AS (
+      SELECT d.doc_id, d.actual, m.s,
+             CAST(sum(d.cnt * CAST(round(
+               ln(CAST(m.tt + v.vsz AS DOUBLE) / (m.c0 + 1)) * 1000000.0)
+               AS BIGINT)) AS BIGINT)
+             + CAST(round(ln(CAST(n.nd AS DOUBLE) / pri.ns) * 1000000.0)
+               AS BIGINT) AS nll
+      FROM dtok d
+      JOIN model m ON m.tok = d.tok
+      JOIN pri ON pri.s = m.s
+      CROSS JOIN v CROSS JOIN n
+      GROUP BY d.doc_id, d.actual, m.s, pri.ns, n.nd
+    ), pred AS (
+      SELECT doc_id, actual, s AS pred,
+             row_number() OVER (PARTITION BY doc_id ORDER BY nll, s) AS rnk
+      FROM cost QUALIFY rnk = 1
+    )
+    SELECT actual, pred, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY actual, pred
+    ORDER BY actual, pred
+    """,
+)
+def q211_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one multinomial Naive Bayes trained on (source → tokens),
+    self-classified, reported as the sources×sources confusion matrix —
+    the distributed form of the fastText-style source/quality router
+    (q193's learned sibling: q193 scores with FIXED hashed weights,
+    this TRAINS the weights from the corpus in two aggregates). The
+    confusion matrix is the curation artifact: an off-diagonal block
+    says two sources are stylistically interchangeable (candidate for
+    mixture re-weighting, q109), a strong diagonal says source labels
+    carry real signal.
+
+    Shapes, biggest first: the doc-term frame is corpus-linear and its
+    model join fans out by |sources| (a fixed small constant); the
+    model scaffold (every word × every source, zero counts restored —
+    absent words must still pay the smoothed ln(T+V) penalty) is
+    vocab×sources-bounded; the argmin window rides |sources| rows per
+    document. Training is two map-side-combinable aggregates. Per-
+    (word, source) logs round to the 1e-6 grid before the exact
+    cnt-weighted int64 sum (module doctrine); the class-prior term is
+    one more rounded log, added as an exact int."""
+    d = _t(spark, sf_dir, "documents")
+    dtok = (
+        d.select(
+            "doc_id",
+            F.col("source").alias("actual"),
+            F.explode(tokens(F.col("text"))).alias("tok"),
+        )
+        .groupBy("doc_id", "actual", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    csw = dtok.groupBy(F.col("actual").alias("s"), "tok").agg(
+        F.sum("cnt").cast("long").alias("c")
+    )
+    ts = csw.groupBy("s").agg(F.sum("c").cast("long").alias("tt"))
+    v = csw.agg(F.countDistinct("tok").cast("long").alias("vsz"))
+    pri = d.groupBy(F.col("source").alias("s")).agg(
+        F.count(F.lit(1)).cast("long").alias("ns")
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    words = csw.select("tok").distinct()
+    model = (
+        words.crossJoin(F.broadcast(ts))
+        .join(csw, ["s", "tok"], "left")
+        .select("s", "tok", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c0"), "tt")
+    )
+    cost = (
+        dtok.join(model, "tok")
+        .join(F.broadcast(pri), "s")
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id", "actual", "s", "ns", "nd")
+        .agg(
+            F.expr(
+                "CAST(sum(cnt * CAST(round("
+                "ln(CAST(tt + vsz AS DOUBLE) / (c0 + 1)) * 1000000.0) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("tok_nll")
+        )
+        .select(
+            "doc_id",
+            "actual",
+            "s",
+            F.expr(
+                "tok_nll + CAST(round(ln(CAST(nd AS DOUBLE) / ns) * 1000000.0)"
+                " AS BIGINT)"
+            ).alias("nll"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("nll", "s")
+    pred = (
+        cost.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("actual", F.col("s").alias("pred"))
+    )
+    return (
+        pred.groupBy("actual", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("actual", "pred")
+    )
