@@ -1282,8 +1282,8 @@ def q209_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q212 — SimHash Hamming near-pairs via bit-band blocking (round 9)
 # ---------------------------------------------------------------------------
 
-_SH_BITS = 16   # q74's fingerprint width
-_SH_BANDS = 4   # 4 bands x 4 bits: pigeonhole-complete for hamming <= 3
+_SH_BITS = 32   # wider than q74's 16: 8-bit bands keep buckets sparse
+_SH_BANDS = 4   # 4 bands x 8 bits: pigeonhole-complete for hamming <= 3
 _SH_HAM = 3
 
 
@@ -1293,9 +1293,9 @@ _SH_HAM = 3
     WITH hashed AS (
         SELECT doc_id, {sql_token_hashes(_SQL_TOKS)} AS h FROM documents
     ), fp AS (
-        SELECT doc_id, {sql_simhash_bits('h')} AS sh FROM hashed
+        SELECT doc_id, {sql_simhash_bits('h', _SH_BITS)} AS sh FROM hashed
     ), bands AS (
-        SELECT doc_id, sh, u.band, (sh >> (4 * u.band)) & 15 AS bits
+        SELECT doc_id, sh, u.band, (sh >> (8 * u.band)) & 255 AS bits
         FROM fp, unnest(range(0, {_SH_BANDS})) AS u(band)
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1311,22 +1311,27 @@ _SH_HAM = 3
     """,
 )
 def q212_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate PAIRS from q74's 16-bit SimHash fingerprints —
-    the search step the q74 docstring promises ("near-dup search then
-    reduces to small-radius Hamming joins"): all document pairs whose
-    fingerprints differ in ≤ 3 bits, found WITHOUT an all-pairs
-    comparison. Blocking is the pigeonhole split of the fingerprint
-    into 4 disjoint 4-bit bands: two fingerprints within Hamming
-    distance 3 differ in at most 3 bands, so they agree EXACTLY on at
-    least one — a candidate pair iff some band's bits collide. Recall
-    is 100% by construction (vs q73's probabilistic MinHash bands);
-    precision is restored by the exact popcount filter on the xor.
+    """Near-duplicate PAIRS from SimHash fingerprints — the search
+    step the q74 docstring promises ("near-dup search then reduces to
+    small-radius Hamming joins"): all document pairs whose fingerprints
+    differ in ≤ 3 bits, found WITHOUT an all-pairs comparison. Blocking
+    is the pigeonhole split of the fingerprint into 4 disjoint bands:
+    two fingerprints within Hamming distance 3 differ in at most 3
+    bands, so they agree EXACTLY on at least one — a candidate pair iff
+    some band's bits collide. Recall is 100% by construction (vs q73's
+    probabilistic MinHash bands); precision is restored by the exact
+    popcount filter on the xor.
 
-    Plan: fingerprints are one corpus-linear projection (q74); the
-    4-way band explode is a constant fan-out; candidates come from an
-    equi-join on (band, bits) — at 100 TB the same join keys more
-    band bits (e.g. 16 bands of 4 over a 64-bit fingerprint), keeping
-    per-bucket occupancy bounded exactly like q73's LSH banding. The
+    The fingerprint is 32-bit (q74's operator at width 32, same
+    majority-vote construction): band width SETS bucket occupancy, and
+    4-bit bands over q74's 16-bit prints give only 16 buckets per band
+    — measured 22.8 s at sf0.1 from quadratic within-bucket candidates
+    — while 8-bit bands give 256, collapsing the candidate volume ~16×
+    at identical recall. Plan: fingerprints are one corpus-linear
+    projection; the 4-way band explode is a constant fan-out;
+    candidates come from an equi-join on (band, bits) — at 100 TB the
+    same join keys more band bits (e.g. 16 bands of 4 over a 64-bit
+    fingerprint), keeping per-bucket occupancy bounded like q73's. The
     popcount is integer-exact in both engines (bit_count over xor);
     Spark spells xor with ^, DuckDB with xor() — same values."""
     d = _t(spark, sf_dir, "documents")
@@ -1335,7 +1340,7 @@ def q212_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "sh",
         F.explode(F.sequence(F.lit(0), F.lit(_SH_BANDS - 1))).alias("band"),
-    ).withColumn("bits", F.expr("shiftright(sh, 4 * band) & 15"))
+    ).withColumn("bits", F.expr("shiftright(sh, 8 * band) & 255"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -220,6 +220,14 @@ PROBES = [
     "q207_benford_deviation",
     "q208_theil_sen_trend",
     "q209_doc_novelty",
+    # q210: vocab-bounded word graph, 3 integer-PageRank rounds; q211:
+    # corpus-linear doc-term frame x |sources| model join, vocab x
+    # sources scaffold; q212: constant band fan-out + (band, bits)
+    # equi-join (copy corpus makes ham=0 pairs quadratic — q140's
+    # fixture artifact — so candidates, not output, are the watch item)
+    "q210_textrank_keywords",
+    "q211_naive_bayes_confusion",
+    "q212_simhash_hamming_pairs",
 ]
 
 
