@@ -10,7 +10,7 @@ the mechanical gate: it runs, in order,
   2. the full pytest suite at the default test SF;
   3. the complete oracle-parity + output-contract rehearsal at sf0.01 —
      exactly what the driver's CORRECTNESS pass hashes;
-  4. a bench smoke at sf0.001 (must print one valid JSON line);
+  4. a bench smoke at sf0.001 (detail line + tail-safe compact final line);
   5. a full sf0.1 bench compared entry-by-entry against the most recent
      BENCH_r*.json: any query slower than 1.5x its prior time (and by
      more than 0.3 s absolute — sub-second entries live in a noise band,
@@ -49,7 +49,10 @@ def find_prior_bench() -> dict | None:
     capture (the historical format this gate was first written against)
     still parses via the whole-file load.
     """
-    for path in sorted(glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json")), reverse=True):
+    candidates = [os.path.join(REPO_DIR, "BENCH_PREFLIGHT.json")] + sorted(
+        glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json")), reverse=True
+    )
+    for path in candidates:
         try:
             with open(path) as fh:
                 d = json.load(fh)
@@ -59,6 +62,21 @@ def find_prior_bench() -> dict | None:
             d = d["parsed"]
         if isinstance(d.get("queries"), dict) and d["queries"]:
             d["_file"] = os.path.basename(path)
+            return d
+    return None
+
+
+def parse_bench_stdout(stdout: str) -> dict | None:
+    """Latest JSON line carrying the per-query map. Since round 9
+    bench.py prints the full detail one line BEFORE the compact final
+    summary (which deliberately has no "queries" key so it stays under
+    the driver's 2,000-byte tail window) — scan from the end."""
+    for line in reversed(stdout.strip().splitlines()):
+        try:
+            d = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if isinstance(d, dict) and "queries" in d:
             return d
     return None
 
@@ -138,11 +156,17 @@ def main() -> None:
     if out.returncode != 0:
         print("[preflight] FAILED at gate: bench smoke", file=sys.stderr)
         sys.exit(out.returncode)
-    line = out.stdout.strip().splitlines()[-1]
-    d = json.loads(line)
+    d = parse_bench_stdout(out.stdout)
+    if d is None:
+        print("[preflight] bench stdout had no detail JSON line", file=sys.stderr)
+        sys.exit(1)
     missing = {"metric", "value", "unit", "queries", "sf"} - set(d)
     if missing:
         print(f"[preflight] bench JSON missing keys: {missing}", file=sys.stderr)
+        sys.exit(1)
+    last = json.loads(out.stdout.strip().splitlines()[-1])
+    if len(json.dumps(last)) > 1500 or "n_queries" not in last:
+        print("[preflight] FAILED: final bench line not driver-tail-safe", file=sys.stderr)
         sys.exit(1)
 
     if not fast:
@@ -162,7 +186,10 @@ def main() -> None:
                 print("[preflight] FAILED at gate: sf0.1 bench run", file=sys.stderr)
                 print(full.stderr[-2000:], file=sys.stderr)
                 sys.exit(full.returncode)
-            new = json.loads(full.stdout.strip().splitlines()[-1])
+            new = parse_bench_stdout(full.stdout)
+            if new is None:
+                print("[preflight] FAILED: sf0.1 bench printed no detail line", file=sys.stderr)
+                sys.exit(1)
             flagged = bench_deltas(new, prior)
             unacked = acknowledged_in_plans(flagged)
             for f in flagged:
@@ -176,6 +203,15 @@ def main() -> None:
                     file=sys.stderr,
                 )
                 sys.exit(1)
+            # persist the GREEN sf0.1 map as the next round's delta
+            # prior: driver BENCH_r*.json records are compact (no
+            # per-query map) from round 9 on, so this file is the
+            # freshest queries-bearing record find_prior_bench can use.
+            # Written only after the gate passes — a regressed run must
+            # not become the baseline that hides itself next round.
+            with open(os.path.join(REPO_DIR, "BENCH_PREFLIGHT.json"), "w") as fh:
+                json.dump(new, fh, indent=1, sort_keys=True)
+                fh.write("\n")
 
     print(f"[preflight] ALL GREEN (bench total {d['value']}s at sf{d['sf']})")
 
