@@ -77,23 +77,24 @@ _MODULES = (
 # registry (every round so far recorded exactly the first 50 entries).
 #
 # ROTATION, round 9 — steady-state policy, 50 slots:
-#   (a) 9 queries with NO driver row yet: the round-9 wave (q204
+#   (a) 12 queries with NO driver row yet: the round-9 wave (q204
 #       zone-map skip stats, q205 bigram perplexity, q206 Dirichlet
 #       query likelihood, q207 Benford deviation, q208 Theil-Sen /
 #       Mann-Kendall trend, q209 shingle novelty share, q210 TextRank
 #       keywords, q211 Naive-Bayes confusion matrix, q212 SimHash
-#       Hamming near-pairs);
+#       Hamming near-pairs, q213 winnowing fingerprints, q214 PMI
+#       collocations, q215 term burstiness);
 #   (b) 4 queries whose CODE or ORACLE changed this round: q192, q201,
 #       q202 (decimal-literal DOUBLE casts; q202 also gained the
 #       sum(m) > 0 replicate guard) and q203 (bigrams rebuilt from the
 #       shared tokens() projection);
-#   (c) 37 refresh slots: the round-4 cohort's remaining 14 names
+#   (c) 34 refresh slots: the round-4 cohort's remaining 14 names
 #       (q136-q150 — after this round no green row predates round 5),
 #       then the oldest-green round-5 cohort (50 names) in ascending
-#       query order — the first 23 here, the remaining 27 lead round
-#       10's refresh (q58 onward).
+#       query order — the first 20 here, the remaining 30 lead round
+#       10's refresh (q53 onward).
 _NEEDS_DRIVER_ROW = (
-    # (a) round-9 wave, no driver row yet — 9 names
+    # (a) round-9 wave, no driver row yet — 12 names
     "q204_zonemap_skip_stats",
     "q205_bigram_perplexity",
     "q206_query_likelihood_dirichlet",
@@ -103,6 +104,9 @@ _NEEDS_DRIVER_ROW = (
     "q210_textrank_keywords",
     "q211_naive_bayes_confusion",
     "q212_simhash_hamming_pairs",
+    "q213_winnowing_fingerprints",
+    "q214_pmi_collocations",
+    "q215_term_burstiness",
     # (b) code/oracle changed in round 9 — 4 names
     "q192_acf_daily_mean",
     "q201_weighted_sample_aes",
@@ -123,8 +127,8 @@ _NEEDS_DRIVER_ROW = (
     "q148_distribution_windows",
     "q149_locf_forward_fill",
     "q150_arrow_udf_scalar",
-    # (c2) oldest-green refresh (round-5 cohort, first 23 of 50 in
-    #      ascending order; q58...q145 follow in round 10)
+    # (c2) oldest-green refresh (round-5 cohort, first 20 of 50 in
+    #      ascending order; q53...q145 follow in round 10)
     "q25_collect_list_set",
     "q26b_approx_percentile",
     "q27_exact_percentile",
@@ -145,9 +149,6 @@ _NEEDS_DRIVER_ROW = (
     "q50_string_funcs",
     "q51_regex_split",
     "q52_date_funcs",
-    "q53_math_funcs",
-    "q54_array_funcs",
-    "q55_explode_posexplode",
 )
 
 

@@ -1366,3 +1366,75 @@ def q212_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _SH_HAM)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q213 — winnowing fingerprints (MOSS-style local-min selection, round 9)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 4  # gram size (tokens)
+_WIN_W = 5  # winnowing window (grams)
+
+# identical hash spelling in both engines (md5_long's SQL twins)
+_WIN_GH_SPARK = (
+    f"transform(sequence(1, size(ts) - {_WIN_K - 1}),"
+    f" i -> CAST(conv(substring(md5(concat_ws(' ', slice(ts, i, {_WIN_K}))), 1, 15),"
+    f" 16, 10) AS BIGINT))"
+)
+_WIN_GH_DUCK = (
+    f"list_transform(range(1, len(ts) - {_WIN_K} + 2),"
+    f" i -> ('0x' || substr(md5(array_to_string(ts[i:i+{_WIN_K}-1], ' ')), 1, 15))::BIGINT)"
+)
+
+
+@query(
+    "q213_winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), gh AS (
+      SELECT doc_id, {_WIN_GH_DUCK} AS hs
+      FROM toks WHERE len(ts) >= {_WIN_K + _WIN_W - 1}
+    ), fps AS (
+      SELECT DISTINCT doc_id,
+             list_min(hs[j:j+{_WIN_W}-1]) AS fp
+      FROM gh, unnest(range(1, len(hs) - {_WIN_W} + 2)) AS u(j)
+    )
+    SELECT doc_id, fp FROM fps ORDER BY doc_id, fp
+    """,
+)
+def q213_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    MOSS algorithm): hash every {_WIN_K}-token gram, slide a
+    {_WIN_W}-gram window, keep each window's MINIMUM hash — the
+    local-min selection that guarantees any shared substring of
+    ≥ k+w-1 tokens yields at least one IDENTICAL fingerprint in both
+    documents (a positional guarantee MinHash sampling cannot give),
+    at ~2/(w+1) of the gram density. The plagiarism/exact-excerpt
+    detector that complements q73 (probabilistic near-dup), q172
+    (global span election) and q209 (novelty): joining this frame on
+    fp IS the excerpt-overlap join.
+
+    Pure per-row array expressions build gram hashes and window minima
+    (one codegen'd projection, no shuffle until the final distinct);
+    the exploded (doc_id, fp) frame is corpus-linear with ~2/(w+1)
+    density. Both engines hash with the identical md5-prefix spelling
+    (operators/dedup.md5_long and its documented SQL twin), so the
+    60-bit fingerprints are bit-equal. Documents shorter than k+w-1
+    tokens have no full window and are absent in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    gh = d.select(
+        "doc_id", tokens(F.col("text")).alias("ts")
+    ).filter(F.size("ts") >= _WIN_K + _WIN_W - 1).select(
+        "doc_id", F.expr(_WIN_GH_SPARK).alias("hs")
+    )
+    fps = gh.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(hs) - {_WIN_W - 1}),"
+                f" j -> array_min(slice(hs, j, {_WIN_W})))"
+            )
+        ).alias("fp"),
+    ).distinct()
+    return fps.orderBy("doc_id", "fp")

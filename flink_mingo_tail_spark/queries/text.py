@@ -917,3 +917,167 @@ def q193_hashed_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(round(CAST(score AS DOUBLE) * 1000.0 / n_toks) AS BIGINT)"
         ).alias("score_per_tok_milli"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q214 — PMI collocations (round 9)
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_C = 5   # minimum bigram support
+_PMI_TOP = 30
+
+
+@query(
+    "q214_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT t[i] AS a, t[i+1] AS b
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ), cab AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY a, b
+    ), ca AS (
+      SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a
+    ), cb AS (
+      SELECT b, CAST(sum(c_ab) AS BIGINT) AS c_b FROM cab GROUP BY b
+    ), n AS (
+      SELECT CAST(sum(c_ab) AS BIGINT) AS nb FROM cab
+    )
+    SELECT cab.a, cab.b, cab.c_ab,
+           CAST(round(ln(CAST(cab.c_ab AS DOUBLE) * n.nb
+                         / (CAST(ca.c_a AS DOUBLE) * cb.c_b)) * 1000000.0)
+             AS BIGINT) AS pmi_micro
+    FROM cab JOIN ca ON ca.a = cab.a JOIN cb ON cb.b = cab.b CROSS JOIN n
+    WHERE cab.c_ab >= {_PMI_MIN_C}
+    ORDER BY pmi_micro DESC, cab.a, cab.b
+    LIMIT {_PMI_TOP}
+    """,
+)
+def q214_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PMI_TOP} collocations by pointwise mutual information —
+    PMI(a,b) = ln(c_ab·N / (c_a·c_b)) over adjacent word pairs with
+    support ≥ {_PMI_MIN_C}. The collocation extractor that turns q126's
+    raw co-occurrence counts into the association STATISTIC: high-PMI
+    pairs are multiword units ("new york"-style) a tokenizer-induction
+    pipeline (q178/q188) should treat as candidate merges, and a
+    drift-monitoring pipeline watches for new ones.
+
+    All three count frames (pair, left margin, right margin) are
+    vocabulary-bounded hash aggregates off ONE bigram explode —
+    corpus rows only ever flow through that first aggregate. N reduces
+    to a one-row broadcast. The single ln rounds to the 1e-6 grid and
+    ordering uses the scaled long with (a, b) tie-breaks; the top-30
+    is a TakeOrderedAndProject over the vocab²-bounded scored frame."""
+    d = _docs(spark, sf_dir)
+    bg = (
+        d.select(tokens(F.col("text")).alias("t"))
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) < 2 THEN array()"
+                    " ELSE transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS a, t[i+1] AS b))"
+                    " END"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    cab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    ca = cab.groupBy("a").agg(F.sum("c_ab").cast("long").alias("c_a"))
+    cb = cab.groupBy("b").agg(F.sum("c_ab").cast("long").alias("c_b"))
+    n = cab.agg(F.sum("c_ab").cast("long").alias("nb"))
+    return (
+        cab.filter(F.col("c_ab") >= _PMI_MIN_C)
+        .join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.expr(
+                "CAST(round(ln(CAST(c_ab AS DOUBLE) * nb"
+                " / (CAST(c_a AS DOUBLE) * c_b)) * 1000000.0) AS BIGINT)"
+            ).alias("pmi_micro"),
+        )
+        .orderBy(F.col("pmi_micro").desc(), "a", "b")
+        .limit(_PMI_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q215 — term burstiness (variance-to-mean ratio, round 9)
+# ---------------------------------------------------------------------------
+
+_BURST_MIN_TF = 20
+_BURST_TOP = 30
+
+
+@query(
+    "q215_term_burstiness",
+    oracle=f"""
+    WITH dcnt AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
+    ), nd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+    ), stats AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c) AS BIGINT) AS tf,
+             CAST(sum(c * c) AS BIGINT) AS ssq
+      FROM dcnt GROUP BY tok
+    )
+    SELECT tok, df, tf,
+           CAST(round(CAST(n * ssq - tf * tf AS DOUBLE) * 1000000.0
+                      / (n * tf)) AS BIGINT) AS vmr_micro
+    FROM stats CROSS JOIN nd
+    WHERE tf >= {_BURST_MIN_TF}
+    ORDER BY vmr_micro DESC, tok
+    LIMIT {_BURST_TOP}
+    """,
+)
+def q215_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_BURST_TOP} burstiest terms: variance-to-mean ratio of the
+    per-document count distribution (zeros included), support
+    tf ≥ {_BURST_MIN_TF}. Church/Gale burstiness separates CONTENT
+    words (VMR ≫ 1 — a term either floods a document or is absent:
+    topical, template, or spam vocabulary) from FUNCTION words
+    (VMR ≈ 1, Poisson-like) — the statistic behind stop-list
+    induction, spam-vocabulary screens, and q195's Zipf fit reading.
+
+    Zeros never materialize: with m = tf/N and E[x²] = ssq/N over all
+    N documents, VMR = (N·ssq − tf²)/(N·tf) — three integer moments
+    from the per-(doc, term) count frame (corpus-linear, one hash
+    aggregate) reduced to the vocabulary-bounded stats frame. The
+    division CASTs its exact int64 numerator to DOUBLE first (house
+    rule); top-30 is a TakeOrderedAndProject."""
+    d = _docs(spark, sf_dir)
+    dcnt = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    stats = dcnt.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("tf"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq"),
+    )
+    return (
+        stats.filter(F.col("tf") >= _BURST_MIN_TF)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok",
+            "df",
+            "tf",
+            F.expr(
+                "CAST(round(CAST(n * ssq - tf * tf AS DOUBLE) * 1000000.0"
+                " / (n * tf)) AS BIGINT)"
+            ).alias("vmr_micro"),
+        )
+        .orderBy(F.col("vmr_micro").desc(), "tok")
+        .limit(_BURST_TOP)
+    )

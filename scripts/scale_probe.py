@@ -228,6 +228,13 @@ PROBES = [
     "q210_textrank_keywords",
     "q211_naive_bayes_confusion",
     "q212_simhash_hamming_pairs",
+    # q213: per-row array exprs + one distinct on the ~2/(w+1)-density
+    # fingerprint frame; q214: three vocab-bounded aggregates off one
+    # bigram explode + broadcast N; q215: per-(doc, term) count frame
+    # reduced to vocab-bounded integer moments
+    "q213_winnowing_fingerprints",
+    "q214_pmi_collocations",
+    "q215_term_burstiness",
 ]
 
 
