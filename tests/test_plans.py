@@ -554,3 +554,38 @@ def test_calibration_margins_broadcast(spark):
         plan = plan_of(spark, name)
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_round9_wave_plan_shapes(spark):
+    """Round-9 pins: top-k queries compile to TakeOrderedAndProject (no
+    global sort), and no wave query hides a cartesian product — the
+    only nested-loop joins are the declared one-row broadcast stat
+    frames (N / vocabulary size / doc totals)."""
+    for name in (
+        "q206_query_likelihood_dirichlet",
+        "q214_pmi_collocations",
+        "q215_term_burstiness",
+        "q210_textrank_keywords",
+    ):
+        p = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in p, name
+        assert "CartesianProduct" not in p, name
+    for name in (
+        "q205_bigram_perplexity",
+        "q208_theil_sen_trend",
+        "q209_doc_novelty",
+        "q211_naive_bayes_confusion",
+        "q212_simhash_hamming_pairs",
+        "q213_winnowing_fingerprints",
+    ):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, name
+
+
+def test_simhash_pairs_join_is_equi_on_band_bits(spark):
+    """q212's candidate generation must be an equi-join on (band, bits)
+    — the banding contract; a nested-loop here would be the all-pairs
+    comparison the operator exists to avoid."""
+    p = plan_of(spark, "q212_simhash_hamming_pairs")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "band" in p and "bits" in p
