@@ -1438,3 +1438,139 @@ def q213_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp"),
     ).distinct()
     return fps.orderBy("doc_id", "fp")
+
+
+# ---------------------------------------------------------------------------
+# q218 — LSH candidate quality eval: recall/precision vs exact Jaccard (r9)
+# ---------------------------------------------------------------------------
+
+_EVAL_MAXID = 120  # q75's demonstrative all-pairs bound
+# tau = 0.8 as the exact integer inequality 5·|∩| >= 4·|∪| — no floats
+_EVAL_TAU_NUM, _EVAL_TAU_DEN = 5, 4
+
+
+@query(
+    "q218_lsh_recall_eval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents WHERE doc_id < {_EVAL_MAXID}
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM toks a JOIN toks b
+        ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                 JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE {_EVAL_TAU_NUM} * n_common
+            >= {_EVAL_TAU_DEN} * (sa.n + sb.n - n_common)
+    ), sigs AS (
+      SELECT doc_id, {_SQL_SIG} AS sig FROM documents
+      WHERE doc_id < {_EVAL_MAXID}
+    ), banded AS (
+      SELECT doc_id,
+             unnest({sql_lsh_band_keys('sig', ROWS_PER_BAND, MINHASH_K)}) AS band
+      FROM sigs
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.doc_id < b.doc_id
+    ), m AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM exact e JOIN cand c
+                ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b) AS n_hit
+    )
+    SELECT n_exact, n_cand, n_hit,
+           CAST(round(CAST(n_hit * 1000000 AS DOUBLE) / n_exact) AS BIGINT)
+             AS recall_micro,
+           CAST(round(CAST(n_hit * 1000000 AS DOUBLE) / n_cand) AS BIGINT)
+             AS precision_micro
+    FROM m
+    """,
+)
+def q218_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality evaluation of the MinHash-LSH blocking scheme
+    (q73's k=8 signatures, 2 bands × 4 rows) against EXACT unigram
+    Jaccard ≥ 0.8 ground truth on q75's bounded subset — the measure-
+    don't-guess loop every production dedup pipeline runs before
+    trusting a banding configuration: recall says what the blocker
+    MISSES (pairs the exact join finds but no band collides),
+    precision says what it WASTES (candidates the verifier will
+    reject). Banding theory gives P(candidate) = 1-(1-j^4)^2; this
+    query measures the realized operating point on real text.
+
+    Ground truth uses the exact integer inequality 5·|∩| ≥ 4·|∪| (no
+    floating-point threshold), the same inverted-index join as q75;
+    candidates replay q73's exact signature/banding spelling, so both
+    engines compute identical pair sets and the three counts reduce to
+    one row. The demonstrative all-pairs bound (doc_id < 120) is q75's
+    policy — in production this eval runs on a hash-sample of the
+    corpus at the same bound."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _EVAL_MAXID)
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    exact = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(
+            F.lit(_EVAL_TAU_NUM) * F.col("n_common")
+            >= F.lit(_EVAL_TAU_DEN) * (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    sig = minhash_signature(F.array_distinct(tokens(F.col("text"))), MINHASH_K)
+    banded = d.select(
+        "doc_id",
+        F.explode(lsh_band_keys(sig, ROWS_PER_BAND, MINHASH_K)).alias("band"),
+    )
+    ba, bb = banded.alias("ba"), banded.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    n_hit = exact.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_exact",
+            "n_cand",
+            "n_hit",
+            F.expr(
+                "CAST(round(CAST(n_hit * 1000000 AS DOUBLE) / n_exact) AS BIGINT)"
+            ).alias("recall_micro"),
+            F.expr(
+                "CAST(round(CAST(n_hit * 1000000 AS DOUBLE) / n_cand) AS BIGINT)"
+            ).alias("precision_micro"),
+        )
+    )

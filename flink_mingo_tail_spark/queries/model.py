@@ -914,3 +914,121 @@ def q211_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("actual", "pred")
     )
+
+
+# ---------------------------------------------------------------------------
+# q216 — Kneser-Ney bigram model: per-source NLL (round 9)
+# ---------------------------------------------------------------------------
+
+# interpolated KN probability over columns c_ab/c_a/n1a/n1b/bt — the
+# identical text in Spark SQL and DuckDB; every int operand CASTs to
+# DOUBLE before a decimal literal touches it (house rule)
+_KN_P = (
+    "((greatest(CAST(c_ab AS DOUBLE) - 0.75, CAST(0 AS DOUBLE))"
+    " + 0.75 * CAST(n1a AS DOUBLE) * (CAST(n1b AS DOUBLE) / bt)) / c_a)"
+)
+
+
+@query(
+    "q216_kneser_ney_nll",
+    oracle=f"""
+    WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT source, t[i] AS a, t[i+1] AS b
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ), scnt AS (
+      SELECT source, a, b, CAST(count(*) AS BIGINT) AS cnt
+      FROM bg GROUP BY source, a, b
+    ), cab AS (
+      SELECT a, b, CAST(sum(cnt) AS BIGINT) AS c_ab FROM scnt GROUP BY a, b
+    ), ca AS (
+      SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a
+    ), n1a AS (
+      SELECT a, CAST(count(*) AS BIGINT) AS n1a FROM cab GROUP BY a
+    ), n1b AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS n1b FROM cab GROUP BY b
+    ), bt AS (
+      SELECT CAST(count(*) AS BIGINT) AS bt FROM cab
+    ), model AS (
+      SELECT cab.a, cab.b,
+             CAST(round(ln({_KN_P}) * 1000000.0) AS BIGINT) AS lp
+      FROM cab JOIN ca ON ca.a = cab.a
+               JOIN n1a ON n1a.a = cab.a
+               JOIN n1b ON n1b.b = cab.b
+               CROSS JOIN bt
+    )
+    SELECT scnt.source,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           CAST(round(CAST(-sum(cnt * lp) AS DOUBLE) / sum(cnt)) AS BIGINT)
+             AS kn_nll_micro
+    FROM scnt JOIN model ON model.a = scnt.a AND model.b = scnt.b
+    GROUP BY scnt.source
+    ORDER BY scnt.source
+    """,
+)
+def q216_kneser_ney_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mean NLL under an interpolated Kneser-Ney bigram
+    model (d = 0.75) trained on the whole corpus — the smoothing that
+    actually ships in n-gram LM filters (KenLM/CCNet): where q205's
+    add-one flattens probability onto raw counts, KN discounts every
+    observed bigram by a fixed d and backs off to the CONTINUATION
+    probability N1+(·,b)/|bigrams| — "how many contexts does b follow"
+    — so boilerplate tokens that appear often in ONE context stop
+    looking probable in all of them. Sources whose text the KN model
+    finds surprising are the cross-entropy outliers a curation pass
+    quarantines.
+
+    P(b|a) = (max(c_ab − d, 0) + d·N1+(a,·)·(N1+(·,b)/B)) / c_a: every
+    factor is an integer count off the SAME vocab²-bounded distinct-
+    bigram frame (N1+ margins are row counts of it; B its total), so
+    the model costs three hash aggregates beyond q205's. The single ln
+    per distinct bigram rounds to the 1e-6 grid before the exact
+    cnt-weighted int64 sums; scoring joins ride (a, b) exactly as
+    q205. Per-source output (sources-bounded), one IEEE division
+    each."""
+    d = _t(spark, sf_dir, "documents")
+    bg = (
+        d.select("source", tokens(F.col("text")).alias("t"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) < 2 THEN array()"
+                    " ELSE transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS a, t[i+1] AS b))"
+                    " END"
+                )
+            ).alias("p"),
+        )
+        .select("source", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    scnt = bg.groupBy("source", "a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cab = scnt.groupBy("a", "b").agg(F.sum("cnt").cast("long").alias("c_ab"))
+    ca = cab.groupBy("a").agg(F.sum("c_ab").cast("long").alias("c_a"))
+    n1a = cab.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("n1a"))
+    n1b = cab.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("n1b"))
+    bt = cab.agg(F.count(F.lit(1)).cast("long").alias("bt"))
+    model = (
+        cab.join(ca, "a")
+        .join(n1a, "a")
+        .join(n1b, "b")
+        .crossJoin(F.broadcast(bt))
+        .select(
+            "a",
+            "b",
+            F.expr(f"CAST(round(ln({_KN_P}) * 1000000.0) AS BIGINT)").alias("lp"),
+        )
+    )
+    return (
+        scnt.join(model, ["a", "b"])
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.expr(
+                "CAST(round(CAST(-sum(cnt * lp) AS DOUBLE) / sum(cnt)) AS BIGINT)"
+            ).alias("kn_nll_micro"),
+        )
+        .orderBy("source")
+    )

@@ -4,7 +4,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_mingo_tail_spark.operators.similarity import (
@@ -683,4 +683,85 @@ def q171_semdedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.join(dup, "vec_id", "left_anti")
         .select("vec_id", "cell")
         .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q217 — reciprocal best match across the two corpus halves (round 9)
+# ---------------------------------------------------------------------------
+
+_RBM_COS = SQL_COSINE.format(a="av", b="bv")
+
+
+@query(
+    "q217_mutual_knn_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    a AS (SELECT vec_id AS ai, v AS av FROM e WHERE vec_id % 2 = 0),
+    b AS (SELECT vec_id AS bi, v AS bv FROM e WHERE vec_id % 2 = 1),
+    scored AS (
+      SELECT ai, bi, round({_RBM_COS}, 6) AS cos_sim
+      FROM a CROSS JOIN b
+    ), best_a AS (
+      SELECT ai, bi, cos_sim,
+             row_number() OVER (PARTITION BY ai
+                                ORDER BY cos_sim DESC, bi) AS rn
+      FROM scored QUALIFY rn = 1
+    ), best_b AS (
+      SELECT ai, bi, cos_sim,
+             row_number() OVER (PARTITION BY bi
+                                ORDER BY cos_sim DESC, ai) AS rn
+      FROM scored QUALIFY rn = 1
+    )
+    SELECT best_a.ai AS vec_a, best_a.bi AS vec_b, best_a.cos_sim
+    FROM best_a JOIN best_b
+      ON best_b.ai = best_a.ai AND best_b.bi = best_a.bi
+    ORDER BY vec_a
+    """,
+)
+def q217_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best match (mutual top-1 cosine) between the corpus's
+    two halves (vec_id parity as the stand-in for two snapshots /
+    languages / sources) — the alignment primitive behind bitext
+    mining (LASER/CCMatrix-style), snapshot-to-snapshot entity linking,
+    and embedding-space dedup across feeds: a pair counts only if each
+    side is the OTHER's nearest neighbor, the standard cheap filter
+    that kills hub matches (a popular vector being everyone's top-1
+    yields at most ONE mutual pair).
+
+    Demonstrative form is the exact dense cross-score (the q76
+    brute-force baseline shape) with two top-1 windows partitioned by
+    either side (each rides |half| rows) and an equi-join of the two
+    argmax frames; ties break by the partner id, cosines round to the
+    6-digit grid (q76's collision-safe precedent), so both engines
+    elect identical pairs. The 100 TB path swaps the cross join for
+    IVF/LSH candidate generation (q78/q79) and keeps the mutual-argmax
+    election VERBATIM — the windows and join only ever see each side's
+    current best, so the election layer is already scale-shaped."""
+    e = _emb(spark, sf_dir)
+    a = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("ai"), F.col("embedding").alias("av")
+    )
+    b = e.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("bi"), F.col("embedding").alias("bv")
+    )
+    scored = a.crossJoin(b).select(
+        "ai", "bi", rounded_cosine(F.col("av"), F.col("bv")).alias("cos_sim")
+    )
+    wa = Window.partitionBy("ai").orderBy(F.col("cos_sim").desc(), "bi")
+    wb = Window.partitionBy("bi").orderBy(F.col("cos_sim").desc(), "ai")
+    best_a = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    best_b = (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best_a.join(best_b, ["ai", "bi", "cos_sim"])
+        .select(F.col("ai").alias("vec_a"), F.col("bi").alias("vec_b"), "cos_sim")
+        .orderBy("vec_a")
     )

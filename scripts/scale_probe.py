@@ -235,6 +235,14 @@ PROBES = [
     "q213_winnowing_fingerprints",
     "q214_pmi_collocations",
     "q215_term_burstiness",
+    # q216: q205's scoring joins plus three more vocab-bounded margins;
+    # q217: demonstrative dense cross-score (|A|x|B| grows quadratically
+    # on the copy corpus BY DESIGN — the 100 TB path swaps candidates to
+    # IVF/LSH and keeps the mutual-argmax election) — probe at 1x only;
+    # q218: q75's bounded all-pairs + q73's banding on doc_id < 120
+    "q216_kneser_ney_nll",
+    "q217_mutual_knn_pairs",
+    "q218_lsh_recall_eval",
 ]
 
 
