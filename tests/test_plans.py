@@ -577,6 +577,10 @@ def test_round9_wave_plan_shapes(spark):
         "q211_naive_bayes_confusion",
         "q212_simhash_hamming_pairs",
         "q213_winnowing_fingerprints",
+        # q216/q218 join only on keys; q217 is EXCLUDED — its dense
+        # cross-score is the declared demonstrative baseline
+        "q216_kneser_ney_nll",
+        "q218_lsh_recall_eval",
     ):
         p = plan_of(spark, name)
         assert "CartesianProduct" not in p, name
