@@ -14,7 +14,10 @@ Conventions that make the hash comparison meaningful:
 * every query output has a deterministic global order *content-wise*
   (the driver sorts before hashing, but ties broken by explicit keys
   keep LIMIT/top-k results stable);
-* queries never mutate state and never collect to the driver.
+* queries never mutate fixture state and never collect unbounded data
+  to the driver (the sole collects are construction-bounded matrices
+  and manifests — centroid/codebook frames, q204's ≤17-row zone map —
+  and the sole writes are self-cleaned scratch layouts, q204).
 """
 
 from __future__ import annotations
