@@ -439,3 +439,32 @@ def test_sampled_pq_codebooks_equal_manual_subset(spark):
     assert len(knob) == len(manual) == 4
     for a, b in zip(knob, manual):
         assert np.array_equal(a, b)
+
+
+def test_auto_sizing_rule_properties():
+    """Hypothesis: the k∝n / fraction∝n rule's invariants hold for any
+    corpus size — k cells cover n at <= target_cell_size average, one
+    fewer would not; the sample never exceeds target or the corpus."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_mingo_tail_spark.operators.similarity import auto_size_training
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=10**14),
+        cell=st.integers(min_value=1, max_value=10**7),
+        target=st.integers(min_value=1, max_value=10**9),
+    )
+    def check(n, cell, target):
+        k, frac = auto_size_training(n, target_cell_size=cell, target_sample_rows=target)
+        assert k >= 1 and k * cell >= n          # k cells cover the corpus
+        assert k == 1 or (k - 1) * cell < n      # and k is minimal
+        assert 0.0 < frac <= 1.0
+        # bit-exact construction (frac * n can exceed target by an ulp
+        # in float arithmetic, so the spec is pinned, not re-derived)
+        assert frac == min(1.0, target / n)
+        if n <= target:
+            assert frac == 1.0                   # small corpus: train on all
+
+    check()
