@@ -80,25 +80,26 @@ _MODULES = (
 # registry (every round so far recorded exactly the first 50 entries).
 #
 # ROTATION, round 9 — steady-state policy, 50 slots:
-#   (a) 15 queries with NO driver row yet: the round-9 wave (q204
+#   (a) 17 queries with NO driver row yet: the round-9 wave (q204
 #       zone-map skip stats, q205 bigram perplexity, q206 Dirichlet
 #       query likelihood, q207 Benford deviation, q208 Theil-Sen /
 #       Mann-Kendall trend, q209 shingle novelty share, q210 TextRank
 #       keywords, q211 Naive-Bayes confusion matrix, q212 SimHash
 #       Hamming near-pairs, q213 winnowing fingerprints, q214 PMI
 #       collocations, q215 term burstiness, q216 Kneser-Ney NLL, q217
-#       reciprocal best match, q218 LSH recall/precision eval);
+#       reciprocal best match, q218 LSH recall/precision eval, q219
+#       CUSUM changepoint, q220 symbolic motifs);
 #   (b) 4 queries whose CODE or ORACLE changed this round: q192, q201,
 #       q202 (decimal-literal DOUBLE casts; q202 also gained the
 #       sum(m) > 0 replicate guard) and q203 (bigrams rebuilt from the
 #       shared tokens() projection);
-#   (c) 31 refresh slots: the round-4 cohort's remaining 14 names
+#   (c) 29 refresh slots: the round-4 cohort's remaining 14 names
 #       (q136-q150 — after this round no green row predates round 5),
 #       then the oldest-green round-5 cohort (50 names) in ascending
-#       query order — the first 17 here, the remaining 33 lead round
-#       10's refresh (q50 onward).
+#       query order — the first 15 here, the remaining 35 lead round
+#       10's refresh (q44 onward).
 _NEEDS_DRIVER_ROW = (
-    # (a) round-9 wave, no driver row yet — 15 names
+    # (a) round-9 wave, no driver row yet — 17 names
     "q204_zonemap_skip_stats",
     "q205_bigram_perplexity",
     "q206_query_likelihood_dirichlet",
@@ -114,6 +115,8 @@ _NEEDS_DRIVER_ROW = (
     "q216_kneser_ney_nll",
     "q217_mutual_knn_pairs",
     "q218_lsh_recall_eval",
+    "q219_cusum_changepoint",
+    "q220_symbolic_motifs",
     # (b) code/oracle changed in round 9 — 4 names
     "q192_acf_daily_mean",
     "q201_weighted_sample_aes",
@@ -134,8 +137,8 @@ _NEEDS_DRIVER_ROW = (
     "q148_distribution_windows",
     "q149_locf_forward_fill",
     "q150_arrow_udf_scalar",
-    # (c2) oldest-green refresh (round-5 cohort, first 17 of 50 in
-    #      ascending order; q50...q145 follow in round 10)
+    # (c2) oldest-green refresh (round-5 cohort, first 15 of 50 in
+    #      ascending order; q44...q145 follow in round 10)
     "q25_collect_list_set",
     "q26b_approx_percentile",
     "q27_exact_percentile",
@@ -151,8 +154,6 @@ _NEEDS_DRIVER_ROW = (
     "q41_union_distinct",
     "q42_intersect",
     "q43_except",
-    "q44_intersect_all",
-    "q45_except_all",
 )
 
 

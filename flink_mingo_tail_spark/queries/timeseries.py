@@ -756,3 +756,194 @@ def q208_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q219 — CUSUM changepoint scan on the daily mean series (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q219_cusum_changepoint",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // {86_400_000_000} AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                        * 1000.0 / count(*)) AS BIGINT) AS xm
+      FROM events GROUP BY event_type, day
+    ), mu AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(round(CAST(sum(xm) AS DOUBLE) / count(*)) AS BIGINT) AS mu
+      FROM d GROUP BY event_type
+    ), c AS (
+      SELECT d.event_type, d.day, mu.n_days,
+             CAST(sum(d.xm - mu.mu) OVER (PARTITION BY d.event_type
+                                          ORDER BY d.day
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT) AS cum
+      FROM d JOIN mu ON mu.event_type = d.event_type
+    ), s AS (
+      SELECT event_type, day, n_days,
+             cum - least(CAST(0 AS BIGINT),
+                         min(cum) OVER (PARTITION BY event_type ORDER BY day
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)) AS stat
+      FROM c
+    ), r AS (
+      SELECT event_type, n_days, day AS cp_day, stat AS s_max,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY stat DESC, day) AS rnk
+      FROM s QUALIFY rnk = 1
+    )
+    SELECT event_type, n_days, cp_day, s_max
+    FROM r ORDER BY event_type
+    """,
+)
+def q219_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan per event type: the day of the maximum
+    upward drawup of the cumulative deviation from the series mean —
+    S(t) = C(t) − min(0, min_{u<t} C(u)) with C the running sum of
+    (daily mean − series mean). The level-shift detector that
+    completes the monitoring corner: q189 asks "did the distribution
+    move between two windows", q208 asks "is there a monotone trend",
+    CUSUM asks "WHEN did the level change" — the statistic SPC
+    pipelines page on.
+
+    Integer-exact end to end (no transcendentals in this module): the
+    daily means are q192's scaled longs, the series mean rounds once
+    to the same grid, and all cumulative/min/argmax arithmetic is
+    int64. Both running windows and the argmax rank ride the
+    calendar-bounded per-type frame (days per type, never rows), the
+    module's documented safe window family; ties break to the
+    earliest day so the changepoint is deterministic."""
+    e = _events(spark, sf_dir)
+    d = e.groupBy("event_type", F.expr(f"us div {_US_DAY}").alias("day")).agg(
+        F.expr(
+            "CAST(round(CAST(sum(v100) AS DOUBLE) * 1000.0 / count(*)) AS BIGINT)"
+        ).alias("xm")
+    )
+    mu = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("CAST(round(CAST(sum(xm) AS DOUBLE) / count(*)) AS BIGINT)").alias(
+            "mu"
+        ),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_prev_min = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.join(mu, "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        F.sum(F.col("xm") - F.col("mu")).over(w_cum).cast("long").alias("cum"),
+    )
+    s = c.select(
+        "event_type",
+        "day",
+        "n_days",
+        (
+            F.col("cum")
+            - F.least(F.lit(0).cast("long"), F.min("cum").over(w_prev_min))
+        ).alias("stat"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(F.col("stat").desc(), "day")
+    return (
+        s.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("day").alias("cp_day"),
+            F.col("stat").alias("s_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q220 — symbolic (equi-depth) discretization + motif counts (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q220_symbolic_motifs",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // {86_400_000_000} AS day,
+             CAST(round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                        * 1000.0 / count(*)) AS BIGINT) AS xm
+      FROM events GROUP BY event_type, day
+    ), sym AS (
+      SELECT event_type, day,
+             ntile(3) OVER (PARTITION BY event_type ORDER BY xm, day) AS s
+      FROM d
+    ), seq AS (
+      SELECT event_type,
+             s AS s1,
+             lead(s, 1) OVER (PARTITION BY event_type ORDER BY day) AS s2,
+             lead(s, 2) OVER (PARTITION BY event_type ORDER BY day) AS s3
+      FROM sym
+    )
+    SELECT event_type,
+           CAST(s1 AS VARCHAR) || CAST(s2 AS VARCHAR) || CAST(s3 AS VARCHAR)
+             AS motif,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM seq WHERE s3 IS NOT NULL
+    GROUP BY event_type, motif
+    ORDER BY event_type, motif
+    """,
+)
+def q220_symbolic_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-style symbolic motif counting on each event type's daily
+    mean series: discretize values into 3 equi-depth symbols (rank
+    terciles — the distribution-free stand-in for SAX's Gaussian
+    breakpoints, keeping this module's no-libm contract), slide a
+    3-day word over the day-ordered symbol sequence, count each
+    motif's occurrences. The motif histogram is the cheap sequence
+    signature behind time-series anomaly screens: a flat series piles
+    onto '222', a sawtooth onto '131'/'313', and a motif that appears
+    this week but never before is q189's drift signal at the SEQUENCE
+    level rather than the value level.
+
+    Two calendar-bounded windows per type (value-rank ntile with the
+    day tie-break making the tercile assignment total-order
+    deterministic; day-ordered lead for the sliding word) and one hash
+    aggregate over ≤ 27·|types| motif groups. Integer/string-exact —
+    no floating point beyond q192's frozen daily means."""
+    e = _events(spark, sf_dir)
+    d = e.groupBy("event_type", F.expr(f"us div {_US_DAY}").alias("day")).agg(
+        F.expr(
+            "CAST(round(CAST(sum(v100) AS DOUBLE) * 1000.0 / count(*)) AS BIGINT)"
+        ).alias("xm")
+    )
+    w_val = Window.partitionBy("event_type").orderBy("xm", "day")
+    w_day = Window.partitionBy("event_type").orderBy("day")
+    sym = d.select("event_type", "day", F.ntile(3).over(w_val).alias("s"))
+    seq = sym.select(
+        "event_type",
+        F.col("s").alias("s1"),
+        F.lead("s", 1).over(w_day).alias("s2"),
+        F.lead("s", 2).over(w_day).alias("s3"),
+    )
+    return (
+        seq.filter(F.col("s3").isNotNull())
+        .select(
+            "event_type",
+            F.concat(
+                F.col("s1").cast("string"),
+                F.col("s2").cast("string"),
+                F.col("s3").cast("string"),
+            ).alias("motif"),
+        )
+        .groupBy("event_type", "motif")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("event_type", "motif")
+    )

@@ -243,6 +243,10 @@ PROBES = [
     "q216_kneser_ney_nll",
     "q217_mutual_knn_pairs",
     "q218_lsh_recall_eval",
+    # q219/q220: two (resp. three) calendar-bounded windows per type
+    # over the q192 daily frame — growth is the daily aggregate scan
+    "q219_cusum_changepoint",
+    "q220_symbolic_motifs",
 ]
 
 
