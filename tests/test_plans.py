@@ -581,6 +581,8 @@ def test_round9_wave_plan_shapes(spark):
         # cross-score is the declared demonstrative baseline
         "q216_kneser_ney_nll",
         "q218_lsh_recall_eval",
+        "q219_cusum_changepoint",
+        "q220_symbolic_motifs",
     ):
         p = plan_of(spark, name)
         assert "CartesianProduct" not in p, name
