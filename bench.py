@@ -380,7 +380,8 @@ def emit_results(timings, sf, streaming, streaming_jvm, streaming_floor) -> None
         "streaming_cdc_floor_ops_per_sec": streaming_floor.get("ops_per_sec"),
     }
     line = json.dumps(summary)
-    assert len(line) < 1500, f"final bench line must stay tail-parsable ({len(line)}B)"
+    if len(line) >= 1500:  # not assert: must survive python -O
+        raise RuntimeError(f"final bench line must stay tail-parsable ({len(line)}B)")
     print(line)
 
 

@@ -1487,10 +1487,12 @@ _EVAL_TAU_NUM, _EVAL_TAU_DEN = 5, 4
                 ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b) AS n_hit
     )
     SELECT n_exact, n_cand, n_hit,
-           CAST(round(CAST(n_hit * 1000000 AS DOUBLE) / n_exact) AS BIGINT)
-             AS recall_micro,
-           CAST(round(CAST(n_hit * 1000000 AS DOUBLE) / n_cand) AS BIGINT)
-             AS precision_micro
+           CASE WHEN n_exact = 0 THEN NULL ELSE
+             CAST(round(CAST(n_hit * 1000000 AS DOUBLE) / n_exact) AS BIGINT)
+           END AS recall_micro,
+           CASE WHEN n_cand = 0 THEN NULL ELSE
+             CAST(round(CAST(n_hit * 1000000 AS DOUBLE) / n_cand) AS BIGINT)
+           END AS precision_micro
     FROM m
     """,
 )
@@ -1567,10 +1569,12 @@ def q218_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cand",
             "n_hit",
             F.expr(
-                "CAST(round(CAST(n_hit * 1000000 AS DOUBLE) / n_exact) AS BIGINT)"
+                "CASE WHEN n_exact = 0 THEN NULL ELSE"
+                " CAST(round(CAST(n_hit * 1000000 AS DOUBLE) / n_exact) AS BIGINT) END"
             ).alias("recall_micro"),
             F.expr(
-                "CAST(round(CAST(n_hit * 1000000 AS DOUBLE) / n_cand) AS BIGINT)"
+                "CASE WHEN n_cand = 0 THEN NULL ELSE"
+                " CAST(round(CAST(n_hit * 1000000 AS DOUBLE) / n_cand) AS BIGINT) END"
             ).alias("precision_micro"),
         )
     )

@@ -49,10 +49,14 @@ def find_prior_bench() -> dict | None:
     capture (the historical format this gate was first written against)
     still parses via the whole-file load.
     """
-    candidates = [os.path.join(REPO_DIR, "BENCH_PREFLIGHT.json")] + sorted(
-        glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json")), reverse=True
+    candidates = [os.path.join(REPO_DIR, "BENCH_PREFLIGHT.json")] + glob.glob(
+        os.path.join(REPO_DIR, "BENCH_r*.json")
     )
-    for path in candidates:
+    # Newest mtime wins among queries-bearing files — a hardcoded
+    # BENCH_PREFLIGHT-first preference would let a stale preflight run
+    # shadow a newer driver record if the driver format ever carries a
+    # queries map again.
+    for path in sorted(candidates, key=lambda p: os.path.getmtime(p) if os.path.exists(p) else 0.0, reverse=True):
         try:
             with open(path) as fh:
                 d = json.load(fh)
