@@ -13,6 +13,7 @@ from flink_mingo_tail_spark.operators.similarity import (
     _nearest_cells,
     hyperplane_tables,
     knn_bruteforce,
+    lsh_bucket,
     knn_ivf,
     knn_lsh,
     knn_pq_adc,
@@ -747,6 +748,150 @@ def q217_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = a.crossJoin(b).select(
         "ai", "bi", rounded_cosine(F.col("av"), F.col("bv")).alias("cos_sim")
+    )
+    wa = Window.partitionBy("ai").orderBy(F.col("cos_sim").desc(), "bi")
+    wb = Window.partitionBy("bi").orderBy(F.col("cos_sim").desc(), "ai")
+    best_a = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    best_b = (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best_a.join(best_b, ["ai", "bi", "cos_sim"])
+        .select(F.col("ai").alias("vec_a"), F.col("bi").alias("vec_b"), "cos_sim")
+        .orderBy("vec_a")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q217b — mutual best match on LSH-blocked candidates (round 10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q217b_mutual_knn_blocked",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    a AS (SELECT vec_id AS ai, v AS av FROM e WHERE vec_id % 2 = 0),
+    b AS (SELECT vec_id AS bi, v AS bv FROM e WHERE vec_id % 2 = 1),
+    planes(tbl, bit, pl) AS (VALUES
+    {_lsh_plane_values()}),
+    ab AS (
+        SELECT a.ai, p.tbl,
+               CAST(sum(CASE WHEN list_dot_product(a.av, p.pl) > 0
+                             THEN CAST(1 AS BIGINT) << p.bit ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM a CROSS JOIN planes p
+        GROUP BY a.ai, p.tbl
+    ),
+    bb AS (
+        SELECT b.bi, p.tbl,
+               CAST(sum(CASE WHEN list_dot_product(b.bv, p.pl) > 0
+                             THEN CAST(1 AS BIGINT) << p.bit ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM b CROSS JOIN planes p
+        GROUP BY b.bi, p.tbl
+    ),
+    probes AS (
+        SELECT ai, tbl, bucket FROM ab
+        UNION ALL
+        SELECT ai, tbl, xor(bucket, CAST(1 AS BIGINT) << j) AS bucket
+        FROM ab CROSS JOIN unnest(range(0, {_LSH_N_BITS})) AS t(j)
+    ),
+    cand AS (
+        SELECT DISTINCT p.ai, c.bi
+        FROM probes p JOIN bb c ON c.tbl = p.tbl AND c.bucket = p.bucket
+    ),
+    scored AS (
+        SELECT cand.ai, cand.bi, round({_RBM_COS}, 6) AS cos_sim
+        FROM cand JOIN a ON a.ai = cand.ai
+                  JOIN b ON b.bi = cand.bi
+    ), best_a AS (
+      SELECT ai, bi, cos_sim,
+             row_number() OVER (PARTITION BY ai
+                                ORDER BY cos_sim DESC, bi) AS rn
+      FROM scored QUALIFY rn = 1
+    ), best_b AS (
+      SELECT ai, bi, cos_sim,
+             row_number() OVER (PARTITION BY bi
+                                ORDER BY cos_sim DESC, ai) AS rn
+      FROM scored QUALIFY rn = 1
+    )
+    SELECT best_a.ai AS vec_a, best_a.bi AS vec_b, best_a.cos_sim
+    FROM best_a JOIN best_b
+      ON best_b.ai = best_a.ai AND best_b.bi = best_a.bi
+    ORDER BY vec_a
+    """,
+)
+def q217b_mutual_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q217's reciprocal-best-match election on LSH-BLOCKED candidates —
+    the production form of the bitext/alignment primitive. q217 scores
+    every (a, b) pair dense (O(N²/4), probe-only at 1× by policy); here
+    the pair space is generated by q78's sign-LSH machinery (the SAME
+    seeded 8-table × 6-bit hyperplanes, Hamming-1 multi-probe on the A
+    side only, so the B side stores exactly L integer keys per row),
+    candidates are the bucket equi-join, and the mutual top-1 election
+    (two row_number windows + equi-join on the argmax frames, ties by
+    partner id, 6-digit cosine grid) is kept VERBATIM from q217 — the
+    windows only ever see each side's candidates, so the election layer
+    is unchanged by the blocking.
+
+    Scale shape: each half is hashed once (narrow map, L int keys per
+    A row + L·(bits+1) probe keys per B probe row); the candidate join
+    shuffles on the small (tbl, bucket) int pair; per-bucket output is
+    occupancy-bounded (the q78/q212 banding contract); everything after
+    rides the candidate set, which is corpus-linear for non-adversarial
+    bucket occupancy — vs q217's quadratic dense cross-score. Mutual
+    pairs found here are a subset of q217's (a candidate pair must
+    collide in ≥1 band); the realized recall vs the exact election is
+    pinned in tests/test_similarity.py (the q218 measure-don't-guess
+    pattern)."""
+    e = _emb(spark, sf_dir)
+    a = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("ai"), F.col("embedding").alias("av")
+    )
+    b = e.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("bi"), F.col("embedding").alias("bv")
+    )
+
+    a_structs = []
+    for t, planes in enumerate(_LSH_TABLES):
+        b0 = lsh_bucket(F.col("av"), planes)
+        a_structs.append(F.struct(F.lit(t).alias("tbl"), b0.alias("bucket")))
+        a_structs.extend(
+            F.struct(
+                F.lit(t).alias("tbl"), b0.bitwiseXOR(F.lit(1 << j)).alias("bucket")
+            )
+            for j in range(_LSH_N_BITS)
+        )
+    a_b = a.select("ai", F.explode(F.array(*a_structs)).alias("tb")).select(
+        "ai", "tb.tbl", "tb.bucket"
+    )
+    b_b = b.select(
+        "bi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket(F.col("bv"), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(_LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("bi", "tb.tbl", "tb.bucket")
+
+    cand = a_b.join(b_b, ["tbl", "bucket"]).select("ai", "bi").distinct()
+    scored = (
+        cand.join(a, "ai")
+        .join(b, "bi")
+        .select("ai", "bi", rounded_cosine(F.col("av"), F.col("bv")).alias("cos_sim"))
     )
     wa = Window.partitionBy("ai").orderBy(F.col("cos_sim").desc(), "bi")
     wb = Window.partitionBy("bi").orderBy(F.col("cos_sim").desc(), "ai")

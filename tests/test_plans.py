@@ -578,8 +578,11 @@ def test_round9_wave_plan_shapes(spark):
         "q212_simhash_hamming_pairs",
         "q213_winnowing_fingerprints",
         # q216/q218 join only on keys; q217 is EXCLUDED — its dense
-        # cross-score is the declared demonstrative baseline
+        # cross-score is the declared demonstrative baseline whose
+        # production form is q217b (LSH-blocked candidates, pinned
+        # cartesian-free below)
         "q216_kneser_ney_nll",
+        "q217b_mutual_knn_blocked",
         "q218_lsh_recall_eval",
         "q219_cusum_changepoint",
         "q220_symbolic_motifs",
