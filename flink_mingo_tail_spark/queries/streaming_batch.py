@@ -464,3 +464,68 @@ def q189_drift_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# q221 — novelty-vs-standing-index scoring (streaming/novelty_ingest's
+# batch-checkable twin, round 10)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_SQL_SHINGLE = (
+    "('0x' || substr(md5(array_to_string(ts[i:i+4], ' ')), 1, 15))::BIGINT"
+)
+
+
+@query(
+    "q221_novelty_vs_index",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, {_NOVELTY_SQL_SHINGLE} AS h
+      FROM toks, unnest(range(1, len(ts) - 5 + 2)) AS t(i)
+      WHERE len(ts) >= 5
+    ),
+    inc AS (SELECT doc_id, h FROM sh WHERE doc_id % 10 = 7),
+    idx AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 <> 7)
+    SELECT inc.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN idx.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(round(CAST(sum(CASE WHEN idx.h IS NULL THEN 1 ELSE 0 END)
+                           * 1000000 AS DOUBLE) / count(*)) AS BIGINT)
+             AS novel_micro
+    FROM inc LEFT JOIN idx ON idx.h = inc.h
+    GROUP BY inc.doc_id
+    ORDER BY inc.doc_id
+    """,
+)
+def q221_novelty_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty of an incoming batch against a STANDING shingle index —
+    the batch-checkable twin of streaming/novelty_ingest.py, scored by
+    the streaming operator's OWN ``score_batch_novelty`` (not a re-
+    implementation), so the driver's oracle hash covers the exact code
+    the foreachBatch body runs. The incoming slice is the q117
+    convention (doc_id % 10 == 7 stands in for today's crawl); the
+    index is the distinct 5-token-shingle hash set of everything else
+    (what build_novelty_index persists).
+
+    Shape: index side is one corpus-linear distinct-shingle pass (the
+    persisted standing index at scale — built once, not per batch);
+    scoring is an O(batch) left-anti probe of the incoming slice's
+    shingles against it plus two map-combinable counts. Differs from
+    q209 (global first-occurrence novelty) in the membership frame:
+    here novelty is 'absent from the index', the arrival-order
+    semantics the streaming ingest maintains batch-by-batch."""
+    from flink_mingo_tail_spark.streaming.novelty_ingest import (
+        DEFAULT_SHINGLE_K,
+        doc_shingle_hashes,
+        score_batch_novelty,
+    )
+
+    prepare_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    inc = d.filter(F.col("doc_id") % 10 == 7)
+    idx = d.filter(F.col("doc_id") % 10 != 7)
+    index_shingles = doc_shingle_hashes(idx, DEFAULT_SHINGLE_K).select("h").distinct()
+    return score_batch_novelty(inc, index_shingles, DEFAULT_SHINGLE_K).orderBy("doc_id")

@@ -155,3 +155,24 @@ def test_streaming_end_to_end_available_now(spark, tmp_path):
     batches = spark.read.parquet(f"{out}/novelty_batch=*")
     assert batches.count() > 0
     assert "novel_micro" in batches.columns
+
+
+def test_q221_driver_row_matches_streaming_ingest(spark, tmp_path):
+    """q221 (the driver-checked batch twin) must reproduce byte-for-byte
+    what the STREAMING ingest writes when the standing index is seeded
+    from the same doc_id % 10 != 7 corpus and today's slice arrives as
+    one batch — the q114/q115 'same operator, batch-checkable' contract
+    for novelty_ingest."""
+    from flink_mingo_tail_spark.queries import load_registry
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    d = _docs(spark)
+    build_novelty_index(d.filter(F.col("doc_id") % 10 != 7), idx, k=5, mode="overwrite")
+    fn = make_novelty_batch_fn(idx, out)
+    fn(d.filter(F.col("doc_id") % 10 == 7), 0)
+    streamed = spark.read.parquet(f"{out}/novelty_batch=0")
+    batch = load_registry()["q221_novelty_vs_index"].fn(spark, SF_SMOKE)
+    cols = ["doc_id", "n_shingles", "n_novel", "novel_micro"]
+    got = sorted(tuple(r) for r in streamed.select(*cols).collect())
+    want = sorted(tuple(r) for r in batch.select(*cols).collect())
+    assert got == want and len(got) > 0
