@@ -487,3 +487,55 @@ def test_mutual_knn_blocked_recall_vs_exact(spark):
     assert recall >= 0.8, f"blocked mutual-match recall collapsed: {recall:.2f}"
     for pair in hits:  # same pair => same rounded cosine
         assert e[pair] == b[pair], pair
+
+
+def test_auto_sized_semdedup_pair_space_stays_linear(spark):
+    """The k∝n auto-sizing rule run END-TO-END through the real
+    SemDeDup front half (train with k_cells=None/sample_fraction=None,
+    assign every row): the within-cell candidate-pair space Σ|cell|²
+    must grow ~linearly with the corpus and max-cell occupancy must
+    hold near target_cell_size — the property that keeps q171 off the
+    quadratic cliff at 100 TB. Measured at sf0.1 ×10: pair ratio 10.04,
+    max cell 1019→1140 (SCALE.md round-10); conservative pins here."""
+    from pyspark.sql import functions as F
+
+    from flink_mingo_tail_spark.operators.similarity import (
+        assign_cells_join,
+        train_ivf_centroids,
+    )
+    from flink_mingo_tail_spark.session import prepare_session
+    from flink_mingo_tail_spark.tables import load_table, spread
+
+    prepare_session(spark)
+    target = 64
+    base = (
+        spread(load_table(spark, SF_ORACLE, "embeddings"))
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .select("vec_id", "embedding")
+    )
+    stats = {}
+    for mult in (1, 10):
+        corpus = base
+        for i in range(1, mult):
+            corpus = corpus.union(
+                base.select((F.col("vec_id") + i * 10**7).alias("vec_id"), "embedding")
+            )
+        cents = train_ivf_centroids(
+            corpus, k_cells=None, sample_fraction=None, target_cell_size=target
+        )
+        occ = (
+            assign_cells_join(corpus, cents, out="cell")
+            .groupBy("cell")
+            .count()
+            .agg(
+                F.max("count").alias("mx"),
+                F.sum(F.col("count") * F.col("count")).alias("sumsq"),
+            )
+            .first()
+        )
+        stats[mult] = (len(cents), int(occ["mx"]), int(occ["sumsq"]))
+    k1, _, sq1 = stats[1]
+    k10, mx10, sq10 = stats[10]
+    assert k10 >= 9 * k1, stats  # k grew with n (the rule's whole point)
+    assert sq10 / sq1 <= 30, stats  # ~linear pair space (quadratic would be 100x)
+    assert mx10 <= 5 * target, stats  # occupancy held near target, not 10x
