@@ -79,81 +79,75 @@ _MODULES = (
 # The driver's CORRECTNESS pass checks a bounded prefix of the declared
 # registry (every round so far recorded exactly the first 50 entries).
 #
-# ROTATION, round 9 — steady-state policy, 50 slots:
-#   (a) 17 queries with NO driver row yet: the round-9 wave (q204
-#       zone-map skip stats, q205 bigram perplexity, q206 Dirichlet
-#       query likelihood, q207 Benford deviation, q208 Theil-Sen /
-#       Mann-Kendall trend, q209 shingle novelty share, q210 TextRank
-#       keywords, q211 Naive-Bayes confusion matrix, q212 SimHash
-#       Hamming near-pairs, q213 winnowing fingerprints, q214 PMI
-#       collocations, q215 term burstiness, q216 Kneser-Ney NLL, q217
-#       reciprocal best match, q218 LSH recall/precision eval, q219
-#       CUSUM changepoint, q220 symbolic motifs);
-#   (b) 4 queries whose CODE or ORACLE changed this round: q192, q201,
-#       q202 (decimal-literal DOUBLE casts; q202 also gained the
-#       sum(m) > 0 replicate guard) and q203 (bigrams rebuilt from the
-#       shared tokens() projection);
-#   (c) 29 refresh slots: the round-4 cohort's remaining 14 names
-#       (q136-q150 — after this round no green row predates round 5),
-#       then the oldest-green round-5 cohort (50 names) in ascending
-#       query order — the first 15 here, the remaining 35 lead round
-#       10's refresh (q44 onward).
+# ROTATION, round 10 — steady-state policy, 50 slots:
+#   (a) 2 queries with NO driver row yet: q217b (mutual best match on
+#       LSH-blocked candidates — the round-9 verdict's #1 item,
+#       removing the registry's one quadratic-in-corpus plan) and q221
+#       (novelty-vs-standing-index scoring, the driver-checked twin of
+#       streaming/novelty_ingest — verdict item #3);
+#   (b) 1 query whose CODE and ORACLE changed this round: q218 (zero
+#       guards on recall/precision divisions, ADVICE round-10);
+#   (c1) the round-5 cohort's remaining 35 names in ascending query
+#       order (q44 onward, as scheduled by the round-9 rotation note) —
+#       after this round no green row predates round 6;
+#   (c2) 12 remaining slots: the oldest round-6 greens in ascending
+#       query order (q01...q63; the other 32 round-6 names lead round
+#       11's refresh, q64 onward).
 _NEEDS_DRIVER_ROW = (
-    # (a) round-9 wave, no driver row yet — 17 names
-    "q204_zonemap_skip_stats",
-    "q205_bigram_perplexity",
-    "q206_query_likelihood_dirichlet",
-    "q207_benford_deviation",
-    "q208_theil_sen_trend",
-    "q209_doc_novelty",
-    "q210_textrank_keywords",
-    "q211_naive_bayes_confusion",
-    "q212_simhash_hamming_pairs",
-    "q213_winnowing_fingerprints",
-    "q214_pmi_collocations",
-    "q215_term_burstiness",
-    "q216_kneser_ney_nll",
-    "q217_mutual_knn_pairs",
+    # (a) round-10 wave, no driver row yet — 2 names
+    "q217b_mutual_knn_blocked",
+    "q221_novelty_vs_index",
+    # (b) code/oracle changed in round 10 — 1 name
     "q218_lsh_recall_eval",
-    "q219_cusum_changepoint",
-    "q220_symbolic_motifs",
-    # (b) code/oracle changed in round 9 — 4 names
-    "q192_acf_daily_mean",
-    "q201_weighted_sample_aes",
-    "q202_poisson_bootstrap_ci",
-    "q203_conditional_entropy",
-    # (c1) round-4 cohort drain — 14 names
-    "q136_unpivot_nation_metrics",
-    "q137_running_distinct_users",
-    "q138_week_over_week",
-    "q139_copurchase_triangles",
-    "q140_levenshtein_pairs",
-    "q141_interval_join_left_outer",
-    "q142_lateral_topk_per_region",
-    "q143_nullsafe_join",
-    "q144_try_arithmetic",
-    "q146_theta_set_algebra",
-    "q147_kll_quantile_rollup",
-    "q148_distribution_windows",
-    "q149_locf_forward_fill",
-    "q150_arrow_udf_scalar",
-    # (c2) oldest-green refresh (round-5 cohort, first 15 of 50 in
-    #      ascending order; q44...q145 follow in round 10)
-    "q25_collect_list_set",
-    "q26b_approx_percentile",
-    "q27_exact_percentile",
-    "q27b_percentile_rank_select",
-    "q28_having_scalar_subquery",
-    "q29_pivot",
-    "q30_rank_topn_per_group",
-    "q31_rank_dense_ntile",
-    "q33_running_sum",
-    "q35_range_frame",
-    "q36_first_last_value",
-    "q40_union_all",
-    "q41_union_distinct",
-    "q42_intersect",
-    "q43_except",
+    # (c1) round-5 cohort drain — 35 names, ascending
+    "q44_intersect_all",
+    "q45_except_all",
+    "q50_string_funcs",
+    "q51_regex_split",
+    "q52_date_funcs",
+    "q53_math_funcs",
+    "q54_array_funcs",
+    "q55_explode_posexplode",
+    "q58_conditional_null",
+    "q59_hash_funcs",
+    "q62_cdc_quorum_dedup",
+    "q67_normalize_text",
+    "q68_embedding_quantize",
+    "q69_stratified_sample",
+    "q71_content_hash_dedup",
+    "q72_minhash_signature",
+    "q73_minhash_lsh_dedup",
+    "q73b_dedup_components",
+    "q74_simhash",
+    "q75_ngram_jaccard",
+    "q75b_decontaminate",
+    "q76_knn_bruteforce",
+    "q76b_knn_gemm",
+    "q77_embedding_near_dup",
+    "q80_token_stats",
+    "q81_lang_id",
+    "q82_quality_score",
+    "q82b_repetition_score",
+    "q83_doc_fingerprint",
+    "q84_levenshtein_datediff",
+    "q85_months_between",
+    "q87_subquery_in_exists",
+    "q125_equidepth_histogram",
+    "q139b_triangles_colorful",
+    "q145_arrow_native_features",
+    # (c2) oldest round-6 greens — 12 names, ascending
+    "q01_pricing_summary",
+    "q11_broadcast_dim_join",
+    "q18_multiway_join",
+    "q19_salted_skew_agg",
+    "q20_groupby_battery",
+    "q26_approx_count_distinct",
+    "q32_lag_lead",
+    "q34_moving_avg_rows_frame",
+    "q37_asof_join",
+    "q56_json_funcs",
+    "q57_map_funcs",
+    "q60_cdc_filter_pushdown",
 )
 
 
