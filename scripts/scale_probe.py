@@ -247,6 +247,16 @@ PROBES = [
     # over the q192 daily frame — growth is the daily aggregate scan
     "q219_cusum_changepoint",
     "q220_symbolic_motifs",
+    # round 10 — q217b: LSH-blocked mutual best match. The copy corpus
+    # duplicates every vector 10x, so every bucket's population (BOTH
+    # sides) scales 10x and the bucket-join candidate count ~100x BY
+    # CONSTRUCTION (q170's cell caveat, q140's fixture artifact); the
+    # production control is real corpora not being 10 exact copies —
+    # the watch item is that cost tracks the candidate count, nothing
+    # hidden. q221: index side is a corpus-linear distinct + the
+    # O(batch) anti-join; copies only densify the index.
+    "q217b_mutual_knn_blocked",
+    "q221_novelty_vs_index",
 ]
 
 
