@@ -155,6 +155,13 @@ HEADLINE = [
     # probe-only — flat at 10x, nothing for the bench to gate.
     "q205_bigram_perplexity",
     "q209_doc_novelty",
+    # round 10 — q221: novelty-vs-standing-index (the streaming ingest's
+    # scoring path as a batch citizen; 1x/10x = 1.92/2.47 s, SCALE.md).
+    # q217b is probe-only like the q217 baseline it blocks: the uniform-
+    # random fixture defeats LSH blocking by construction (SCALE.md
+    # round-10 note), so its bench number would measure the fixture,
+    # not the operator.
+    "q221_novelty_vs_index",
 ]
 
 
