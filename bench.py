@@ -162,6 +162,9 @@ HEADLINE = [
     # round-10 note), so its bench number would measure the fixture,
     # not the operator.
     "q221_novelty_vs_index",
+    # q222: hard-negative mining — broadcast-anchor one-scan contract;
+    # 1x/10x = 0.85/1.03 s (SCALE.md)
+    "q222_hard_negative_mining",
 ]
 
 

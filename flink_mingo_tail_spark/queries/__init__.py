@@ -90,13 +90,15 @@ _MODULES = (
 #   (c1) the round-5 cohort's remaining 35 names in ascending query
 #       order (q44 onward, as scheduled by the round-9 rotation note) —
 #       after this round no green row predates round 6;
-#   (c2) 12 remaining slots: the oldest round-6 greens in ascending
-#       query order (q01...q63; the other 32 round-6 names lead round
-#       11's refresh, q64 onward).
+#   (c2) 11 remaining slots: the oldest round-6 greens in ascending
+#       query order (q01...q57; q60 onward — 33 round-6 names — lead
+#       round 11's refresh). q222 displaced q60_cdc_filter_pushdown
+#       (new queries displace stale-row refreshes).
 _NEEDS_DRIVER_ROW = (
-    # (a) round-10 wave, no driver row yet — 2 names
+    # (a) round-10 wave, no driver row yet — 3 names
     "q217b_mutual_knn_blocked",
     "q221_novelty_vs_index",
+    "q222_hard_negative_mining",
     # (b) code/oracle changed in round 10 — 1 name
     "q218_lsh_recall_eval",
     # (c1) round-5 cohort drain — 35 names, ascending
@@ -147,7 +149,6 @@ _NEEDS_DRIVER_ROW = (
     "q37_asof_join",
     "q56_json_funcs",
     "q57_map_funcs",
-    "q60_cdc_filter_pushdown",
 )
 
 

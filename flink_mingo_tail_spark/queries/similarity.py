@@ -910,3 +910,73 @@ def q217b_mutual_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("ai").alias("vec_a"), F.col("bi").alias("vec_b"), "cos_sim")
         .orderBy("vec_a")
     )
+
+
+# ---------------------------------------------------------------------------
+# q222 — hard-negative mining for contrastive training (round 10)
+# ---------------------------------------------------------------------------
+
+_HN_K = 5  # negatives per anchor
+_HN_ANCHORS = 20  # vec_id < 20 are the anchor vectors
+
+
+@query(
+    "q222_hard_negative_mining",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS qv
+          FROM e WHERE vec_id < {_HN_ANCHORS}),
+    scored AS (
+        SELECT q.anchor_id, c.vec_id, c.label,
+               round({SQL_COSINE.format(a="q.qv", b="c.v")}, 6) AS cos_sim
+        FROM e c CROSS JOIN q
+        WHERE c.label <> q.anchor_label
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT anchor_id, vec_id, label, cos_sim, rank FROM ranked
+    WHERE rank <= {_HN_K}
+    ORDER BY anchor_id, rank
+    """,
+)
+def q222_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding-model training
+    (DPR/Contriever-style): for each anchor vector, the top-k most
+    similar vectors whose LABEL DIFFERS — the near-misses a contrastive
+    loss learns most from (random negatives are trivially separable;
+    same-label neighbors are positives, not negatives). This is the
+    label-aware sibling of plain kNN (q76): the exclusion predicate is
+    on the class, not the id, which changes what the top-k window sees
+    per anchor.
+
+    Plan shape is q76's scale contract: broadcast the BOUNDED anchor
+    set, one corpus scan with the label-inequality filter fused into
+    the scan-side join condition (negatives are filtered before any
+    cosine is computed), per-anchor top-k via window — no corpus-side
+    shuffle of vectors, cost O(corpus × anchors). At production scale
+    the corpus side swaps to q78's LSH buckets / q79's IVF cells
+    exactly as q217b composes them; the label filter and the top-k
+    election are unchanged by the blocking."""
+    e = _emb(spark, sf_dir)
+    anchors = e.filter(F.col("vec_id") < _HN_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        e.join(F.broadcast(anchors), F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "vec_id",
+            "label",
+            rounded_cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_K)
+        .orderBy("anchor_id", "rank")
+    )

@@ -257,6 +257,9 @@ PROBES = [
     # O(batch) anti-join; copies only densify the index.
     "q217b_mutual_knn_blocked",
     "q221_novelty_vs_index",
+    # q222: broadcast-anchor scan (q76's shape) with the label filter
+    # fused into the join — growth is the one corpus scan
+    "q222_hard_negative_mining",
 ]
 
 

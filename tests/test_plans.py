@@ -598,3 +598,13 @@ def test_simhash_pairs_join_is_equi_on_band_bits(spark):
     p = plan_of(spark, "q212_simhash_hamming_pairs")
     assert "BroadcastNestedLoopJoin" not in p
     assert "band" in p and "bits" in p
+
+
+def test_hard_negative_mining_broadcasts_anchors(spark):
+    """q222: the bounded anchor set must BROADCAST against the corpus
+    scan (q76's contract — no corpus-side shuffle of vectors), and the
+    plan must never degrade to a true cartesian product."""
+    p = plan_of(spark, "q222_hard_negative_mining")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
