@@ -165,6 +165,9 @@ HEADLINE = [
     # q222: hard-negative mining — broadcast-anchor one-scan contract;
     # 1x/10x = 0.85/1.03 s (SCALE.md)
     "q222_hard_negative_mining",
+    # q223: kNN label eval — broadcast probes, probe-bounded election;
+    # 1x/10x = 1.30/2.15 s (SCALE.md)
+    "q223_knn_label_eval",
 ]
 
 

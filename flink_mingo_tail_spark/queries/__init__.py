@@ -80,25 +80,27 @@ _MODULES = (
 # registry (every round so far recorded exactly the first 50 entries).
 #
 # ROTATION, round 10 — steady-state policy, 50 slots:
-#   (a) 2 queries with NO driver row yet: q217b (mutual best match on
+#   (a) 4 queries with NO driver row yet: q217b (mutual best match on
 #       LSH-blocked candidates — the round-9 verdict's #1 item,
-#       removing the registry's one quadratic-in-corpus plan) and q221
+#       removing the registry's one quadratic-in-corpus plan), q221
 #       (novelty-vs-standing-index scoring, the driver-checked twin of
-#       streaming/novelty_ingest — verdict item #3);
+#       streaming/novelty_ingest — verdict item #3), q222 (hard-
+#       negative mining) and q223 (kNN label-prediction eval);
 #   (b) 1 query whose CODE and ORACLE changed this round: q218 (zero
 #       guards on recall/precision divisions, ADVICE round-10);
 #   (c1) the round-5 cohort's remaining 35 names in ascending query
 #       order (q44 onward, as scheduled by the round-9 rotation note) —
 #       after this round no green row predates round 6;
-#   (c2) 11 remaining slots: the oldest round-6 greens in ascending
-#       query order (q01...q57; q60 onward — 33 round-6 names — lead
-#       round 11's refresh). q222 displaced q60_cdc_filter_pushdown
-#       (new queries displace stale-row refreshes).
+#   (c2) 10 remaining slots: the oldest round-6 greens in ascending
+#       query order (q01...q56; q57 onward — 34 round-6 names — lead
+#       round 11's refresh). q222/q223 displaced q57_map_funcs and
+#       q60_cdc_filter_pushdown (new queries displace stale refreshes).
 _NEEDS_DRIVER_ROW = (
-    # (a) round-10 wave, no driver row yet — 3 names
+    # (a) round-10 wave, no driver row yet — 4 names
     "q217b_mutual_knn_blocked",
     "q221_novelty_vs_index",
     "q222_hard_negative_mining",
+    "q223_knn_label_eval",
     # (b) code/oracle changed in round 10 — 1 name
     "q218_lsh_recall_eval",
     # (c1) round-5 cohort drain — 35 names, ascending
@@ -137,7 +139,7 @@ _NEEDS_DRIVER_ROW = (
     "q125_equidepth_histogram",
     "q139b_triangles_colorful",
     "q145_arrow_native_features",
-    # (c2) oldest round-6 greens — 12 names, ascending
+    # (c2) oldest round-6 greens — 10 names, ascending
     "q01_pricing_summary",
     "q11_broadcast_dim_join",
     "q18_multiway_join",
@@ -148,7 +150,6 @@ _NEEDS_DRIVER_ROW = (
     "q34_moving_avg_rows_frame",
     "q37_asof_join",
     "q56_json_funcs",
-    "q57_map_funcs",
 )
 
 

@@ -980,3 +980,118 @@ def q222_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _HN_K)
         .orderBy("anchor_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q223 — kNN label-prediction eval (embedding-quality gate, round 10)
+# ---------------------------------------------------------------------------
+
+_KE_K = 5     # neighbors per probe
+_KE_PROBES = 100  # vec_id < 100 are the held-out probes
+
+
+@query(
+    "q223_knn_label_eval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS probe_id, label AS true_label, v AS qv
+          FROM e WHERE vec_id < {_KE_PROBES}),
+    scored AS (
+        SELECT q.probe_id, q.true_label, c.label,
+               round({SQL_COSINE.format(a="q.qv", b="c.v")}, 6) AS cos_sim,
+               c.vec_id
+        FROM e c CROSS JOIN q
+        WHERE c.vec_id <> q.probe_id
+    ), topk AS (
+        SELECT probe_id, true_label, label
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                           ORDER BY cos_sim DESC, vec_id) AS rn
+              FROM scored) WHERE rn <= {_KE_K}
+    ), votes AS (
+        SELECT probe_id, true_label, label, count(*) AS n_votes
+        FROM topk GROUP BY 1, 2, 3
+    ), pred AS (
+        SELECT probe_id, true_label, label AS pred_label
+        FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                           ORDER BY n_votes DESC, label) AS rn
+              FROM votes) WHERE rn = 1
+    )
+    SELECT true_label AS label,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct,
+           CAST(round(CAST(sum(CASE WHEN pred_label = true_label
+                                    THEN 1 ELSE 0 END) * 1000000 AS DOUBLE)
+                      / count(*)) AS BIGINT) AS acc_micro
+    FROM pred
+    GROUP BY true_label
+    ORDER BY label
+    """,
+)
+def q223_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-prediction accuracy per class — the standard linear-
+    probe-free EMBEDDING-QUALITY gate a pipeline runs before trusting a
+    new encoder checkpoint for SemDeDup/clustering/mining: each of the
+    bounded probe set's vectors is classified by majority label of its
+    k=5 nearest neighbors (self excluded — leave-one-out), and accuracy
+    is reported per true class so a collapsed class shows up instead of
+    averaging away. Completes the measurement-loop family: q218 evals
+    the BLOCKING, q223 evals the SPACE, q222 mines from it.
+
+    Scoring is q76's one-scan contract (broadcast bounded probes, no
+    corpus-side vector shuffle); the top-k window rides per-probe
+    partitions; the majority election is a vocab-bounded (probe ×
+    ≤k-labels) vote count + one rank window, ties to the smaller label
+    in both engines; cosines on the 6-digit grid. At production scale
+    the neighbor stage swaps to LSH/IVF candidates (the q217b
+    composition) with election and accuracy unchanged."""
+    e = _emb(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") < _KE_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = e.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        "true_label",
+        "label",
+        rounded_cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+        "vec_id",
+    )
+    wk = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    topk = (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _KE_K)
+        .select("probe_id", "true_label", "label")
+    )
+    votes = topk.groupBy("probe_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("probe_id").orderBy(F.col("n_votes").desc(), "label")
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", "true_label", F.col("label").alias("pred_label"))
+    )
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_probes",
+            "n_correct",
+            F.expr(
+                "CAST(round(CAST(n_correct * 1000000 AS DOUBLE) / n_probes) AS BIGINT)"
+            ).alias("acc_micro"),
+        )
+        .orderBy("label")
+    )

@@ -260,6 +260,9 @@ PROBES = [
     # q222: broadcast-anchor scan (q76's shape) with the label filter
     # fused into the join — growth is the one corpus scan
     "q222_hard_negative_mining",
+    # q223: same broadcast-probe scan; vote election rides probe-bounded
+    # frames
+    "q223_knn_label_eval",
 ]
 
 

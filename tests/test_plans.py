@@ -608,3 +608,13 @@ def test_hard_negative_mining_broadcasts_anchors(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_knn_label_eval_broadcasts_probes(spark):
+    """q223: the bounded probe set broadcasts against the one corpus
+    scan (q76's contract); the vote/election frames are probe-bounded,
+    never a corpus shuffle of vectors; no true cartesian."""
+    p = plan_of(spark, "q223_knn_label_eval")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
