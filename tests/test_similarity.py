@@ -539,3 +539,30 @@ def test_auto_sized_semdedup_pair_space_stays_linear(spark):
     assert k10 >= 9 * k1, stats  # k grew with n (the rule's whole point)
     assert sq10 / sq1 <= 30, stats  # ~linear pair space (quadratic would be 100x)
     assert mx10 <= 5 * target, stats  # occupancy held near target, not 10x
+
+
+def test_hard_negatives_never_share_anchor_label(spark):
+    """q222 semantic invariant: a returned negative's label must differ
+    from its anchor's label (the label filter is the operator's whole
+    contract), every anchor gets exactly k rows, and ranks are 1..k."""
+    from flink_mingo_tail_spark.queries.similarity import _HN_ANCHORS, _HN_K
+
+    e = REGISTRY["q222_hard_negative_mining"].fn(spark, SF_ORACLE)
+    anchors = {
+        r.vec_id: r.label
+        for r in (
+            REGISTRY["q76_knn_bruteforce"]
+            .fn(spark, SF_ORACLE)
+            .sparkSession.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+            .select("vec_id", "label")
+            .collect()
+        )
+    }
+    rows = e.collect()
+    per_anchor = {}
+    for r in rows:
+        assert r.label != anchors[r.anchor_id], r
+        per_anchor.setdefault(r.anchor_id, []).append(r.rank)
+    assert len(per_anchor) == _HN_ANCHORS
+    for ranks in per_anchor.values():
+        assert sorted(ranks) == list(range(1, _HN_K + 1))
