@@ -846,11 +846,15 @@ def q217b_mutual_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on the small (tbl, bucket) int pair; per-bucket output is
     occupancy-bounded (the q78/q212 banding contract); everything after
     rides the candidate set, which is corpus-linear for non-adversarial
-    bucket occupancy — vs q217's quadratic dense cross-score. Mutual
-    pairs found here are a subset of q217's (a candidate pair must
-    collide in ≥1 band); the realized recall vs the exact election is
-    pinned in tests/test_similarity.py (the q218 measure-don't-guess
-    pattern)."""
+    bucket occupancy — vs q217's quadratic dense cross-score. Candidate
+    PAIRS are a subset of the dense pair space (a candidate must collide
+    in ≥1 band) — but the ELECTED mutual pairs are NOT a subset of
+    q217's: an argmax over a reduced candidate set can elect a different
+    partner, so some blocked mutual pairs are spurious relative to the
+    exact election (~10% on this fixture). Both sides are measured, not
+    guessed: recall AND precision vs the exact election are gated in
+    tests/test_similarity.py and the measured rates recorded in
+    SCALE.md (the q218 pattern)."""
     e = _emb(spark, sf_dir)
     a = e.filter(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("ai"), F.col("embedding").alias("av")

@@ -471,8 +471,16 @@ def q189_drift_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # batch-checkable twin, round 10)
 # ---------------------------------------------------------------------------
 
+# Shingle width interpolated from the operator's own constant (ADVICE
+# round-11): a hard-coded 5 here would silently desynchronize the oracle
+# if DEFAULT_SHINGLE_K ever changed. DuckDB list slices are 1-based and
+# inclusive, so ts[i:i+k-1] is exactly k tokens.
+from flink_mingo_tail_spark.streaming.novelty_ingest import (  # noqa: E402
+    DEFAULT_SHINGLE_K as _NOV_SHINGLE_K,
+)
+
 _NOVELTY_SQL_SHINGLE = (
-    "('0x' || substr(md5(array_to_string(ts[i:i+4], ' ')), 1, 15))::BIGINT"
+    f"('0x' || substr(md5(array_to_string(ts[i:i+{_NOV_SHINGLE_K - 1}], ' ')), 1, 15))::BIGINT"
 )
 
 
@@ -483,8 +491,8 @@ _NOVELTY_SQL_SHINGLE = (
       SELECT doc_id, string_split(text, ' ') AS ts FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, {_NOVELTY_SQL_SHINGLE} AS h
-      FROM toks, unnest(range(1, len(ts) - 5 + 2)) AS t(i)
-      WHERE len(ts) >= 5
+      FROM toks, unnest(range(1, len(ts) - {_NOV_SHINGLE_K} + 2)) AS t(i)
+      WHERE len(ts) >= {_NOV_SHINGLE_K}
     ),
     inc AS (SELECT doc_id, h FROM sh WHERE doc_id % 10 = 7),
     idx AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 <> 7)

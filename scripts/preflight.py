@@ -31,6 +31,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -55,8 +56,19 @@ def find_prior_bench() -> dict | None:
     # Newest mtime wins among queries-bearing files — a hardcoded
     # BENCH_PREFLIGHT-first preference would let a stale preflight run
     # shadow a newer driver record if the driver format ever carries a
-    # queries map again.
-    for path in sorted(candidates, key=lambda p: os.path.getmtime(p) if os.path.exists(p) else 0.0, reverse=True):
+    # queries map again. Mtime TIES (fresh clone: git does not preserve
+    # mtimes, everything stamps at checkout) break by the round number
+    # parsed from BENCH_r<N>.json, numeric descending — lexicographic
+    # order would put r9 after r10 (ADVICE round-11).
+    def _round_no(p: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    def _key(p: str):
+        mt = os.path.getmtime(p) if os.path.exists(p) else 0.0
+        return (mt, _round_no(p))
+
+    for path in sorted(candidates, key=_key, reverse=True):
         try:
             with open(path) as fh:
                 d = json.load(fh)

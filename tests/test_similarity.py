@@ -485,6 +485,12 @@ def test_mutual_knn_blocked_recall_vs_exact(spark):
     hits = set(e) & set(b)
     recall = len(hits) / len(e)
     assert recall >= 0.8, f"blocked mutual-match recall collapsed: {recall:.2f}"
+    # Precision gate (ADVICE round-11): elected blocked pairs are NOT a
+    # subset of the exact election — argmax over a reduced candidate
+    # set can elect a different partner. Measured 0.90 at sf0.001
+    # (13 spurious of 133); conservative floor 0.7.
+    precision = len(hits) / len(b)
+    assert precision >= 0.7, f"blocked mutual-match precision collapsed: {precision:.2f}"
     for pair in hits:  # same pair => same rounded cosine
         assert e[pair] == b[pair], pair
 
@@ -551,9 +557,7 @@ def test_hard_negatives_never_share_anchor_label(spark):
     anchors = {
         r.vec_id: r.label
         for r in (
-            REGISTRY["q76_knn_bruteforce"]
-            .fn(spark, SF_ORACLE)
-            .sparkSession.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+            spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
             .select("vec_id", "label")
             .collect()
         )
