@@ -145,6 +145,56 @@ def hyperplane_tables(n_tables: int, n_bits: int, dim: int, seed: int = 42) -> l
     return [rng.standard_normal((n_bits, dim)) for _ in range(n_tables)]
 
 
+LSH_TARGET_OCCUPANCY = 8  # rows per bucket the auto rule aims at
+
+
+def auto_n_bits(
+    n_rows: int,
+    target_occupancy: int = LSH_TARGET_OCCUPANCY,
+    min_bits: int = 2,
+    max_bits: int = 30,
+) -> int:
+    """The SCALE.md n_bits ∝ log(n) occupancy rule, as code (the
+    round-10 verdict's knob, codified the way round 9 codified k∝n):
+    pick the smallest b with ``2**b * target_occupancy >= n_rows``,
+    i.e. ``b = ceil(log2(n / target_occupancy))`` — so expected bucket
+    occupancy stays at ``target_occupancy`` as the corpus grows and the
+    per-bucket candidate volume (occupancy² per bucket, n·occupancy
+    total) stays corpus-LINEAR instead of quadratic at fixed b. Pure
+    integer arithmetic off one existing count — no floating log, no
+    retune at 100× scale. Clamped to [min_bits, max_bits]: bucket ids
+    must fit a BIGINT shift and a 1-bit hash is never selective.
+
+    Measured on the sf0.1 fixture (SCALE.md round-10 n_bits table):
+    6→8→10 bits traded candidate share 0.90→0.56→0.24 at recall
+    1.0→0.95→0.86 vs the dense election — this rule picks along that
+    curve from the corpus count alone."""
+    if n_rows <= 0:
+        raise ValueError(f"n_rows must be positive, got {n_rows}")
+    if target_occupancy <= 0:
+        raise ValueError(f"target_occupancy must be positive, got {target_occupancy}")
+    b = max(0, (-(-n_rows // target_occupancy) - 1)).bit_length()
+    return min(max_bits, max(min_bits, b))
+
+
+def lsh_tables_for(
+    n_rows: int,
+    n_tables: int,
+    dim: int,
+    seed: int = 42,
+    n_bits: int | None = None,
+    target_occupancy: int = LSH_TARGET_OCCUPANCY,
+) -> list[np.ndarray]:
+    """``hyperplane_tables`` with the ``n_bits=None`` auto mode: derive
+    the bit width from the corpus count via :func:`auto_n_bits`. Same
+    seed + same resolved width => bit-identical planes to an explicit
+    call (property-pinned in tests/test_similarity.py), so oracle
+    queries registered at an explicit width and auto-sized production
+    callers share one construction path."""
+    bits = auto_n_bits(n_rows, target_occupancy) if n_bits is None else n_bits
+    return hyperplane_tables(n_tables=n_tables, n_bits=bits, dim=dim, seed=seed)
+
+
 def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
     """Integer LSH bucket: bit j = sign(vec · plane_j). Pure expressions —
     the plane components are literals folded into codegen."""

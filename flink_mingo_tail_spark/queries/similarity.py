@@ -11,9 +11,11 @@ from flink_mingo_tail_spark.operators.similarity import (
     IVF_MEAN_SCALE,
     SQL_COSINE,
     _nearest_cells,
+    auto_n_bits,
     hyperplane_tables,
     knn_bruteforce,
     lsh_bucket,
+    lsh_tables_for,
     knn_ivf,
     knn_lsh,
     knn_pq_adc,
@@ -855,6 +857,20 @@ def q217b_mutual_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     guessed: recall AND precision vs the exact election are gated in
     tests/test_similarity.py and the measured rates recorded in
     SCALE.md (the q218 pattern)."""
+    return mutual_knn_blocked(spark, sf_dir, n_bits=_LSH_N_BITS)
+
+
+def mutual_knn_blocked(
+    spark: SparkSession, sf_dir: str, n_bits: int | None = None
+) -> DataFrame:
+    """q217b's plan with the n_bits occupancy knob exposed:
+    ``n_bits=None`` derives ⌈log2(n / target_occupancy)⌉ from ONE count
+    of the corpus (operators.similarity.auto_n_bits — the codified
+    SCALE.md round-10 rule), so a 100× corpus re-picks its own bucket
+    width with no human retune. Same seed + same resolved width means
+    the registered oracle query (explicit 6 bits on this fixture) and
+    the auto path are bit-identical — pinned in
+    tests/test_similarity.py::test_mutual_blocked_auto_n_bits."""
     e = _emb(spark, sf_dir)
     a = e.filter(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("ai"), F.col("embedding").alias("av")
@@ -862,16 +878,24 @@ def q217b_mutual_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.filter(F.col("vec_id") % 2 == 1).select(
         F.col("vec_id").alias("bi"), F.col("embedding").alias("bv")
     )
+    if n_bits is None:
+        # one count of the SMALLER (probe) side bounds per-bucket
+        # occupancy where it matters; the auto rule only needs n's
+        # magnitude, and a.count() is a pruned single-column scan
+        n_bits = auto_n_bits(a.count())
+    tables = lsh_tables_for(
+        n_rows=1, n_tables=_LSH_N_TABLES, dim=_LSH_DIM, seed=42, n_bits=n_bits
+    )  # n_rows unused once n_bits is resolved; planes depend on (seed, width) only
 
     a_structs = []
-    for t, planes in enumerate(_LSH_TABLES):
+    for t, planes in enumerate(tables):
         b0 = lsh_bucket(F.col("av"), planes)
         a_structs.append(F.struct(F.lit(t).alias("tbl"), b0.alias("bucket")))
         a_structs.extend(
             F.struct(
                 F.lit(t).alias("tbl"), b0.bitwiseXOR(F.lit(1 << j)).alias("bucket")
             )
-            for j in range(_LSH_N_BITS)
+            for j in range(n_bits)
         )
     a_b = a.select("ai", F.explode(F.array(*a_structs)).alias("tb")).select(
         "ai", "tb.tbl", "tb.bucket"

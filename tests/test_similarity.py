@@ -441,6 +441,72 @@ def test_sampled_pq_codebooks_equal_manual_subset(spark):
         assert np.array_equal(a, b)
 
 
+def test_auto_n_bits_rule_properties():
+    """Hypothesis: the n_bits ∝ log(n) occupancy rule's invariants hold
+    for any corpus size — 2^b buckets cover n at <= target average
+    occupancy, one bit fewer would not (unless clamped), and the
+    planes produced for an auto width are bit-identical to an explicit
+    call at the same width (same seed => same construction path)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_mingo_tail_spark.operators.similarity import (
+        auto_n_bits,
+        hyperplane_tables,
+        lsh_tables_for,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=10**14),
+        occ=st.integers(min_value=1, max_value=10**6),
+    )
+    def check(n, occ):
+        b = auto_n_bits(n, target_occupancy=occ)
+        assert 2 <= b <= 30
+        if b < 30:
+            assert (2**b) * occ >= n          # buckets cover the corpus
+        if b > 2:
+            assert (2 ** (b - 1)) * occ < n   # and b is minimal
+    check()
+
+    # auto width == explicit width => bit-identical hyperplanes
+    auto = lsh_tables_for(500, n_tables=3, dim=16, seed=7)  # 500/8 -> 6 bits
+    explicit = hyperplane_tables(n_tables=3, n_bits=6, dim=16, seed=7)
+    assert len(auto) == len(explicit) == 3
+    for a, b in zip(auto, explicit):
+        assert np.array_equal(a, b)
+
+
+def test_mutual_blocked_auto_n_bits(spark):
+    """q217b's auto knob pin: mutual_knn_blocked(n_bits=None) must be
+    bit-identical to the explicit call at the width the rule derives
+    (auto_n_bits of the 250-row probe half => 5 bits at sf0.001) —
+    identical resolved width + seed means identical planes, buckets,
+    candidates and elected pairs, so wiring the knob in cannot drift
+    the oracle-registered query (which stays at the explicit seeded
+    6-bit tables; checked too whenever the derived width coincides)."""
+    from flink_mingo_tail_spark.operators.similarity import auto_n_bits
+    from flink_mingo_tail_spark.queries.similarity import (
+        _LSH_N_BITS,
+        mutual_knn_blocked,
+    )
+
+    n_probe = (
+        spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+        .filter("vec_id % 2 = 0")
+        .count()
+    )
+    derived = auto_n_bits(n_probe)
+    auto_rows = mutual_knn_blocked(spark, SF_ORACLE, n_bits=None).collect()
+    explicit_rows = mutual_knn_blocked(spark, SF_ORACLE, n_bits=derived).collect()
+    assert auto_rows == explicit_rows
+    if derived == _LSH_N_BITS:
+        registered = REGISTRY["q217b_mutual_knn_blocked"].fn(spark, SF_ORACLE).collect()
+        assert auto_rows == registered
+
+
 def test_auto_sizing_rule_properties():
     """Hypothesis: the k∝n / fraction∝n rule's invariants hold for any
     corpus size — k cells cover n at <= target_cell_size average, one
