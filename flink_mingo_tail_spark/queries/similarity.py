@@ -1123,3 +1123,209 @@ def q223_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q224 — semantic decontamination against a held-out eval set (round 11)
+# ---------------------------------------------------------------------------
+
+# Import the n-gram width from q75b's module so the exact-overlap column
+# can never silently desynchronize from the n-gram decontaminator it
+# mirrors (the q221/DEFAULT_SHINGLE_K constant-sync discipline).
+from flink_mingo_tail_spark.operators.dedup import tokens  # noqa: E402
+from flink_mingo_tail_spark.queries.dedup import _DECON_N  # noqa: E402
+
+_SEM_TAU = 0.3  # rounded cosine >= tau vs ANY eval vector => semantic hit
+_EVAL_MOD = 100  # id % 100 == 0 is the held-out eval/benchmark slice
+
+
+@query(
+    "q224_semantic_decontaminate",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ev AS (SELECT vec_id AS ei, v AS evv FROM e WHERE vec_id % {_EVAL_MOD} = 0),
+    co AS (SELECT vec_id AS ci, v AS cv FROM e WHERE vec_id % {_EVAL_MOD} <> 0),
+    planes(tbl, bit, pl) AS (VALUES
+    {_lsh_plane_values()}),
+    cb AS (
+        SELECT co.ci, p.tbl,
+               CAST(sum(CASE WHEN list_dot_product(co.cv, p.pl) > 0
+                             THEN CAST(1 AS BIGINT) << p.bit ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM co CROSS JOIN planes p
+        GROUP BY co.ci, p.tbl
+    ),
+    eb AS (
+        SELECT ev.ei, p.tbl,
+               CAST(sum(CASE WHEN list_dot_product(ev.evv, p.pl) > 0
+                             THEN CAST(1 AS BIGINT) << p.bit ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM ev CROSS JOIN planes p
+        GROUP BY ev.ei, p.tbl
+    ),
+    probes AS (
+        SELECT ei, tbl, bucket FROM eb
+        UNION ALL
+        SELECT ei, tbl, xor(bucket, CAST(1 AS BIGINT) << j) AS bucket
+        FROM eb CROSS JOIN unnest(range(0, {_LSH_N_BITS})) AS t(j)
+    ),
+    cand AS (
+        SELECT DISTINCT c.ci, p.ei
+        FROM probes p JOIN cb c ON c.tbl = p.tbl AND c.bucket = p.bucket
+    ),
+    sem AS (
+        SELECT DISTINCT cand.ci
+        FROM cand JOIN co ON co.ci = cand.ci
+                  JOIN ev ON ev.ei = cand.ei
+        WHERE round({SQL_COSINE.format(a="co.cv", b="ev.evv")}, 6)
+              >= CAST({_SEM_TAU} AS DOUBLE)
+    ),
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS ln
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, unnest(list_transform(range(1, ln - {_DECON_N - 2}),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+        FROM toks WHERE ln >= {_DECON_N}
+    ), probe_g AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % {_EVAL_MOD} = 0
+    ), ng AS (
+        SELECT DISTINCT gr.doc_id FROM grams gr JOIN probe_g pg ON gr.g = pg.g
+        WHERE gr.doc_id % {_EVAL_MOD} <> 0
+    )
+    SELECT d.doc_id,
+           s.ci IS NOT NULL AS semantic_hit,
+           n.doc_id IS NOT NULL AS ngram_hit,
+           CASE WHEN s.ci IS NOT NULL AND n.doc_id IS NOT NULL THEN 'both'
+                WHEN s.ci IS NOT NULL THEN 'semantic'
+                WHEN n.doc_id IS NOT NULL THEN 'ngram'
+                ELSE 'clean' END AS reason,
+           (s.ci IS NOT NULL OR n.doc_id IS NOT NULL) AS contaminated
+    FROM documents d
+    LEFT JOIN sem s ON s.ci = d.doc_id
+    LEFT JOIN ng n ON n.doc_id = d.doc_id
+    WHERE d.doc_id % {_EVAL_MOD} <> 0
+    ORDER BY d.doc_id
+    """,
+)
+def q224_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) decontamination against a held-out
+    eval set — the curation pass n-gram methods famously miss: a corpus
+    doc is flagged when its embedding sits within cosine >= 0.3 of
+    ANY eval-set vector (near-paraphrase leakage), alongside q75b's
+    exact 4-gram overlap column, with a q118-style reason code
+    ('both'/'semantic'/'ngram'/'clean') per doc for the union verdict.
+    The id % 100 == 0 slice stands in for the benchmark corpus on both
+    representations (q75b's convention; doc_id and vec_id share the id
+    space, so row i's text and embedding are the same document's two
+    views — docs without an embedding simply can't hit semantically,
+    the honest production shape for a partially-embedded corpus).
+
+    Candidates come from q78/q217b's seeded sign-LSH machinery (8
+    tables x 6 bits, Hamming-1 multi-probe fanned out on the BOUNDED
+    eval side only), so the corpus is hashed once — L integer keys per
+    row — and never self-joined. Unlike q217b's argmax election,
+    flagging is monotone in the candidate set (hit = any candidate
+    above tau), so blocked hits are a true SUBSET of the dense answer:
+    precision is 1.0 by construction and only recall needs measuring —
+    gated vs the dense election in tests/test_similarity.py (measured
+    1.0 at sf0.001 fixture scale; floor 0.8). The production n_bits
+    follows auto_n_bits' occupancy rule (operators/similarity.py).
+
+    Scale shape: eval side is benchmark-sized and broadcast twice
+    (bucket probe join + cosine re-rank); corpus work is one embedding
+    scan for hashing + one candidate-bounded re-rank + one n-gram pass
+    with a broadcast semi-join (q75b's plan verbatim); the only
+    corpus-keyed shuffles are candidate dedup and hit-id dedup, both
+    occupancy-bounded — no corpus-vs-corpus join anywhere. Ref parity:
+    extends the reference's filter-pushdown CDC hygiene (SURVEY §2A A3)
+    to the embedding modality; no reference twin exists."""
+    e = _emb(spark, sf_dir)
+    ev = e.filter(F.col("vec_id") % _EVAL_MOD == 0).select(
+        F.col("vec_id").alias("ei"), F.col("embedding").alias("evv")
+    )
+    co = e.filter(F.col("vec_id") % _EVAL_MOD != 0).select(
+        F.col("vec_id").alias("ci"), F.col("embedding").alias("cv")
+    )
+
+    ev_structs = []
+    for t, planes in enumerate(_LSH_TABLES):
+        b0 = lsh_bucket(F.col("evv"), planes)
+        ev_structs.append(F.struct(F.lit(t).alias("tbl"), b0.alias("bucket")))
+        ev_structs.extend(
+            F.struct(
+                F.lit(t).alias("tbl"), b0.bitwiseXOR(F.lit(1 << j)).alias("bucket")
+            )
+            for j in range(_LSH_N_BITS)
+        )
+    ev_b = ev.select("ei", F.explode(F.array(*ev_structs)).alias("tb")).select(
+        "ei", "tb.tbl", "tb.bucket"
+    )
+    co_b = co.select(
+        "ci",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket(F.col("cv"), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(_LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("ci", "tb.tbl", "tb.bucket")
+
+    cand = co_b.join(F.broadcast(ev_b), ["tbl", "bucket"]).select("ci", "ei").distinct()
+    sem = (
+        cand.join(co, "ci")
+        .join(F.broadcast(ev), "ei")
+        .filter(rounded_cosine(F.col("cv"), F.col("evv")) >= F.lit(_SEM_TAU))
+        .select("ci")
+        .distinct()
+        .withColumnRenamed("ci", "doc_id")
+        .withColumn("__sem", F.lit(True))
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    toks = d.select("doc_id", t.alias("t"), F.size(t).alias("ln"))
+    gram_expr = F.expr(
+        "transform(sequence(1, ln - 3), i -> concat_ws(' ', "
+        "element_at(t, i), element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))"
+    )
+    grams = toks.filter(F.col("ln") >= _DECON_N).select(
+        "doc_id", F.explode(gram_expr).alias("g")
+    )
+    probe_g = grams.filter(F.col("doc_id") % _EVAL_MOD == 0).select("g").distinct()
+    ng = (
+        grams.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .join(F.broadcast(probe_g), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__ng", F.lit(True))
+    )
+
+    sem_hit = F.coalesce(F.col("__sem"), F.lit(False))
+    ng_hit = F.coalesce(F.col("__ng"), F.lit(False))
+    reason = (
+        F.when(sem_hit & ng_hit, "both")
+        .when(sem_hit, "semantic")
+        .when(ng_hit, "ngram")
+        .otherwise("clean")
+    )
+    return (
+        d.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .select("doc_id")
+        .join(sem, "doc_id", "left")
+        .join(ng, "doc_id", "left")
+        .select(
+            "doc_id",
+            sem_hit.alias("semantic_hit"),
+            ng_hit.alias("ngram_hit"),
+            reason.alias("reason"),
+            (sem_hit | ng_hit).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

@@ -618,3 +618,16 @@ def test_knn_label_eval_broadcasts_probes(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_semantic_decontaminate_plan_shape(spark):
+    """q224: candidate generation must be an equi-join on the
+    (tbl, bucket) int pair with the bounded eval side BROADCAST (both
+    the bucket-probe join and the cosine re-rank), the n-gram side a
+    broadcast semi-join on the gram key (q75b's plan) — and never a
+    cartesian product anywhere. The corpus is hashed once and never
+    self-joined: no SortMergeJoin of two corpus-sized vector frames."""
+    p = plan_of(spark, "q224_semantic_decontaminate")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "tbl" in p and "bucket" in p

@@ -636,3 +636,62 @@ def test_hard_negatives_never_share_anchor_label(spark):
     assert len(per_anchor) == _HN_ANCHORS
     for ranks in per_anchor.values():
         assert sorted(ranks) == list(range(1, _HN_K + 1))
+
+
+def test_semantic_decontaminate_recall_vs_dense(spark):
+    """q224 recall gate vs the DENSE semantic election (every corpus
+    embedding scored against every eval vector, no blocking) — the
+    q218/q217b measure-don't-guess pattern. Unlike q217b's argmax,
+    q224's flagging is monotone in the candidate set, so blocked hits
+    must be a SUBSET of dense hits (precision 1.0 by construction —
+    asserted, not assumed) and only recall needs a floor. Measured
+    0.89 at sf0.001 / 0.95 at sf0.01; conservative floor 0.8."""
+    import duckdb
+
+    from flink_mingo_tail_spark.queries.similarity import _EVAL_MOD, _SEM_TAU
+
+    blocked = {
+        r.doc_id
+        for r in REGISTRY["q224_semantic_decontaminate"].fn(spark, SF_ORACLE).collect()
+        if r.semantic_hit
+    }
+    dense = {
+        row[0]
+        for row in duckdb.sql(
+            f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM read_parquet('{SF_ORACLE}/embeddings.parquet')),
+            ev AS (SELECT v AS evv FROM e WHERE vec_id % {_EVAL_MOD} = 0),
+            co AS (SELECT vec_id AS ci, v AS cv FROM e WHERE vec_id % {_EVAL_MOD} <> 0)
+            SELECT DISTINCT ci FROM co CROSS JOIN ev
+            WHERE round(list_dot_product(cv, evv)
+                  / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(evv, evv))), 6)
+                  >= CAST({_SEM_TAU} AS DOUBLE)
+            """
+        ).fetchall()
+    }
+    assert blocked <= dense, f"spurious semantic hits: {blocked - dense}"
+    recall = len(blocked) / len(dense)
+    assert recall >= 0.8, f"blocked decontamination recall collapsed: {recall:.2f}"
+
+
+def test_semantic_decontaminate_invariants(spark):
+    """q224 semantic pins: eval-slice ids never appear in the output,
+    every corpus doc appears exactly once, reason is consistent with
+    the two hit flags, and contaminated == semantic OR ngram."""
+    from flink_mingo_tail_spark.queries.similarity import _EVAL_MOD
+
+    rows = REGISTRY["q224_semantic_decontaminate"].fn(spark, SF_ORACLE).collect()
+    n_docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").count()
+    assert len(rows) == n_docs - n_docs // _EVAL_MOD
+    assert len({r.doc_id for r in rows}) == len(rows)
+    expected_reason = {
+        (True, True): "both",
+        (True, False): "semantic",
+        (False, True): "ngram",
+        (False, False): "clean",
+    }
+    for r in rows:
+        assert r.doc_id % _EVAL_MOD != 0, r
+        assert r.reason == expected_reason[(r.semantic_hit, r.ngram_hit)], r
+        assert r.contaminated == (r.semantic_hit or r.ngram_hit), r
