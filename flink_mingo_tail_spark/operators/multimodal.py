@@ -224,3 +224,108 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, codec: str = "fake") ->
             "frame_checksum"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup support (q225, round 11)
+# ---------------------------------------------------------------------------
+
+DHASH_BITS = 32  # bit j = payload[j] > payload[j+1]; needs DHASH_BITS+1 bytes
+
+
+def synthesize_media_variants(documents: DataFrame, group_size: int = 5) -> DataFrame:
+    """Deterministic fake media corpus WITH planted near-duplicates —
+    the q120-injection pattern applied to the binary modality: every
+    ``group_size`` consecutive doc_ids share one base payload (the
+    sha256 hex stream of the group id), and each non-canonical member
+    perturbs ONE byte at a member-specific position. Under dHash a
+    one-byte change flips at most the two adjacent comparison bits, so
+    within-group pairs sit at Hamming distance <= 4 (<= 2 vs the
+    canonical member) — real near-dup structure for the banding to
+    find, while cross-group payloads stay sha256-independent. Both
+    engines build the identical bytes (sha2/sha256 hex + substr
+    concat), so the oracle replays the hash bit-exactly."""
+    # 1-based perturbation position: member m>0 edits char 3m+11
+    # (14/17/20/23 for group_size=5) — spaced >=3 apart so no two
+    # members' edits touch the same dHash comparison, all inside the
+    # first DHASH_BITS+1 bytes. Spelled as ONE SQL expression so the
+    # DuckDB oracle can replay it token-for-token.
+    g = group_size
+    payload = F.expr(
+        f"CAST(CASE WHEN doc_id % {g} = 0 THEN sha2(CAST(doc_id DIV {g} AS STRING), 256) "
+        f"ELSE concat(substr(sha2(CAST(doc_id DIV {g} AS STRING), 256), 1, (doc_id % {g}) * 3 + 10), "
+        f"'z', substr(sha2(CAST(doc_id DIV {g} AS STRING), 256), (doc_id % {g}) * 3 + 12)) "
+        f"END AS BINARY)"
+    )
+    kind = F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio")
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.expr(f"doc_id DIV {g}").cast("long").alias("grp"),
+        (F.col("doc_id") % g).cast("long").alias("member"),
+    )
+
+
+def dhash_arrow(media: DataFrame, n_bits: int = DHASH_BITS) -> DataFrame:
+    """Difference hash (dHash) of the binary payload via ``mapInArrow``
+    — the perceptual fingerprint behind image near-dup at 100 TB,
+    computed buffer-level like :func:`extract_features_arrow`: one
+    contiguous uint8 view of the batch's payload bytes, one vectorized
+    adjacent-byte comparison, one matmul against the bit weights. No
+    per-row Python objects, no pandas copy of the blob column.
+
+    On real images the payload would first be decoded + resampled to a
+    (rows, cols+1) grayscale grid (the classic 8x9 dHash); this
+    container has no codecs (module docstring), so the hash runs on the
+    leading ``n_bits + 1`` raw payload bytes — the bit construction,
+    banding contract and plan shape are identical, and swapping in a
+    real decoder changes only the matrix fed to the comparison.
+
+    Contract: every payload must carry at least ``n_bits + 1`` bytes
+    (raises loudly, like the null-payload check — a short blob would
+    silently hash garbage offsets otherwise)."""
+    import pyarrow as pa
+
+    def hash_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        weights = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+        for batch in batches:
+            payload = batch.column(batch.schema.get_field_index("payload"))
+            n = len(payload)
+            if payload.null_count:
+                raise ValueError(
+                    f"dhash_arrow: {payload.null_count} NULL payloads in batch"
+                )
+            if pa.types.is_large_binary(payload.type):
+                offset_dtype = np.int64
+            elif pa.types.is_binary(payload.type):
+                offset_dtype = np.int32
+            else:
+                raise TypeError(f"payload must be binary/large_binary, got {payload.type}")
+            offsets = np.frombuffer(payload.buffers()[1], dtype=offset_dtype)[
+                payload.offset : payload.offset + n + 1
+            ]
+            data = np.frombuffer(payload.buffers()[2], dtype=np.uint8)
+            lengths = offsets[1:] - offsets[:-1]
+            if n and int(lengths.min()) < n_bits + 1:
+                raise ValueError(
+                    f"dhash_arrow: payload shorter than {n_bits + 1} bytes "
+                    f"(min {int(lengths.min())}) — cannot hash"
+                )
+            starts = offsets[:-1].astype(np.int64)
+            idx = starts[:, None] + np.arange(n_bits + 1, dtype=np.int64)[None, :]
+            mat = data[idx]
+            bits = (mat[:, :-1] > mat[:, 1:]).astype(np.int64)
+            ph = bits @ weights
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("media_id")),
+                    pa.array(ph, type=pa.int64()),
+                ],
+                names=["media_id", "ph"],
+            )
+
+    # pre-map projection: pruning cannot cross the MapInArrow barrier
+    return media.select("media_id", "payload").mapInArrow(
+        hash_batches, schema="media_id long, ph long"
+    )

@@ -378,3 +378,115 @@ def q150_arrow_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1000)
         .drop("l_extendedprice", "l_discount")
     )
+
+
+# ---------------------------------------------------------------------------
+# q225 — perceptual-hash near-dup on the binary payload column (round 11)
+# ---------------------------------------------------------------------------
+
+from flink_mingo_tail_spark.operators.multimodal import (  # noqa: E402
+    DHASH_BITS,
+    dhash_arrow,
+    synthesize_media_variants,
+)
+
+_PH_BANDS = 4   # 4 bands x 8 bits over the 32-bit dHash (q212's contract)
+_PH_HAM = 3     # pigeonhole-complete: d<=3 differs in <=3 of 4 bands
+_PH_GROUP = 5   # synthetic near-dup group size (planted variants)
+
+_PH_SQL_PAYLOAD = (
+    f"CASE WHEN doc_id % {_PH_GROUP} = 0 THEN sha256(CAST(doc_id // {_PH_GROUP} AS VARCHAR)) "
+    f"ELSE substr(sha256(CAST(doc_id // {_PH_GROUP} AS VARCHAR)), 1, (doc_id % {_PH_GROUP}) * 3 + 10) "
+    f"|| 'z' || substr(sha256(CAST(doc_id // {_PH_GROUP} AS VARCHAR)), (doc_id % {_PH_GROUP}) * 3 + 12) END"
+)
+
+
+@query(
+    "q225_perceptual_hash_near_dup",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id AS media_id, {_PH_SQL_PAYLOAD} AS h
+        FROM documents
+    ), dh AS (
+        SELECT media_id,
+               CAST(sum(CASE WHEN ascii(substr(h, j, 1)) > ascii(substr(h, j + 1, 1))
+                             THEN CAST(1 AS BIGINT) << (j - 1) ELSE 0 END)
+                    AS BIGINT) AS ph
+        FROM m CROSS JOIN unnest(range(1, {DHASH_BITS + 1})) AS t(j)
+        GROUP BY media_id
+    ), bands AS (
+        SELECT media_id, ph, u.band, (ph >> (8 * u.band)) & 255 AS bits
+        FROM dh, unnest(range(0, {_PH_BANDS})) AS u(band)
+    ), cand AS (
+        SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+               a.ph AS pha, b.ph AS phb
+        FROM bands a JOIN bands b
+          ON b.band = a.band AND b.bits = a.bits AND a.media_id < b.media_id
+    )
+    SELECT media_a, media_b,
+           CAST(bit_count(xor(pha, phb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(pha, phb)) <= {_PH_HAM}
+    ORDER BY media_a, media_b
+    """,
+)
+def q225_perceptual_hash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs on the MULTIMODAL binary
+    column — the dedup modality the text families can't cover: dHash
+    fingerprints (adjacent-byte comparisons, the classic image dHash
+    with the decode step stubbed per operators/multimodal.py) computed
+    BUFFER-LEVEL via mapInArrow (q145's path: one contiguous uint8 view
+    per batch, no per-row Python objects), then q212's pigeonhole
+    Hamming banding: 4 disjoint 8-bit bands of the 32-bit hash, a
+    candidate iff >=1 band collides (100% recall at d <= 3 by
+    pigeonhole), precision restored by the exact popcount filter.
+
+    The fixture corpus plants real near-dup structure (q120's
+    deterministic-injection pattern): groups of 5 consecutive ids
+    share a base payload with one-byte member perturbations, so
+    within-group pairs sit at d <= 4 and every (canonical, variant)
+    pair at d <= 2 is guaranteed caught — pinned structurally in
+    tests/test_multimodal.py. The oracle replays the payload bytes AND
+    the hash bit-exactly in SQL (ascii comparisons over the same
+    sha256 hex stream — the engine-grid doctrine for the Arrow path).
+
+    Scale shape: hashing is one narrow corpus pass through the Arrow
+    batcher (payload pruned away after — the 100 TB blob column never
+    shuffles); candidates come from an equi-join on (band, bits) int
+    pairs with occupancy bounded by band width (at 100 TB: widen the
+    hash to 64 bits / 8 bands, the q212 rule, via auto-style width
+    selection); popcount is integer-exact in both engines."""
+    media = synthesize_media_variants(
+        _t(spark, sf_dir, "documents"), group_size=_PH_GROUP
+    )
+    fp = dhash_arrow(media)
+    bands = fp.select(
+        "media_id",
+        "ph",
+        F.explode(F.sequence(F.lit(0), F.lit(_PH_BANDS - 1))).alias("band"),
+    ).withColumn("bits", F.expr("shiftright(ph, 8 * band) & 255"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("b.band") == F.col("a.band"))
+            & (F.col("b.bits") == F.col("a.bits"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.ph").alias("pha"),
+            F.col("b.ph").alias("phb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "media_a",
+            "media_b",
+            F.expr("CAST(bit_count(pha ^ phb) AS BIGINT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _PH_HAM)
+        .orderBy("media_a", "media_b")
+    )

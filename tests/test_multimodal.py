@@ -125,3 +125,83 @@ def test_frame_sample_counts(media):
         assert r.n == expected, f"media {r.media_id}: {r.n} != {expected}"
     # checksums unique per (media, frame)
     assert frames.count() == frames.select("media_id", "frame_checksum").distinct().count()
+
+
+def test_dhash_arrow_matches_python_reference(spark):
+    """dhash_arrow's buffer-level bit construction must equal the
+    obvious per-row Python reference on the planted-variant corpus:
+    bit j = payload[j] > payload[j+1] over the first 33 bytes."""
+    from flink_mingo_tail_spark.operators.multimodal import (
+        DHASH_BITS,
+        dhash_arrow,
+        synthesize_media_variants,
+    )
+
+    media = synthesize_media_variants(load_table(spark, SF_SMOKE, "documents"))
+    got = {r.media_id: r.ph for r in dhash_arrow(media).collect()}
+    for r in media.select("media_id", "payload").collect():
+        b = bytes(r.payload)
+        ref = sum(
+            (1 << j) for j in range(DHASH_BITS) if b[j] > b[j + 1]
+        )
+        assert got[r.media_id] == ref, r.media_id
+    assert len(got) == media.count()
+
+
+def test_dhash_arrow_rejects_short_and_null_payloads(spark):
+    """The loud-contract checks: a payload shorter than n_bits+1 bytes
+    and a NULL payload must both raise, not hash garbage."""
+    import pytest
+
+    from flink_mingo_tail_spark.operators.multimodal import dhash_arrow
+
+    short = spark.createDataFrame(
+        [(1, bytearray(b"tiny"))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="shorter|PythonException"):
+        dhash_arrow(short).collect()
+    null = spark.createDataFrame(
+        [(1, None)], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="NULL|PythonException"):
+        dhash_arrow(null).collect()
+
+
+def test_perceptual_near_dup_planted_pairs_guaranteed(spark):
+    """q225 structural pins: (a) every output pair is within the Hamming
+    threshold; (b) pigeonhole completeness — EVERY pair whose true dHash
+    distance is <= 3 appears in the output (blocking may only add
+    candidates, the popcount filter makes the answer exact); (c) every
+    (canonical, variant) within-group pair sits at distance <= 2 and is
+    therefore always caught."""
+    from flink_mingo_tail_spark.operators.multimodal import (
+        DHASH_BITS,
+        synthesize_media_variants,
+    )
+    from flink_mingo_tail_spark.queries import load_registry
+
+    REG = load_registry()
+    out = {
+        (r.media_a, r.media_b): r.hamming
+        for r in REG["q225_perceptual_hash_near_dup"].fn(spark, SF_SMOKE).collect()
+    }
+    media = synthesize_media_variants(load_table(spark, SF_SMOKE, "documents"))
+    ph = {}
+    grp = {}
+    for r in media.select("media_id", "payload", "grp", "member").collect():
+        b = bytes(r.payload)
+        ph[r.media_id] = sum((1 << j) for j in range(DHASH_BITS) if b[j] > b[j + 1])
+        grp[r.media_id] = (r.grp, r.member)
+    ids = sorted(ph)
+    truth = {}
+    for i, a in enumerate(ids):
+        for bb in ids[i + 1:]:
+            d = bin(ph[a] ^ ph[bb]).count("1")
+            if d <= 3:
+                truth[(a, bb)] = d
+    assert out == truth  # exact: no misses (pigeonhole), no extras (filter)
+    for (a, bb), d in truth.items():
+        ga, ma = grp[a]
+        gb, mb = grp[bb]
+        if ga == gb and (ma == 0 or mb == 0):
+            assert d <= 2, (a, bb, d)  # canonical-vs-variant bound

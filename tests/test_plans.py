@@ -631,3 +631,14 @@ def test_semantic_decontaminate_plan_shape(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
     assert "tbl" in p and "bucket" in p
+
+
+def test_perceptual_near_dup_plan_shape(spark):
+    """q225: candidates must come from an equi-join on (band, bits) —
+    q212's banding contract applied to the dHash fingerprints; the
+    payload column must not survive past the Arrow hasher (the blob
+    never shuffles); no cartesian anywhere."""
+    p = plan_of(spark, "q225_perceptual_hash_near_dup")
+    assert "CartesianProduct" not in p
+    assert "band" in p and "bits" in p
+    assert "MapInArrow" in p or "ArrowEvalPython" in p or "mapInArrow" in p.lower()
