@@ -1578,3 +1578,256 @@ def q218_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q226 — composed curation pipeline: quality -> exact dedup -> LSH near-dup
+#        -> decontaminate -> per-source budget cut (round 11)
+# ---------------------------------------------------------------------------
+
+_PIPE_EVAL_MOD = 100   # id % 100 == 0 is the held-out eval slice (q75b/q224)
+_PIPE_BUDGET = 300     # per-source token budget (q190's knob, pipeline-sized)
+_PIPE_STOPS = "['the','a','and','of','to','is']"  # q118's English sanity list
+# The pipeline's near-dup stage bands at 1 band x 8 rows (collision
+# prob J^8) instead of q73's 2 x 4 (J^4 per band): q73 is the HIGH-
+# RECALL candidate generator; a destructive pipeline stage that DROPS
+# training data wants the high-PRECISION shape. Same signatures, same
+# election — only the band split differs.
+_PIPE_ROWS_PER_BAND = MINHASH_K  # all 8 rows in one band
+
+
+@query(
+    "q226_curation_pipeline",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source, lang, n_chars, text,
+               string_split(text, ' ') AS t
+        FROM documents
+    ), sig AS (
+        SELECT doc_id, source, lang, n_chars, text,
+               CAST(len(t) AS BIGINT) AS n_toks,
+               len(list_distinct(t)) AS n_distinct,
+               len(list_intersect(list_distinct(t), {_PIPE_STOPS})) AS n_stop
+        FROM d
+    ), s1 AS (
+        SELECT *,
+               CASE WHEN doc_id % {_PIPE_EVAL_MOD} = 0 THEN 'eval_holdout'
+                    WHEN n_toks < 15 THEN 'too_short'
+                    WHEN n_toks > 5000 THEN 'too_long'
+                    WHEN CAST(n_distinct AS DOUBLE) / n_toks < 0.2 THEN 'repetitive'
+                    WHEN lang = 'en' AND n_stop < 1 THEN 'no_stopwords'
+                    END AS r1
+        FROM sig
+    ), surv1 AS (
+        SELECT *, md5(lower(trim(text))) AS content_hash
+        FROM s1 WHERE r1 IS NULL
+    ), s2 AS (
+        SELECT *, CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY content_hash)
+                       THEN 'exact_dup' END AS r2
+        FROM surv1
+    ), surv2 AS (
+        SELECT * FROM s2 WHERE r2 IS NULL
+    ), sigs AS (
+        SELECT doc_id, {_SQL_SIG} AS sig
+        FROM surv2
+    ), banded AS (
+        SELECT doc_id, unnest({sql_lsh_band_keys('sig', _PIPE_ROWS_PER_BAND, MINHASH_K)}) AS band
+        FROM sigs
+    ), band_rep AS (
+        SELECT band, min(doc_id) AS rep FROM banded GROUP BY band
+    ), nd AS (
+        SELECT b.doc_id FROM banded b JOIN band_rep r ON b.band = r.band
+        GROUP BY b.doc_id HAVING min(r.rep) < b.doc_id
+    ), surv3 AS (
+        SELECT s.* FROM surv2 s WHERE s.doc_id NOT IN (SELECT doc_id FROM nd)
+    ), grams AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+        FROM d WHERE len(t) >= 4
+    ), probe AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % {_PIPE_EVAL_MOD} = 0
+    ), cont AS (
+        SELECT DISTINCT gr.doc_id
+        FROM grams gr JOIN probe p ON gr.g = p.g
+        JOIN surv2 s ON s.doc_id = gr.doc_id
+    ), surv4 AS (
+        SELECT s.* FROM surv3 s WHERE s.doc_id NOT IN (SELECT doc_id FROM cont)
+    ), packed AS (
+        SELECT doc_id,
+               CAST(coalesce(sum(n_toks) OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+        FROM surv4
+    ), ob AS (
+        SELECT doc_id FROM packed WHERE cum_before >= {_PIPE_BUDGET}
+    )
+    SELECT s1.doc_id, s1.source,
+           coalesce(s1.r1,
+                    CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup' END,
+                    CASE WHEN nd.doc_id IS NOT NULL THEN 'near_dup' END,
+                    CASE WHEN ct.doc_id IS NOT NULL THEN 'contaminated' END,
+                    CASE WHEN ob.doc_id IS NOT NULL THEN 'over_budget' END,
+                    'kept') AS reason,
+           (coalesce(s1.r1,
+                    CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup' END,
+                    CASE WHEN nd.doc_id IS NOT NULL THEN 'near_dup' END,
+                    CASE WHEN ct.doc_id IS NOT NULL THEN 'contaminated' END,
+                    CASE WHEN ob.doc_id IS NOT NULL THEN 'over_budget' END,
+                    'kept')) = 'kept' AS keep
+    FROM s1
+    LEFT JOIN (SELECT doc_id FROM s2 WHERE r2 IS NOT NULL) ex ON ex.doc_id = s1.doc_id
+    LEFT JOIN nd ON nd.doc_id = s1.doc_id
+    LEFT JOIN cont ct ON ct.doc_id = s1.doc_id
+    LEFT JOIN ob ON ob.doc_id = s1.doc_id
+    ORDER BY s1.doc_id
+    """,
+)
+def q226_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline — the end-to-end shape a real
+    100 TB training-data run executes, as ONE lazy plan with per-stage
+    reason codes: eval holdout -> quality filter (q118's rules) ->
+    exact content-hash dedup (q71's keeper election) -> MinHash-LSH
+    near-dup (q73's representative election) -> 4-gram decontamination
+    vs the eval slice (q75b) -> per-source token-budget cut in quality
+    order (q190). Every stage operates on the SURVIVORS of the stages
+    before it (a near-dup loser whose band representative was itself
+    quality-dropped is NOT dropped; the budget counts only tokens that
+    made it through), so the reason codes are mutually exclusive by
+    construction and the output is a per-doc audit trail: doc_id,
+    source, first-failing-stage reason, keep.
+
+    Proves the operators COMPOSE without inter-stage materialization:
+    no collect, no checkpoint, no temp table — survivor frames are
+    filters/joins over the same lazy scan, and Catalyst pipelines the
+    whole thing (plan-pinned scan count + cartesian-free in
+    tests/test_plans.py; at 100 TB you would checkpoint after stage 3
+    to cut the recompute tail, which changes no semantics).
+
+    Scale shape per stage: quality is pure expressions on one pass;
+    exact dedup is one shuffle on the 128-bit hash; near-dup is q73's
+    linear representative election (never all-pairs); decontamination
+    is a broadcast semi-join of corpus grams against the bounded eval
+    gram set; the budget cut is q190's bounded-frame grouped prefix
+    sum (no single-partition window). Reason-code precedence is a
+    coalesce over left joins on doc_id — flag frames are disjoint, so
+    join order never matters."""
+    from flink_mingo_tail_spark.operators.ranks import grouped_prefix_sum
+
+    d = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n_toks = F.size(t)
+    n_distinct = F.size(F.array_distinct(t))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(t),
+            F.array(*[F.lit(m) for m in ("the", "a", "and", "of", "to", "is")]),
+        )
+    )
+    r1 = (
+        F.when(F.col("doc_id") % _PIPE_EVAL_MOD == 0, "eval_holdout")
+        .when(n_toks < 15, "too_short")
+        .when(n_toks > 5000, "too_long")
+        .when(n_distinct.cast("double") / n_toks < 0.2, "repetitive")
+        .when((F.col("lang") == "en") & (n_stop < 1), "no_stopwords")
+    )
+    s1 = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        n_toks.cast("long").alias("n_toks"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
+        r1.alias("r1"),
+    )
+    surv1 = s1.filter(F.col("r1").isNull())
+
+    w_hash = Window.partitionBy("content_hash")
+    s2 = surv1.withColumn("keeper", F.min("doc_id").over(w_hash))
+    ex_ids = s2.filter(F.col("doc_id") != F.col("keeper")).select("doc_id")
+    surv2 = s2.filter(F.col("doc_id") == F.col("keeper")).select(
+        "doc_id", "source", "n_chars", "n_toks"
+    )
+
+    # near-dup: q73's representative election, restricted to survivors
+    hashed = d.select(
+        "doc_id", shingle_hashes(F.array_distinct(tokens(F.col("text")))).alias("hs")
+    )
+    sigs = hashed.join(surv2.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", minhash_from_hashes(F.col("hs"), MINHASH_K).alias("sig")
+    )
+    banded = sigs.select(
+        "doc_id",
+        F.explode(lsh_band_keys(F.col("sig"), _PIPE_ROWS_PER_BAND, MINHASH_K)).alias("band"),
+    )
+    w_band = Window.partitionBy("band")
+    nd_ids = (
+        banded.withColumn("rep", F.min("doc_id").over(w_band))
+        .groupBy("doc_id")
+        .agg(F.min("rep").alias("cluster_rep"))
+        .filter(F.col("cluster_rep") < F.col("doc_id"))
+        .select("doc_id")
+    )
+    # decontamination: computed against surv2 (NOT surv3) — whether a
+    # doc shares an eval gram is independent of OTHER docs' survival,
+    # and the final coalesce precedence assigns 'near_dup' first, so
+    # the output is set-identical while the plan tree stays SHALLOW:
+    # nd_ids and cont_ids are sibling branches off surv2, not a chain
+    # (each chained anti-join would replay the whole upstream subtree —
+    # the 50-scan plan this formulation replaces; see the plan pin).
+    toks_f = d.select("doc_id", t.alias("t"), F.size(t).alias("ln"))
+    gram_expr = F.expr(
+        "transform(sequence(1, ln - 3), i -> concat_ws(' ', "
+        "element_at(t, i), element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))"
+    )
+    grams = toks_f.filter(F.col("ln") >= 4).select("doc_id", F.explode(gram_expr).alias("g"))
+    probe = grams.filter(F.col("doc_id") % _PIPE_EVAL_MOD == 0).select("g").distinct()
+    cont_ids = (
+        grams.join(surv2.select("doc_id"), "doc_id", "left_semi")
+        .join(F.broadcast(probe), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    surv4 = surv2.join(nd_ids, "doc_id", "left_anti").join(
+        cont_ids, "doc_id", "left_anti"
+    )
+
+    # budget cut: q190's packed-key grouped prefix sum over survivors
+    value = F.when(
+        (F.col("doc_id") < 0)
+        | (F.col("doc_id") >= F.lit(1 << 34))
+        | (F.col("n_chars") < 0)
+        | (F.col("n_chars") >= F.lit(1 << 29)),
+        F.expr("raise_error('q226: packed order key domain exceeded')").cast("long"),
+    ).otherwise((-F.col("n_chars")) * F.lit(1 << 34) + F.col("doc_id"))
+    p = grouped_prefix_sum(
+        surv4,
+        ["source"],
+        value,
+        {"cum_before": F.col("n_toks")},
+        width=1 << 34,
+        inclusive=False,
+    )
+    ob_ids = p.filter(F.col("cum_before") >= _PIPE_BUDGET).select("doc_id")
+
+    flag = F.lit(True)
+    out = (
+        s1.select("doc_id", "source", "r1")
+        .join(ex_ids.withColumn("__ex", flag), "doc_id", "left")
+        .join(nd_ids.withColumn("__nd", flag), "doc_id", "left")
+        .join(cont_ids.withColumn("__ct", flag), "doc_id", "left")
+        .join(ob_ids.withColumn("__ob", flag), "doc_id", "left")
+    )
+    reason = F.coalesce(
+        F.col("r1"),
+        F.when(F.col("__ex"), "exact_dup"),
+        F.when(F.col("__nd"), "near_dup"),
+        F.when(F.col("__ct"), "contaminated"),
+        F.when(F.col("__ob"), "over_budget"),
+        F.lit("kept"),
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        reason.alias("reason"),
+        (reason == "kept").alias("keep"),
+    ).orderBy("doc_id")

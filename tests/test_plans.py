@@ -642,3 +642,17 @@ def test_perceptual_near_dup_plan_shape(spark):
     assert "CartesianProduct" not in p
     assert "band" in p and "bits" in p
     assert "MapInArrow" in p or "ArrowEvalPython" in p or "mapInArrow" in p.lower()
+
+
+def test_curation_pipeline_plan_shape(spark):
+    """q226: ONE lazy plan, no cartesian, broadcast semi-join for the
+    gram probe — and the scan count stays at the restructured bound.
+    The naive chained-anti-join formulation replayed the whole
+    upstream subtree per stage (50 scans measured); the sibling-branch
+    formulation (nd/cont both off surv2, precedence in the final
+    coalesce) holds it at <= 40. A regression past the bound means a
+    stage was re-chained."""
+    p = plan_of(spark, "q226_curation_pipeline")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert p.count("Scan parquet") <= 40, p.count("Scan parquet")
