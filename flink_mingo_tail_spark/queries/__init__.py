@@ -79,77 +79,75 @@ _MODULES = (
 # The driver's CORRECTNESS pass checks a bounded prefix of the declared
 # registry (every round so far recorded exactly the first 50 entries).
 #
-# ROTATION, round 10 — steady-state policy, 50 slots:
-#   (a) 4 queries with NO driver row yet: q217b (mutual best match on
-#       LSH-blocked candidates — the round-9 verdict's #1 item,
-#       removing the registry's one quadratic-in-corpus plan), q221
-#       (novelty-vs-standing-index scoring, the driver-checked twin of
-#       streaming/novelty_ingest — verdict item #3), q222 (hard-
-#       negative mining) and q223 (kNN label-prediction eval);
-#   (b) 1 query whose CODE and ORACLE changed this round: q218 (zero
-#       guards on recall/precision divisions, ADVICE round-10);
-#   (c1) the round-5 cohort's remaining 35 names in ascending query
-#       order (q44 onward, as scheduled by the round-9 rotation note) —
-#       after this round no green row predates round 6;
-#   (c2) 10 remaining slots: the oldest round-6 greens in ascending
-#       query order (q01...q56; q57 onward — 34 round-6 names — lead
-#       round 11's refresh). q222/q223 displaced q57_map_funcs and
-#       q60_cdc_filter_pushdown (new queries displace stale refreshes).
+# ROTATION, round 11 — steady-state policy, 50 slots:
+#   (a) 3 queries with NO driver row yet: q224 (semantic decontamination
+#       vs the held-out eval slice — the round-10 verdict's #1 item),
+#       q225 (perceptual-hash near-dup on the multimodal binary column,
+#       verdict #2), q226 (the composed curation pipeline, verdict #5);
+#   (b) 2 queries whose CODE changed this round (outputs verified
+#       unchanged, re-proof by discipline): q217b (refactored through
+#       mutual_knn_blocked for the n_bits=None auto knob), q221 (oracle
+#       now interpolates DEFAULT_SHINGLE_K — byte-identical SQL);
+#   (c1) the ENTIRE round-6 cohort — 34 names in ascending query order —
+#       after this round no green row predates round 7 (the verdict-#3
+#       drain);
+#   (c2) 11 remaining slots: the oldest round-7 greens ascending
+#       (q100...q108) lead round 12's refresh.
 _NEEDS_DRIVER_ROW = (
-    # (a) round-10 wave, no driver row yet — 4 names
+    # (a) round-11 wave, no driver row yet — 3 names
+    "q224_semantic_decontaminate",
+    "q225_perceptual_hash_near_dup",
+    "q226_curation_pipeline",
+    # (b) code changed in round 11 — 2 names
     "q217b_mutual_knn_blocked",
     "q221_novelty_vs_index",
-    "q222_hard_negative_mining",
-    "q223_knn_label_eval",
-    # (b) code/oracle changed in round 10 — 1 name
-    "q218_lsh_recall_eval",
-    # (c1) round-5 cohort drain — 35 names, ascending
-    "q44_intersect_all",
-    "q45_except_all",
-    "q50_string_funcs",
-    "q51_regex_split",
-    "q52_date_funcs",
-    "q53_math_funcs",
-    "q54_array_funcs",
-    "q55_explode_posexplode",
-    "q58_conditional_null",
-    "q59_hash_funcs",
-    "q62_cdc_quorum_dedup",
-    "q67_normalize_text",
-    "q68_embedding_quantize",
-    "q69_stratified_sample",
-    "q71_content_hash_dedup",
-    "q72_minhash_signature",
-    "q73_minhash_lsh_dedup",
-    "q73b_dedup_components",
-    "q74_simhash",
-    "q75_ngram_jaccard",
-    "q75b_decontaminate",
-    "q76_knn_bruteforce",
-    "q76b_knn_gemm",
-    "q77_embedding_near_dup",
-    "q80_token_stats",
-    "q81_lang_id",
-    "q82_quality_score",
-    "q82b_repetition_score",
-    "q83_doc_fingerprint",
-    "q84_levenshtein_datediff",
-    "q85_months_between",
-    "q87_subquery_in_exists",
-    "q125_equidepth_histogram",
-    "q139b_triangles_colorful",
-    "q145_arrow_native_features",
-    # (c2) oldest round-6 greens — 10 names, ascending
-    "q01_pricing_summary",
-    "q11_broadcast_dim_join",
-    "q18_multiway_join",
-    "q19_salted_skew_agg",
-    "q20_groupby_battery",
-    "q26_approx_count_distinct",
-    "q32_lag_lead",
-    "q34_moving_avg_rows_frame",
-    "q37_asof_join",
-    "q56_json_funcs",
+    # (c1) round-6 cohort drain — 34 names, ascending
+    "q57_map_funcs",
+    "q60_cdc_filter_pushdown",
+    "q61_cdc_envelope",
+    "q63_cdc_checkpoint_highwater",
+    "q64_cdc_resume_after_checkpoint",
+    "q65_cdc_apply_latest_state",
+    "q65b_scd2_history",
+    "q66_event_funnel",
+    "q70_exact_dedup_replay",
+    "q86_json_struct_access",
+    "q88_unpivot",
+    "q89_distinct_agg_minby_maxby",
+    "q94_multimodal_metadata",
+    "q96_pandas_udf_scalar",
+    "q97_grouped_udaf",
+    "q98_udtf_tokenize",
+    "q99_tfidf_top_term",
+    "q117_incremental_dedup",
+    "q118_curation_filter",
+    "q151_pps_systematic_sample",
+    "q152_pq_adc_knn",
+    "q156_time_weighted_avg",
+    "q157_rolling_zscore",
+    "q159_ewma_truncated",
+    "q160_markov_transitions",
+    "q162_welch_ttest",
+    "q163_source_divergence",
+    "q164_bloom_membership",
+    "q165_kmeans_lloyd_step",
+    "q166_higher_order_funcs",
+    "q167_winsorized_stats",
+    "q168_incremental_agg_maintenance",
+    "q169_mode_gini_profile",
+    "q170_semdedup_prune",
+    # (c2) oldest round-7 greens — 11 names, ascending
+    "q100_inverted_index",
+    "q101_top_trigrams",
+    "q102_source_stats",
+    "q103_length_histogram",
+    "q105_batch_sessionize",
+    "q105_pack_sequences",
+    "q106_cohort_retention",
+    "q106_split_assign",
+    "q107_chunk_documents",
+    "q107_gap_fill_daily",
+    "q108_column_profile",
 )
 
 
