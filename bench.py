@@ -168,6 +168,13 @@ HEADLINE = [
     # q223: kNN label eval — broadcast probes, probe-bounded election;
     # 1x/10x = 1.30/2.15 s (SCALE.md)
     "q223_knn_label_eval",
+    # round 11 — q224: semantic decontamination (broadcast eval probes,
+    # corpus hashed once); q225: perceptual-hash near-dup (Arrow dHash +
+    # band equi-join); q226: the composed curation pipeline (per-doc
+    # output -> noop sink). 1x/10x curves in SCALE.md round-11.
+    "q224_semantic_decontaminate",
+    "q225_perceptual_hash_near_dup",
+    "q226_curation_pipeline",
 ]
 
 
@@ -203,6 +210,9 @@ LARGE_OUTPUT = {
     # per-document outputs: one row per doc, corpus-linear
     "q205_bigram_perplexity",
     "q209_doc_novelty",
+    # per-doc verdict/audit outputs: one row per corpus doc
+    "q224_semantic_decontaminate",
+    "q226_curation_pipeline",
 }
 
 

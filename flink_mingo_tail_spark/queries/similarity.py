@@ -887,18 +887,35 @@ def mutual_knn_blocked(
         n_rows=1, n_tables=_LSH_N_TABLES, dim=_LSH_DIM, seed=42, n_bits=n_bits
     )  # n_rows unused once n_bits is resolved; planes depend on (seed, width) only
 
-    a_structs = []
-    for t, planes in enumerate(tables):
-        b0 = lsh_bucket(F.col("av"), planes)
-        a_structs.append(F.struct(F.lit(t).alias("tbl"), b0.alias("bucket")))
-        a_structs.extend(
-            F.struct(
-                F.lit(t).alias("tbl"), b0.bitwiseXOR(F.lit(1 << j)).alias("bucket")
+    # Two-step probe fan-out: materialize the base bucket per table
+    # FIRST (L plane expressions total), then explode the Hamming-1
+    # variants off the materialized COLUMN. Folding the XOR variants
+    # into one struct array copies the 3072-literal bucket expression
+    # tree into every branch — measured 1.7 MiB task binaries and a
+    # multi-second codegen floor at sf0.1 (round-11 note, SCALE.md).
+    a_base = a.select(
+        "ai",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket(F.col("av"), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
             )
-            for j in range(n_bits)
-        )
-    a_b = a.select("ai", F.explode(F.array(*a_structs)).alias("tb")).select(
-        "ai", "tb.tbl", "tb.bucket"
+        ).alias("tb"),
+    ).select("ai", "tb.tbl", "tb.bucket")
+    a_b = a_base.select(
+        "ai",
+        "tbl",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)],
+            )
+        ).alias("bucket"),
     )
     b_b = b.select(
         "bi",
@@ -1249,18 +1266,33 @@ def q224_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("ci"), F.col("embedding").alias("cv")
     )
 
-    ev_structs = []
-    for t, planes in enumerate(_LSH_TABLES):
-        b0 = lsh_bucket(F.col("evv"), planes)
-        ev_structs.append(F.struct(F.lit(t).alias("tbl"), b0.alias("bucket")))
-        ev_structs.extend(
-            F.struct(
-                F.lit(t).alias("tbl"), b0.bitwiseXOR(F.lit(1 << j)).alias("bucket")
+    # Two-step probe fan-out (the q217b codegen-floor fix): base bucket
+    # per table first, then Hamming-1 variants off the materialized
+    # column — not a 56-branch struct array that re-embeds the plane
+    # literals per branch.
+    ev_base = ev.select(
+        "ei",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket(F.col("evv"), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(_LSH_TABLES)
+                ]
             )
-            for j in range(_LSH_N_BITS)
-        )
-    ev_b = ev.select("ei", F.explode(F.array(*ev_structs)).alias("tb")).select(
-        "ei", "tb.tbl", "tb.bucket"
+        ).alias("tb"),
+    ).select("ei", "tb.tbl", "tb.bucket")
+    ev_b = ev_base.select(
+        "ei",
+        "tbl",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(_LSH_N_BITS)],
+            )
+        ).alias("bucket"),
     )
     co_b = co.select(
         "ci",

@@ -263,6 +263,22 @@ PROBES = [
     # q223: same broadcast-probe scan; vote election rides probe-bounded
     # frames
     "q223_knn_label_eval",
+    # round 11 — q224: id-shifted copies keep vec_id%100==0, so the
+    # "bounded" eval side grows 10x WITH the corpus here and the bucket
+    # join's candidate count grows ~100x by construction (q217b's copy-
+    # corpus caveat; in production the eval set is FIXED, so candidates
+    # ride the corpus linearly) — the watch item is cost tracking the
+    # candidate count. The n-gram leg is a broadcast semi-join and rides
+    # the corpus linearly.
+    "q224_semantic_decontaminate",
+    # q225: copies get DISTINCT payload groups (grp = shifted id div 5),
+    # so near-dup structure scales linearly — an honest linear probe of
+    # the Arrow hasher + (band, bits) equi-join.
+    "q225_perceptual_hash_near_dup",
+    # q226: exact copies are true content-hash duplicates, so stage 2
+    # absorbs 9/10 of the corpus (worst-case dup density, the q117
+    # feature) and the later stages ride the deduped survivor set.
+    "q226_curation_pipeline",
 ]
 
 
