@@ -1596,9 +1596,9 @@ _PIPE_STOPS = "['the','a','and','of','to','is']"  # q118's English sanity list
 _PIPE_ROWS_PER_BAND = MINHASH_K  # all 8 rows in one band
 
 
-@query(
-    "q226_curation_pipeline",
-    oracle=f"""
+# Shared SQL core for q226/q227: the full staged WITH-chain ending in
+# a per-doc `verdict` CTE (doc_id, source, n_toks, reason).
+_PIPE_CORE_SQL = f"""
     WITH d AS (
         SELECT doc_id, source, lang, n_chars, text,
                string_split(text, ' ') AS t
@@ -1661,29 +1661,24 @@ _PIPE_ROWS_PER_BAND = MINHASH_K  # all 8 rows in one band
         FROM surv4
     ), ob AS (
         SELECT doc_id FROM packed WHERE cum_before >= {_PIPE_BUDGET}
-    )
-    SELECT s1.doc_id, s1.source,
+    ), verdict AS (
+    SELECT s1.doc_id, s1.source, s1.n_toks,
            coalesce(s1.r1,
                     CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup' END,
                     CASE WHEN nd.doc_id IS NOT NULL THEN 'near_dup' END,
                     CASE WHEN ct.doc_id IS NOT NULL THEN 'contaminated' END,
                     CASE WHEN ob.doc_id IS NOT NULL THEN 'over_budget' END,
-                    'kept') AS reason,
-           (coalesce(s1.r1,
-                    CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup' END,
-                    CASE WHEN nd.doc_id IS NOT NULL THEN 'near_dup' END,
-                    CASE WHEN ct.doc_id IS NOT NULL THEN 'contaminated' END,
-                    CASE WHEN ob.doc_id IS NOT NULL THEN 'over_budget' END,
-                    'kept')) = 'kept' AS keep
+                    'kept') AS reason
     FROM s1
     LEFT JOIN (SELECT doc_id FROM s2 WHERE r2 IS NOT NULL) ex ON ex.doc_id = s1.doc_id
     LEFT JOIN nd ON nd.doc_id = s1.doc_id
     LEFT JOIN cont ct ON ct.doc_id = s1.doc_id
     LEFT JOIN ob ON ob.doc_id = s1.doc_id
-    ORDER BY s1.doc_id
-    """,
-)
-def q226_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    )
+"""
+
+
+def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED curation pipeline — the end-to-end shape a real
     100 TB training-data run executes, as ONE lazy plan with per-stage
     reason codes: eval holdout -> quality filter (q118's rules) ->
@@ -1811,7 +1806,7 @@ def q226_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     flag = F.lit(True)
     out = (
-        s1.select("doc_id", "source", "r1")
+        s1.select("doc_id", "source", "n_toks", "r1")
         .join(ex_ids.withColumn("__ex", flag), "doc_id", "left")
         .join(nd_ids.withColumn("__nd", flag), "doc_id", "left")
         .join(cont_ids.withColumn("__ct", flag), "doc_id", "left")
@@ -1825,9 +1820,56 @@ def q226_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("__ob"), "over_budget"),
         F.lit("kept"),
     )
-    return out.select(
-        "doc_id",
-        "source",
-        reason.alias("reason"),
-        (reason == "kept").alias("keep"),
+    return out.select("doc_id", "source", "n_toks", reason.alias("reason"))
+
+
+@query(
+    "q226_curation_pipeline",
+    oracle=_PIPE_CORE_SQL
+    + """
+    SELECT doc_id, source, reason, (reason = 'kept') AS keep
+    FROM verdict
+    ORDER BY doc_id
+    """,
+)
+def q226_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc audit-trail view of :func:`curation_verdict` (the full
+    pipeline docstring lives there): doc_id, source, first-failing-
+    stage reason, keep."""
+    v = curation_verdict(spark, sf_dir)
+    return v.select(
+        "doc_id", "source", "reason", (F.col("reason") == "kept").alias("keep")
     ).orderBy("doc_id")
+
+
+@query(
+    "q227_curation_report",
+    oracle=_PIPE_CORE_SQL
+    + """
+    SELECT source, reason,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_toks
+    FROM verdict
+    GROUP BY source, reason
+    ORDER BY source, reason
+    """,
+)
+def q227_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter-rate DASHBOARD over the composed pipeline — the
+    per-source x per-stage rollup (doc and token counts) every real
+    curation run publishes alongside the packed output: which sources
+    lose how much to which stage, and how many tokens actually survive
+    to training. Shares :func:`curation_verdict`'s single lazy plan
+    with q226 (one code path, two views — the q221/score_batch_novelty
+    discipline), so the dashboard can never drift from the per-doc
+    audit trail it summarizes. Integer counts and token sums — exact
+    across engines; output is bounded by |sources| x |stages|."""
+    v = curation_verdict(spark, sf_dir)
+    return (
+        v.groupBy("source", "reason")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_toks"),
+        )
+        .orderBy("source", "reason")
+    )

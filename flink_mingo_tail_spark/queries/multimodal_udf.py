@@ -401,10 +401,10 @@ _PH_SQL_PAYLOAD = (
 )
 
 
-@query(
-    "q225_perceptual_hash_near_dup",
-    oracle=f"""
-    WITH m AS (
+# Shared SQL core for q225/q228 (no WITH keyword — q228 prepends WITH
+# RECURSIVE for the reachability closure): payload replay -> dHash ->
+# bands -> exact-filtered near-dup `pairs`.
+_PH_CORE_SQL = f"""m AS (
         SELECT doc_id AS media_id, {_PH_SQL_PAYLOAD} AS h
         FROM documents
     ), dh AS (
@@ -422,11 +422,18 @@ _PH_SQL_PAYLOAD = (
                a.ph AS pha, b.ph AS phb
         FROM bands a JOIN bands b
           ON b.band = a.band AND b.bits = a.bits AND a.media_id < b.media_id
-    )
-    SELECT media_a, media_b,
-           CAST(bit_count(xor(pha, phb)) AS BIGINT) AS hamming
-    FROM cand
-    WHERE bit_count(xor(pha, phb)) <= {_PH_HAM}
+    ), pairs AS (
+        SELECT media_a, media_b,
+               CAST(bit_count(xor(pha, phb)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(pha, phb)) <= {_PH_HAM}
+    )"""
+
+
+@query(
+    "q225_perceptual_hash_near_dup",
+    oracle="WITH " + _PH_CORE_SQL + """
+    SELECT media_a, media_b, hamming FROM pairs
     ORDER BY media_a, media_b
     """,
 )
@@ -456,6 +463,12 @@ def q225_perceptual_hash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs with occupancy bounded by band width (at 100 TB: widen the
     hash to 64 bits / 8 bands, the q212 rule, via auto-style width
     selection); popcount is integer-exact in both engines."""
+    return perceptual_near_dup_pairs(spark, sf_dir).orderBy("media_a", "media_b")
+
+
+def perceptual_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q225's pair frame (unordered) — shared by the pair view (q225)
+    and the transitive cluster election (q228), one code path."""
     media = synthesize_media_variants(
         _t(spark, sf_dir, "documents"), group_size=_PH_GROUP
     )
@@ -481,12 +494,57 @@ def q225_perceptual_hash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .distinct()
     )
+    return cand.select(
+        "media_a",
+        "media_b",
+        F.expr("CAST(bit_count(pha ^ phb) AS BIGINT)").alias("hamming"),
+    ).filter(F.col("hamming") <= _PH_HAM)
+
+
+@query(
+    "q228_perceptual_dup_components",
+    oracle="WITH RECURSIVE " + _PH_CORE_SQL + """
+    , sym AS (
+        SELECT media_a AS a, media_b AS b FROM pairs
+        UNION SELECT media_b, media_a FROM pairs
+    ), reach(src, dst) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    ), comp AS (
+        SELECT src AS media_id, min(dst) AS component FROM reach GROUP BY src
+    )
+    SELECT d.doc_id AS media_id,
+           coalesce(c.component, d.doc_id) AS component,
+           coalesce(c.component, d.doc_id) < d.doc_id AS is_dup
+    FROM documents d LEFT JOIN comp c ON c.media_id = d.doc_id
+    ORDER BY media_id
+    """,
+)
+def q228_perceptual_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE transitive near-dup clusters over the perceptual-hash pair
+    graph — q73b's closure applied to the multimodal modality: q225
+    emits PAIRS (A~B at d<=3, B~C at d<=3), but corpus dedup keeps or
+    drops by the transitive CLUSTER (A,B,C together even when d(A,C)
+    > 3), with min media_id as the canonical representative. Spark
+    side: iterative min-label propagation + pointer jumping
+    (operators/cluster.py — O(log diameter) rounds of two key-
+    partitioned shuffles, O(V) state). Oracle: DuckDB recursive-CTE
+    reachability (exact but quadratic-in-component — oracle-only; the
+    Spark plan is the one that scales). Isolated media (no near-dup
+    pair) are their own singleton components via the left join."""
+    pairs = perceptual_near_dup_pairs(spark, sf_dir)
+    from flink_mingo_tail_spark.operators.cluster import connected_components
+
+    edges = pairs.select(F.col("media_a").alias("src"), F.col("media_b").alias("dst"))
+    comp = connected_components(edges)
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
     return (
-        cand.select(
-            "media_a",
-            "media_b",
-            F.expr("CAST(bit_count(pha ^ phb) AS BIGINT)").alias("hamming"),
+        d.join(comp, d.media_id == comp.node, "left")
+        .select(
+            "media_id",
+            F.coalesce("component", F.col("media_id")).alias("component"),
         )
-        .filter(F.col("hamming") <= _PH_HAM)
-        .orderBy("media_a", "media_b")
+        .withColumn("is_dup", F.col("component") < F.col("media_id"))
+        .orderBy("media_id")
     )

@@ -205,3 +205,30 @@ def test_perceptual_near_dup_planted_pairs_guaranteed(spark):
         gb, mb = grp[bb]
         if ga == gb and (ma == 0 or mb == 0):
             assert d <= 2, (a, bb, d)  # canonical-vs-variant bound
+
+
+def test_perceptual_dup_components_closure(spark):
+    """q228 invariants vs q225's pairs: both endpoints of every pair
+    share a component; every non-singleton component's representative
+    is its min member; is_dup marks exactly the non-representative
+    members; isolated media are singletons."""
+    from flink_mingo_tail_spark.queries import load_registry
+
+    REG = load_registry()
+    pairs = REG["q225_perceptual_hash_near_dup"].fn(spark, SF_SMOKE).collect()
+    comp = {
+        r.media_id: (r.component, r.is_dup)
+        for r in REG["q228_perceptual_dup_components"].fn(spark, SF_SMOKE).collect()
+    }
+    for r in pairs:
+        assert comp[r.media_a][0] == comp[r.media_b][0], (r.media_a, r.media_b)
+    members: dict = {}
+    for mid, (c, _dup) in comp.items():
+        members.setdefault(c, []).append(mid)
+    paired = {r.media_a for r in pairs} | {r.media_b for r in pairs}
+    for c, ms in members.items():
+        assert c == min(ms), (c, ms)
+        for mid in ms:
+            assert comp[mid][1] == (mid != c), (mid, c)
+        if len(ms) == 1 and ms[0] not in paired:
+            assert comp[ms[0]] == (ms[0], False)
