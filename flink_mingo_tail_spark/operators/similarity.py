@@ -510,18 +510,32 @@ def knn_lsh(
         ).alias("tb"),
     ).select(corpus_id, corpus_vec, "tb.table", "tb.bucket")
 
-    probe_structs = []
-    for t, planes in enumerate(tables):
-        b0 = lsh_bucket(F.col(query_vec), planes)
-        probe_structs.append(F.struct(F.lit(t).alias("table"), b0.alias("bucket")))
-        if multiprobe:
-            probe_structs.extend(
-                F.struct(F.lit(t).alias("table"), b0.bitwiseXOR(F.lit(1 << j)).alias("bucket"))
-                for j in range(n_bits)
+    # Two-step probe fan-out (SCALE.md round-11 codegen-floor fix):
+    # materialize the base bucket per table, then explode the Hamming
+    # variants off the materialized COLUMN — the one-struct-array form
+    # copies the (n_bits x dim)-literal bucket expression into every
+    # branch (1.7 MiB task binaries measured).
+    q_base = queries.select(
+        F.col(query_id),
+        F.col(query_vec),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        lsh_bucket(F.col(query_vec), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
             )
-    q_probes = queries.select(
-        F.col(query_id), F.col(query_vec), F.explode(F.array(*probe_structs)).alias("tb")
+        ).alias("tb"),
     ).select(query_id, query_vec, "tb.table", "tb.bucket")
+    variants = [F.col("bucket")]
+    if multiprobe:
+        variants += [F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)]
+    q_probes = q_base.select(
+        query_id, query_vec, "table", F.explode(F.array(*variants)).alias("bucket")
+    )
 
     joined = corpus_b.join(F.broadcast(q_probes), ["table", "bucket"]).filter(
         F.col(corpus_id) != F.col(query_id)
@@ -746,4 +760,49 @@ def knn_ivfpq(
         rer.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cos_sim", "rank")
+    )
+
+
+def lsh_keys(df: DataFrame, id_col: str, vec_col: str, tables: list[np.ndarray]) -> DataFrame:
+    """(id, tbl, bucket) — one sign-LSH bucket per table per row (L
+    integer keys per row, the storage/index side of multi-table LSH).
+    Plane components fold into codegen as literals; one narrow map."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, "tb.tbl", "tb.bucket")
+
+
+def lsh_probe_keys(
+    df: DataFrame, id_col: str, vec_col: str, tables: list[np.ndarray], n_bits: int
+) -> DataFrame:
+    """(id, tbl, bucket) with Hamming-1 multi-probe: the base bucket
+    plus every single-bit flip — (n_bits + 1) · L keys per row, the
+    PROBE side of the join (fan the probes out on the bounded side
+    only). Two-step construction: the base bucket materializes per
+    table FIRST, then the XOR variants explode off the materialized
+    COLUMN — folding the variants into one struct array would copy the
+    (n_bits × dim)-literal bucket expression into every branch
+    (measured 1.7 MiB task binaries and a multi-second codegen floor;
+    SCALE.md round-11)."""
+    base = lsh_keys(df, id_col, vec_col, tables)
+    return base.select(
+        id_col,
+        "tbl",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)],
+            )
+        ).alias("bucket"),
     )

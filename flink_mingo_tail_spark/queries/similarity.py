@@ -15,6 +15,8 @@ from flink_mingo_tail_spark.operators.similarity import (
     hyperplane_tables,
     knn_bruteforce,
     lsh_bucket,
+    lsh_keys,
+    lsh_probe_keys,
     lsh_tables_for,
     knn_ivf,
     knn_lsh,
@@ -1266,48 +1268,11 @@ def q224_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("ci"), F.col("embedding").alias("cv")
     )
 
-    # Two-step probe fan-out (the q217b codegen-floor fix): base bucket
-    # per table first, then Hamming-1 variants off the materialized
-    # column — not a 56-branch struct array that re-embeds the plane
-    # literals per branch.
-    ev_base = ev.select(
-        "ei",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket(F.col("evv"), planes).alias("bucket"),
-                    )
-                    for t, planes in enumerate(_LSH_TABLES)
-                ]
-            )
-        ).alias("tb"),
-    ).select("ei", "tb.tbl", "tb.bucket")
-    ev_b = ev_base.select(
-        "ei",
-        "tbl",
-        F.explode(
-            F.array(
-                F.col("bucket"),
-                *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(_LSH_N_BITS)],
-            )
-        ).alias("bucket"),
-    )
-    co_b = co.select(
-        "ci",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket(F.col("cv"), planes).alias("bucket"),
-                    )
-                    for t, planes in enumerate(_LSH_TABLES)
-                ]
-            )
-        ).alias("tb"),
-    ).select("ci", "tb.tbl", "tb.bucket")
+    # Probe keys fan out on the bounded eval side only; the corpus
+    # stores L integer keys per row (operators/similarity.py —
+    # lsh_probe_keys is the two-step codegen-floor-safe form).
+    ev_b = lsh_probe_keys(ev, "ei", "evv", _LSH_TABLES, _LSH_N_BITS)
+    co_b = lsh_keys(co, "ci", "cv", _LSH_TABLES)
 
     cand = co_b.join(F.broadcast(ev_b), ["tbl", "bucket"]).select("ci", "ei").distinct()
     sem = (
