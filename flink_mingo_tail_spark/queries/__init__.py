@@ -91,13 +91,18 @@ _MODULES = (
 #   (c1) the ENTIRE round-6 cohort — 34 names in ascending query order —
 #       after this round no green row predates round 7 (the verdict-#3
 #       drain);
-#   (c2) 11 remaining slots: the oldest round-7 greens ascending
-#       (q100...q108) lead round 12's refresh.
+#   (a2) 2 late-round-11 additions with no driver row either: q227
+#       (the per-stage curation report over q226's reason codes), q228
+#       (perceptual-dup connected components over q225's pairs);
+#   (c2) 9 remaining slots: the oldest round-7 greens ascending
+#       (q100...q107) lead round 12's refresh.
 _NEEDS_DRIVER_ROW = (
-    # (a) round-11 wave, no driver row yet — 3 names
+    # (a) round-11 wave, no driver row yet — 5 names
     "q224_semantic_decontaminate",
     "q225_perceptual_hash_near_dup",
     "q226_curation_pipeline",
+    "q227_curation_report",
+    "q228_perceptual_dup_components",
     # (b) code changed in round 11 — 2 names
     "q217b_mutual_knn_blocked",
     "q221_novelty_vs_index",
@@ -146,8 +151,6 @@ _NEEDS_DRIVER_ROW = (
     "q106_cohort_retention",
     "q106_split_assign",
     "q107_chunk_documents",
-    "q107_gap_fill_daily",
-    "q108_column_profile",
 )
 
 
