@@ -91,18 +91,22 @@ _MODULES = (
 #   (c1) the ENTIRE round-6 cohort — 34 names in ascending query order —
 #       after this round no green row predates round 7 (the verdict-#3
 #       drain);
-#   (a2) 2 late-round-11 additions with no driver row either: q227
+#   (a2) late-round-11 additions with no driver row either: q227
 #       (the per-stage curation report over q226's reason codes), q228
-#       (perceptual-dup connected components over q225's pairs);
-#   (c2) 9 remaining slots: the oldest round-7 greens ascending
-#       (q100...q107) lead round 12's refresh.
+#       (perceptual-dup connected components over q225's pairs), q229
+#       (temperature-reweighted source mixing), q230 (bounded
+#       edit-distance confirm over LSH-blocked candidates);
+#   (c2) 7 remaining slots: the oldest round-7 greens ascending
+#       (q100...q106) lead round 12's refresh.
 _NEEDS_DRIVER_ROW = (
-    # (a) round-11 wave, no driver row yet — 5 names
+    # (a) round-11 wave, no driver row yet — 7 names
     "q224_semantic_decontaminate",
     "q225_perceptual_hash_near_dup",
     "q226_curation_pipeline",
     "q227_curation_report",
     "q228_perceptual_dup_components",
+    "q229_temperature_mix_sample",
+    "q230_edit_distance_near_dup",
     # (b) code changed in round 11 — 2 names
     "q217b_mutual_knn_blocked",
     "q221_novelty_vs_index",
@@ -149,8 +153,6 @@ _NEEDS_DRIVER_ROW = (
     "q105_batch_sessionize",
     "q105_pack_sequences",
     "q106_cohort_retention",
-    "q106_split_assign",
-    "q107_chunk_documents",
 )
 
 

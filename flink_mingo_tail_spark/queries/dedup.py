@@ -1873,3 +1873,118 @@ def q227_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "reason")
     )
+
+
+# ---------------------------------------------------------------------------
+# q230 — bounded edit-distance confirm over LSH-blocked candidates
+# ---------------------------------------------------------------------------
+
+# Near-dup verdict: dist <= max_len/5 (20% of the longer doc, spelled
+# 5*dist <= max_len so the rule is integer-exact) AND dist <= _LEV_CAP.
+# The absolute cap is the compute bound: Spark's levenshtein(l, r, cap)
+# runs the banded DP — O(cap * len) instead of O(len^2) per pair — and
+# returns -1 beyond the cap, which the oracle mirrors with a CASE.
+_LEV_CAP = 128
+
+
+@query(
+    "q230_edit_distance_near_dup",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT doc_id, {_SQL_SIG} AS sig FROM documents
+    ), banded AS (
+        SELECT doc_id, unnest({sql_lsh_band_keys('sig', MINHASH_K, MINHASH_K)}) AS band
+        FROM sigs
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+    ), sized AS (
+        SELECT doc_a, doc_b,
+               greatest(length(ta.text), length(tb.text)) AS max_len,
+               abs(length(ta.text) - length(tb.text)) AS len_gap,
+               ta.text AS text_a, tb.text AS text_b
+        FROM cand
+        JOIN documents ta ON cand.doc_a = ta.doc_id
+        JOIN documents tb ON cand.doc_b = tb.doc_id
+    ), confirmed AS (
+        SELECT doc_a, doc_b, max_len,
+               CASE WHEN levenshtein(text_a, text_b) > {_LEV_CAP} THEN -1
+                    ELSE levenshtein(text_a, text_b) END AS dist
+        FROM sized
+        WHERE 5 * len_gap <= max_len AND len_gap <= {_LEV_CAP}
+    )
+    SELECT doc_a, doc_b, CAST(max_len AS BIGINT) AS max_len,
+           CAST(dist AS BIGINT) AS dist,
+           (dist >= 0 AND 5 * dist <= max_len) AS is_dup
+    FROM confirmed
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q230_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level fuzzy dedup at DOCUMENT granularity — the one
+    near-dup modality the family did not yet cover (shingle Jaccard =
+    q73/q75, SimHash = q74/q212, embedding = q170/q217b, perceptual =
+    q225; q140's ED-Join prefix filter handles SHORT strings where a
+    small absolute distance bound makes bigram counting sound, which a
+    relative 20%-of-553-chars bound does not): LSH proposes, EDIT
+    DISTANCE disposes. Candidates come from the high-precision
+    1-band x 8-row MinHash split (the q226 rule: a destructive /
+    per-pair-expensive stage wants the J^8 collision curve, not q73's
+    high-recall 2x4), then each surviving pair is confirmed by bounded
+    Levenshtein: near-dup iff dist <= 20% of the longer doc AND
+    dist <= ``_LEV_CAP``.
+
+    Two compute bounds keep the confirm stage honest at scale: (1) the
+    length prefilter ``5*|len_a-len_b| <= max_len AND |len_a-len_b| <=
+    cap`` is fused BEFORE the distance call (edit distance >= length
+    gap, so a pair failing it can never confirm — no DP is ever run on
+    a hopeless pair); (2) the distance itself is Spark's
+    ``levenshtein(l, r, threshold)`` banded DP — O(cap*len) per pair,
+    not O(len^2) — returning -1 beyond the cap (the oracle mirrors the
+    -1 with a CASE). At 100 TB: candidates are band-equi-join bounded
+    (n_bits ∝ log n via the shared auto rule), the texts ride the band
+    shuffle once per side, and per-pair cost is linear in doc length.
+    Fixture note: like q140/q212, the synthetic near-identical corpus
+    makes TRUE pairs quadratic-ish in SF, so this is a probe-only
+    query under the q212 bench policy (curves in SCALE.md)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hashed = d.select(
+        "doc_id", shingle_hashes(F.array_distinct(tokens(F.col("text")))).alias("hs")
+    )
+    sigs = hashed.select("doc_id", minhash_from_hashes(F.col("hs"), MINHASH_K).alias("sig"))
+    banded = sigs.select(
+        "doc_id",
+        F.explode(lsh_band_keys(F.col("sig"), MINHASH_K, MINHASH_K)).alias("band"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sized = (
+        cand.join(d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")), "doc_a")
+        .join(d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "text_a",
+            "text_b",
+            F.greatest(F.length("text_a"), F.length("text_b")).cast("long").alias("max_len"),
+            F.abs(F.length("text_a") - F.length("text_b")).alias("len_gap"),
+        )
+        .filter((5 * F.col("len_gap") <= F.col("max_len")) & (F.col("len_gap") <= _LEV_CAP))
+    )
+    return (
+        sized.select(
+            "doc_a",
+            "doc_b",
+            "max_len",
+            F.levenshtein("text_a", "text_b", _LEV_CAP).cast("long").alias("dist"),
+        )
+        .withColumn("is_dup", (F.col("dist") >= 0) & (5 * F.col("dist") <= F.col("max_len")))
+        .orderBy("doc_a", "doc_b")
+    )

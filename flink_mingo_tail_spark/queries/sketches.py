@@ -532,3 +532,121 @@ def q164_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("is_member") & ~F.col("bloom_pos")).alias("n_false_neg"),
         F.count_if(F.col("bloom_pos") & ~F.col("is_member")).alias("n_false_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q229 — temperature-reweighted source mixing (deterministic, per-source PPS)
+# ---------------------------------------------------------------------------
+
+_MIX_PICKS = 96       # global pick budget P (one shard's worth at test SF)
+_MIX_BUCKET_W = 100   # doc_id range width of the level-1 prefix-sum buckets
+
+
+@query(
+    "q229_temperature_mix_sample",
+    # Honest ANSI form: one window per source for the running sum, the
+    # tiny per-source weight table spelled as plain CTEs. All integer
+    # arithmetic after the single sqrt/floor step (see docstring), so
+    # the selected SET and every output column are exact across engines.
+    oracle=f"""
+    WITH tot AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS t_chars
+      FROM documents GROUP BY source
+    ), plan AS (
+      SELECT source, t_chars,
+             greatest(1, CAST(floor({_MIX_PICKS} * sqrt(t_chars)
+                 / (SELECT sum(sqrt(t_chars)) FROM tot)) AS BIGINT)) AS n_target
+      FROM tot
+    ), stepped AS (
+      SELECT source, t_chars, n_target,
+             greatest(1, t_chars // n_target) AS step
+      FROM plan
+    ), d AS (
+      SELECT doc_id, source, n_chars,
+             CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_after
+      FROM documents
+    )
+    SELECT d.doc_id, d.source, d.n_chars, s.step,
+           CAST(cum_after // s.step
+                - (cum_after - d.n_chars) // s.step AS BIGINT) AS n_hits,
+           CAST((cum_after - d.n_chars) // s.step + 1 AS BIGINT) AS pick_pos
+    FROM d JOIN stepped s ON d.source = s.source
+    WHERE cum_after // s.step > (cum_after - d.n_chars) // s.step
+    ORDER BY d.doc_id
+    """,
+)
+def q229_temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted SOURCE MIXING — the data-mixing step of a
+    multilingual/multi-domain training pipeline: per-source sampling
+    rates follow w_s ∝ T_s^α with α = 1/2 (T_s = source char mass), the
+    standard temperature smoothing that up-samples low-resource sources
+    relative to proportional mixing while never letting one giant
+    source swamp the mix. A global budget of ``_MIX_PICKS`` picks is
+    split as n_target(s) = max(1, ⌊P·w_s⌋), then each source selects
+    its documents DETERMINISTICALLY by q151's systematic-PPS walk at
+    step(s) = max(1, T_s div n_target(s)) — no RNG (retry-stable), and
+    after the single sqrt/floor plan step every quantity is int64, so
+    the selected set is bit-identical across engines.
+
+    Scale shape: the weight plan is |sources| rows (broadcast); the
+    per-source running sum uses q151's two-level prefix pattern
+    (level 1 partition-parallel over (source, doc_id div 100) buckets,
+    level 2 a window over per-bucket totals only), so no global — or
+    even per-source — single-task window ever materializes. At 100 TB
+    the plan table persists beside the corpus; re-mixing at a new
+    temperature or budget recomputes only the tiny plan and re-walks
+    with new steps (metadata-only, same as q151's re-sampling note).
+    """
+    prepare_session(spark)
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", F.expr(f"doc_id DIV {_MIX_BUCKET_W}").alias("b")
+    )
+    tot = d.groupBy("source").agg(F.sum("n_chars").cast("long").alias("t_chars"))
+    denom = tot.agg(F.sum(F.sqrt("t_chars")).alias("denom"))
+    plan = tot.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "t_chars",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.lit(_MIX_PICKS) * F.sqrt("t_chars") / F.col("denom")).cast("long"),
+        ).alias("n_target"),
+    )
+    stepped = plan.select(
+        "source",
+        F.greatest(F.lit(1).cast("long"), F.expr("t_chars DIV n_target")).alias("step"),
+    )
+    # Two-level per-source prefix sum (q151's pattern + source key).
+    w_in = Window.partitionBy("source", "b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    within = d.withColumn("within", F.sum("n_chars").over(w_in))
+    btot = d.groupBy("source", "b").agg(F.sum("n_chars").alias("tot"))
+    w_off = Window.partitionBy("source").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = btot.select(
+        "source", "b", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("off")
+    )
+    scored = within.join(offs, ["source", "b"]).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("off") + F.col("within")).cast("long").alias("cum_after"),
+    )
+    walked = scored.join(F.broadcast(stepped), "source")
+    after_ix = F.expr("cum_after DIV step")
+    before_ix = F.expr("(cum_after - n_chars) DIV step")
+    return (
+        walked.withColumns(
+            {
+                "n_hits": (after_ix - before_ix).cast("long"),
+                "pick_pos": (before_ix + 1).cast("long"),
+            }
+        )
+        .filter(F.col("n_hits") >= 1)
+        .select("doc_id", "source", "n_chars", "step", "n_hits", "pick_pos")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,106 @@
+"""q229 — temperature-reweighted source mixing.
+
+The registry-wide oracle sweep hash-checks q229 against DuckDB; these
+tests pin the SEMANTICS against a pure-Python replica on the real
+fixture (exact selected set, multiplicities, pick positions and steps)
+and the two mixing guarantees the replica can't express by accident:
+every source is represented, and the sqrt temperature compresses the
+pick ratio relative to the raw char-mass ratio.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from flink_mingo_tail_spark.queries import load_registry
+from flink_mingo_tail_spark.queries.sketches import _MIX_PICKS
+from tests.conftest import SF_SMOKE
+
+REGISTRY = load_registry()
+
+
+def _fixture_rows():
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT doc_id, source, n_chars FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        " ORDER BY doc_id"
+    ).fetchall()
+
+
+def _py_mix(rows, picks):
+    """Pure-Python replica of q229's arithmetic."""
+    totals: dict[str, int] = {}
+    for _, src, w in rows:
+        totals[src] = totals.get(src, 0) + w
+    denom = sum(math.sqrt(t) for t in totals.values())
+    n_target = {
+        s: max(1, math.floor(picks * math.sqrt(t) / denom)) for s, t in totals.items()
+    }
+    step = {s: max(1, totals[s] // n_target[s]) for s in totals}
+    cum: dict[str, int] = {}
+    out = {}
+    for doc_id, src, w in rows:  # rows already in doc_id order
+        before = cum.get(src, 0)
+        after = before + w
+        cum[src] = after
+        st = step[src]
+        hits = after // st - before // st
+        if hits:
+            out[doc_id] = (src, st, hits, before // st + 1)
+    return out, n_target, totals
+
+
+def test_mix_matches_python_replica_exactly(spark):
+    rows = _fixture_rows()
+    expected, _, _ = _py_mix(rows, _MIX_PICKS)
+    got = {
+        r.doc_id: (r.source, r.step, r.n_hits, r.pick_pos)
+        for r in REGISTRY["q229_temperature_mix_sample"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_every_source_is_represented(spark):
+    """max(1, .) floors guarantee low-resource sources never vanish
+    from the mix — the point of temperature smoothing."""
+    rows = _fixture_rows()
+    all_sources = {src for _, src, _ in rows}
+    picked_sources = {
+        r.source
+        for r in REGISTRY["q229_temperature_mix_sample"].fn(spark, SF_SMOKE).collect()
+    }
+    assert picked_sources == all_sources
+
+
+def test_sqrt_temperature_compresses_the_mix():
+    """n_target ratios follow sqrt(mass) ratios: the biggest source is
+    up-weighted strictly less than proportionally."""
+    rows = _fixture_rows()
+    _, n_target, totals = _py_mix(rows, _MIX_PICKS)
+    big = max(totals, key=totals.get)
+    small = min(totals, key=totals.get)
+    if totals[big] == totals[small]:  # degenerate uniform fixture
+        return
+    mass_ratio = totals[big] / totals[small]
+    pick_ratio = n_target[big] / n_target[small]
+    assert pick_ratio <= math.sqrt(mass_ratio) + 1
+    assert pick_ratio < mass_ratio
+
+
+def test_budget_is_respected(spark):
+    """Total picks stay within the floor/bump envelope of the global
+    budget: sum(max(1, floor(P*w_s))) is in [P - |S|, P + |S|], and the
+    systematic walk delivers each source's target within one pick."""
+    rows = _fixture_rows()
+    _, n_target, totals = _py_mix(rows, _MIX_PICKS)
+    n_sources = len(totals)
+    assert _MIX_PICKS - n_sources <= sum(n_target.values()) <= _MIX_PICKS + n_sources
+    got = REGISTRY["q229_temperature_mix_sample"].fn(spark, SF_SMOKE).collect()
+    hits_by_source: dict[str, int] = {}
+    for r in got:
+        hits_by_source[r.source] = hits_by_source.get(r.source, 0) + r.n_hits
+    for s, target in n_target.items():
+        # walk yields T_s // step picks; step flooring can add a pick
+        assert target <= hits_by_source.get(s, 0) <= target + 1
