@@ -95,11 +95,12 @@ _MODULES = (
 #       (the per-stage curation report over q226's reason codes), q228
 #       (perceptual-dup connected components over q225's pairs), q229
 #       (temperature-reweighted source mixing), q230 (bounded
-#       edit-distance confirm over LSH-blocked candidates);
-#   (c2) 7 remaining slots: the oldest round-7 greens ascending
-#       (q100...q106) lead round 12's refresh.
+#       edit-distance confirm over LSH-blocked candidates), q231
+#       (DSIR-style importance scoring);
+#   (c2) 6 remaining slots: the oldest round-7 greens ascending
+#       (q100...q105) lead round 12's refresh.
 _NEEDS_DRIVER_ROW = (
-    # (a) round-11 wave, no driver row yet — 7 names
+    # (a) round-11 wave, no driver row yet — 8 names
     "q224_semantic_decontaminate",
     "q225_perceptual_hash_near_dup",
     "q226_curation_pipeline",
@@ -107,6 +108,7 @@ _NEEDS_DRIVER_ROW = (
     "q228_perceptual_dup_components",
     "q229_temperature_mix_sample",
     "q230_edit_distance_near_dup",
+    "q231_dsir_importance",
     # (b) code changed in round 11 — 2 names
     "q217b_mutual_knn_blocked",
     "q221_novelty_vs_index",
@@ -152,7 +154,6 @@ _NEEDS_DRIVER_ROW = (
     "q103_length_histogram",
     "q105_batch_sessionize",
     "q105_pack_sequences",
-    "q106_cohort_retention",
 )
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flink_mingo_tail_spark.operators.dedup import tokens
+from flink_mingo_tail_spark.operators.dedup import md5_long, tokens
 from flink_mingo_tail_spark.queries import query
 from flink_mingo_tail_spark.session import prepare_session
 from flink_mingo_tail_spark.tables import load_table
@@ -1032,3 +1032,124 @@ def q216_kneser_ney_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q231 — DSIR-style importance scoring (hashed n-gram domain selection)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 2048        # hashed feature buckets
+_DSIR_TARGET = "src0"  # in-fixture stand-in for the target domain slice
+_DSIR_TOP = 128        # selection budget
+
+
+@query(
+    "q231_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             ({{md5l}}) % {_DSIR_B} AS h
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+    ), ct AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS c_t FROM tok
+      WHERE source = '{_DSIR_TARGET}' GROUP BY h
+    ), cc AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS c_c FROM tok GROUP BY h
+    ), n AS (
+      SELECT CAST((SELECT count(*) FROM tok WHERE source = '{_DSIR_TARGET}') AS BIGINT) AS n_t,
+             CAST((SELECT count(*) FROM tok) AS BIGINT) AS n_c
+    ), model AS (
+      SELECT cc.h,
+             CAST(round(ln(CAST(coalesce(ct.c_t, 0) + 1 AS DOUBLE)
+                           * (n.n_c + {_DSIR_B})
+                           / (CAST(cc.c_c + 1 AS DOUBLE) * (n.n_t + {_DSIR_B})))
+                        * 1000000.0) AS BIGINT) AS lr_micro
+      FROM cc LEFT JOIN ct ON cc.h = ct.h CROSS JOIN n
+    ), scored AS (
+      SELECT tok.doc_id, tok.source,
+             CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(sum(model.lr_micro) AS BIGINT) AS logw_micro
+      FROM tok JOIN model ON tok.h = model.h
+      GROUP BY tok.doc_id, tok.source
+    )
+    SELECT doc_id, source, n_toks, logw_micro,
+           CAST(row_number() OVER (ORDER BY logw_micro DESC, doc_id) AS BIGINT) AS rank
+    FROM scored
+    ORDER BY logw_micro DESC, doc_id
+    LIMIT {_DSIR_TOP}
+    """.format(md5l="('0x' || substr(md5(tok), 1, 15))::BIGINT"),
+)
+def q231_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    — the published recipe for "give me raw-corpus documents that look
+    like my target domain": estimate target and corpus distributions
+    over HASHED n-gram features (here unigrams into ``_DSIR_B``
+    buckets, the q193 hashing trick, so both models are fixed-size
+    regardless of vocabulary), score every document by its importance
+    log-weight log p_target(x)/p_corpus(x) = Σ_tokens lr(h(tok)), and
+    keep the top ``_DSIR_TOP``. The fixture's ``{_DSIR_TARGET}`` slice
+    stands in for the target domain; with a real target corpus only the
+    model CTE's input changes.
+
+    Determinism is the q205 micro-nats grid: each bucket's smoothed
+    log-ratio ln((c_t+1)(N_c+B) / ((c_c+1)(N_t+B))) is rounded to
+    integer micro-nats ONCE, per-document scores are then pure integer
+    sums — order-independent, exact across engines. (DSIR proper
+    resamples with Gumbel noise; the deterministic top-k is the
+    RNG-free equivalent the audit trail wants, same as q135/q151.)
+
+    Scale shape: the model is at most B = {_DSIR_B} rows — broadcast to
+    the token stream (one scan of the corpus to build counts, one to
+    score; both map-side-combinable hash aggregates). Selection is
+    TakeOrdered (top-k per partition then a k-sized driver merge),
+    never a global sort. At 100 TB the model build is a metadata-cheap
+    side pass and re-scoring against a NEW target domain reuses the
+    cached corpus counts — only the target CTE recomputes."""
+    prepare_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok")
+    ).select(
+        "doc_id", "source", F.pmod(md5_long(F.col("tok")), F.lit(_DSIR_B)).alias("h")
+    )
+    ct = (
+        tok.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_t"))
+    )
+    cc = tok.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("c_c"))
+    n = tok.agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        F.count_if(F.col("source") == _DSIR_TARGET).cast("long").alias("n_t"),
+    )
+    model = (
+        cc.join(ct, "h", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "h",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double")
+                    * (F.col("n_c") + _DSIR_B)
+                    / ((F.col("c_c") + 1).cast("double") * (F.col("n_t") + _DSIR_B))
+                )
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    scored = (
+        tok.join(F.broadcast(model), "h")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("lr_micro").cast("long").alias("logw_micro"),
+        )
+    )
+    top = scored.orderBy(F.col("logw_micro").desc(), "doc_id").limit(_DSIR_TOP)
+    # rank the bounded top-k slice only (W is _DSIR_TOP rows — the
+    # single-partition window never sees the corpus)
+    w = Window.orderBy(F.col("logw_micro").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).orderBy("rank")
