@@ -1282,6 +1282,124 @@ def q188_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q232 — tokenizer fertility per source (BPE fit-by-domain eval)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_fertility_oracle(n_rounds: int) -> str:
+    parts = [
+        """
+    WITH words AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), swc AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+      FROM words GROUP BY source, w
+    ), wc AS (
+      SELECT w, CAST(sum(cnt) AS BIGINT) AS cnt FROM swc GROUP BY w
+    ), seg0 AS (
+      SELECT w, string_split(w, '') AS syms, cnt FROM wc
+    )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""
+    , p{r} AS (
+      SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b,
+             CAST(sum(cnt) AS BIGINT) AS c
+      FROM seg{r - 1}, unnest(range(1, len(syms))) AS r(i)
+      GROUP BY 1, 2
+    ), m{r} AS (
+      SELECT a, b FROM p{r} ORDER BY c DESC, a, b LIMIT 1
+    ), seg{r} AS (
+      SELECT w, {_DUCK_FOLD.format(r=f"{r}")} AS syms, cnt
+      FROM seg{r - 1} CROSS JOIN m{r}
+    )"""
+        )
+    parts.append(f"""
+    SELECT swc.source,
+           CAST(sum(swc.cnt) AS BIGINT) AS n_words,
+           CAST(sum(swc.cnt * length(swc.w)) AS BIGINT) AS n_chars,
+           CAST(sum(swc.cnt * len(seg{n_rounds}.syms)) AS BIGINT) AS n_bpe_tokens,
+           CAST(round(CAST(sum(swc.cnt * len(seg{n_rounds}.syms)) AS DOUBLE)
+                      * 1000.0 / sum(swc.cnt)) AS BIGINT) AS tokens_per_word_milli,
+           CAST(round(CAST(sum(swc.cnt * length(swc.w)) AS DOUBLE)
+                      * 1000.0 / sum(swc.cnt * len(seg{n_rounds}.syms))) AS BIGINT)
+             AS chars_per_token_milli
+    FROM swc JOIN seg{n_rounds} ON swc.w = seg{n_rounds}.w
+    GROUP BY swc.source
+    ORDER BY swc.source""")
+    return "".join(parts)
+
+
+@query("q232_bpe_fertility_by_source", oracle=_bpe_fertility_oracle(_BPE_ROUNDS))
+def q232_bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by domain — the published fit metric for a
+    tokenizer/corpus pairing (tokens per word, chars per token): train
+    the q188 merge table on the whole corpus ({_BPE_ROUNDS} rounds,
+    byte-identical argmax chain), segment the DISTINCT-word vocabulary
+    once with the final merges, then roll the per-source word counts
+    over the segmented lengths. Sources whose text the learned merges
+    compress poorly (high tokens/word, low chars/token) are the ones a
+    production run flags for tokenizer retraining or re-weighting —
+    the eval companion to q229's mixing and q231's selection.
+
+    Scale shape: the token stream is touched ONCE (the per-source word
+    count); training and segmentation ride the distinct-vocabulary
+    frame (q178's invariance), and the final rollup joins per-source
+    counts to per-word segment lengths on the word key — vocabulary-
+    sized, never corpus-sized. Single-char words skip training's pair
+    counts automatically (no adjacent pairs) but still count 1 symbol
+    in fertility, so the metric covers the full corpus. Milli-grid
+    divisions only at the final two columns; all sums integer-exact."""
+    d = _docs(spark, sf_dir)
+    swc = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wc = swc.groupBy("w").agg(F.sum("cnt").cast("long").alias("cnt"))
+    seg = wc.select("w", F.split("w", "").alias("syms"), "cnt")
+    pair_expr = F.expr(
+        "transform(sequence(1, size(syms) - 1),"
+        " i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+    )
+    for _ in range(_BPE_ROUNDS):
+        top = (
+            seg.filter(F.size("syms") >= 2)
+            .select(F.explode(pair_expr).alias("p"), "cnt")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").cast("long").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .select("a", "b")
+        )
+        seg = seg.crossJoin(F.broadcast(top)).select(
+            "w", F.expr(_SPARK_FOLD).alias("syms"), "cnt"
+        )
+    lens = seg.select("w", F.size("syms").cast("long").alias("n_syms"))
+    rolled = (
+        swc.join(lens, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.length("w")).cast("long").alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_syms")).cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    return rolled.select(
+        "source",
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        F.expr(
+            "CAST(round(CAST(n_bpe_tokens AS DOUBLE) * 1000.0 / n_words) AS BIGINT)"
+        ).alias("tokens_per_word_milli"),
+        F.expr(
+            "CAST(round(CAST(n_chars AS DOUBLE) * 1000.0 / n_bpe_tokens) AS BIGINT)"
+        ).alias("chars_per_token_milli"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
 # q206 — query-likelihood retrieval with Dirichlet smoothing (round 9)
 # ---------------------------------------------------------------------------
 
