@@ -97,11 +97,11 @@ _MODULES = (
 #       (temperature-reweighted source mixing), q230 (bounded
 #       edit-distance confirm over LSH-blocked candidates), q231
 #       (DSIR-style importance scoring), q232 (per-source BPE
-#       fertility);
-#   (c2) 5 remaining slots: the oldest round-7 greens ascending
-#       (q100...q105) lead round 12's refresh.
+#       fertility), q233 (k-center greedy coreset);
+#   (c2) 4 remaining slots: the oldest round-7 greens ascending
+#       (q100...q103) lead round 12's refresh.
 _NEEDS_DRIVER_ROW = (
-    # (a) round-11 wave, no driver row yet — 9 names
+    # (a) round-11 wave, no driver row yet — 10 names
     "q224_semantic_decontaminate",
     "q225_perceptual_hash_near_dup",
     "q226_curation_pipeline",
@@ -111,6 +111,7 @@ _NEEDS_DRIVER_ROW = (
     "q230_edit_distance_near_dup",
     "q231_dsir_importance",
     "q232_bpe_fertility_by_source",
+    "q233_kcenter_coreset",
     # (b) code changed in round 11 — 2 names
     "q217b_mutual_knn_blocked",
     "q221_novelty_vs_index",
@@ -154,7 +155,6 @@ _NEEDS_DRIVER_ROW = (
     "q101_top_trigrams",
     "q102_source_stats",
     "q103_length_histogram",
-    "q105_batch_sessionize",
 )
 
 

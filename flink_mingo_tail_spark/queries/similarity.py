@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from flink_mingo_tail_spark.operators.similarity import (
     IVF_MEAN_SCALE,
+    dot,
     SQL_COSINE,
     _nearest_cells,
     auto_n_bits,
@@ -1326,3 +1327,117 @@ def q224_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q233 — k-center greedy coreset (farthest-point sampling)
+# ---------------------------------------------------------------------------
+
+_KCENTER_K = 6  # coreset size (seed + 5 greedy rounds)
+
+_SQL_D2 = (
+    "round(list_dot_product(e.v, e.v) + list_dot_product(c{i}.v, c{i}.v)"
+    " - 2 * list_dot_product(e.v, c{i}.v), 6)"
+)
+
+
+def _kcenter_oracle(k: int) -> str:
+    parts = [
+        """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c1 AS (SELECT vec_id, v, CAST(-1.0 AS DOUBLE) AS md
+           FROM e ORDER BY vec_id LIMIT 1)"""
+    ]
+    for r in range(2, k + 1):
+        froms = ", ".join(f"c{i}" for i in range(1, r))
+        notin = " AND ".join(f"e.vec_id <> c{i}.vec_id" for i in range(1, r))
+        dists = ", ".join(_SQL_D2.format(i=i) for i in range(1, r))
+        least = f"least({dists})" if r > 2 else _SQL_D2.format(i=1)
+        parts.append(f"""
+    , c{r} AS (
+      SELECT e.vec_id, e.v, {least} AS md
+      FROM e, {froms}
+      WHERE {notin}
+      ORDER BY md DESC, e.vec_id LIMIT 1
+    )"""
+        )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {r} AS round, vec_id, md FROM c{r}" for r in range(1, k + 1)
+    )
+    parts.append(f"""
+    SELECT CAST(round AS BIGINT) AS round, vec_id,
+           md AS d2_at_selection
+    FROM ({unions})
+    ORDER BY round""")
+    return "".join(parts)
+
+
+@query("q233_kcenter_coreset", oracle=_kcenter_oracle(_KCENTER_K))
+def q233_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CENTER GREEDY coreset selection (farthest-point sampling) —
+    the diversity-based data-selection baseline (Sener & Savarese 2018
+    core-set active learning) complementary to q231's similarity-based
+    DSIR: seed with the smallest vec_id, then K-1 rounds of "pick the
+    point farthest (max-min squared L2) from everything already
+    chosen", ids breaking ties. Output is the selection trace: round,
+    chosen vec_id, and its max-min d² at selection (the covering-radius
+    curve — the monotone non-increasing certificate of the 2-approx
+    guarantee).
+
+    Determinism: d² is composed from THREE sequential-fold dot products
+    (d² = <a,a> + <b,b> - 2<a,b> — the identical spelling DuckDB's
+    list_dot_product replays), rounded once to the 6-digit grid BEFORE
+    the min/argmax, so the greedy chain can never diverge on a 1-ulp
+    accumulation difference.
+
+    Scale shape: each round is ONE corpus scan against K literal center
+    vectors (the chosen vectors are collected to the driver — K bounded
+    1-row collects, q79's train-loop pattern — and re-enter the plan as
+    array literals, so round r's plan does NOT drag round r-1's subtree
+    behind it), with TakeOrdered for the argmax. O(K) scans, O(K·d)
+    driver state, no shuffle at all beyond the top-1 merge. At 100 TB
+    you run this per-stratum (source/language) with the same plan, or
+    seed from q79's IVF centroids to cut rounds."""
+    e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
+    seed = e.orderBy("vec_id").limit(1)
+    first = seed.collect()[0]
+    chosen = [(1, int(first.vec_id), -1.0, list(first.v))]
+    out_frames = [
+        seed.select(
+            F.lit(1).cast("long").alias("round"),
+            "vec_id",
+            F.lit(-1.0).cast("double").alias("d2_at_selection"),
+        )
+    ]
+    for r in range(2, _KCENTER_K + 1):
+        d2s = []
+        for _, _, _, cv in chosen:
+            lit_c = F.array(*[F.lit(float(x)).cast("double") for x in cv])
+            d2s.append(
+                F.round(
+                    dot(F.col("v"), F.col("v"))
+                    + dot(lit_c, lit_c)
+                    - 2 * dot(F.col("v"), lit_c),
+                    6,
+                )
+            )
+        md = F.least(*d2s) if len(d2s) > 1 else d2s[0]
+        cand = (
+            e.filter(~F.col("vec_id").isin([c[1] for c in chosen]))
+            .select("vec_id", "v", md.alias("md"))
+            .orderBy(F.desc("md"), "vec_id")
+            .limit(1)
+        )
+        row = cand.collect()[0]
+        chosen.append((r, int(row.vec_id), float(row.md), list(row.v)))
+        out_frames.append(
+            cand.select(
+                F.lit(r).cast("long").alias("round"),
+                "vec_id",
+                F.col("md").alias("d2_at_selection"),
+            )
+        )
+    out = out_frames[0]
+    for fr in out_frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("round")
