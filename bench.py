@@ -175,6 +175,22 @@ HEADLINE = [
     "q224_semantic_decontaminate",
     "q225_perceptual_hash_near_dup",
     "q226_curation_pipeline",
+    # late round 11 — q229: temperature mixing (one scan + broadcast
+    # plan table; 1x/10x/25x = 0.86/1.48/1.43 s). q231: DSIR importance
+    # top-k (two scans vs a broadcast 2048-row model; 2.04/1.32/1.85 s).
+    # q232: BPE fertility by source (vocabulary-bounded after one token
+    # pass; 2.82/1.61/2.00 s). q233: k-center greedy (K bounded scans
+    # vs literal centers; 4.96/4.02/5.09 s — scheduling floor).
+    # q227/q228 stay un-benched: both share q226's curation_verdict /
+    # q225's pair plan (one code path, two views), so a bench entry
+    # would double-count the same operator. q230 is probe-only — the
+    # near-dup-saturated fixture makes pair-confirm candidates
+    # quadratic by construction (q212/q140 policy; SCALE.md
+    # accounting).
+    "q229_temperature_mix_sample",
+    "q231_dsir_importance",
+    "q232_bpe_fertility_by_source",
+    "q233_kcenter_coreset",
 ]
 
 

@@ -279,6 +279,22 @@ PROBES = [
     # absorbs 9/10 of the corpus (worst-case dup density, the q117
     # feature) and the later stages ride the deduped survivor set.
     "q226_curation_pipeline",
+    # late round 11 — q229: two-level per-source prefix sums + a tiny
+    # broadcast plan table; growth is the corpus scan. q231: two corpus
+    # scans against a broadcast 2048-row model + TakeOrdered. q232:
+    # token stream touched once, everything else vocabulary-bounded
+    # (copies do NOT grow the vocabulary, so expect sub-linear). q233:
+    # K scans of the embeddings table against literal centers; copies
+    # add exact-duplicate vectors, which max-min simply never re-picks.
+    # q230 is NOT probed at 10x: exact copies make the 1x8 band buckets
+    # quadratic in the copy count by construction (every copy of a doc
+    # lands in the same bucket — the q212/q140 fixture artifact), so a
+    # 10x number would measure the adversarial fixture, not the plan;
+    # its candidate-count-vs-cost accounting lives in SCALE.md.
+    "q229_temperature_mix_sample",
+    "q231_dsir_importance",
+    "q232_bpe_fertility_by_source",
+    "q233_kcenter_coreset",
 ]
 
 
