@@ -97,11 +97,12 @@ _MODULES = (
 #       (temperature-reweighted source mixing), q230 (bounded
 #       edit-distance confirm over LSH-blocked candidates), q231
 #       (DSIR-style importance scoring), q232 (per-source BPE
-#       fertility), q233 (k-center greedy coreset);
-#   (c2) 4 remaining slots: the oldest round-7 greens ascending
-#       (q100...q103) lead round 12's refresh.
+#       fertility), q233 (k-center greedy coreset), q234 (streaming
+#       curation ingest twin);
+#   (c2) 3 remaining slots: the oldest round-7 greens ascending
+#       (q100...q102) lead round 12's refresh; q103 onward next round.
 _NEEDS_DRIVER_ROW = (
-    # (a) round-11 wave, no driver row yet — 10 names
+    # (a) round-11 wave, no driver row yet — 11 names
     "q224_semantic_decontaminate",
     "q225_perceptual_hash_near_dup",
     "q226_curation_pipeline",
@@ -112,6 +113,11 @@ _NEEDS_DRIVER_ROW = (
     "q231_dsir_importance",
     "q232_bpe_fertility_by_source",
     "q233_kcenter_coreset",
+    "q234_streaming_curation",
+    # (a3) re-proof: q226/q227's quality gate extracted to
+    #      operators/quality.py (shared with streaming/curation_ingest;
+    #      outputs verified unchanged, re-proof by discipline) — both
+    #      already sit in (a) above.
     # (b) code changed in round 11 — 2 names
     "q217b_mutual_knn_blocked",
     "q221_novelty_vs_index",
@@ -150,11 +156,10 @@ _NEEDS_DRIVER_ROW = (
     "q168_incremental_agg_maintenance",
     "q169_mode_gini_profile",
     "q170_semdedup_prune",
-    # (c2) oldest round-7 greens — 11 names, ascending
+    # (c2) oldest round-7 greens — 3 names, ascending
     "q100_inverted_index",
     "q101_top_trigrams",
     "q102_source_stats",
-    "q103_length_histogram",
 )
 
 

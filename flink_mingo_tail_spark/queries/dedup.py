@@ -1709,23 +1709,13 @@ def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     join order never matters."""
     from flink_mingo_tail_spark.operators.ranks import grouped_prefix_sum
 
+    from flink_mingo_tail_spark.operators.quality import quality_reason
+
     d = _t(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
     n_toks = F.size(t)
-    n_distinct = F.size(F.array_distinct(t))
-    n_stop = F.size(
-        F.array_intersect(
-            F.array_distinct(t),
-            F.array(*[F.lit(m) for m in ("the", "a", "and", "of", "to", "is")]),
-        )
-    )
-    r1 = (
-        F.when(F.col("doc_id") % _PIPE_EVAL_MOD == 0, "eval_holdout")
-        .when(n_toks < 15, "too_short")
-        .when(n_toks > 5000, "too_long")
-        .when(n_distinct.cast("double") / n_toks < 0.2, "repetitive")
-        .when((F.col("lang") == "en") & (n_stop < 1), "no_stopwords")
-    )
+    # one shared spelling with streaming/curation_ingest (operators/quality)
+    r1 = quality_reason(F.col("doc_id"), t, F.col("lang"), _PIPE_EVAL_MOD)
     s1 = d.select(
         "doc_id",
         "source",

@@ -537,3 +537,171 @@ def q221_novelty_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = d.filter(F.col("doc_id") % 10 != 7)
     index_shingles = doc_shingle_hashes(idx, DEFAULT_SHINGLE_K).select("h").distinct()
     return score_batch_novelty(inc, index_shingles, DEFAULT_SHINGLE_K).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q234 — streaming curation ingest (the composed pipeline, incrementally)
+# ---------------------------------------------------------------------------
+
+_ING_BATCH_W = 100  # docs per simulated arrival batch (doc_id DIV 100)
+
+
+def _curation_ingest_oracle() -> str:
+    from flink_mingo_tail_spark.operators.dedup import sql_lsh_band_keys
+    from flink_mingo_tail_spark.queries.dedup import (
+        _PIPE_STOPS,
+        _SQL_SIG,
+        MINHASH_K,
+    )
+    from flink_mingo_tail_spark.streaming.curation_ingest import (
+        DEFAULT_BUDGET,
+        DEFAULT_EVAL_MOD,
+        DEFAULT_ROWS_PER_BAND,
+    )
+
+    bands = sql_lsh_band_keys("sig", DEFAULT_ROWS_PER_BAND, MINHASH_K)
+    return f"""
+    WITH d AS (
+        SELECT doc_id, source, lang, n_chars, text,
+               string_split(text, ' ') AS t,
+               doc_id // {_ING_BATCH_W} AS b
+        FROM documents
+    ), s1 AS (
+        SELECT *,
+               CAST(len(t) AS BIGINT) AS n_toks,
+               CASE WHEN doc_id % {DEFAULT_EVAL_MOD} = 0 THEN 'eval_holdout'
+                    WHEN len(t) < 15 THEN 'too_short'
+                    WHEN len(t) > 5000 THEN 'too_long'
+                    WHEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) < 0.2
+                      THEN 'repetitive'
+                    WHEN lang = 'en'
+                         AND len(list_intersect(list_distinct(t), {_PIPE_STOPS})) < 1
+                      THEN 'no_stopwords'
+                    END AS r1
+        FROM d
+    ), qp AS (
+        SELECT * FROM s1 WHERE r1 IS NULL
+    ), hashes AS (
+        -- the standing index hashes RAW text (probe_dedup_index)
+        SELECT doc_id, b, md5(text) AS ch FROM qp
+    ), ex AS (
+        SELECT DISTINCT h.doc_id FROM hashes h
+        JOIN hashes h2 ON h2.ch = h.ch AND h2.b < h.b
+    ), sigs AS (
+        SELECT doc_id, b, {_SQL_SIG} AS sig FROM qp
+    ), banded AS (
+        SELECT doc_id, b, unnest({bands}) AS band FROM sigs
+    ), nd AS (
+        SELECT DISTINCT x.doc_id FROM banded x
+        JOIN banded y ON y.band = x.band AND y.b < x.b
+    ), grams AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+        FROM qp WHERE len(t) >= 4
+    ), probeg AS (
+        SELECT DISTINCT unnest(list_transform(range(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+        FROM d WHERE doc_id % {DEFAULT_EVAL_MOD} = 0 AND len(t) >= 4
+    ), cont AS (
+        SELECT DISTINCT gr.doc_id FROM grams gr JOIN probeg p ON gr.g = p.g
+    ), gate AS (
+        SELECT q.* FROM qp q
+        WHERE q.doc_id NOT IN (SELECT doc_id FROM ex)
+          AND q.doc_id NOT IN (SELECT doc_id FROM nd)
+          AND q.doc_id NOT IN (SELECT doc_id FROM cont)
+    ), packed AS (
+        SELECT doc_id,
+               CAST(coalesce(sum(n_toks) OVER (
+                   PARTITION BY source ORDER BY b, n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+        FROM gate
+    ), ob AS (
+        SELECT doc_id FROM packed WHERE cum_before >= {DEFAULT_BUDGET}
+    )
+    SELECT s1.doc_id, s1.source, s1.n_toks, CAST(s1.b AS BIGINT) AS ingest_batch,
+           coalesce(s1.r1,
+                    CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup' END,
+                    CASE WHEN nd.doc_id IS NOT NULL THEN 'near_dup' END,
+                    CASE WHEN ct.doc_id IS NOT NULL THEN 'contaminated' END,
+                    CASE WHEN ob.doc_id IS NOT NULL THEN 'over_budget' END,
+                    'kept') AS reason
+    FROM s1
+    LEFT JOIN ex ON ex.doc_id = s1.doc_id
+    LEFT JOIN nd ON nd.doc_id = s1.doc_id
+    LEFT JOIN cont ct ON ct.doc_id = s1.doc_id
+    LEFT JOIN ob ON ob.doc_id = s1.doc_id
+    ORDER BY s1.doc_id
+    """
+
+
+@query("q234_streaming_curation", oracle=_curation_ingest_oracle())
+def q234_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline run INCREMENTALLY — q226's
+    streaming twin, driven through streaming/curation_ingest's OWN
+    foreachBatch body (not a re-implementation) over simulated arrival
+    batches of {_ING_BATCH_W} documents (doc_id DIV {_ING_BATCH_W}):
+    every batch is quality-gated, probed against the standing dedup
+    index AS OF BATCH START (batch-vs-state granularity — docs in one
+    batch never discount each other in the dup stages), decontaminated
+    against the pre-built eval gram set, and budget-cut against the
+    running per-source totals of all earlier committed batches; the
+    batch's quality passers are then appended to the index.
+
+    Differs from q226 semantically in exactly the ways arrival order
+    forces: dup canon is "first ARRIVED batch" (q226 elects min doc_id
+    globally — identical here because batches are doc_id-ordered), dup
+    membership is batch-granular (an intra-batch pair survives until a
+    later batch collides with the index), and the budget prefix runs in
+    (batch, quality) order because a stream cannot re-order the past.
+    The oracle replays those batch-granular semantics exactly (b' < b
+    joins + the (b, n_chars DESC, doc_id) prefix).
+
+    Scale shape: per batch everything is O(batch) probe rows against
+    the standing state — the index side is membership semi-joins on
+    (shard, key), the eval gram set is a static broadcast, the budget
+    offset is |sources| rows re-derived from committed outputs (one
+    source of truth, crash-safe; module docstring has the replay
+    proof). The scratch run here is bounded: |corpus|/{_ING_BATCH_W}
+    batches, classification collected (|corpus| rows), scratch deleted
+    before returning (the q204 policy)."""
+    import shutil
+    import tempfile
+
+    from flink_mingo_tail_spark.streaming.curation_ingest import (
+        build_eval_gram_set,
+        make_curation_ingest_batch_fn,
+    )
+
+    prepare_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="fmts-curation-ingest-q234-")
+    try:
+        eval_grams_path = f"{tmp}/eval_grams"
+        build_eval_gram_set(d, eval_grams_path)
+        ingest = make_curation_ingest_batch_fn(
+            f"{tmp}/index", eval_grams_path, f"{tmp}/out"
+        )
+        batch_ids = sorted(
+            r[0]
+            for r in d.select(
+                F.expr(f"doc_id DIV {_ING_BATCH_W}").alias("b")
+            ).distinct().collect()
+        )
+        for b in batch_ids:
+            ingest(d.filter(F.expr(f"doc_id DIV {_ING_BATCH_W}") == b), int(b))
+        rows = (
+            spark.read.schema("doc_id long, source string, n_toks long, reason string")
+            .option("basePath", f"{tmp}/out")
+            .parquet(*[f"{tmp}/out/ingest_batch={b}" for b in batch_ids])
+            .withColumn(
+                "ingest_batch", F.expr(f"doc_id DIV {_ING_BATCH_W}").cast("long")
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, source string, n_toks long, reason string, ingest_batch long",
+    ).orderBy("doc_id")

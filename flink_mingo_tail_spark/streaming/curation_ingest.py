@@ -1,0 +1,316 @@
+"""Streaming curation ingest — the incremental twin of q226's composed
+batch pipeline (queries/dedup.curation_verdict).
+
+Every micro-batch runs the same staged verdict the batch pipeline
+runs, but against STANDING state instead of the whole corpus:
+
+  1. quality gate       operators/quality.quality_reason — the one
+                        shared spelling with q226 (stateless)
+  2. exact / near dup   operators/dedup.probe_dedup_index against the
+                        persisted content-hash + LSH-band index AS OF
+                        BATCH START (O(batch) membership semi-joins)
+  3. decontamination    word 4-grams vs the PRE-BUILT eval gram set
+                        (static broadcast side — the eval set is fixed
+                        before ingest begins, as in production)
+  4. budget cut         per-source running token totals accumulated
+                        across committed batches + a within-batch
+                        grouped prefix in q226's quality order
+                        (n_chars DESC, doc_id)
+
+Batch-vs-state granularity follows dedup_ingest/novelty_ingest: two
+documents in the same batch do not discount each other in the dup
+stages (the index is probed as of batch start), while the budget stage
+IS ordered within the batch — budget is a prefix rule, not a
+membership rule.
+
+Index admission (what feeds the standing dup state): every
+quality-passing document's content hash and band keys are appended
+after the batch's classification commits — including documents the
+batch itself flagged as dups (an exact dup's text is byte-identical to
+its keeper's, so its hash/bands add no new members; a near-dup doc's
+single 1x8 band is by definition already present). Membership-only
+semantics make the append replay-idempotent without reconstructing the
+crashed attempt's verdicts (novelty_ingest's stance).
+
+Budget state is NOT a separate store: the per-source totals are
+re-derived at batch start from the COMMITTED classification outputs
+(reason in ('kept', 'over_budget') — the prefix counts every doc that
+reached the budget stage, exactly q226's cum_before semantics). One
+source of truth; a crashed attempt's partial output directory is never
+read because only directories bearing _SUCCESS are summed.
+
+Restart semantics (the dedup_ingest contract): classification commits
+FIRST (atomic per-batch directory overwrite + _SUCCESS), the index
+append runs LAST; a replayed batch whose output already committed
+short-circuits to re-running only the idempotent append.
+
+Reference parity: the reference engine's streaming surface is the CDC
+quorum path (MongoDBOplogSource.java); this module is north-star
+extension in the same family as streaming/dedup_ingest.py and
+streaming/novelty_ingest.py, composing them into the full curation
+shape a 100 TB ingest actually runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_mingo_tail_spark.operators.dedup import (
+    _read_index_manifest,
+    build_dedup_index,
+    probe_dedup_index,
+    tokens,
+    word_shingles,
+)
+from flink_mingo_tail_spark.operators.quality import quality_reason
+from flink_mingo_tail_spark.operators.ranks import grouped_prefix_sum
+
+DEFAULT_EVAL_MOD = 100   # doc_id % 100 == 0 is the held-out slice (q226's knob)
+DEFAULT_BUDGET = 300     # per-source token budget (q226's knob)
+DEFAULT_ROWS_PER_BAND = 8  # 1x8 high-precision split (q226's destructive-stage rule)
+_GRAM_N = 4              # decontamination gram width (q75b/q226)
+
+_OUT_SCHEMA = "doc_id long, source string, n_toks long, reason string"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    return jpath, jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    jpath, fs = _hadoop_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def committed_batch_dirs(spark: SparkSession, output_path: str) -> dict[int, str]:
+    """{batch_id: dir} for every ingest_batch=* directory bearing a
+    _SUCCESS marker. A crashed attempt's partial directory has no
+    marker and is never read."""
+    jpath, fs = _hadoop_fs(spark, output_path)
+    if not fs.exists(jpath):
+        return {}
+    out: dict[int, str] = {}
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith("ingest_batch=")):
+            continue
+        full = str(status.getPath().toString())
+        if fs.exists(spark._jvm.org.apache.hadoop.fs.Path(f"{full}/_SUCCESS")):  # noqa: SLF001
+            out[int(name.split("=", 1)[1])] = full
+    return out
+
+
+def _manifest_or_none(spark: SparkSession, index_path: str):
+    """Manifest dict, or None before bootstrap — existence-checked first
+    so the pre-bootstrap probe doesn't log a JVM FileNotFound stack."""
+    if not _path_exists(spark, f"{index_path}/manifest"):
+        return None
+    return _read_index_manifest(spark, index_path)
+
+
+def build_eval_gram_set(
+    docs: DataFrame,
+    path: str,
+    *,
+    eval_mod: int = DEFAULT_EVAL_MOD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the DISTINCT word 4-grams of the held-out eval slice —
+    the static decontamination probe side, built once before ingest."""
+    (
+        docs.filter(F.col(id_col) % eval_mod == 0)
+        .select(F.explode(word_shingles(tokens(F.col(text_col)), _GRAM_N)).alias("g"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def classify_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    eval_grams: DataFrame,
+    prior_totals: DataFrame,
+    *,
+    budget: int = DEFAULT_BUDGET,
+    eval_mod: int = DEFAULT_EVAL_MOD,
+) -> DataFrame:
+    """The per-batch verdict (doc_id, source, n_toks, reason) against
+    state as of batch start. ``prior_totals`` is (source, prior_toks) —
+    tokens already counted toward each source's budget by earlier
+    committed batches. Pure plan construction: no writes, no collects —
+    exposed so the q234 driver twin hashes exactly this code path."""
+    spark = batch_df.sparkSession
+    t = tokens(F.col("text"))
+    s1 = batch_df.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "text",
+        F.size(t).cast("long").alias("n_toks"),
+        quality_reason(F.col("doc_id"), t, F.col("lang"), eval_mod).alias("r1"),
+    )
+    surv1 = s1.filter(F.col("r1").isNull())
+
+    if _manifest_or_none(spark, index_path) is None:
+        # bootstrap: no index yet (first batch) — nothing is a dup
+        probed = surv1.select("doc_id", F.lit("new").alias("status"))
+    else:
+        probed = probe_dedup_index(surv1, index_path).select("doc_id", "status")
+
+    grams = surv1.select(
+        "doc_id", F.explode(word_shingles(tokens(F.col("text")), _GRAM_N)).alias("g")
+    )
+    cont_ids = (
+        grams.join(F.broadcast(eval_grams), "g", "left_semi").select("doc_id").distinct()
+    )
+
+    flagged = (
+        surv1.join(probed, "doc_id", "left")
+        .join(cont_ids.withColumn("__ct", F.lit(True)), "doc_id", "left")
+    )
+    gate = flagged.filter(
+        (F.col("status") == "new") & F.col("__ct").isNull()
+    ).select("doc_id", "source", "n_chars", "n_toks")
+    # within-batch prefix in q226's quality order; prior batches' totals
+    # join in as a per-source offset (broadcast: |sources| rows)
+    value = F.when(
+        (F.col("doc_id") < 0)
+        | (F.col("doc_id") >= F.lit(1 << 34))
+        | (F.col("n_chars") < 0)
+        | (F.col("n_chars") >= F.lit(1 << 29)),
+        F.expr("raise_error('curation_ingest: packed order key domain exceeded')").cast(
+            "long"
+        ),
+    ).otherwise((-F.col("n_chars")) * F.lit(1 << 34) + F.col("doc_id"))
+    p = grouped_prefix_sum(
+        gate,
+        ["source"],
+        value,
+        {"cum_before": F.col("n_toks")},
+        width=1 << 34,
+        inclusive=False,
+    )
+    ob_ids = (
+        p.join(F.broadcast(prior_totals), "source", "left")
+        .filter(
+            F.col("cum_before") + F.coalesce(F.col("prior_toks"), F.lit(0)) >= budget
+        )
+        .select("doc_id")
+    )
+    reason = F.coalesce(
+        F.col("r1"),
+        F.when(F.col("status") == "exact_dup", "exact_dup"),
+        F.when(F.col("status") == "near_dup", "near_dup"),
+        F.when(F.col("__ct"), "contaminated"),
+        F.when(F.col("__ob"), "over_budget"),
+        F.lit("kept"),
+    )
+    return (
+        s1.join(probed, "doc_id", "left")
+        .join(cont_ids.withColumn("__ct", F.lit(True)), "doc_id", "left")
+        .join(ob_ids.withColumn("__ob", F.lit(True)), "doc_id", "left")
+        .select("doc_id", "source", "n_toks", reason.alias("reason"))
+    )
+
+
+def prior_budget_totals(
+    spark: SparkSession, output_path: str, *, before_batch: int | None = None
+) -> DataFrame:
+    """(source, prior_toks) summed over committed batch outputs — every
+    doc that reached the budget stage (kept OR over_budget) counts,
+    q226's cum_before semantics."""
+    dirs = committed_batch_dirs(spark, output_path)
+    paths = [p for b, p in dirs.items() if before_batch is None or b < before_batch]
+    if not paths:
+        return spark.createDataFrame([], "source string, prior_toks long")
+    return (
+        spark.read.schema(_OUT_SCHEMA)
+        .parquet(*paths)
+        .filter(F.col("reason").isin("kept", "over_budget"))
+        .groupBy("source")
+        .agg(F.sum("n_toks").cast("long").alias("prior_toks"))
+    )
+
+
+def make_curation_ingest_batch_fn(
+    index_path: str,
+    eval_grams_path: str,
+    output_path: str,
+    *,
+    budget: int = DEFAULT_BUDGET,
+    eval_mod: int = DEFAULT_EVAL_MOD,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+) -> Callable[[DataFrame, int], None]:
+    """The foreachBatch body, exposed for direct replay testing (the
+    dedup_ingest convention)."""
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_dir = f"{output_path}/ingest_batch={batch_id}"
+
+        def append_quality_passers() -> None:
+            t = tokens(F.col("text"))
+            passers = batch_df.filter(
+                quality_reason(F.col("doc_id"), t, F.col("lang"), eval_mod).isNull()
+            )
+            if passers.limit(1).count() == 0:
+                return
+            manifest = _manifest_or_none(spark, index_path)
+            if manifest is None:  # bootstrap (first committed batch)
+                build_dedup_index(
+                    passers, index_path, rows_per_band=rows_per_band, mode="overwrite"
+                )
+            else:
+                build_dedup_index(passers, index_path, mode="append", **manifest)
+
+        if _path_exists(spark, f"{batch_dir}/_SUCCESS"):
+            # replay of a committed batch: the saved verdicts are
+            # authoritative; only the (idempotent) index append is redone
+            append_quality_passers()
+            return
+        eval_grams = spark.read.parquet(eval_grams_path)
+        prior = prior_budget_totals(spark, output_path, before_batch=batch_id)
+        verdict = classify_batch(
+            batch_df, index_path, eval_grams, prior, budget=budget, eval_mod=eval_mod
+        )
+        verdict.write.mode("overwrite").parquet(batch_dir)
+        append_quality_passers()
+
+    return ingest
+
+
+def start_curation_ingest_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    eval_grams_path: str,
+    output_path: str,
+    checkpoint_dir: str,
+    *,
+    budget: int = DEFAULT_BUDGET,
+    eval_mod: int = DEFAULT_EVAL_MOD,
+    trigger_available_now: bool = True,
+):
+    """Wire the ingest body into a checkpointed foreachBatch stream
+    (dedup_ingest's scheduled-run shape)."""
+    writer = (
+        docs_stream.writeStream.foreachBatch(
+            make_curation_ingest_batch_fn(
+                index_path,
+                eval_grams_path,
+                output_path,
+                budget=budget,
+                eval_mod=eval_mod,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

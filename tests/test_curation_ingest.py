@@ -1,0 +1,164 @@
+"""Streaming curation ingest (streaming/curation_ingest.py): the
+composed q226 pipeline run incrementally with exactly-once
+classification, idempotent index/budget state, and crash-replay
+convergence. The q234 driver row hash-checks the per-batch verdicts
+against the DuckDB batch-granular replay; these tests cover the parts
+the hash can't: the streaming wiring, replays, and state bootstrap."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_mingo_tail_spark.operators.dedup import _read_index_manifest
+from flink_mingo_tail_spark.streaming.curation_ingest import (
+    build_eval_gram_set,
+    committed_batch_dirs,
+    make_curation_ingest_batch_fn,
+    start_curation_ingest_stream,
+)
+from flink_mingo_tail_spark.tables import load_table
+
+from .conftest import SF_SMOKE
+
+DOCS_DDL = "doc_id long, source string, lang string, n_chars long, text string"
+_COLS = ["doc_id", "source", "lang", "n_chars", "text"]
+
+
+def _docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").select(*_COLS)
+
+
+def _batches(spark, n=3, w=100):
+    d = _docs(spark)
+    return [
+        (b, d.filter(F.expr(f"doc_id DIV {w}") == b)) for b in range(n)
+    ]
+
+
+def _drive(spark, tmp, batches, *, replay_batch=None):
+    """Sequential batch-fn drive into a fresh scratch; optionally
+    re-invoke one batch immediately after it commits (crash replay)."""
+    eval_path = f"{tmp}/eval_grams"
+    build_eval_gram_set(_docs(spark), eval_path)
+    ingest = make_curation_ingest_batch_fn(f"{tmp}/index", eval_path, f"{tmp}/out")
+    for b, df in batches:
+        ingest(df, b)
+        if replay_batch == b:
+            ingest(df, b)  # Spark re-runs an uncommitted batch verbatim
+    return {
+        r.doc_id: r.reason
+        for r in spark.read.schema(
+            "doc_id long, source string, n_toks long, reason string"
+        )
+        .parquet(*committed_batch_dirs(spark, f"{tmp}/out").values())
+        .collect()
+    }
+
+
+def test_bootstrap_first_batch_has_no_dups_and_builds_index(spark, tmp_path):
+    tmp = str(tmp_path)
+    batches = _batches(spark, n=1)
+    got = _drive(spark, tmp, batches)
+    assert got, "batch 0 must classify"
+    assert not {r for r in got.values() if r in ("exact_dup", "near_dup")}
+    assert _read_index_manifest(spark, f"{tmp}/index") is not None
+
+
+def test_later_batches_probe_standing_state(spark, tmp_path):
+    """Replaying batch 0's docs as batch 1 (shifted ids) must classify
+    every quality-passing doc as exact_dup — the index really carries
+    state across batches."""
+    tmp = str(tmp_path)
+    d = _docs(spark)
+    b0 = d.filter(F.expr("doc_id DIV 100") == 0)
+    b1 = b0.withColumn("doc_id", F.col("doc_id") + 100_000)  # residues preserved
+    got = _drive(spark, tmp, [(0, b0), (1, b1)])
+    got0 = {k: v for k, v in got.items() if k < 100_000}
+    got1 = {k - 100_000: v for k, v in got.items() if k >= 100_000}
+    for doc_id, r0 in got0.items():
+        quality = ("eval_holdout", "too_short", "too_long", "repetitive", "no_stopwords")
+        if r0 in quality:
+            continue
+        if doc_id % 100 == 0:
+            continue  # copy lost eval status; may classify differently
+        assert got1[doc_id] == "exact_dup", (doc_id, r0, got1[doc_id])
+
+
+def test_replayed_batch_is_idempotent_and_run_converges(spark, tmp_path):
+    batches = _batches(spark, n=3)
+    clean = _drive(spark, str(tmp_path / "clean"), batches)
+    replayed = _drive(spark, str(tmp_path / "replay"), batches, replay_batch=1)
+    assert clean == replayed
+
+
+def test_streaming_wiring_matches_direct_batch_drive(spark, tmp_path):
+    """End-to-end through a real checkpointed foreachBatch stream (one
+    file per micro-batch) equals driving the batch fn directly."""
+    tmp = str(tmp_path)
+    batches = _batches(spark, n=3)
+    direct = _drive(spark, f"{tmp}/direct", batches)
+
+    src = f"{tmp}/src"
+    for b, df in batches:  # one file per batch, arrival order by name
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{b}")
+    eval_path = f"{tmp}/eval_grams"
+    build_eval_gram_set(_docs(spark), eval_path)
+    stream = (
+        spark.readStream.schema(DOCS_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{src}/b*")
+    )
+    q = start_curation_ingest_stream(
+        stream, f"{tmp}/index", eval_path, f"{tmp}/out", f"{tmp}/ckpt"
+    )
+    q.awaitTermination(180)
+    got = {
+        r.doc_id: r.reason
+        for r in spark.read.schema(
+            "doc_id long, source string, n_toks long, reason string"
+        )
+        .parquet(*committed_batch_dirs(spark, f"{tmp}/out").values())
+        .collect()
+    }
+    # micro-batch boundaries may differ from the DIV-100 split, and the
+    # dup stages are batch-granular — so compare the REASON MULTISET per
+    # quality class only where batch-invariant: quality reasons and the
+    # kept/cut totals must agree when each file IS one batch (1 file per
+    # trigger, ordered names => same batches, same order)
+    assert got == direct
+
+
+def test_budget_accumulates_across_batches(spark, tmp_path):
+    """With a budget one batch can exhaust, every later gate-passing
+    doc is over_budget."""
+    tmp = str(tmp_path)
+    eval_path = f"{tmp}/eval_grams"
+    build_eval_gram_set(_docs(spark), eval_path)
+    ingest = make_curation_ingest_batch_fn(
+        f"{tmp}/index", eval_path, f"{tmp}/out", budget=50
+    )
+    for b, df in _batches(spark, n=2):
+        ingest(df, b)
+    rows = (
+        spark.read.schema("doc_id long, source string, n_toks long, reason string")
+        .parquet(*committed_batch_dirs(spark, f"{tmp}/out").values())
+        .collect()
+    )
+    by_batch_src = {}
+    for r in rows:
+        by_batch_src.setdefault((r.doc_id // 100, r.source), []).append(r.reason)
+    for (b, src), reasons in by_batch_src.items():
+        if b == 0:
+            continue
+        # a source whose batch-0 gate-passers already crossed 50 tokens
+        # must keep NOTHING in batch 1
+        b0_gate = sum(
+            r.n_toks
+            for r in rows
+            if r.doc_id // 100 == 0
+            and r.source == src
+            and r.reason in ("kept", "over_budget")
+        )
+        if b0_gate >= 50:
+            assert "kept" not in reasons, (b, src)
