@@ -98,11 +98,11 @@ _MODULES = (
 #       edit-distance confirm over LSH-blocked candidates), q231
 #       (DSIR-style importance scoring), q232 (per-source BPE
 #       fertility), q233 (k-center greedy coreset), q234 (streaming
-#       curation ingest twin);
-#   (c2) 3 remaining slots: the oldest round-7 greens ascending
-#       (q100...q102) lead round 12's refresh; q103 onward next round.
+#       curation ingest twin), q235 (JL projection distortion audit);
+#   (c2) 2 remaining slots: the oldest round-7 greens ascending
+#       (q100, q101) lead round 12's refresh; q102 onward next round.
 _NEEDS_DRIVER_ROW = (
-    # (a) round-11 wave, no driver row yet — 11 names
+    # (a) round-11 wave, no driver row yet — 12 names
     "q224_semantic_decontaminate",
     "q225_perceptual_hash_near_dup",
     "q226_curation_pipeline",
@@ -114,6 +114,7 @@ _NEEDS_DRIVER_ROW = (
     "q232_bpe_fertility_by_source",
     "q233_kcenter_coreset",
     "q234_streaming_curation",
+    "q235_jl_projection_audit",
     # (a3) re-proof: q226/q227's quality gate extracted to
     #      operators/quality.py (shared with streaming/curation_ingest;
     #      outputs verified unchanged, re-proof by discipline) — both
@@ -156,10 +157,9 @@ _NEEDS_DRIVER_ROW = (
     "q168_incremental_agg_maintenance",
     "q169_mode_gini_profile",
     "q170_semdedup_prune",
-    # (c2) oldest round-7 greens — 3 names, ascending
+    # (c2) oldest round-7 greens — 2 names, ascending
     "q100_inverted_index",
     "q101_top_trigrams",
-    "q102_source_stats",
 )
 
 

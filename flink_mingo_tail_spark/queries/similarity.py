@@ -1441,3 +1441,123 @@ def q233_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in out_frames[1:]:
         out = out.unionByName(fr)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# q235 — Johnson-Lindenstrauss projection + distortion audit
+# ---------------------------------------------------------------------------
+
+_JL_IN_DIM = 64    # fixture embedding width
+_JL_OUT_DIM = 16   # projected width (4x compression)
+_JL_PAIRS_N = 40   # audit pairs drawn from vec_id < N (N*(N-1)/2 bounded)
+
+
+def _jl_matrix() -> list[list[int]]:
+    """The +-1 projection matrix, derived from md5 parity so it is a
+    deterministic module constant (no RNG) and can be embedded as
+    literals in BOTH engines' plans."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"jl:{k}:{j}".encode()).hexdigest()[:15], 16) % 2 == 0
+            else -1
+            for j in range(_JL_IN_DIM)
+        ]
+        for k in range(_JL_OUT_DIM)
+    ]
+
+
+_JL_R = _jl_matrix()
+
+
+def _jl_oracle() -> str:
+    rows = ", ".join(
+        "[" + ", ".join(f"{v}.0" for v in row) + "]" for row in _JL_R
+    )
+    proj = ", ".join(
+        f"list_dot_product(v, r.m[{k + 1}]) / sqrt({_JL_OUT_DIM}.0)"
+        for k in range(_JL_OUT_DIM)
+    )
+    d2 = (
+        "round(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+        " - 2 * list_dot_product({a}, {b}), 6)"
+    )
+    return f"""
+    WITH r AS (SELECT [{rows}] AS m),
+    e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id < {_JL_PAIRS_N}
+    ), p AS (
+        SELECT vec_id, v, [{proj}] AS y FROM e CROSS JOIN r
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {d2.format(a="a.v", b="b.v")} AS d2_orig,
+           {d2.format(a="a.y", b="b.y")} AS d2_proj,
+           CASE WHEN {d2.format(a="a.v", b="b.v")} > 0
+                THEN CAST(round({d2.format(a="a.y", b="b.y")} * 1000000.0
+                                / {d2.format(a="a.v", b="b.v")}) AS BIGINT)
+                END AS ratio_micro
+    FROM p a JOIN p b ON a.vec_id < b.vec_id
+    ORDER BY vec_a, vec_b
+    """
+
+
+@query("q235_jl_projection_audit", oracle=_jl_oracle())
+def q235_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (dense +-1 / sqrt(d')
+    sign matrix, Achlioptas 2003) from {_JL_IN_DIM} to {_JL_OUT_DIM}
+    dims, with the DISTORTION AUDIT a pipeline runs before trusting the
+    compressed space: every pair among the first {_JL_PAIRS_N} vectors
+    reports its original and projected squared L2 plus the ratio on the
+    micro grid — the empirical (1 +- eps) certificate that decides
+    whether downstream ANN (q78/q79/q152) may run at 4x less width.
+
+    Determinism: the projection matrix is md5-parity-derived (a module
+    constant, embedded as plan literals in both engines — the q233
+    literal-center pattern), each projected coordinate is ONE
+    sequential-fold dot product, and every d² is the 6dp-grid 3-dot
+    identity q233 pins; the ratio is the single division, micro-grid
+    rounded, NULL-guarded for an exactly-zero original distance.
+
+    Scale shape: projection is a per-row map (no shuffle) — at 100 TB
+    it runs as a narrow projection pass writing the compressed column
+    next to the original; the audit side is deliberately bounded (the
+    pair frame is the broadcastable vec_id < {_JL_PAIRS_N} slice
+    squared — q76's bounded-probe contract), because the certificate
+    needs a sample, not the corpus."""
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") < _JL_PAIRS_N).select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    scale = F.lit(float(_JL_OUT_DIM) ** 0.5)
+    y = F.array(
+        *[
+            dot(
+                F.col("v"),
+                F.array(*[F.lit(float(x)) for x in _JL_R[k]]),
+            )
+            / scale
+            for k in range(_JL_OUT_DIM)
+        ]
+    )
+    p = e.select("vec_id", "v", y.alias("y"))
+
+    def d2(a, b):
+        return F.round(dot(a, a) + dot(b, b) - 2 * dot(a, b), 6)
+
+    a, b = p.alias("a"), p.alias("b")
+    d2o = d2(F.col("a.v"), F.col("b.v"))
+    d2p = d2(F.col("a.y"), F.col("b.y"))
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            d2o.alias("d2_orig"),
+            d2p.alias("d2_proj"),
+            F.when(
+                d2o > 0, F.round(d2p * 1000000.0 / d2o).cast("long")
+            ).alias("ratio_micro"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
