@@ -98,11 +98,13 @@ _MODULES = (
 #       edit-distance confirm over LSH-blocked candidates), q231
 #       (DSIR-style importance scoring), q232 (per-source BPE
 #       fertility), q233 (k-center greedy coreset), q234 (streaming
-#       curation ingest twin), q235 (JL projection distortion audit);
-#   (c2) 2 remaining slots: the oldest round-7 greens ascending
-#       (q100, q101) lead round 12's refresh; q102 onward next round.
+#       curation ingest twin), q235 (JL projection distortion audit),
+#       q236 (mixing-plan report — q229's rollup view; q229's code
+#       moved through the shared _mix_walk, re-proof via its (a) slot);
+#   (c2) 1 remaining slot: q100 leads round 12's refresh; q101 onward
+#       next round.
 _NEEDS_DRIVER_ROW = (
-    # (a) round-11 wave, no driver row yet — 12 names
+    # (a) round-11 wave, no driver row yet — 13 names
     "q224_semantic_decontaminate",
     "q225_perceptual_hash_near_dup",
     "q226_curation_pipeline",
@@ -115,6 +117,7 @@ _NEEDS_DRIVER_ROW = (
     "q233_kcenter_coreset",
     "q234_streaming_curation",
     "q235_jl_projection_audit",
+    "q236_mix_plan_report",
     # (a3) re-proof: q226/q227's quality gate extracted to
     #      operators/quality.py (shared with streaming/curation_ingest;
     #      outputs verified unchanged, re-proof by discipline) — both
@@ -157,9 +160,8 @@ _NEEDS_DRIVER_ROW = (
     "q168_incremental_agg_maintenance",
     "q169_mode_gini_profile",
     "q170_semdedup_prune",
-    # (c2) oldest round-7 greens — 2 names, ascending
+    # (c2) oldest round-7 green — 1 name
     "q100_inverted_index",
-    "q101_top_trigrams",
 )
 
 

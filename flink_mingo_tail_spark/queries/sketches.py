@@ -542,6 +542,62 @@ _MIX_PICKS = 96       # global pick budget P (one shard's worth at test SF)
 _MIX_BUCKET_W = 100   # doc_id range width of the level-1 prefix-sum buckets
 
 
+def _mix_walk(spark: SparkSession, sf_dir: str):
+    """The shared q229/q236 plan: (picks, plan) — per-doc systematic
+    picks and the per-source weight/step table. One code path, two
+    views (the q226/q227 discipline)."""
+    prepare_session(spark)
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", F.expr(f"doc_id DIV {_MIX_BUCKET_W}").alias("b")
+    )
+    tot = d.groupBy("source").agg(F.sum("n_chars").cast("long").alias("t_chars"))
+    denom = tot.agg(F.sum(F.sqrt("t_chars")).alias("denom"))
+    plan = tot.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "t_chars",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.lit(_MIX_PICKS) * F.sqrt("t_chars") / F.col("denom")).cast("long"),
+        ).alias("n_target"),
+    )
+    stepped = plan.select(
+        "source",
+        "t_chars",
+        "n_target",
+        F.greatest(F.lit(1).cast("long"), F.expr("t_chars DIV n_target")).alias("step"),
+    )
+    # Two-level per-source prefix sum (q151's pattern + source key).
+    w_in = Window.partitionBy("source", "b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    within = d.withColumn("within", F.sum("n_chars").over(w_in))
+    btot = d.groupBy("source", "b").agg(F.sum("n_chars").alias("tot"))
+    w_off = Window.partitionBy("source").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = btot.select(
+        "source", "b", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("off")
+    )
+    scored = within.join(offs, ["source", "b"]).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("off") + F.col("within")).cast("long").alias("cum_after"),
+    )
+    walked = scored.join(F.broadcast(stepped.select("source", "step")), "source")
+    after_ix = F.expr("cum_after DIV step")
+    before_ix = F.expr("(cum_after - n_chars) DIV step")
+    picks = walked.withColumns(
+        {
+            "n_hits": (after_ix - before_ix).cast("long"),
+            "pick_pos": (before_ix + 1).cast("long"),
+        }
+    ).filter(F.col("n_hits") >= 1)
+    return picks, stepped
+
+
 @query(
     "q229_temperature_mix_sample",
     # Honest ANSI form: one window per source for the running sum, the
@@ -598,55 +654,81 @@ def q229_temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     temperature or budget recomputes only the tiny plan and re-walks
     with new steps (metadata-only, same as q151's re-sampling note).
     """
-    prepare_session(spark)
-    from pyspark.sql import Window
+    picks, _plan = _mix_walk(spark, sf_dir)
+    return picks.select(
+        "doc_id", "source", "n_chars", "step", "n_hits", "pick_pos"
+    ).orderBy("doc_id")
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars", F.expr(f"doc_id DIV {_MIX_BUCKET_W}").alias("b")
+
+@query(
+    "q236_mix_plan_report",
+    oracle=f"""
+    WITH tot AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS t_chars
+      FROM documents GROUP BY source
+    ), plan AS (
+      SELECT source, t_chars,
+             greatest(1, CAST(floor({_MIX_PICKS} * sqrt(t_chars)
+                 / (SELECT sum(sqrt(t_chars)) FROM tot)) AS BIGINT)) AS n_target
+      FROM tot
+    ), stepped AS (
+      SELECT source, t_chars, n_target,
+             greatest(1, t_chars // n_target) AS step
+      FROM plan
+    ), d AS (
+      SELECT doc_id, source, n_chars,
+             CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_after
+      FROM documents
+    ), picks AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             CAST(cum_after // s.step
+                  - (cum_after - d.n_chars) // s.step AS BIGINT) AS n_hits
+      FROM d JOIN stepped s ON d.source = s.source
+      WHERE cum_after // s.step > (cum_after - d.n_chars) // s.step
     )
-    tot = d.groupBy("source").agg(F.sum("n_chars").cast("long").alias("t_chars"))
-    denom = tot.agg(F.sum(F.sqrt("t_chars")).alias("denom"))
-    plan = tot.crossJoin(F.broadcast(denom)).select(
-        "source",
-        "t_chars",
-        F.greatest(
-            F.lit(1).cast("long"),
-            F.floor(F.lit(_MIX_PICKS) * F.sqrt("t_chars") / F.col("denom")).cast("long"),
-        ).alias("n_target"),
+    SELECT s.source, s.t_chars, s.n_target, s.step,
+           CAST(count(p.doc_id) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(p.n_hits), 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(sum(p.n_chars), 0) AS BIGINT) AS sel_chars,
+           CAST(round(CAST(coalesce(sum(p.n_chars), 0) AS DOUBLE) * 1000000.0
+                      / s.t_chars) AS BIGINT) AS sel_rate_ppm
+    FROM stepped s LEFT JOIN picks p ON p.source = s.source
+    GROUP BY s.source, s.t_chars, s.n_target, s.step
+    ORDER BY s.source
+    """,
+)
+def q236_mix_plan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MIXING-PLAN table a data recipe publishes (the per-source
+    row of a Llama-style data card): for every source, its char mass,
+    temperature-smoothed pick target, systematic step, and what the
+    walk actually selected — distinct docs, pick multiplicity, selected
+    char mass, and the realized selection rate in ppm. SHARES
+    :func:`_mix_walk`'s single lazy plan with q229 (one code path, two
+    views — the q226/q227 discipline), so the published plan can never
+    drift from the per-doc sample it summarizes. Output is |sources|
+    rows; the ppm rate is the single milli-grid division, everything
+    else integer-exact."""
+    picks, stepped = _mix_walk(spark, sf_dir)
+    rolled = picks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_hits").cast("long").alias("n_hits"),
+        F.sum("n_chars").cast("long").alias("sel_chars"),
     )
-    stepped = plan.select(
-        "source",
-        F.greatest(F.lit(1).cast("long"), F.expr("t_chars DIV n_target")).alias("step"),
-    )
-    # Two-level per-source prefix sum (q151's pattern + source key).
-    w_in = Window.partitionBy("source", "b").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    within = d.withColumn("within", F.sum("n_chars").over(w_in))
-    btot = d.groupBy("source", "b").agg(F.sum("n_chars").alias("tot"))
-    w_off = Window.partitionBy("source").orderBy("b").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offs = btot.select(
-        "source", "b", F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("off")
-    )
-    scored = within.join(offs, ["source", "b"]).select(
-        "doc_id",
-        "source",
-        "n_chars",
-        (F.col("off") + F.col("within")).cast("long").alias("cum_after"),
-    )
-    walked = scored.join(F.broadcast(stepped), "source")
-    after_ix = F.expr("cum_after DIV step")
-    before_ix = F.expr("(cum_after - n_chars) DIV step")
     return (
-        walked.withColumns(
-            {
-                "n_hits": (after_ix - before_ix).cast("long"),
-                "pick_pos": (before_ix + 1).cast("long"),
-            }
+        stepped.join(rolled, "source", "left")
+        .select(
+            "source",
+            "t_chars",
+            "n_target",
+            "step",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce(F.col("sel_chars"), F.lit(0)).cast("long").alias("sel_chars"),
+            F.expr(
+                "CAST(round(CAST(coalesce(sel_chars, 0) AS DOUBLE) * 1000000.0"
+                " / t_chars) AS BIGINT)"
+            ).alias("sel_rate_ppm"),
         )
-        .filter(F.col("n_hits") >= 1)
-        .select("doc_id", "source", "n_chars", "step", "n_hits", "pick_pos")
-        .orderBy("doc_id")
+        .orderBy("source")
     )

@@ -104,3 +104,32 @@ def test_budget_is_respected(spark):
     for s, target in n_target.items():
         # walk yields T_s // step picks; step flooring can add a pick
         assert target <= hits_by_source.get(s, 0) <= target + 1
+
+
+def test_plan_report_is_consistent_with_per_doc_picks(spark):
+    """q236 shares q229's plan: its rollup must equal aggregating
+    q229's per-doc rows, and the plan columns must satisfy the walk's
+    arithmetic (n_hits = t_chars div step for every source)."""
+    picks = REGISTRY["q229_temperature_mix_sample"].fn(spark, SF_SMOKE).collect()
+    report = {
+        r.source: r
+        for r in REGISTRY["q236_mix_plan_report"].fn(spark, SF_SMOKE).collect()
+    }
+    agg: dict[str, list[int]] = {}
+    for p in picks:
+        e = agg.setdefault(p.source, [0, 0, 0, p.step])
+        e[0] += 1
+        e[1] += p.n_hits
+        e[2] += p.n_chars
+        assert p.step == e[3]
+    for src, (n_docs, n_hits, sel_chars, step) in agg.items():
+        r = report[src]
+        assert (r.n_docs, r.n_hits, r.sel_chars, r.step) == (
+            n_docs,
+            n_hits,
+            sel_chars,
+            step,
+        )
+        assert r.n_hits == r.t_chars // r.step
+        assert r.n_target <= r.n_hits <= r.n_target + 1
+    assert set(report) >= set(agg)
