@@ -191,6 +191,14 @@ HEADLINE = [
     "q231_dsir_importance",
     "q232_bpe_fertility_by_source",
     "q233_kcenter_coreset",
+    # q235: bounded-probe JL distortion audit (flat: 1.79/1.81/1.44 s at
+    # 1x/10x/25x — the audit slice is constant; the projection itself is
+    # the per-row map term). q236: q229's plan + a |sources|-row rollup
+    # (1.26/1.67/2.00 s). q234 is probe-only — an ingest SIMULATION with
+    # sequential per-batch parquet commits (the q204 scratch policy;
+    # per-batch cost in SCALE.md).
+    "q235_jl_projection_audit",
+    "q236_mix_plan_report",
 ]
 
 

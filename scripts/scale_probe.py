@@ -295,6 +295,14 @@ PROBES = [
     "q231_dsir_importance",
     "q232_bpe_fertility_by_source",
     "q233_kcenter_coreset",
+    # q235: the vec_id < 40 probe slice is constant at any SF — the
+    # audit is flat by construction; the projection pass itself is the
+    # linear map term. q236: q229's plan + a |sources|-row rollup.
+    # q234 is NOT probed: it is an ingest SIMULATION with sequential
+    # per-batch parquet commits (the q204 scratch policy) — its scale
+    # figure is the per-batch cost, recorded in SCALE.md.
+    "q235_jl_projection_audit",
+    "q236_mix_plan_report",
 ]
 
 
