@@ -193,6 +193,36 @@ def q73_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_component_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component) under the transitive closure of q73's LSH
+    candidate graph — the shared q73b/q237 construction: min-label
+    propagation + pointer jumping over the (doc, band-rep) star edges
+    (operators/cluster.py)."""
+    from flink_mingo_tail_spark.operators.cluster import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", shingle_hashes(F.array_distinct(tokens(F.col("text")))).alias("hs")
+    )
+    sigs = hashed.select("doc_id", minhash_from_hashes(F.col("hs"), MINHASH_K).alias("sig"))
+    banded = sigs.select(
+        "doc_id", F.explode(lsh_band_keys(F.col("sig"), ROWS_PER_BAND, MINHASH_K)).alias("band")
+    )
+    w = Window.partitionBy("band")
+    edges = (
+        banded.withColumn("rep", F.min("doc_id").over(w))
+        .filter(F.col("rep") < F.col("doc_id"))
+        .select(F.col("doc_id").alias("src"), F.col("rep").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(edges)
+    return (
+        d.select("doc_id")
+        .join(comp, d.doc_id == comp.node, "left")
+        .select("doc_id", F.coalesce("component", F.col("doc_id")).alias("component"))
+    )
+
+
 @query(
     "q73b_dedup_components",
     oracle=f"""
@@ -235,33 +265,9 @@ def q73b_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     each. Oracle: DuckDB recursive-CTE reachability closure (exact but
     quadratic-in-component — oracle-only; the Spark plan is the one
     that scales)."""
-    from flink_mingo_tail_spark.operators.cluster import connected_components
-
-    d = _t(spark, sf_dir, "documents")
-    hashed = d.select(
-        "doc_id", shingle_hashes(F.array_distinct(tokens(F.col("text")))).alias("hs")
-    )
-    sigs = hashed.select("doc_id", minhash_from_hashes(F.col("hs"), MINHASH_K).alias("sig"))
-    banded = sigs.select(
-        "doc_id", F.explode(lsh_band_keys(F.col("sig"), ROWS_PER_BAND, MINHASH_K)).alias("band")
-    )
-    w = Window.partitionBy("band")
-    edges = (
-        banded.withColumn("rep", F.min("doc_id").over(w))
-        .filter(F.col("rep") < F.col("doc_id"))
-        .select(F.col("doc_id").alias("src"), F.col("rep").alias("dst"))
-        .distinct()
-    )
-    comp = connected_components(edges)
-    return (
-        d.select("doc_id")
-        .join(comp, d.doc_id == comp.node, "left")
-        .select(
-            "doc_id",
-            F.coalesce("component", F.col("doc_id")).alias("component"),
-        )
-        .withColumn("is_dup", F.col("component") < F.col("doc_id"))
-        .orderBy("doc_id")
+    comp = dedup_component_frame(spark, sf_dir)
+    return comp.withColumn("is_dup", F.col("component") < F.col("doc_id")).orderBy(
+        "doc_id"
     )
 
 
@@ -1977,4 +1983,108 @@ def q230_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_dup", (F.col("dist") >= 0) & (5 * F.col("dist") <= F.col("max_len")))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q237 — leakage-aware train/val/test split (cluster-level assignment)
+# ---------------------------------------------------------------------------
+
+_SPLIT_MOD = 10  # md5 % 10: 0 -> test, 1 -> val, 2..9 -> train (80/10/10)
+
+
+@query(
+    "q237_leakage_aware_split",
+    # the components CTE chain is q73b's oracle verbatim (the shared
+    # Spark construction is dedup_component_frame)
+    oracle=f"""
+    WITH RECURSIVE sigs AS (
+        SELECT doc_id, {_SQL_SIG} AS sig FROM documents
+    ), banded AS (
+        SELECT doc_id, unnest({sql_lsh_band_keys('sig', ROWS_PER_BAND, MINHASH_K)}) AS band
+        FROM sigs
+    ), band_rep AS (
+        SELECT band, min(doc_id) AS rep FROM banded GROUP BY band
+    ), edges AS (
+        SELECT DISTINCT b.doc_id AS a, r.rep AS b
+        FROM banded b JOIN band_rep r ON b.band = r.band
+        WHERE r.rep < b.doc_id
+    ), sym AS (
+        SELECT a, b FROM edges UNION SELECT b, a FROM edges
+    ), reach(src, dst) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    ), comp AS (
+        SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+    ), assigned AS (
+        SELECT d.doc_id,
+               coalesce(c.component, d.doc_id) AS component,
+               ('0x' || substr(md5(concat('split:',
+                    CAST(coalesce(c.component, d.doc_id) AS VARCHAR))), 1, 15))::BIGINT
+                 % {_SPLIT_MOD} AS cmod,
+               ('0x' || substr(md5(concat('split:',
+                    CAST(d.doc_id AS VARCHAR))), 1, 15))::BIGINT
+                 % {_SPLIT_MOD} AS nmod
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, component,
+           CASE cmod WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split,
+           CASE nmod WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END
+             AS naive_split,
+           (max(CASE WHEN nmod = 0 THEN 0 WHEN nmod = 1 THEN 1 ELSE 2 END)
+              OVER (PARTITION BY component)
+            <> min(CASE WHEN nmod = 0 THEN 0 WHEN nmod = 1 THEN 1 ELSE 2 END)
+              OVER (PARTITION BY component)) AS naive_would_leak
+    FROM assigned
+    ORDER BY doc_id
+    """,
+)
+def q237_leakage_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-AWARE train/val/test split: assignment is hashed from
+    the document's NEAR-DUP COMPONENT (q73b's transitive clusters via
+    the shared :func:`dedup_component_frame`), never from the document
+    itself — so a near-duplicate pair can never straddle the train/test
+    boundary, the eval-contamination mode a doc-level hash split
+    silently creates. The ``naive_split`` column is that doc-level
+    hash, and ``naive_would_leak`` marks every doc whose cluster the
+    naive rule would have SPLIT across sets — the measured argument
+    (doc-level split leaks on this fixture) rides in the output.
+
+    Determinism: both assignments are salted md5-long mod {_SPLIT_MOD}
+    over decimal id strings (0 test / 1 val / else train — 80/10/10 in
+    expectation); the leak audit compares the component's min/max naive
+    code, an integer window over the component key. Scale shape:
+    components are O(log d) rounds of keyed shuffles
+    (operators/cluster.py); everything after is one hash and two
+    component-partitioned window aggregates — the same frame dedup
+    already shuffles. The production rule "split AFTER near-dup
+    clustering, hash the CLUSTER id" costs nothing beyond the dedup
+    pass the pipeline already runs."""
+    comp = dedup_component_frame(spark, sf_dir)
+    code = F.pmod(
+        md5_long(F.concat(F.lit("split:"), F.col("component").cast("string"))),
+        F.lit(_SPLIT_MOD),
+    )
+    ncode = F.pmod(
+        md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+        F.lit(_SPLIT_MOD),
+    )
+
+    def label(c):
+        return F.when(c == 0, "test").when(c == 1, "val").otherwise("train")
+
+    nclass = F.when(F.col("nmod") == 0, 0).when(F.col("nmod") == 1, 1).otherwise(2)
+    w = Window.partitionBy("component")
+    return (
+        comp.select("doc_id", "component", code.alias("cmod"), ncode.alias("nmod"))
+        .withColumn("__nc", nclass)
+        .select(
+            "doc_id",
+            "component",
+            label(F.col("cmod")).alias("split"),
+            label(F.col("nmod")).alias("naive_split"),
+            (F.max("__nc").over(w) != F.min("__nc").over(w)).alias("naive_would_leak"),
+        )
+        .orderBy("doc_id")
     )

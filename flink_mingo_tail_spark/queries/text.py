@@ -1081,3 +1081,111 @@ def q215_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("vmr_micro").desc(), "tok")
         .limit(_BURST_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q238 — per-source relative quality buckets (CCNet-style terciles)
+# ---------------------------------------------------------------------------
+
+_CCNET_K = 3  # head / middle / tail
+
+
+@query(
+    "q238_quality_terciles_by_source",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), w AS (
+      SELECT doc_id, source,
+             CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(sum(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                      % {_SCORER_MOD} - {_SCORER_SHIFT}) AS BIGINT) AS score
+      FROM tok GROUP BY doc_id, source
+    ), scored AS (
+      SELECT doc_id, source,
+             CAST(round(CAST(score AS DOUBLE) * 1000.0 / n_toks) AS BIGINT)
+               AS score_per_tok_milli
+      FROM w
+    )
+    SELECT doc_id, source, score_per_tok_milli,
+           CASE ntile({_CCNET_K}) OVER (PARTITION BY source
+                ORDER BY score_per_tok_milli DESC, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def q238_quality_terciles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE quality bucketing per source — the CCNet rule
+    (Wenzek et al. 2020): cut each source's documents into
+    head/middle/tail TERCILES of a quality score, so thresholds adapt
+    to every domain's own distribution instead of one global cut that
+    would empty low-resource sources (the companion failure q229's
+    temperature mixing addresses on the size axis). The score here is
+    q193's hashing-trick linear scorer (same constants — the
+    fasttext-style stand-in); in production the identical plan runs on
+    q205's LM perplexity, which is CCNet's actual scorer.
+
+    The tercile cut does NOT use Spark's grouped ntile window over raw
+    rows at scale-risk: it is the exact SQL-standard tile from
+    per-group two-level prefix counts — ``grouped_prefix_sum`` (one row
+    per packed (quality, doc) key, width = the 2^34 packing stride) for
+    the in-group row number plus ``ntile_from_rowno``'s closed form —
+    so per-task state stays bounded however large one source grows,
+    and the assignment is bit-identical to the DuckDB ntile oracle
+    (score DESC, doc_id total order)."""
+    from flink_mingo_tail_spark.operators.ranks import ntile_from_rowno
+
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok"))
+    w = tok.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+        F.sum(
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+            % _SCORER_MOD
+            - _SCORER_SHIFT
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    scored = w.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(round(CAST(score AS DOUBLE) * 1000.0 / n_toks) AS BIGINT)"
+        ).alias("score_per_tok_milli"),
+    )
+    # packed total order: higher score first, doc_id tiebreak — the
+    # q190/q226 packing with the same raise_error domain pins
+    value = F.when(
+        (F.col("doc_id") < 0)
+        | (F.col("doc_id") >= F.lit(1 << 34))
+        | (F.col("score_per_tok_milli") < -500_000)
+        | (F.col("score_per_tok_milli") > 500_000),
+        F.expr("raise_error('q238: packed order key domain exceeded')").cast("long"),
+    ).otherwise(
+        (F.lit(500_000) - F.col("score_per_tok_milli")) * F.lit(1 << 34)
+        + F.col("doc_id")
+    )
+    from flink_mingo_tail_spark.operators.ranks import grouped_prefix_sum
+
+    p = grouped_prefix_sum(
+        scored,
+        ["source"],
+        value,
+        {"rowno": F.lit(1)},
+        width=1 << 34,
+        inclusive=True,
+    )
+    n = scored.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tiled = p.join(F.broadcast(n), "source").withColumn(
+        "t", ntile_from_rowno("rowno", "n", _CCNET_K)
+    )
+    bucket = (
+        F.when(F.col("t") == 1, "head")
+        .when(F.col("t") == 2, "middle")
+        .otherwise("tail")
+    )
+    return tiled.select(
+        "doc_id", "source", "score_per_tok_milli", bucket.alias("bucket")
+    ).orderBy("doc_id")
