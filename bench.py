@@ -199,6 +199,13 @@ HEADLINE = [
     # per-batch cost in SCALE.md).
     "q235_jl_projection_audit",
     "q236_mix_plan_report",
+    # q237: the components family's bench representative (q73b itself
+    # stays probe-only): LSH star edges + O(log d) label propagation +
+    # the split hash — 6.81/7.16/17.2 s at 1x/10x/25x (2.5x wall at 25x
+    # data; growth = band-bucket density, the dedup family's caveat).
+    # q238: one token pass + grouped two-level tiles — 1.85/2.37/2.30 s.
+    "q237_leakage_aware_split",
+    "q238_quality_terciles_by_source",
 ]
 
 

@@ -303,6 +303,12 @@ PROBES = [
     # figure is the per-batch cost, recorded in SCALE.md.
     "q235_jl_projection_audit",
     "q236_mix_plan_report",
+    # q237: components over the LSH candidate graph — exact copies
+    # densify every band bucket, so star edges grow linearly and the
+    # O(log d) label-propagation rounds are the growth term. q238: one
+    # token pass + vocabulary-frame scoring + grouped two-level tiles.
+    "q237_leakage_aware_split",
+    "q238_quality_terciles_by_source",
 ]
 
 
