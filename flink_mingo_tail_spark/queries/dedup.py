@@ -1875,12 +1875,14 @@ def q227_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q230 — bounded edit-distance confirm over LSH-blocked candidates
 # ---------------------------------------------------------------------------
 
-# Near-dup verdict: dist <= max_len/5 (20% of the longer doc, spelled
-# 5*dist <= max_len so the rule is integer-exact) AND dist <= _LEV_CAP.
+# Near-dup verdict: dist <= max_len/_LEV_REL_DEN (20% of the longer
+# doc, spelled _LEV_REL_DEN*dist <= max_len so the rule is
+# integer-exact) AND dist <= _LEV_CAP.
 # The absolute cap is the compute bound: Spark's levenshtein(l, r, cap)
 # runs the banded DP — O(cap * len) instead of O(len^2) per pair — and
 # returns -1 beyond the cap, which the oracle mirrors with a CASE.
 _LEV_CAP = 128
+_LEV_REL_DEN = 5  # relative threshold: dist <= max_len / 5 (20%)
 
 
 @query(
@@ -1907,11 +1909,11 @@ _LEV_CAP = 128
                CASE WHEN levenshtein(text_a, text_b) > {_LEV_CAP} THEN -1
                     ELSE levenshtein(text_a, text_b) END AS dist
         FROM sized
-        WHERE 5 * len_gap <= max_len AND len_gap <= {_LEV_CAP}
+        WHERE {_LEV_REL_DEN} * len_gap <= max_len AND len_gap <= {_LEV_CAP}
     )
     SELECT doc_a, doc_b, CAST(max_len AS BIGINT) AS max_len,
            CAST(dist AS BIGINT) AS dist,
-           (dist >= 0 AND 5 * dist <= max_len) AS is_dup
+           (dist >= 0 AND {_LEV_REL_DEN} * dist <= max_len) AS is_dup
     FROM confirmed
     ORDER BY doc_a, doc_b
     """,
@@ -1972,7 +1974,10 @@ def q230_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.length("text_a"), F.length("text_b")).cast("long").alias("max_len"),
             F.abs(F.length("text_a") - F.length("text_b")).alias("len_gap"),
         )
-        .filter((5 * F.col("len_gap") <= F.col("max_len")) & (F.col("len_gap") <= _LEV_CAP))
+        .filter(
+            (_LEV_REL_DEN * F.col("len_gap") <= F.col("max_len"))
+            & (F.col("len_gap") <= _LEV_CAP)
+        )
     )
     return (
         sized.select(
@@ -1981,7 +1986,10 @@ def q230_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_len",
             F.levenshtein("text_a", "text_b", _LEV_CAP).cast("long").alias("dist"),
         )
-        .withColumn("is_dup", (F.col("dist") >= 0) & (5 * F.col("dist") <= F.col("max_len")))
+        .withColumn(
+            "is_dup",
+            (F.col("dist") >= 0) & (_LEV_REL_DEN * F.col("dist") <= F.col("max_len")),
+        )
         .orderBy("doc_a", "doc_b")
     )
 

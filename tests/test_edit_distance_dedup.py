@@ -11,7 +11,7 @@ from __future__ import annotations
 import duckdb
 
 from flink_mingo_tail_spark.queries import load_registry
-from flink_mingo_tail_spark.queries.dedup import _LEV_CAP
+from flink_mingo_tail_spark.queries.dedup import _LEV_CAP, _LEV_REL_DEN
 from tests.conftest import SF_SMOKE
 
 REGISTRY = load_registry()
@@ -59,9 +59,9 @@ def test_emitted_rows_respect_the_length_prefilter(spark):
         la, lb = len(texts[r.doc_a]), len(texts[r.doc_b])
         assert r.max_len == max(la, lb)
         gap = abs(la - lb)
-        assert 5 * gap <= r.max_len and gap <= _LEV_CAP
+        assert _LEV_REL_DEN * gap <= r.max_len and gap <= _LEV_CAP
         assert -1 <= r.dist <= _LEV_CAP
-        assert r.is_dup == (r.dist >= 0 and 5 * r.dist <= r.max_len)
+        assert r.is_dup == (r.dist >= 0 and _LEV_REL_DEN * r.dist <= r.max_len)
         assert r.doc_a < r.doc_b
 
 
