@@ -101,15 +101,16 @@ _MODULES = (
 #       curation ingest twin), q235 (JL projection distortion audit),
 #       q236 (mixing-plan report — q229's rollup view; q229's code
 #       moved through the shared _mix_walk, re-proof via its (a) slot),
-#       q237 (leakage-aware split), q238 (per-source quality terciles);
+#       q237 (leakage-aware split), q238 (per-source quality
+#       terciles), q239 (one-pass quality-signal table);
 #   (b2) q73b re-proof (component construction extracted to the shared
 #       dedup_component_frame for q237);
-#   SLOT PRESSURE: 15 new + 3 changed fill 18 of 50, so the round-6
-#       drain covers 32/34 this round — q169/q170 and the q100+ round-7
-#       refresh lead round 12 (freshness debt traded for driver rows on
-#       every new operator, the front-load-new-first precedence).
+#   SLOT PRESSURE: 16 new + 3 changed fill 19 of 50, so the round-6
+#       drain covers 31/34 this round — q168/q169/q170 and the q100+
+#       round-7 refresh lead round 12 (freshness debt traded for driver
+#       rows on every new operator, front-load-new-first precedence).
 _NEEDS_DRIVER_ROW = (
-    # (a) round-11 wave, no driver row yet — 15 names
+    # (a) round-11 wave, no driver row yet — 16 names
     "q224_semantic_decontaminate",
     "q225_perceptual_hash_near_dup",
     "q226_curation_pipeline",
@@ -125,6 +126,7 @@ _NEEDS_DRIVER_ROW = (
     "q236_mix_plan_report",
     "q237_leakage_aware_split",
     "q238_quality_terciles_by_source",
+    "q239_quality_signals",
     # (a3) re-proof: q226/q227's quality gate extracted to
     #      operators/quality.py (shared with streaming/curation_ingest;
     #      outputs verified unchanged, re-proof by discipline) — both
@@ -164,7 +166,6 @@ _NEEDS_DRIVER_ROW = (
     "q165_kmeans_lloyd_step",
     "q166_higher_order_funcs",
     "q167_winsorized_stats",
-    "q168_incremental_agg_maintenance",
     # (b2) q73b's component construction extracted to
     #      dedup_component_frame (shared with q237) — changed code,
     #      re-proof slot (outputs verified unchanged at both test SFs)

@@ -1189,3 +1189,111 @@ def q238_quality_terciles_by_source(spark: SparkSession, sf_dir: str) -> DataFra
     return tiled.select(
         "doc_id", "source", "score_per_tok_milli", bucket.alias("bucket")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q239 — per-document quality-signal table (one-pass wide extraction)
+# ---------------------------------------------------------------------------
+
+_SIG_STOPS = "['the','a','and','of','to','is']"  # q118/q226's list
+
+
+@query(
+    "q239_quality_signals",
+    oracle=f"""
+    WITH t0 AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), sig AS (
+      SELECT doc_id, source, t,
+             CAST(len(t) AS BIGINT) AS n_toks,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+      FROM t0
+    )
+    SELECT doc_id, source, n_toks, n_distinct,
+           CAST(round(CAST(n_distinct AS DOUBLE) * 1000.0 / n_toks) AS BIGINT)
+             AS ttr_milli,
+           CAST(round(CAST(len(list_intersect(list_distinct(t), {_SIG_STOPS}))
+                      AS DOUBLE) * 1000.0 / len(list_distinct(t))) AS BIGINT)
+             AS stop_ratio_milli,
+           CAST(round(CAST(list_sum(list_transform(t, w -> length(w)))
+                      AS DOUBLE) * 1000.0 / n_toks) AS BIGINT)
+             AS mean_word_len_milli,
+           CAST(list_max(list_transform(t, w -> length(w))) AS BIGINT)
+             AS max_word_len,
+           CAST(round(CAST(len(list_filter(t, w -> regexp_full_match(w, '[a-z]+')))
+                      AS DOUBLE) * 1000.0 / n_toks) AS BIGINT)
+             AS alpha_word_milli,
+           CAST(round(CAST(list_max(list_transform(list_distinct(t),
+                      u -> len(list_filter(t, w -> w = u))))
+                      AS DOUBLE) * 1000.0 / n_toks) AS BIGINT)
+             AS max_tok_share_milli
+    FROM sig
+    ORDER BY doc_id
+    """,
+)
+def q239_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document QUALITY-SIGNAL TABLE a curation run persists
+    beside the corpus (the RedPajama-V2 shape: signals as columns,
+    filters as downstream predicates, so re-tuning a threshold never
+    re-scans the text): token/type counts, type-token ratio, stopword
+    share of the vocabulary, mean/max word length, alphabetic-word
+    share, and the top-token share (the q82b repetition signal's cheap
+    scalar twin) — each on the milli grid, extracted in ONE codegen'd
+    pass with no shuffle before the output sort (plan-pinned: a single
+    scan, array-expression lambdas only, no explode, no join). At
+    100 TB this is the narrow-map companion to q118/q226: signals are
+    written once, every later filter (absolute, or q238's per-source
+    relative cuts) is metadata-cheap.
+
+    The top-token share is O(distinct x tokens) per row in-expression —
+    bounded by document length (the fixture's ~100-token docs cost
+    ~10^4 comparisons; at real doc lengths this term moves to the q82b
+    explode form, which IS the same signal)."""
+    d = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    base = d.select("doc_id", "source", t.alias("t"))
+    n_toks = F.size("t").cast("long")
+    dtoks = F.array_distinct(F.col("t"))
+    n_distinct = F.size(dtoks).cast("long")
+    stops = F.array(*[F.lit(s) for s in ("the", "a", "and", "of", "to", "is")])
+    lens = F.transform(F.col("t"), lambda w: F.length(w))
+    sum_len = F.aggregate(lens, F.lit(0), lambda acc, x: acc + x)
+    n_alpha = F.size(F.filter(F.col("t"), lambda w: w.rlike("^[a-z]+$")))
+    top_cnt = F.array_max(
+        F.transform(
+            dtoks,
+            lambda u: F.size(F.filter(F.col("t"), lambda w: w == u)),
+        )
+    )
+
+    def milli(num, den):
+        return F.expr(
+            f"CAST(round(CAST({num} AS DOUBLE) * 1000.0 / {den}) AS BIGINT)"
+        )
+
+    return (
+        base.select(
+            "doc_id",
+            "source",
+            n_toks.alias("n_toks"),
+            n_distinct.alias("n_distinct"),
+            F.size(F.array_intersect(dtoks, stops)).alias("__nstop"),
+            sum_len.alias("__sumlen"),
+            F.array_max(lens).cast("long").alias("max_word_len"),
+            n_alpha.alias("__nalpha"),
+            top_cnt.alias("__topcnt"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            "n_distinct",
+            milli("n_distinct", "n_toks").alias("ttr_milli"),
+            milli("__nstop", "n_distinct").alias("stop_ratio_milli"),
+            milli("__sumlen", "n_toks").alias("mean_word_len_milli"),
+            "max_word_len",
+            milli("__nalpha", "n_toks").alias("alpha_word_milli"),
+            milli("__topcnt", "n_toks").alias("max_tok_share_milli"),
+        )
+        .orderBy("doc_id")
+    )
