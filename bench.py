@@ -206,6 +206,9 @@ HEADLINE = [
     # q238: one token pass + grouped two-level tiles — 1.85/2.37/2.30 s.
     "q237_leakage_aware_split",
     "q238_quality_terciles_by_source",
+    # q239: one-pass signal extraction — 1.17/2.92/4.81 s at 1x/10x/25x
+    # (4.1x wall for 25x data; pure scan growth).
+    "q239_quality_signals",
 ]
 
 

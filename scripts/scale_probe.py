@@ -309,6 +309,9 @@ PROBES = [
     # token pass + vocabulary-frame scoring + grouped two-level tiles.
     "q237_leakage_aware_split",
     "q238_quality_terciles_by_source",
+    # q239: one codegen'd scan, no shuffle — the per-doc top-token-share
+    # lambda is the only superlinear-in-DOC-LENGTH term (bounded here).
+    "q239_quality_signals",
 ]
 
 
