@@ -547,11 +547,18 @@ def _mix_walk(spark: SparkSession, sf_dir: str):
     picks and the per-source weight/step table. One code path, two
     views (the q226/q227 discipline)."""
     prepare_session(spark)
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars", F.expr(f"doc_id DIV {_MIX_BUCKET_W}").alias("b")
     )
+    return mix_walk_frame(d)
+
+
+def mix_walk_frame(d: DataFrame):
+    """The walk over an arbitrary (doc_id, source, n_chars, b) frame —
+    separated so tests can inject shapes the fixture never produces
+    (a document heavier than its source's step => multi-hit picks)."""
+    from pyspark.sql import Window
+
     tot = d.groupBy("source").agg(F.sum("n_chars").cast("long").alias("t_chars"))
     denom = tot.agg(F.sum(F.sqrt("t_chars")).alias("denom"))
     plan = tot.crossJoin(F.broadcast(denom)).select(

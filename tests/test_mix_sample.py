@@ -133,3 +133,47 @@ def test_plan_report_is_consistent_with_per_doc_picks(spark):
         assert r.n_hits == r.t_chars // r.step
         assert r.n_target <= r.n_hits <= r.n_target + 1
     assert set(report) >= set(agg)
+
+
+def test_heavy_doc_is_picked_with_multiplicity(spark):
+    """No fixture SF produces a doc heavier than its source's step, so
+    the multi-hit branch is pinned here on an injected frame: one
+    source whose first doc carries most of the mass must yield
+    n_hits >= 2 on that doc, and total hits must still equal
+    t_chars div step."""
+    from pyspark.sql import functions as F
+
+    from flink_mingo_tail_spark.queries.sketches import _MIX_BUCKET_W, mix_walk_frame
+
+    rows = [(0, "big", 50_000), (1, "big", 10), (2, "big", 10)] + [
+        (10 + i, f"s{i}", 1_000) for i in range(6)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    ).withColumn("b", F.expr(f"doc_id DIV {_MIX_BUCKET_W}"))
+    picks, stepped = mix_walk_frame(d)
+    plan = {r.source: r for r in stepped.collect()}
+    got = {r.doc_id: r for r in picks.collect()}
+    heavy = got[0]
+    assert heavy.n_hits >= 2
+    hits_big = sum(r.n_hits for r in got.values() if r.source == "big")
+    assert hits_big == plan["big"].t_chars // plan["big"].step
+    # replica cross-check of the whole injected frame
+    import math
+
+    totals = {}
+    for _, src, w in rows:
+        totals[src] = totals.get(src, 0) + w
+    denom = sum(math.sqrt(t) for t in totals.values())
+    n_target = {s: max(1, math.floor(_MIX_PICKS * math.sqrt(t) / denom)) for s, t in totals.items()}
+    step = {s: max(1, totals[s] // n_target[s]) for s in totals}
+    cum = {}
+    expected = {}
+    for doc_id, src, w in sorted(rows):
+        b0 = cum.get(src, 0)
+        a0 = b0 + w
+        cum[src] = a0
+        h = a0 // step[src] - b0 // step[src]
+        if h:
+            expected[doc_id] = (h, b0 // step[src] + 1)
+    assert {k: (v.n_hits, v.pick_pos) for k, v in got.items()} == expected
