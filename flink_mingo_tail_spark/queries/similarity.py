@@ -1399,16 +1399,8 @@ def q233_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     you run this per-stratum (source/language) with the same plan, or
     seed from q79's IVF centroids to cut rounds."""
     e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
-    seed = e.orderBy("vec_id").limit(1)
-    first = seed.collect()[0]
+    first = e.orderBy("vec_id").limit(1).collect()[0]
     chosen = [(1, int(first.vec_id), -1.0, list(first.v))]
-    out_frames = [
-        seed.select(
-            F.lit(1).cast("long").alias("round"),
-            "vec_id",
-            F.lit(-1.0).cast("double").alias("d2_at_selection"),
-        )
-    ]
     for r in range(2, _KCENTER_K + 1):
         d2s = []
         for _, _, _, cv in chosen:
@@ -1422,25 +1414,23 @@ def q233_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         md = F.least(*d2s) if len(d2s) > 1 else d2s[0]
-        cand = (
+        row = (
             e.filter(~F.col("vec_id").isin([c[1] for c in chosen]))
             .select("vec_id", "v", md.alias("md"))
             .orderBy(F.desc("md"), "vec_id")
             .limit(1)
+            .collect()[0]
         )
-        row = cand.collect()[0]
         chosen.append((r, int(row.vec_id), float(row.md), list(row.v)))
-        out_frames.append(
-            cand.select(
-                F.lit(r).cast("long").alias("round"),
-                "vec_id",
-                F.col("md").alias("d2_at_selection"),
-            )
-        )
-    out = out_frames[0]
-    for fr in out_frames[1:]:
-        out = out.unionByName(fr)
-    return out.orderBy("round")
+    # the trace values were computed ENGINE-side and collected above (K
+    # bounded 1-row collects); re-emitting them as a literal frame
+    # avoids re-executing every round's corpus scan when the result
+    # materializes (review round-11: the union-of-plans form doubled
+    # the K scans)
+    return spark.createDataFrame(
+        [(r, vid, md) for r, vid, md, _ in chosen],
+        "round long, vec_id long, d2_at_selection double",
+    ).orderBy("round")
 
 
 # ---------------------------------------------------------------------------

@@ -559,14 +559,21 @@ def mix_walk_frame(d: DataFrame):
     (a document heavier than its source's step => multi-hit picks)."""
     from pyspark.sql import Window
 
+    # sqrt gridded to integer micro-units BEFORE the sum (the repo's
+    # double-aggregate determinism convention): the denominator is then
+    # an order-independent int64 sum and the target is a pure integer
+    # division — no float aggregate anywhere in the plan arithmetic.
     tot = d.groupBy("source").agg(F.sum("n_chars").cast("long").alias("t_chars"))
-    denom = tot.agg(F.sum(F.sqrt("t_chars")).alias("denom"))
-    plan = tot.crossJoin(F.broadcast(denom)).select(
+    sq = tot.withColumn(
+        "sq", F.round(F.sqrt("t_chars") * 1000000.0).cast("long")
+    )
+    denom = sq.agg(F.sum("sq").cast("long").alias("denom"))
+    plan = sq.crossJoin(F.broadcast(denom)).select(
         "source",
         "t_chars",
         F.greatest(
             F.lit(1).cast("long"),
-            F.floor(F.lit(_MIX_PICKS) * F.sqrt("t_chars") / F.col("denom")).cast("long"),
+            F.expr(f"({_MIX_PICKS} * sq) DIV denom"),
         ).alias("n_target"),
     )
     stepped = plan.select(
@@ -613,12 +620,14 @@ def mix_walk_frame(d: DataFrame):
     # the selected SET and every output column are exact across engines.
     oracle=f"""
     WITH tot AS (
-      SELECT source, CAST(sum(n_chars) AS BIGINT) AS t_chars
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS t_chars,
+             CAST(round(sqrt(sum(n_chars)) * 1000000.0) AS BIGINT) AS sq
       FROM documents GROUP BY source
     ), plan AS (
       SELECT source, t_chars,
-             greatest(1, CAST(floor({_MIX_PICKS} * sqrt(t_chars)
-                 / (SELECT sum(sqrt(t_chars)) FROM tot)) AS BIGINT)) AS n_target
+             greatest(1, CAST(({_MIX_PICKS} * sq)
+                 // (SELECT CAST(sum(sq) AS BIGINT) FROM tot) AS BIGINT))
+               AS n_target
       FROM tot
     ), stepped AS (
       SELECT source, t_chars, n_target,
@@ -648,9 +657,12 @@ def q229_temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     source swamp the mix. A global budget of ``_MIX_PICKS`` picks is
     split as n_target(s) = max(1, ⌊P·w_s⌋), then each source selects
     its documents DETERMINISTICALLY by q151's systematic-PPS walk at
-    step(s) = max(1, T_s div n_target(s)) — no RNG (retry-stable), and
-    after the single sqrt/floor plan step every quantity is int64, so
-    the selected set is bit-identical across engines.
+    step(s) = max(1, T_s div n_target(s)) — no RNG (retry-stable).
+    The one irrational quantity, sqrt(T_s), is gridded to integer
+    micro-units BEFORE any aggregate (the repo's double-aggregate
+    convention), so the weight denominator is an order-independent
+    int64 sum, the target is a pure integer division, and the selected
+    set is bit-identical across engines and retries.
 
     Scale shape: the weight plan is |sources| rows (broadcast); the
     per-source running sum uses q151's two-level prefix pattern
@@ -671,12 +683,14 @@ def q229_temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q236_mix_plan_report",
     oracle=f"""
     WITH tot AS (
-      SELECT source, CAST(sum(n_chars) AS BIGINT) AS t_chars
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS t_chars,
+             CAST(round(sqrt(sum(n_chars)) * 1000000.0) AS BIGINT) AS sq
       FROM documents GROUP BY source
     ), plan AS (
       SELECT source, t_chars,
-             greatest(1, CAST(floor({_MIX_PICKS} * sqrt(t_chars)
-                 / (SELECT sum(sqrt(t_chars)) FROM tot)) AS BIGINT)) AS n_target
+             greatest(1, CAST(({_MIX_PICKS} * sq)
+                 // (SELECT CAST(sum(sq) AS BIGINT) FROM tot) AS BIGINT))
+               AS n_target
       FROM tot
     ), stepped AS (
       SELECT source, t_chars, n_target,

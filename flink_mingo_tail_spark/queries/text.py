@@ -857,6 +857,21 @@ def q190_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCORER_MOD = 1001
 _SCORER_SHIFT = 500
 
+# ONE spelling of the hashed token weight for q193 (inference) and
+# q238 (relative bucketing of the same scores) — Spark and oracle.
+_SCORER_SQL = (
+    f"CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)"
+    f" % {_SCORER_MOD} - {_SCORER_SHIFT}"
+)
+
+
+def token_weight(tok):
+    """w(tok) = (int(md5(tok)[:8]) mod _SCORER_MOD) - _SCORER_SHIFT."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % _SCORER_MOD
+        - _SCORER_SHIFT
+    )
+
 
 @query(
     "q193_hashed_linear_scorer",
@@ -866,8 +881,7 @@ _SCORER_SHIFT = 500
     ), w AS (
       SELECT doc_id,
              CAST(count(*) AS BIGINT) AS n_toks,
-             CAST(sum(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
-                      % {_SCORER_MOD} - {_SCORER_SHIFT}) AS BIGINT) AS score
+             CAST(sum({_SCORER_SQL}) AS BIGINT) AS score
       FROM tok GROUP BY doc_id
     )
     SELECT doc_id, n_toks, score,
@@ -901,13 +915,7 @@ def q193_hashed_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     w = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_toks"),
-        F.sum(
-            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
-            % _SCORER_MOD
-            - _SCORER_SHIFT
-        )
-        .cast("long")
-        .alias("score"),
+        F.sum(token_weight(F.col("tok"))).cast("long").alias("score"),
     )
     return w.select(
         "doc_id",
@@ -1098,8 +1106,7 @@ _CCNET_K = 3  # head / middle / tail
     ), w AS (
       SELECT doc_id, source,
              CAST(count(*) AS BIGINT) AS n_toks,
-             CAST(sum(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
-                      % {_SCORER_MOD} - {_SCORER_SHIFT}) AS BIGINT) AS score
+             CAST(sum({_SCORER_SQL}) AS BIGINT) AS score
       FROM tok GROUP BY doc_id, source
     ), scored AS (
       SELECT doc_id, source,
@@ -1140,13 +1147,7 @@ def q238_quality_terciles_by_source(spark: SparkSession, sf_dir: str) -> DataFra
     tok = d.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok"))
     w = tok.groupBy("doc_id", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_toks"),
-        F.sum(
-            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
-            % _SCORER_MOD
-            - _SCORER_SHIFT
-        )
-        .cast("long")
-        .alias("score"),
+        F.sum(token_weight(F.col("tok"))).cast("long").alias("score"),
     )
     scored = w.select(
         "doc_id",
@@ -1195,7 +1196,9 @@ def q238_quality_terciles_by_source(spark: SparkSession, sf_dir: str) -> DataFra
 # q239 — per-document quality-signal table (one-pass wide extraction)
 # ---------------------------------------------------------------------------
 
-_SIG_STOPS = "['the','a','and','of','to','is']"  # q118/q226's list
+from flink_mingo_tail_spark.operators.quality import QUALITY_STOPS  # noqa: E402
+
+_SIG_STOPS = "[" + ",".join(f"'{w}'" for w in QUALITY_STOPS) + "]"  # one spelling
 
 
 @query(
@@ -1255,7 +1258,7 @@ def q239_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_toks = F.size("t").cast("long")
     dtoks = F.array_distinct(F.col("t"))
     n_distinct = F.size(dtoks).cast("long")
-    stops = F.array(*[F.lit(s) for s in ("the", "a", "and", "of", "to", "is")])
+    stops = F.array(*[F.lit(s) for s in QUALITY_STOPS])
     lens = F.transform(F.col("t"), lambda w: F.length(w))
     sum_len = F.aggregate(lens, F.lit(0), lambda acc, x: acc + x)
     n_alpha = F.size(F.filter(F.col("t"), lambda w: w.rlike("^[a-z]+$")))

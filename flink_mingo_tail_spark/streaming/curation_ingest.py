@@ -23,6 +23,16 @@ stages (the index is probed as of batch start), while the budget stage
 IS ordered within the batch — budget is a prefix rule, not a
 membership rule.
 
+One further divergence from the batch pipeline, inherited from the
+standing-index family rather than arrival order: the exact-dup hash is
+``md5(text)`` over RAW text (probe_dedup_index's contract, shared with
+q117/dedup_ingest), while q226 canonicalizes with
+``md5(lower(trim(text)))``. On pre-normalized corpora (this fixture,
+or anything that ran q67's normalization first) the two agree
+everywhere; on raw text, run normalization upstream of ingest or
+rebuild the index with a canonicalized text column — the knob is the
+text expression fed to the index, not this module.
+
 Index admission (what feeds the standing dup state): every
 quality-passing document's content hash and band keys are appended
 after the batch's classification commits — including documents the
@@ -143,8 +153,9 @@ def classify_batch(
     """The per-batch verdict (doc_id, source, n_toks, reason) against
     state as of batch start. ``prior_totals`` is (source, prior_toks) —
     tokens already counted toward each source's budget by earlier
-    committed batches. Pure plan construction: no writes, no collects —
-    exposed so the q234 driver twin hashes exactly this code path."""
+    committed batches. No writes, no collects (one bounded persist on
+    the flagged frame — see inline note); exposed so the q234 driver
+    twin hashes exactly this code path."""
     spark = batch_df.sparkSession
     t = tokens(F.col("text"))
     s1 = batch_df.select(
@@ -170,10 +181,17 @@ def classify_batch(
         grams.join(F.broadcast(eval_grams), "g", "left_semi").select("doc_id").distinct()
     )
 
+    # ONE flagged frame feeds both the budget branch and the final
+    # verdict, persisted so the index semi-joins and the gram broadcast
+    # join run once per batch, not once per consumer (Catalyst does not
+    # CSE across join branches; review round-11). The cache is bounded
+    # (O(batch) narrow rows) and reclaimed by the ContextCleaner once
+    # the batch's frames go out of scope.
     flagged = (
-        surv1.join(probed, "doc_id", "left")
+        surv1.drop("text")
+        .join(probed, "doc_id", "left")
         .join(cont_ids.withColumn("__ct", F.lit(True)), "doc_id", "left")
-    )
+    ).persist()
     gate = flagged.filter(
         (F.col("status") == "new") & F.col("__ct").isNull()
     ).select("doc_id", "source", "n_chars", "n_toks")
@@ -212,8 +230,8 @@ def classify_batch(
         F.lit("kept"),
     )
     return (
-        s1.join(probed, "doc_id", "left")
-        .join(cont_ids.withColumn("__ct", F.lit(True)), "doc_id", "left")
+        s1.select("doc_id", "source", "n_toks", "r1")
+        .join(flagged.select("doc_id", "status", "__ct"), "doc_id", "left")
         .join(ob_ids.withColumn("__ob", F.lit(True)), "doc_id", "left")
         .select("doc_id", "source", "n_toks", reason.alias("reason"))
     )

@@ -34,10 +34,10 @@ def _py_mix(rows, picks):
     totals: dict[str, int] = {}
     for _, src, w in rows:
         totals[src] = totals.get(src, 0) + w
-    denom = sum(math.sqrt(t) for t in totals.values())
-    n_target = {
-        s: max(1, math.floor(picks * math.sqrt(t) / denom)) for s, t in totals.items()
-    }
+    # half-up micro grid on sqrt (engine round()), then pure int math
+    sq = {s: math.floor(math.sqrt(t) * 1e6 + 0.5) for s, t in totals.items()}
+    denom = sum(sq.values())
+    n_target = {s: max(1, (picks * q) // denom) for s, q in sq.items()}
     step = {s: max(1, totals[s] // n_target[s]) for s in totals}
     cum: dict[str, int] = {}
     out = {}
@@ -164,8 +164,9 @@ def test_heavy_doc_is_picked_with_multiplicity(spark):
     totals = {}
     for _, src, w in rows:
         totals[src] = totals.get(src, 0) + w
-    denom = sum(math.sqrt(t) for t in totals.values())
-    n_target = {s: max(1, math.floor(_MIX_PICKS * math.sqrt(t) / denom)) for s, t in totals.items()}
+    sq = {s: math.floor(math.sqrt(t) * 1e6 + 0.5) for s, t in totals.items()}
+    denom = sum(sq.values())
+    n_target = {s: max(1, (_MIX_PICKS * q) // denom) for s, q in sq.items()}
     step = {s: max(1, totals[s] // n_target[s]) for s in totals}
     cum = {}
     expected = {}
