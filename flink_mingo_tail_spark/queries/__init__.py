@@ -105,6 +105,9 @@ _MODULES = (
 #       terciles), q239 (one-pass quality-signal table);
 #   (b2) q73b re-proof (component construction extracted to the shared
 #       dedup_component_frame for q237);
+#   ROUND-12 QUEUE: q193 (scorer extracted to token_weight/_SCORER_SQL
+#       for q238 — outputs verified unchanged, needs its re-proof row),
+#       then q168/q169/q170 and the q100+ round-7 refresh;
 #   SLOT PRESSURE: 16 new + 3 changed fill 19 of 50, so the round-6
 #       drain covers 31/34 this round — q168/q169/q170 and the q100+
 #       round-7 refresh lead round 12 (freshness debt traded for driver
