@@ -79,7 +79,21 @@ _MODULES = (
 # The driver's CORRECTNESS pass checks a bounded prefix of the declared
 # registry (every round so far recorded exactly the first 50 entries).
 #
-# ROTATION, round 11 — steady-state policy, 50 slots:
+# ROTATION, round 12 — steady-state policy, 50 slots:
+#   (a) new round-12 queries with NO driver row yet (front-load-new-first
+#       precedence) — filled as they land;
+#   (b) changed-code re-proofs: q239 (top-token-share term rewritten from
+#       the O(distinct x tokens) per-distinct rescan to array_sort + a
+#       linear run-length fold — the round-11 verdict's #1 item; replica
+#       + plan tests green, sub-linear 1x/10x/25x probe 0.83/1.57/3.70 s),
+#       q193 (scorer extracted to token_weight/_SCORER_SQL for q238 in
+#       round 11 — outputs verified unchanged then, driver row due now);
+#   (c) round-6 drain completes: q168/q169/q170 — after this round no
+#       green row predates round 7;
+#   (d) round-7 cohort refresh, ascending query order (46 names; the
+#       prefix-50 cut leaves the tail for round 13).
+#
+# ROTATION, round 11 (historical) — steady-state policy, 50 slots:
 #   (a) 3 queries with NO driver row yet: q224 (semantic decontamination
 #       vs the held-out eval slice — the round-10 verdict's #1 item),
 #       q225 (perceptual-hash near-dup on the multimodal binary column,
@@ -113,66 +127,63 @@ _MODULES = (
 #       round-7 refresh lead round 12 (freshness debt traded for driver
 #       rows on every new operator, front-load-new-first precedence).
 _NEEDS_DRIVER_ROW = (
-    # (a) round-11 wave, no driver row yet — 16 names
-    "q224_semantic_decontaminate",
-    "q225_perceptual_hash_near_dup",
-    "q226_curation_pipeline",
-    "q227_curation_report",
-    "q228_perceptual_dup_components",
-    "q229_temperature_mix_sample",
-    "q230_edit_distance_near_dup",
-    "q231_dsir_importance",
-    "q232_bpe_fertility_by_source",
-    "q233_kcenter_coreset",
-    "q234_streaming_curation",
-    "q235_jl_projection_audit",
-    "q236_mix_plan_report",
-    "q237_leakage_aware_split",
-    "q238_quality_terciles_by_source",
+    # (a) round-12 newcomers, no driver row yet — inserted here as they
+    #     land (front-load-new-first precedence).
+    # (b) changed-code re-proofs — 2 names
     "q239_quality_signals",
-    # (a3) re-proof: q226/q227's quality gate extracted to
-    #      operators/quality.py (shared with streaming/curation_ingest;
-    #      outputs verified unchanged, re-proof by discipline) — both
-    #      already sit in (a) above.
-    # (b) code changed in round 11 — 2 names
-    "q217b_mutual_knn_blocked",
-    "q221_novelty_vs_index",
-    # (c1) round-6 cohort drain — 34 names, ascending
-    "q57_map_funcs",
-    "q60_cdc_filter_pushdown",
-    "q61_cdc_envelope",
-    "q63_cdc_checkpoint_highwater",
-    "q64_cdc_resume_after_checkpoint",
-    "q65_cdc_apply_latest_state",
-    "q65b_scd2_history",
-    "q66_event_funnel",
-    "q70_exact_dedup_replay",
-    "q86_json_struct_access",
-    "q88_unpivot",
-    "q89_distinct_agg_minby_maxby",
-    "q94_multimodal_metadata",
-    "q96_pandas_udf_scalar",
-    "q97_grouped_udaf",
-    "q98_udtf_tokenize",
-    "q99_tfidf_top_term",
-    "q117_incremental_dedup",
-    "q118_curation_filter",
-    "q151_pps_systematic_sample",
-    "q152_pq_adc_knn",
-    "q156_time_weighted_avg",
-    "q157_rolling_zscore",
-    "q159_ewma_truncated",
-    "q160_markov_transitions",
-    "q162_welch_ttest",
-    "q163_source_divergence",
-    "q164_bloom_membership",
-    "q165_kmeans_lloyd_step",
-    "q166_higher_order_funcs",
-    "q167_winsorized_stats",
-    # (b2) q73b's component construction extracted to
-    #      dedup_component_frame (shared with q237) — changed code,
-    #      re-proof slot (outputs verified unchanged at both test SFs)
-    "q73b_dedup_components",
+    "q193_hashed_linear_scorer",
+    # (c) round-6 drain completes — 3 names
+    "q168_incremental_agg_maintenance",
+    "q169_mode_gini_profile",
+    "q170_semdedup_prune",
+    # (d) round-7 cohort refresh — 46 names, ascending query order;
+    #     the prefix-50 cut leaves the tail for round 13
+    "q79_knn_ivf",
+    "q90_tumbling_window",
+    "q91_sliding_window",
+    "q92_session_window",
+    "q93_windowed_topk_users",
+    "q95_multimodal_features",
+    "q100_inverted_index",
+    "q101_top_trigrams",
+    "q102_source_stats",
+    "q103_length_histogram",
+    "q105_batch_sessionize",
+    "q105_pack_sequences",
+    "q106_cohort_retention",
+    "q106_split_assign",
+    "q107_chunk_documents",
+    "q107_gap_fill_daily",
+    "q108_column_profile",
+    "q109_mixture_reweight",
+    "q110_pareto_frontier",
+    "q111_fuzzy_name_join",
+    "q112_zorder_layout",
+    "q113_scalar_py_udf",
+    "q115_dedup_within_watermark",
+    "q116_interval_join_clicks_purchases",
+    "q153_heavy_hitters",
+    "q154_set_similarity_join",
+    "q154b_set_similarity_tau07",
+    "q155_linear_interpolate",
+    "q158_ohlc_bars",
+    "q172_repeated_span_dedup",
+    "q173_pivot_report",
+    "q174_group_ols",
+    "q175_charlm_nll",
+    "q176_mixture_resample",
+    "q177_readability",
+    "q178_bpe_merge_pairs",
+    "q179_auc_mann_whitney",
+    "q180_ks_two_sample",
+    "q181_chi2_independence",
+    "q183_percent_rank_cume_dist",
+    "q184_rrf_fusion",
+    "q185_bpe_merge_apply",
+    "q186_cohens_kappa",
+    "q187_calibration_ece",
+    "q188_bpe_train_rounds",
+    "q189_drift_windows",
 )
 
 

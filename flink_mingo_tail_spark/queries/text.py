@@ -1248,10 +1248,12 @@ def q239_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     written once, every later filter (absolute, or q238's per-source
     relative cuts) is metadata-cheap.
 
-    The top-token share is O(distinct x tokens) per row in-expression —
-    bounded by document length (the fixture's ~100-token docs cost
-    ~10^4 comparisons; at real doc lengths this term moves to the q82b
-    explode form, which IS the same signal)."""
+    The top-token share is computed as the longest run in the SORTED
+    token array — array_sort (O(n log n) per row) + one linear
+    run-length fold — so the whole battery stays near-linear in
+    document length at real web-document sizes (10^5 tokens ≈ 10^6
+    comparisons per doc, vs 10^9 for the naive per-distinct rescan this
+    replaced), with no explode, no shuffle, and no join."""
     d = _docs(spark, sf_dir)
     t = tokens(F.col("text"))
     base = d.select("doc_id", "source", t.alias("t"))
@@ -1262,11 +1264,31 @@ def q239_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     lens = F.transform(F.col("t"), lambda w: F.length(w))
     sum_len = F.aggregate(lens, F.lit(0), lambda acc, x: acc + x)
     n_alpha = F.size(F.filter(F.col("t"), lambda w: w.rlike("^[a-z]+$")))
-    top_cnt = F.array_max(
-        F.transform(
-            dtoks,
-            lambda u: F.size(F.filter(F.col("t"), lambda w: w == u)),
-        )
+    # max token multiplicity == longest equal-run in the sorted array:
+    # one O(n log n) sort + one linear fold per row, never O(d x n).
+    top_cnt = F.aggregate(
+        F.array_sort(F.col("t")),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + F.lit(1))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + F.lit(1)).otherwise(
+                    F.lit(1)
+                ),
+            )
+            .cast("long")
+            .alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
 
     def milli(num, den):
