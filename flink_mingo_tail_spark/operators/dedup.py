@@ -204,13 +204,15 @@ def _index_shard(key: Column, n_shards: int) -> Column:
 _MANIFEST_SCHEMA = "k int, rows_per_band int, n_shards int"
 
 
-def _read_index_manifest(spark, path: str) -> dict | None:
+def _read_index_manifest(spark, path: str, schema: str = _MANIFEST_SCHEMA) -> dict | None:
     """Load the persisted index parameters, or None for a pre-manifest
     index. Stored as a one-row parquet table so the read/write path is
     filesystem-scheme-agnostic (local, HDFS, object store) — no
-    driver-side open() that would break off-box."""
+    driver-side open() that would break off-box. ``schema`` lets the
+    sibling index families (operators/semantic_index.py) reuse the
+    path-missing/IO-error discrimination with their own parameter set."""
     try:
-        row = spark.read.schema(_MANIFEST_SCHEMA).parquet(f"{path}/manifest").head()
+        row = spark.read.schema(schema).parquet(f"{path}/manifest").head()
     except Exception as exc:  # narrow below: only "path missing" means pre-manifest
         # ADVICE round 6: a transient IO/permission error must NOT be
         # read as "pre-manifest index" — that would let caller-supplied

@@ -129,9 +129,14 @@ _MODULES = (
 _NEEDS_DRIVER_ROW = (
     # (a) round-12 newcomers, no driver row yet — inserted here as they
     #     land (front-load-new-first precedence).
-    # (b) changed-code re-proofs — 2 names
+    "q240_semantic_index_probe",
+    # (b) changed-code re-proofs
     "q239_quality_signals",
     "q193_hashed_linear_scorer",
+    # q224's oracle now interpolates the shared _SEM_ORACLE_CTES block
+    # (verified byte-identical SQL; fn untouched) — re-proof by the
+    # q221 precedent
+    "q224_semantic_decontaminate",
     # (c) round-6 drain completes — 3 names
     "q168_incremental_agg_maintenance",
     "q169_mode_gini_profile",

@@ -1159,10 +1159,11 @@ _SEM_TAU = 0.3  # rounded cosine >= tau vs ANY eval vector => semantic hit
 _EVAL_MOD = 100  # id % 100 == 0 is the held-out eval/benchmark slice
 
 
-@query(
-    "q224_semantic_decontaminate",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+# The shared semantic-election CTE block (corpus buckets, eval probe
+# fan-out, candidate join, exact-cosine re-rank) — ONE spelling for
+# q224's oracle and q240's standing-index oracle, so the two can never
+# desynchronize (the q221/DEFAULT_SHINGLE_K constant-sync discipline).
+_SEM_ORACLE_CTES = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     ev AS (SELECT vec_id AS ei, v AS evv FROM e WHERE vec_id % {_EVAL_MOD} = 0),
     co AS (SELECT vec_id AS ci, v AS cv FROM e WHERE vec_id % {_EVAL_MOD} <> 0),
     planes(tbl, bit, pl) AS (VALUES
@@ -1199,7 +1200,13 @@ _EVAL_MOD = 100  # id % 100 == 0 is the held-out eval/benchmark slice
                   JOIN ev ON ev.ei = cand.ei
         WHERE round({SQL_COSINE.format(a="co.cv", b="ev.evv")}, 6)
               >= CAST({_SEM_TAU} AS DOUBLE)
-    ),
+    )"""
+
+
+@query(
+    "q224_semantic_decontaminate",
+    oracle=f"""
+    WITH {_SEM_ORACLE_CTES},
     toks AS (
         SELECT doc_id, string_split(text, ' ') AS t,
                len(string_split(text, ' ')) AS ln
@@ -1327,6 +1334,80 @@ def q224_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q240 — semantic standing-index probe (round 12; verdict "missing #1")
+# ---------------------------------------------------------------------------
+
+_SEMIDX_BATCHES = 3  # simulated arrival batches (vec_id % 3)
+
+
+@query(
+    "q240_semantic_index_probe",
+    oracle=f"""
+    WITH {_SEM_ORACLE_CTES}
+    SELECT co.ci AS doc_id, s.ci IS NOT NULL AS semantic_hit
+    FROM co LEFT JOIN sem s ON s.ci = co.ci
+    ORDER BY doc_id
+    """,
+)
+def q240_semantic_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q224's semantic decontamination run the way a PRODUCTION ingest
+    loop runs it — against a PERSISTED sign-LSH standing index
+    (operators/semantic_index.py) instead of re-deriving the eval-side
+    buckets per pass: the held-out eval slice is indexed ONCE with the
+    Hamming-1 fan-out paid at build time (``expanded=True`` —
+    ``(n_bits+1)·L`` keys per eval vector, the bounded side), then the
+    corpus arrives in {_SEMIDX_BATCHES} simulated batches, each hashing
+    plain L keys per row, equi-joining the persisted (shard, tbl,
+    bucket) table, and re-ranking only its candidates with the exact
+    6-digit-grid cosine.
+
+    The oracle is q224's semantic CTE block VERBATIM (_SEM_ORACLE_CTES,
+    one spelling for both queries): flagging is monotone in the
+    candidate set and the index stores exactly the fanned eval buckets
+    q224 fans at query time, so batch-by-batch standing-index flags ≡
+    the batch query's flags — proven row-for-row here and in
+    tests/test_semantic_index.py's three-batch equivalence.
+
+    Scale shape: index build is one bounded eval scan; per batch the
+    work is O(batch) hash rows + an occupancy-bounded candidate join
+    (auto_n_bits rule) with the index side broadcast — the corpus is
+    hashed once across all batches and never self-joined. Scratch is
+    bounded and deleted before returning (the q204/q234 policy).
+    Ref parity: extends the reference's standing-state discipline
+    (SURVEY §2A A6/A7) to the embedding modality; no reference twin."""
+    import shutil
+    import tempfile
+
+    from flink_mingo_tail_spark.operators.semantic_index import (
+        build_semantic_index,
+        probe_semantic_index,
+    )
+
+    e = _emb(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="fmts-semidx-q240-")
+    try:
+        path = f"{tmp}/eval_index"
+        build_semantic_index(
+            e.filter(F.col("vec_id") % _EVAL_MOD == 0), path, expanded=True
+        )
+        co = e.filter(F.col("vec_id") % _EVAL_MOD != 0)
+        rows = []
+        for b in range(_SEMIDX_BATCHES):
+            batch = co.filter(F.pmod(F.col("vec_id"), F.lit(_SEMIDX_BATCHES)) == b)
+            rows.extend(
+                probe_semantic_index(
+                    batch, path, tau=_SEM_TAU, broadcast_side="index"
+                ).collect()
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.vec_id, r.semantic_hit) for r in rows],
+        "doc_id long, semantic_hit boolean",
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
