@@ -66,6 +66,11 @@ _SEM_MANIFEST_SCHEMA = (
     "n_tables int, n_bits int, seed int, dim int, expanded boolean, n_shards int"
 )
 
+# Canonical semantic-hit threshold (rounded cosine >= tau vs ANY indexed
+# vector). queries/similarity.py's _SEM_TAU aliases this — one spelling
+# for q224, q240/q241, and the streaming ingest stage.
+DEFAULT_SEM_TAU = 0.3
+
 
 def _bucket_shard(tbl, bucket, n_shards: int):
     """Deterministic directory shard for a bucket key: low bits of the

@@ -130,6 +130,7 @@ _NEEDS_DRIVER_ROW = (
     # (a) round-12 newcomers, no driver row yet — inserted here as they
     #     land (front-load-new-first precedence).
     "q240_semantic_index_probe",
+    "q241_semantic_streaming_curation",
     # (b) changed-code re-proofs
     "q239_quality_signals",
     "q193_hashed_linear_scorer",
@@ -137,6 +138,13 @@ _NEEDS_DRIVER_ROW = (
     # (verified byte-identical SQL; fn untouched) — re-proof by the
     # q221 precedent
     "q224_semantic_decontaminate",
+    # curation_verdict gained the persist_stage_boundary knob (default
+    # off; parity test pins both modes identical) — q226/q227 re-proof;
+    # classify_batch gained the optional semantic stage (default off) —
+    # q234 re-proof
+    "q226_curation_pipeline",
+    "q227_curation_report",
+    "q234_streaming_curation",
     # (c) round-6 drain completes — 3 names
     "q168_incremental_agg_maintenance",
     "q169_mode_gini_profile",

@@ -1684,7 +1684,9 @@ _PIPE_CORE_SQL = f"""
 """
 
 
-def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curation_verdict(
+    spark: SparkSession, sf_dir: str, *, persist_stage_boundary: bool = False
+) -> DataFrame:
     """The COMPOSED curation pipeline — the end-to-end shape a real
     100 TB training-data run executes, as ONE lazy plan with per-stage
     reason codes: eval holdout -> quality filter (q118's rules) ->
@@ -1702,8 +1704,15 @@ def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     no collect, no checkpoint, no temp table — survivor frames are
     filters/joins over the same lazy scan, and Catalyst pipelines the
     whole thing (plan-pinned scan count + cartesian-free in
-    tests/test_plans.py; at 100 TB you would checkpoint after stage 3
-    to cut the recompute tail, which changes no semantics).
+    tests/test_plans.py). ``persist_stage_boundary=True`` is the 100 TB
+    knob the docstring used to only describe: it persists the exact-dedup
+    survivor frame (surv2 — the subtree every later stage re-reads:
+    near-dup signatures, decontamination restriction, budget gate, and
+    the final verdict join all branch off it), cutting the recompute
+    tail at the one boundary where the DAG fans out. Classification is
+    IDENTICAL in both modes (persist is a caching hint, not a plan
+    semantic — proven by tests/test_dedup_pipeline's parity test, which
+    also holds the q227 shared-plan contract in both modes).
 
     Scale shape per stage: quality is pure expressions on one pass;
     exact dedup is one shuffle on the 128-bit hash; near-dup is q73's
@@ -1738,6 +1747,12 @@ def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv2 = s2.filter(F.col("doc_id") == F.col("keeper")).select(
         "doc_id", "source", "n_chars", "n_toks"
     )
+    if persist_stage_boundary:
+        # the stage-2/3 boundary: every downstream branch (near-dup
+        # sigs, decontamination restriction, budget gate, verdict join)
+        # re-reads surv2 — one bounded persist cuts the recompute tail
+        # without touching classification (narrow columns, O(survivors))
+        surv2 = surv2.persist()
 
     # near-dup: q73's representative election, restricted to survivors
     hashed = d.select(

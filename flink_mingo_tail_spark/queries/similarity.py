@@ -1155,7 +1155,13 @@ def q223_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 from flink_mingo_tail_spark.operators.dedup import tokens  # noqa: E402
 from flink_mingo_tail_spark.queries.dedup import _DECON_N  # noqa: E402
 
-_SEM_TAU = 0.3  # rounded cosine >= tau vs ANY eval vector => semantic hit
+# rounded cosine >= tau vs ANY eval vector => semantic hit (the canonical
+# value lives beside the standing index so the streaming stage and the
+# batch queries can never diverge)
+from flink_mingo_tail_spark.operators.semantic_index import (  # noqa: E402
+    DEFAULT_SEM_TAU as _SEM_TAU,
+)
+
 _EVAL_MOD = 100  # id % 100 == 0 is the held-out eval/benchmark slice
 
 

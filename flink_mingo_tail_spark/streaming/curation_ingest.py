@@ -11,7 +11,16 @@ runs, but against STANDING state instead of the whole corpus:
                         BATCH START (O(batch) membership semi-joins)
   3. decontamination    word 4-grams vs the PRE-BUILT eval gram set
                         (static broadcast side — the eval set is fixed
-                        before ingest begins, as in production)
+                        before ingest begins, as in production), and —
+                        when a semantic index path is supplied and the
+                        batch carries an ``embedding`` column — the
+                        SEMANTIC stage: operators/semantic_index's
+                        persisted sign-LSH eval index (expanded=True,
+                        fan-out paid once at build), probed with plain
+                        L-key hashes per batch row and re-ranked with
+                        the exact 6-digit cosine at DEFAULT_SEM_TAU —
+                        q224's flagging, standing-index form (q240's
+                        equivalence proof). Reason 'contaminated_semantic'.
   4. budget cut         per-source running token totals accumulated
                         across committed batches + a within-batch
                         grouped prefix in q226's quality order
@@ -77,6 +86,11 @@ from flink_mingo_tail_spark.operators.dedup import (
 )
 from flink_mingo_tail_spark.operators.quality import quality_reason
 from flink_mingo_tail_spark.operators.ranks import grouped_prefix_sum
+from flink_mingo_tail_spark.operators.semantic_index import (
+    DEFAULT_SEM_TAU,
+    build_semantic_index,
+    probe_semantic_index,
+)
 
 DEFAULT_EVAL_MOD = 100   # doc_id % 100 == 0 is the held-out slice (q226's knob)
 DEFAULT_BUDGET = 300     # per-source token budget (q226's knob)
@@ -122,6 +136,28 @@ def _manifest_or_none(spark: SparkSession, index_path: str):
     return _read_index_manifest(spark, index_path)
 
 
+def build_eval_semantic_index(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    eval_mod: int = DEFAULT_EVAL_MOD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the held-out eval slice's sign-LSH semantic index — the
+    static embedding-side decontamination probe, built once before
+    ingest begins (build_eval_gram_set's twin for the semantic stage).
+    ``expanded=True``: the Hamming-1 fan-out is paid here, on the
+    bounded eval side, so every future batch hashes plain L keys."""
+    build_semantic_index(
+        embeddings.filter(F.col(id_col) % eval_mod == 0),
+        path,
+        id_col=id_col,
+        vec_col=vec_col,
+        expanded=True,
+    )
+
+
 def build_eval_gram_set(
     docs: DataFrame,
     path: str,
@@ -149,23 +185,37 @@ def classify_batch(
     *,
     budget: int = DEFAULT_BUDGET,
     eval_mod: int = DEFAULT_EVAL_MOD,
+    semantic_index_path: str | None = None,
+    sem_tau: float = DEFAULT_SEM_TAU,
 ) -> DataFrame:
     """The per-batch verdict (doc_id, source, n_toks, reason) against
     state as of batch start. ``prior_totals`` is (source, prior_toks) —
     tokens already counted toward each source's budget by earlier
-    committed batches. No writes, no collects (one bounded persist on
-    the flagged frame — see inline note); exposed so the q234 driver
-    twin hashes exactly this code path."""
+    committed batches. With ``semantic_index_path`` set, the batch MUST
+    carry an ``embedding`` column (nullable — a doc without one simply
+    can't hit semantically, q224's honest partially-embedded shape) and
+    quality passers are additionally probed against the persisted
+    eval-side semantic index. No writes, no collects (one bounded
+    persist on the flagged frame — see inline note); exposed so the
+    q234/q241 driver twins hash exactly this code path."""
     spark = batch_df.sparkSession
+    if semantic_index_path is not None and "embedding" not in batch_df.columns:
+        raise ValueError(
+            "semantic_index_path set but the batch has no 'embedding' column — "
+            "join the embeddings onto the stream upstream of ingest"
+        )
     t = tokens(F.col("text"))
-    s1 = batch_df.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        "text",
+    cols = [
+        F.col("doc_id"),
+        F.col("source"),
+        F.col("n_chars"),
+        F.col("text"),
         F.size(t).cast("long").alias("n_toks"),
         quality_reason(F.col("doc_id"), t, F.col("lang"), eval_mod).alias("r1"),
-    )
+    ]
+    if semantic_index_path is not None:
+        cols.insert(4, F.col("embedding"))
+    s1 = batch_df.select(*cols)
     surv1 = s1.filter(F.col("r1").isNull())
 
     if _manifest_or_none(spark, index_path) is None:
@@ -191,9 +241,28 @@ def classify_batch(
         surv1.drop("text")
         .join(probed, "doc_id", "left")
         .join(cont_ids.withColumn("__ct", F.lit(True)), "doc_id", "left")
-    ).persist()
+    )
+    if semantic_index_path is not None:
+        sem_ids = (
+            probe_semantic_index(
+                surv1.filter(F.col("embedding").isNotNull()).select(
+                    "doc_id", "embedding"
+                ),
+                semantic_index_path,
+                id_col="doc_id",
+                tau=sem_tau,
+                broadcast_side="index",  # eval index is the bounded side
+            )
+            .filter(F.col("semantic_hit"))
+            .select("doc_id")
+            .withColumn("__sem", F.lit(True))
+        )
+        flagged = flagged.drop("embedding").join(sem_ids, "doc_id", "left")
+    else:
+        flagged = flagged.withColumn("__sem", F.lit(None).cast("boolean"))
+    flagged = flagged.persist()
     gate = flagged.filter(
-        (F.col("status") == "new") & F.col("__ct").isNull()
+        (F.col("status") == "new") & F.col("__ct").isNull() & F.col("__sem").isNull()
     ).select("doc_id", "source", "n_chars", "n_toks")
     # within-batch prefix in q226's quality order; prior batches' totals
     # join in as a per-source offset (broadcast: |sources| rows)
@@ -226,12 +295,13 @@ def classify_batch(
         F.when(F.col("status") == "exact_dup", "exact_dup"),
         F.when(F.col("status") == "near_dup", "near_dup"),
         F.when(F.col("__ct"), "contaminated"),
+        F.when(F.col("__sem"), "contaminated_semantic"),
         F.when(F.col("__ob"), "over_budget"),
         F.lit("kept"),
     )
     return (
         s1.select("doc_id", "source", "n_toks", "r1")
-        .join(flagged.select("doc_id", "status", "__ct"), "doc_id", "left")
+        .join(flagged.select("doc_id", "status", "__ct", "__sem"), "doc_id", "left")
         .join(ob_ids.withColumn("__ob", F.lit(True)), "doc_id", "left")
         .select("doc_id", "source", "n_toks", reason.alias("reason"))
     )
@@ -264,6 +334,8 @@ def make_curation_ingest_batch_fn(
     budget: int = DEFAULT_BUDGET,
     eval_mod: int = DEFAULT_EVAL_MOD,
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    semantic_index_path: str | None = None,
+    sem_tau: float = DEFAULT_SEM_TAU,
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch body, exposed for direct replay testing (the
     dedup_ingest convention)."""
@@ -295,7 +367,14 @@ def make_curation_ingest_batch_fn(
         eval_grams = spark.read.parquet(eval_grams_path)
         prior = prior_budget_totals(spark, output_path, before_batch=batch_id)
         verdict = classify_batch(
-            batch_df, index_path, eval_grams, prior, budget=budget, eval_mod=eval_mod
+            batch_df,
+            index_path,
+            eval_grams,
+            prior,
+            budget=budget,
+            eval_mod=eval_mod,
+            semantic_index_path=semantic_index_path,
+            sem_tau=sem_tau,
         )
         verdict.write.mode("overwrite").parquet(batch_dir)
         append_quality_passers()
@@ -312,6 +391,8 @@ def start_curation_ingest_stream(
     *,
     budget: int = DEFAULT_BUDGET,
     eval_mod: int = DEFAULT_EVAL_MOD,
+    semantic_index_path: str | None = None,
+    sem_tau: float = DEFAULT_SEM_TAU,
     trigger_available_now: bool = True,
 ):
     """Wire the ingest body into a checkpointed foreachBatch stream
@@ -324,6 +405,8 @@ def start_curation_ingest_stream(
                 output_path,
                 budget=budget,
                 eval_mod=eval_mod,
+                semantic_index_path=semantic_index_path,
+                sem_tau=sem_tau,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -162,3 +162,63 @@ def test_budget_accumulates_across_batches(spark, tmp_path):
         )
         if b0_gate >= 50:
             assert "kept" not in reasons, (b, src)
+
+
+def test_semantic_stage_flags_match_q224_and_requires_embeddings(spark, tmp_path):
+    """With the semantic index wired in: (a) a batch without an
+    embedding column is refused; (b) the per-batch semantic flags
+    agree with q224's batch election on every quality-passing doc that
+    reaches the stage (dup/gram reasons take precedence, so compare
+    where the ingest reason is in the semantic stage's scope)."""
+    import pytest
+
+    from flink_mingo_tail_spark.queries import load_registry
+    from flink_mingo_tail_spark.streaming.curation_ingest import (
+        build_eval_semantic_index,
+    )
+
+    tmp = str(tmp_path)
+    d = _docs(spark)
+    e = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    eval_path, sem_path = f"{tmp}/eval_grams", f"{tmp}/sem_index"
+    build_eval_gram_set(d, eval_path)
+    build_eval_semantic_index(e, sem_path)
+
+    bad = make_curation_ingest_batch_fn(
+        f"{tmp}/index0", eval_path, f"{tmp}/out0", semantic_index_path=sem_path
+    )
+    with pytest.raises(ValueError, match="no 'embedding' column"):
+        bad(d.limit(5), 0)
+
+    docs = d.join(e, d.doc_id == e.vec_id, "left").drop("vec_id")
+    ingest = make_curation_ingest_batch_fn(
+        f"{tmp}/index", eval_path, f"{tmp}/out", semantic_index_path=sem_path
+    )
+    for b in range(3):
+        ingest(docs.filter(F.expr("doc_id DIV 100") == b), b)
+    got = {
+        r.doc_id: r.reason
+        for r in spark.read.schema(
+            "doc_id long, source string, n_toks long, reason string"
+        )
+        .parquet(*committed_batch_dirs(spark, f"{tmp}/out").values())
+        .collect()
+    }
+    assert "contaminated_semantic" in set(got.values())
+    sem_hits = {
+        r.doc_id
+        for r in load_registry()["q224_semantic_decontaminate"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+        if r.semantic_hit
+    }
+    # scope: docs the ingest classified past the dup/gram stages
+    for doc_id, reason in got.items():
+        if doc_id >= 300:  # only batches 0-2 were ingested
+            continue
+        if reason == "contaminated_semantic":
+            assert doc_id in sem_hits, doc_id
+        elif reason in ("kept", "over_budget"):
+            assert doc_id not in sem_hits, doc_id

@@ -103,3 +103,21 @@ def test_pipeline_budget_cut_is_quality_prefix_per_source(spark):
             saw_over_budget |= reason == "over_budget"
             cum += n_toks
     assert saw_over_budget  # the stage demonstrably fires at this SF
+
+
+def test_persist_knob_classification_identical(spark):
+    """The 100 TB stage-boundary persist (curation_verdict's
+    persist_stage_boundary=True) must not change a single verdict, and
+    the q227 rollup built over it must match the default-mode rollup —
+    the shared-plan contract holds in both modes."""
+    from flink_mingo_tail_spark.queries.dedup import curation_verdict
+
+    base = curation_verdict(spark, SF_ORACLE)
+    persisted = curation_verdict(spark, SF_ORACLE, persist_stage_boundary=True)
+    key = lambda r: r.doc_id  # noqa: E731
+    assert sorted(base.collect(), key=key) == sorted(persisted.collect(), key=key)
+    roll = lambda df: sorted(  # noqa: E731
+        df.groupBy("source", "reason").count().collect(),
+        key=lambda r: (r.source, r.reason),
+    )
+    assert roll(base) == roll(persisted)
