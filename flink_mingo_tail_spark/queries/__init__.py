@@ -131,6 +131,7 @@ _NEEDS_DRIVER_ROW = (
     #     land (front-load-new-first precedence).
     "q240_semantic_index_probe",
     "q241_semantic_streaming_curation",
+    "q242_incremental_semdedup",
     # (b) changed-code re-proofs
     "q239_quality_signals",
     "q193_hashed_linear_scorer",

@@ -1417,6 +1417,120 @@ def q240_semantic_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q242 — incremental SemDeDup via the GROWING semantic standing index
+# ---------------------------------------------------------------------------
+
+_SEMIDX_W = 100  # simulated arrival batches: vec_id DIV 100
+
+
+@query(
+    "q242_incremental_semdedup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      vec_id // {_SEMIDX_W} AS b
+               FROM embeddings),
+    planes(tbl, bit, pl) AS (VALUES
+    {_lsh_plane_values()}),
+    eb AS (
+        SELECT e.vec_id, e.b, p.tbl,
+               CAST(sum(CASE WHEN list_dot_product(e.v, p.pl) > 0
+                             THEN CAST(1 AS BIGINT) << p.bit ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM e CROSS JOIN planes p
+        GROUP BY e.vec_id, e.b, p.tbl
+    ),
+    probes AS (
+        SELECT vec_id, b, tbl, bucket FROM eb
+        UNION ALL
+        SELECT vec_id, b, tbl, xor(bucket, CAST(1 AS BIGINT) << j) AS bucket
+        FROM eb CROSS JOIN unnest(range(0, {_LSH_N_BITS})) AS t(j)
+    ),
+    cand AS (
+        SELECT DISTINCT p.vec_id AS x, i.vec_id AS y
+        FROM probes p JOIN eb i
+          ON i.tbl = p.tbl AND i.bucket = p.bucket AND i.b < p.b
+    ),
+    dup AS (
+        SELECT DISTINCT c.x
+        FROM cand c JOIN e ex ON ex.vec_id = c.x
+                    JOIN e ey ON ey.vec_id = c.y
+        WHERE round({SQL_COSINE.format(a="ex.v", b="ey.v")}, 6)
+              >= CAST({_SEMDEDUP_TAU} AS DOUBLE)
+    )
+    SELECT e.vec_id, CAST(e.b AS BIGINT) AS ingest_batch,
+           d.x IS NOT NULL AS is_semantic_dup
+    FROM e LEFT JOIN dup d ON d.x = e.vec_id
+    ORDER BY e.vec_id
+    """,
+)
+def q242_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup run INCREMENTALLY — q170's epsilon-ball prune as a
+    production ingest loop: embeddings arrive in batches of
+    {_SEMIDX_W} (vec_id DIV {_SEMIDX_W}); each batch probes the GROWING
+    semantic standing index AS OF BATCH START (expanded=False — the
+    index stores plain L sign-LSH keys, the bounded batch fans out its
+    own Hamming-1 variants), is flagged semantic-dup when any PRIOR
+    batch's vector sits within rounded cosine >= {_SEMDEDUP_TAU}, and
+    is then appended to the index. Dup granularity is batch-vs-state
+    (two vectors in one batch never discount each other — q234's
+    arrival contract), and the keeper is "first arrived batch" rather
+    than q170's global min-id election.
+
+    Unlike q170's cell-restricted exact pair join, candidates here come
+    from the persisted multi-probe LSH buckets — the oracle replays the
+    Hamming-≤-1 candidate generation EXACTLY (same seeded planes, one
+    side fanned), so the row set is oracle-exact, not recall-gated: both
+    engines flag precisely the LSH-candidate pairs that pass the exact
+    6-digit cosine.
+
+    Scale shape: per batch — L hash keys per row plus (n_bits+1)·L
+    probe keys on the bounded batch side only, one broadcast-batch
+    candidate equi-join against the sharded bucket table, a
+    candidate-bounded exact re-rank against the stored vectors, and an
+    O(batch) append; the corpus is hashed once across its lifetime and
+    never self-joined. This is the standing-index form of the
+    SemDeDup family's 100 TB path (q170/q171 prove the within-cell
+    batch election; q240 proves the static eval direction). Scratch is
+    bounded and deleted before returning (q204/q234 policy)."""
+    import shutil
+    import tempfile
+
+    from flink_mingo_tail_spark.operators.semantic_index import (
+        build_semantic_index,
+        probe_semantic_index,
+    )
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "embedding", F.expr(f"vec_id DIV {_SEMIDX_W}").alias("b")
+    )
+    batch_ids = sorted(r[0] for r in e.select("b").distinct().collect())
+    tmp = tempfile.mkdtemp(prefix="fmts-semidx-q242-")
+    rows = []
+    try:
+        path = f"{tmp}/corpus_index"
+        for i, b in enumerate(batch_ids):
+            batch = e.filter(F.col("b") == b).select("vec_id", "embedding")
+            if i == 0:
+                # bootstrap: empty standing state — nothing is a dup
+                flags = batch.select(
+                    "vec_id", F.lit(False).alias("semantic_hit")
+                )
+            else:
+                flags = probe_semantic_index(
+                    batch, path, tau=_SEMDEDUP_TAU, broadcast_side="probe"
+                )
+            rows.extend((r.vec_id, int(b), r.semantic_hit) for r in flags.collect())
+            build_semantic_index(
+                batch, path, mode="overwrite" if i == 0 else "append"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "vec_id long, ingest_batch long, is_semantic_dup boolean"
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
 # q233 — k-center greedy coreset (farthest-point sampling)
 # ---------------------------------------------------------------------------
 
