@@ -207,8 +207,17 @@ HEADLINE = [
     "q237_leakage_aware_split",
     "q238_quality_terciles_by_source",
     # q239: one-pass signal extraction — 1.17/2.92/4.81 s at 1x/10x/25x
-    # (4.1x wall for 25x data; pure scan growth).
+    # (4.1x wall for 25x data; pure scan growth). Round 12: top-token
+    # share rewritten to the sorted run-length fold; re-probed
+    # 0.83/1.57/3.70 s same-session.
     "q239_quality_signals",
+    # round 12 — q240/q241/q242 are probe-only under the q204/q234
+    # scratch policy: all three build-and-probe PERSISTED indexes in
+    # scratch (q240 one eval-index build + 3 probe batches; q241/q242
+    # full ingest simulations with |corpus|/100 sequential per-batch
+    # parquet commits). Wall time measures the commit cadence, not an
+    # operator; per-batch costs and sf0.01/sf0.1 walls in SCALE.md
+    # round-12.
 ]
 
 

@@ -71,6 +71,11 @@ _SEM_MANIFEST_SCHEMA = (
 # for q224, q240/q241, and the streaming ingest stage.
 DEFAULT_SEM_TAU = 0.3
 
+# Canonical SemDeDup duplicate threshold (q170's epsilon-ball rule).
+# queries/similarity.py's _SEMDEDUP_TAU aliases this — one spelling for
+# q170/q171, q242, and the ingest's growing-index semantic-dup stage.
+DEFAULT_SEM_DUP_TAU = 0.25
+
 
 def _bucket_shard(tbl, bucket, n_shards: int):
     """Deterministic directory shard for a bucket key: low bits of the

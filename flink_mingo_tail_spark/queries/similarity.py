@@ -546,7 +546,12 @@ def q152_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q170 — SemDeDup: within-cell semantic dedup prune
 # ---------------------------------------------------------------------------
 
-_SEMDEDUP_TAU = 0.25  # within-cell cosine above this = semantic duplicate
+# within-cell cosine above this = semantic duplicate (canonical value
+# lives beside the standing index — one spelling with q242 and the
+# streaming semantic-dup stage)
+from flink_mingo_tail_spark.operators.semantic_index import (  # noqa: E402
+    DEFAULT_SEM_DUP_TAU as _SEMDEDUP_TAU,
+)
 
 
 @query(

@@ -8,7 +8,15 @@ runs, but against STANDING state instead of the whole corpus:
                         shared spelling with q226 (stateless)
   2. exact / near dup   operators/dedup.probe_dedup_index against the
                         persisted content-hash + LSH-band index AS OF
-                        BATCH START (O(batch) membership semi-joins)
+                        BATCH START (O(batch) membership semi-joins);
+                        with ``semantic_dup_index_path`` set, also the
+                        SEMANTIC-DUP stage: the GROWING corpus-side
+                        sign-LSH index (expanded=False — plain keys
+                        stored, the bounded batch fans its Hamming-1
+                        probes), exact-cosine re-rank at
+                        DEFAULT_SEM_DUP_TAU — q242's incremental
+                        SemDeDup, reason 'semantic_dup'; quality
+                        passers' embeddings append after commit
   3. decontamination    word 4-grams vs the PRE-BUILT eval gram set
                         (static broadcast side — the eval set is fixed
                         before ingest begins, as in production), and —
@@ -87,6 +95,7 @@ from flink_mingo_tail_spark.operators.dedup import (
 from flink_mingo_tail_spark.operators.quality import quality_reason
 from flink_mingo_tail_spark.operators.ranks import grouped_prefix_sum
 from flink_mingo_tail_spark.operators.semantic_index import (
+    DEFAULT_SEM_DUP_TAU,
     DEFAULT_SEM_TAU,
     build_semantic_index,
     probe_semantic_index,
@@ -187,22 +196,27 @@ def classify_batch(
     eval_mod: int = DEFAULT_EVAL_MOD,
     semantic_index_path: str | None = None,
     sem_tau: float = DEFAULT_SEM_TAU,
+    semantic_dup_index_path: str | None = None,
+    sem_dup_tau: float = DEFAULT_SEM_DUP_TAU,
 ) -> DataFrame:
     """The per-batch verdict (doc_id, source, n_toks, reason) against
     state as of batch start. ``prior_totals`` is (source, prior_toks) —
     tokens already counted toward each source's budget by earlier
-    committed batches. With ``semantic_index_path`` set, the batch MUST
-    carry an ``embedding`` column (nullable — a doc without one simply
-    can't hit semantically, q224's honest partially-embedded shape) and
-    quality passers are additionally probed against the persisted
-    eval-side semantic index. No writes, no collects (one bounded
-    persist on the flagged frame — see inline note); exposed so the
-    q234/q241 driver twins hash exactly this code path."""
+    committed batches. With ``semantic_index_path`` (the STATIC
+    eval-side decontamination index) and/or ``semantic_dup_index_path``
+    (the GROWING corpus-side SemDeDup index, q242's direction) set, the
+    batch MUST carry an ``embedding`` column (nullable — a doc without
+    one simply can't hit semantically, q224's honest partially-embedded
+    shape) and quality passers are additionally probed against the
+    persisted indexes. No writes, no collects (one bounded persist on
+    the flagged frame — see inline note); exposed so the q234/q241
+    driver twins hash exactly this code path."""
     spark = batch_df.sparkSession
-    if semantic_index_path is not None and "embedding" not in batch_df.columns:
+    needs_emb = semantic_index_path is not None or semantic_dup_index_path is not None
+    if needs_emb and "embedding" not in batch_df.columns:
         raise ValueError(
-            "semantic_index_path set but the batch has no 'embedding' column — "
-            "join the embeddings onto the stream upstream of ingest"
+            "a semantic index path is set but the batch has no 'embedding' column "
+            "— join the embeddings onto the stream upstream of ingest"
         )
     t = tokens(F.col("text"))
     cols = [
@@ -213,7 +227,7 @@ def classify_batch(
         F.size(t).cast("long").alias("n_toks"),
         quality_reason(F.col("doc_id"), t, F.col("lang"), eval_mod).alias("r1"),
     ]
-    if semantic_index_path is not None:
+    if needs_emb:
         cols.insert(4, F.col("embedding"))
     s1 = batch_df.select(*cols)
     surv1 = s1.filter(F.col("r1").isNull())
@@ -242,12 +256,34 @@ def classify_batch(
         .join(probed, "doc_id", "left")
         .join(cont_ids.withColumn("__ct", F.lit(True)), "doc_id", "left")
     )
+    embedded = (
+        surv1.filter(F.col("embedding").isNotNull()).select("doc_id", "embedding")
+        if needs_emb
+        else None
+    )
+    if semantic_dup_index_path is not None and _path_exists(
+        spark, f"{semantic_dup_index_path}/manifest"
+    ):
+        sd_ids = (
+            probe_semantic_index(
+                embedded,
+                semantic_dup_index_path,
+                id_col="doc_id",
+                tau=sem_dup_tau,
+                broadcast_side="probe",  # the batch is the bounded side
+            )
+            .filter(F.col("semantic_hit"))
+            .select("doc_id")
+            .withColumn("__sd", F.lit(True))
+        )
+        flagged = flagged.join(sd_ids, "doc_id", "left")
+    else:
+        # stage off, or bootstrap (no index yet) — nothing is a dup
+        flagged = flagged.withColumn("__sd", F.lit(None).cast("boolean"))
     if semantic_index_path is not None:
         sem_ids = (
             probe_semantic_index(
-                surv1.filter(F.col("embedding").isNotNull()).select(
-                    "doc_id", "embedding"
-                ),
+                embedded,
                 semantic_index_path,
                 id_col="doc_id",
                 tau=sem_tau,
@@ -257,12 +293,17 @@ def classify_batch(
             .select("doc_id")
             .withColumn("__sem", F.lit(True))
         )
-        flagged = flagged.drop("embedding").join(sem_ids, "doc_id", "left")
+        flagged = flagged.join(sem_ids, "doc_id", "left")
     else:
         flagged = flagged.withColumn("__sem", F.lit(None).cast("boolean"))
+    if needs_emb:
+        flagged = flagged.drop("embedding")
     flagged = flagged.persist()
     gate = flagged.filter(
-        (F.col("status") == "new") & F.col("__ct").isNull() & F.col("__sem").isNull()
+        (F.col("status") == "new")
+        & F.col("__sd").isNull()
+        & F.col("__ct").isNull()
+        & F.col("__sem").isNull()
     ).select("doc_id", "source", "n_chars", "n_toks")
     # within-batch prefix in q226's quality order; prior batches' totals
     # join in as a per-source offset (broadcast: |sources| rows)
@@ -294,6 +335,7 @@ def classify_batch(
         F.col("r1"),
         F.when(F.col("status") == "exact_dup", "exact_dup"),
         F.when(F.col("status") == "near_dup", "near_dup"),
+        F.when(F.col("__sd"), "semantic_dup"),
         F.when(F.col("__ct"), "contaminated"),
         F.when(F.col("__sem"), "contaminated_semantic"),
         F.when(F.col("__ob"), "over_budget"),
@@ -301,7 +343,11 @@ def classify_batch(
     )
     return (
         s1.select("doc_id", "source", "n_toks", "r1")
-        .join(flagged.select("doc_id", "status", "__ct", "__sem"), "doc_id", "left")
+        .join(
+            flagged.select("doc_id", "status", "__sd", "__ct", "__sem"),
+            "doc_id",
+            "left",
+        )
         .join(ob_ids.withColumn("__ob", F.lit(True)), "doc_id", "left")
         .select("doc_id", "source", "n_toks", reason.alias("reason"))
     )
@@ -336,6 +382,8 @@ def make_curation_ingest_batch_fn(
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
     semantic_index_path: str | None = None,
     sem_tau: float = DEFAULT_SEM_TAU,
+    semantic_dup_index_path: str | None = None,
+    sem_dup_tau: float = DEFAULT_SEM_DUP_TAU,
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch body, exposed for direct replay testing (the
     dedup_ingest convention)."""
@@ -358,6 +406,25 @@ def make_curation_ingest_batch_fn(
                 )
             else:
                 build_dedup_index(passers, index_path, mode="append", **manifest)
+            if semantic_dup_index_path is None:
+                return
+            # the growing semantic-dup index admits the same population:
+            # every quality passer with an embedding, appended AFTER the
+            # batch's classification commits (membership-monotone, so the
+            # replay path can redo it blindly — q242's loop, in place)
+            emb = passers.filter(F.col("embedding").isNotNull()).select(
+                "doc_id", F.col("embedding")
+            )
+            if emb.limit(1).count() == 0:
+                return
+            boot = not _path_exists(spark, f"{semantic_dup_index_path}/manifest")
+            build_semantic_index(
+                emb,
+                semantic_dup_index_path,
+                id_col="doc_id",
+                expanded=False,
+                mode="overwrite" if boot else "append",
+            )
 
         if _path_exists(spark, f"{batch_dir}/_SUCCESS"):
             # replay of a committed batch: the saved verdicts are
@@ -375,6 +442,8 @@ def make_curation_ingest_batch_fn(
             eval_mod=eval_mod,
             semantic_index_path=semantic_index_path,
             sem_tau=sem_tau,
+            semantic_dup_index_path=semantic_dup_index_path,
+            sem_dup_tau=sem_dup_tau,
         )
         verdict.write.mode("overwrite").parquet(batch_dir)
         append_quality_passers()
@@ -393,6 +462,8 @@ def start_curation_ingest_stream(
     eval_mod: int = DEFAULT_EVAL_MOD,
     semantic_index_path: str | None = None,
     sem_tau: float = DEFAULT_SEM_TAU,
+    semantic_dup_index_path: str | None = None,
+    sem_dup_tau: float = DEFAULT_SEM_DUP_TAU,
     trigger_available_now: bool = True,
 ):
     """Wire the ingest body into a checkpointed foreachBatch stream
@@ -407,6 +478,8 @@ def start_curation_ingest_stream(
                 eval_mod=eval_mod,
                 semantic_index_path=semantic_index_path,
                 sem_tau=sem_tau,
+                semantic_dup_index_path=semantic_dup_index_path,
+                sem_dup_tau=sem_dup_tau,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

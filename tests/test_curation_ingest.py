@@ -222,3 +222,49 @@ def test_semantic_stage_flags_match_q224_and_requires_embeddings(spark, tmp_path
             assert doc_id in sem_hits, doc_id
         elif reason in ("kept", "over_budget"):
             assert doc_id not in sem_hits, doc_id
+
+
+def test_semantic_dup_stage_grows_with_batches_and_subsets_q242(spark, tmp_path):
+    """Growing-index semantic-dup stage: the index starts empty (batch
+    0 flags nothing), later batches flag docs whose embedding sits
+    within DEFAULT_SEM_DUP_TAU of a PRIOR batch's quality-passing doc,
+    and — because the ingest index admits only quality passers, a
+    subset of q242's everyone-index — every ingest 'semantic_dup' doc
+    must also be flagged by q242 under the same batching."""
+    from flink_mingo_tail_spark.queries import load_registry
+
+    tmp = str(tmp_path)
+    d = _docs(spark)
+    e = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    eval_path = f"{tmp}/eval_grams"
+    build_eval_gram_set(d, eval_path)
+    docs = d.join(e, d.doc_id == e.vec_id, "left").drop("vec_id")
+    ingest = make_curation_ingest_batch_fn(
+        f"{tmp}/index",
+        eval_path,
+        f"{tmp}/out",
+        semantic_dup_index_path=f"{tmp}/semdup_index",
+    )
+    for b in range(3):
+        ingest(docs.filter(F.expr("doc_id DIV 100") == b), b)
+    got = {
+        r.doc_id: r.reason
+        for r in spark.read.schema(
+            "doc_id long, source string, n_toks long, reason string"
+        )
+        .parquet(*committed_batch_dirs(spark, f"{tmp}/out").values())
+        .collect()
+    }
+    sd = {i for i, reason in got.items() if reason == "semantic_dup"}
+    assert sd, "semantic-dup stage never fired"
+    assert not any(i < 100 for i in sd), "batch 0 probed an empty index"
+    q242_dups = {
+        r.vec_id
+        for r in load_registry()["q242_incremental_semdedup"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+        if r.is_semantic_dup
+    }
+    assert sd <= q242_dups, sd - q242_dups
