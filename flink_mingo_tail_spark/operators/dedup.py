@@ -396,3 +396,49 @@ def probe_dedup_index(
             .alias("status"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Standing-index compaction (round 12)
+# ---------------------------------------------------------------------------
+
+def _swap_rewrite_distinct(
+    spark, path: str, partition_col: str | None
+) -> tuple[int, int]:
+    """Rewrite a standing-index table as its DISTINCT rows via a
+    tmp-sibling + atomic-ish swap (write `{path}.compact.tmp`, delete
+    the original, rename) — Spark cannot overwrite a parquet directory
+    it is reading. Returns (rows_before, rows_after). Membership-only
+    semantics make the maintenance window safe: a probe racing the swap
+    sees either the churned or the compacted table, both of which give
+    identical verdicts (same key SET)."""
+    before_df = spark.read.parquet(path)
+    rows_before = before_df.count()
+    compacted = before_df.distinct()
+    tmp = f"{path}.compact.tmp"
+    writer = compacted.write.mode("overwrite")
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(tmp)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    fs.delete(jvm_path, True)
+    fs.rename(spark._jvm.org.apache.hadoop.fs.Path(tmp), jvm_path)  # noqa: SLF001
+    return rows_before, spark.read.parquet(path).count()
+
+
+def compact_dedup_index(spark, path: str) -> dict[str, tuple[int, int]]:
+    """Compact a churned standing dedup index in place: appended batches
+    may re-insert content hashes / band keys already present (the
+    documented membership-only append contract — duplicates cost index
+    bytes, never correctness), and this rewrites each table as its
+    distinct key set, preserving the hive sharding and the manifest
+    untouched. Returns {table: (rows_before, rows_after)}. Probe
+    verdicts are IDENTICAL before and after (left-semi membership is
+    set-based — pinned by tests/test_index_compaction.py)."""
+    if _read_index_manifest(spark, path) is None:
+        raise ValueError(f"no dedup index manifest at {path!r}")
+    return {
+        "content": _swap_rewrite_distinct(spark, f"{path}/content", "shard"),
+        "bands": _swap_rewrite_distinct(spark, f"{path}/bands", "shard"),
+    }

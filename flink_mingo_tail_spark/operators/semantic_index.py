@@ -233,3 +233,22 @@ def probe_semantic_index(
             id_col, F.coalesce(F.col("__hit"), F.lit(False)).alias("semantic_hit")
         )
     )
+
+
+def compact_semantic_index(spark, path: str) -> dict[str, tuple[int, int]]:
+    """Compact a churned semantic index in place (the dedup-index
+    compaction contract, operators/dedup.compact_dedup_index): replayed
+    ingest appends re-insert (tbl, bucket, vid) keys and (vid, v) rows
+    already present; this rewrites both tables as their distinct row
+    sets, sharding and manifest preserved. Returns
+    {table: (rows_before, rows_after)}. Probe verdicts are identical
+    before and after — candidates are deduplicated by the probe's own
+    DISTINCT, so duplicate index rows only cost bytes and join fan-in."""
+    from flink_mingo_tail_spark.operators.dedup import _swap_rewrite_distinct
+
+    if _read_index_manifest(spark, path, _SEM_MANIFEST_SCHEMA) is None:
+        raise ValueError(f"no semantic index manifest at {path!r}")
+    return {
+        "buckets": _swap_rewrite_distinct(spark, f"{path}/buckets", "shard"),
+        "vectors": _swap_rewrite_distinct(spark, f"{path}/vectors", None),
+    }

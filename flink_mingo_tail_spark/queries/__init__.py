@@ -132,6 +132,9 @@ _NEEDS_DRIVER_ROW = (
     "q240_semantic_index_probe",
     "q241_semantic_streaming_curation",
     "q242_incremental_semdedup",
+    "q243_contamination_attribution",
+    "q244_index_compaction",
+    "q245_lsh_occupancy_audit",
     # (b) changed-code re-proofs
     "q239_quality_signals",
     "q193_hashed_linear_scorer",

@@ -2111,3 +2111,92 @@ def q237_leakage_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q244 — standing-index compaction (round 12)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q244_index_compaction",
+    oracle=f"""
+    WITH d AS (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n FROM documents),
+    b AS (SELECT CAST(count(DISTINCT band) AS BIGINT) AS n FROM (
+        SELECT unnest({sql_lsh_band_keys('sig', ROWS_PER_BAND, MINHASH_K)}) AS band
+        FROM (SELECT {sql_minhash_signature("list_distinct(string_split(text, ' '))", MINHASH_K)} AS sig
+              FROM documents))),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+    SELECT * FROM (
+        SELECT 'bands' AS tbl, CAST(3 * b.n AS BIGINT) AS rows_before,
+               b.n AS rows_after FROM b
+        UNION ALL
+        SELECT 'buckets', CAST(2 * 8 * v.n AS BIGINT), CAST(8 * v.n AS BIGINT) FROM v
+        UNION ALL
+        SELECT 'content', CAST(3 * d.n AS BIGINT), d.n FROM d
+        UNION ALL
+        SELECT 'vectors', CAST(2 * v.n AS BIGINT), v.n FROM v
+    ) ORDER BY tbl
+    """,
+)
+def q244_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing-index COMPACTION — the maintenance operator the
+    membership-only append contract has pointed at since round 9
+    ("compact with an occasional overwrite rebuild if the index churns
+    heavily", operators/dedup.build_dedup_index): replayed or
+    overlapping ingest batches re-insert content hashes / band keys /
+    (tbl, bucket, vid) rows already present, which costs index bytes
+    and probe-join fan-in but never correctness. ``compact_dedup_index``
+    / ``compact_semantic_index`` rewrite each table as its DISTINCT row
+    set via a tmp-sibling swap (Spark cannot overwrite a directory it
+    reads), preserving hive sharding and the manifest.
+
+    This driver row manufactures a deterministic worst-case churn —
+    the full corpus indexed once then appended verbatim twice (text
+    index), the full embedding set appended verbatim once (semantic
+    index) — compacts, and reports per-table (rows_before, rows_after).
+    The oracle derives both counts from first principles: distinct
+    hashes / bands / 8·|vectors| bucket keys, times the append
+    multiplicity. Probe-verdict invariance across compaction is pinned
+    separately in tests/test_index_compaction.py.
+
+    Scale shape: compaction is one distinct + rewrite per table —
+    shuffle keyed on the index key, embarrassingly shard-parallel, run
+    in a maintenance window (verdicts identical on either side of the
+    swap, so probes can race it). Scratch bounded, deleted before
+    return (q204 policy)."""
+    import shutil
+    import tempfile
+
+    from flink_mingo_tail_spark.operators.dedup import (
+        build_dedup_index,
+        compact_dedup_index,
+    )
+    from flink_mingo_tail_spark.operators.semantic_index import (
+        build_semantic_index,
+        compact_semantic_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    e = (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    tmp = tempfile.mkdtemp(prefix="fmts-compact-q244-")
+    try:
+        text_path, sem_path = f"{tmp}/dedup_index", f"{tmp}/sem_index"
+        build_dedup_index(d, text_path, mode="overwrite")
+        build_dedup_index(d, text_path, mode="append")
+        build_dedup_index(d, text_path, mode="append")
+        build_semantic_index(e, sem_path, expanded=False)
+        build_semantic_index(e, sem_path, expanded=False, mode="append")
+        stats = {
+            **compact_dedup_index(spark, text_path),
+            **compact_semantic_index(spark, sem_path),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(t, int(b), int(a)) for t, (b, a) in sorted(stats.items())],
+        "tbl string, rows_before long, rows_after long",
+    ).orderBy("tbl")

@@ -1422,6 +1422,201 @@ def q240_semantic_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q245 — sign-LSH bucket-occupancy audit (the auto_n_bits measurement loop)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q245_lsh_occupancy_audit",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes(tbl, bit, pl) AS (VALUES
+    {_lsh_plane_values()}),
+    eb AS (
+        SELECT e.vec_id, p.tbl,
+               CAST(sum(CASE WHEN list_dot_product(e.v, p.pl) > 0
+                             THEN CAST(1 AS BIGINT) << p.bit ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM e CROSS JOIN planes p
+        GROUP BY e.vec_id, p.tbl
+    ),
+    occ AS (
+        SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS n
+        FROM eb GROUP BY tbl, bucket
+    )
+    SELECT tbl,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(n) AS BIGINT) AS max_occ,
+           CAST(round(CAST(sum(n) AS DOUBLE) * 1000 / count(*)) AS BIGINT)
+             AS mean_occ_milli,
+           CAST(sum(n * n) AS BIGINT) AS sum_sq
+    FROM occ GROUP BY tbl ORDER BY tbl
+    """,
+)
+def q245_lsh_occupancy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEASUREMENT companion to the auto_n_bits occupancy rule
+    (operators/similarity.py): per LSH table — live bucket count, max
+    occupancy, mean occupancy (milli grid), and the occupancy
+    sum-of-squares, which IS the candidate-pair mass a bucket equi-join
+    materializes (Σ n_b² per table). This is the number a production
+    run checks before trusting a banding config at a new corpus size:
+    auto_n_bits picks n_bits ∝ log(n/target) a priori; this audit
+    verifies the realized occupancy a posteriori (q218's
+    measure-don't-guess loop, embedding modality). Run it against the
+    standing index's bucket table (one narrow scan of
+    {{path}}/buckets) or, as here, derived in-query from the corpus.
+
+    Scale shape: one embedding scan producing L integer keys per row,
+    one (tbl, bucket) count shuffle bounded by live-bucket count, one
+    8-row rollup. No vectors move after the hash pass."""
+    e = _emb(spark, sf_dir)
+    eb = lsh_keys(
+        e.select("vec_id", "embedding"), "vec_id", "embedding", _LSH_TABLES
+    )
+    occ = eb.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        occ.groupBy("tbl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("n").cast("long").alias("max_occ"),
+            F.expr(
+                "CAST(round(CAST(sum(n) AS DOUBLE) * 1000 / count(*)) AS BIGINT)"
+            ).alias("mean_occ_milli"),
+            F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+        )
+        .orderBy("tbl")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q243 — contamination attribution (WHICH eval doc leaked where)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q243_contamination_attribution",
+    oracle=f"""
+    WITH {_SEM_ORACLE_CTES},
+    scored AS (
+        SELECT cand.ci, cand.ei,
+               round({SQL_COSINE.format(a="co.cv", b="ev.evv")}, 6) AS c
+        FROM cand JOIN co ON co.ci = cand.ci
+                  JOIN ev ON ev.ei = cand.ei
+    ),
+    best AS (
+        SELECT ci, ei, c,
+               row_number() OVER (PARTITION BY ci ORDER BY c DESC, ei) AS rn
+        FROM scored WHERE c >= CAST({_SEM_TAU} AS DOUBLE)
+    ),
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS ln
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, unnest(list_transform(range(1, ln - {_DECON_N - 2}),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+        FROM toks WHERE ln >= {_DECON_N}
+    ), probe_g AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % {_EVAL_MOD} = 0
+    ), gshare AS (
+        SELECT gr.doc_id, CAST(count(DISTINCT gr.g) AS BIGINT) AS shared_grams
+        FROM grams gr JOIN probe_g pg ON gr.g = pg.g
+        WHERE gr.doc_id % {_EVAL_MOD} <> 0
+        GROUP BY gr.doc_id
+    )
+    SELECT ids.doc_id,
+           b.ei AS sem_witness,
+           CAST(round(b.c * 1000000) AS BIGINT) AS sem_cos_micro,
+           coalesce(gs.shared_grams, 0) AS shared_grams
+    FROM (SELECT ci AS doc_id FROM best WHERE rn = 1
+          UNION SELECT doc_id FROM gshare) ids
+    LEFT JOIN best b ON b.ci = ids.doc_id AND b.rn = 1
+    LEFT JOIN gshare gs ON gs.doc_id = ids.doc_id
+    ORDER BY ids.doc_id
+    """,
+)
+def q243_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attribution view a decontamination run publishes BESIDE
+    q224's verdict: for every contaminated corpus doc, WHICH held-out
+    eval item leaked into it — the strongest semantic witness (argmax
+    rounded cosine among the LSH candidates at or above tau; ties to
+    the smaller eval id) on the exact micro grid, and the count of
+    distinct shared 4-grams. This is what turns a drop decision into a
+    reviewable artifact (release audits ask "which benchmark item?",
+    not "was there a hit?") and what a benchmark owner uses to rank
+    their own items by leakage pressure.
+
+    Candidate generation, threshold, and gram machinery are q224's via
+    the shared _SEM_ORACLE_CTES spelling — attribution adds one
+    per-candidate row_number window (partitioned by corpus doc:
+    candidate-bounded, never corpus-wide) and one distinct-gram count
+    on the already-broadcast probe join. Scale shape is exactly
+    q224's: the corpus is hashed once, the eval side is broadcast, the
+    only corpus-keyed shuffles are candidate/hit dedup and the window
+    over occupancy-bounded candidate groups."""
+    e = _emb(spark, sf_dir)
+    ev = e.filter(F.col("vec_id") % _EVAL_MOD == 0).select(
+        F.col("vec_id").alias("ei"), F.col("embedding").alias("evv")
+    )
+    co = e.filter(F.col("vec_id") % _EVAL_MOD != 0).select(
+        F.col("vec_id").alias("ci"), F.col("embedding").alias("cv")
+    )
+    ev_b = lsh_probe_keys(ev, "ei", "evv", _LSH_TABLES, _LSH_N_BITS)
+    co_b = lsh_keys(co, "ci", "cv", _LSH_TABLES)
+    cand = co_b.join(F.broadcast(ev_b), ["tbl", "bucket"]).select("ci", "ei").distinct()
+    scored = (
+        cand.join(co, "ci")
+        .join(F.broadcast(ev), "ei")
+        .select("ci", "ei", rounded_cosine(F.col("cv"), F.col("evv")).alias("c"))
+        .filter(F.col("c") >= F.lit(_SEM_TAU))
+    )
+    w = Window.partitionBy("ci").orderBy(F.col("c").desc(), "ei")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("ci").alias("doc_id"),
+            F.col("ei").alias("sem_witness"),
+            F.expr("CAST(round(c * 1000000) AS BIGINT)").alias("sem_cos_micro"),
+        )
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    toks = d.select("doc_id", t.alias("t"), F.size(t).alias("ln"))
+    gram_expr = F.expr(
+        "transform(sequence(1, ln - 3), i -> concat_ws(' ', "
+        "element_at(t, i), element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))"
+    )
+    grams = toks.filter(F.col("ln") >= _DECON_N).select(
+        "doc_id", F.explode(gram_expr).alias("g")
+    )
+    probe_g = grams.filter(F.col("doc_id") % _EVAL_MOD == 0).select("g").distinct()
+    gshare = (
+        grams.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .join(F.broadcast(probe_g), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("g")).cast("long").alias("shared_grams"))
+    )
+    ids = (
+        best.select("doc_id")
+        .union(gshare.select("doc_id"))
+        .distinct()
+    )
+    return (
+        ids.join(best, "doc_id", "left")
+        .join(gshare, "doc_id", "left")
+        .select(
+            "doc_id",
+            "sem_witness",
+            "sem_cos_micro",
+            F.coalesce(F.col("shared_grams"), F.lit(0)).alias("shared_grams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q242 — incremental SemDeDup via the GROWING semantic standing index
 # ---------------------------------------------------------------------------
 

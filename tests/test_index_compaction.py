@@ -1,0 +1,71 @@
+"""Standing-index compaction: probe verdicts are INVARIANT across the
+distinct-rewrite swap, row counts shrink by exactly the churn factor,
+and compaction refuses a manifest-less path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_mingo_tail_spark.operators.dedup import (
+    build_dedup_index,
+    compact_dedup_index,
+    probe_dedup_index,
+)
+from flink_mingo_tail_spark.operators.semantic_index import (
+    build_semantic_index,
+    compact_semantic_index,
+    probe_semantic_index,
+)
+from flink_mingo_tail_spark.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_dedup_index_compaction_preserves_probe_verdicts(spark, tmp_path):
+    path = f"{tmp_path}/didx"
+    d = load_table(spark, SF_SMOKE, "documents")
+    idx_side = d.filter(F.col("doc_id") % 10 != 7)
+    incoming = d.filter(F.col("doc_id") % 10 == 7)
+    build_dedup_index(idx_side, path, mode="overwrite")
+    build_dedup_index(idx_side, path, mode="append")  # verbatim churn
+    before = {r.doc_id: r.status for r in probe_dedup_index(incoming, path).collect()}
+    stats = compact_dedup_index(spark, path)
+    for tbl, (nb, na) in stats.items():
+        assert nb == 2 * na, (tbl, nb, na)  # exactly the churn factor
+    after = {r.doc_id: r.status for r in probe_dedup_index(incoming, path).collect()}
+    assert before == after
+    # non-degenerate fixture: at least one dup class AND some 'new'
+    assert "new" in set(before.values())
+    assert {"exact_dup", "near_dup"} & set(before.values())
+
+
+def test_semantic_index_compaction_preserves_probe_verdicts(spark, tmp_path):
+    path = f"{tmp_path}/sidx"
+    e = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    idx_side = e.filter(F.col("vec_id") % 3 == 0)
+    probes = e.filter((F.col("vec_id") % 3 == 1) & (F.col("vec_id") < 240))
+    build_semantic_index(idx_side, path, expanded=False)
+    build_semantic_index(idx_side, path, expanded=False, mode="append")
+    before = {
+        r.vec_id: r.semantic_hit
+        for r in probe_semantic_index(probes, path, tau=0.25).collect()
+    }
+    stats = compact_semantic_index(spark, path)
+    for tbl, (nb, na) in stats.items():
+        assert nb == 2 * na, (tbl, nb, na)
+    after = {
+        r.vec_id: r.semantic_hit
+        for r in probe_semantic_index(probes, path, tau=0.25).collect()
+    }
+    assert before == after
+    assert any(before.values())  # non-degenerate: some hits exist
+
+
+def test_compaction_refuses_manifestless_path(spark, tmp_path):
+    with pytest.raises(ValueError, match="no dedup index manifest"):
+        compact_dedup_index(spark, f"{tmp_path}/nope")
+    with pytest.raises(ValueError, match="no semantic index manifest"):
+        compact_semantic_index(spark, f"{tmp_path}/nope2")
