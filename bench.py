@@ -211,13 +211,17 @@ HEADLINE = [
     # share rewritten to the sorted run-length fold; re-probed
     # 0.83/1.57/3.70 s same-session.
     "q239_quality_signals",
-    # round 12 — q240/q241/q242 are probe-only under the q204/q234
-    # scratch policy: all three build-and-probe PERSISTED indexes in
-    # scratch (q240 one eval-index build + 3 probe batches; q241/q242
-    # full ingest simulations with |corpus|/100 sequential per-batch
-    # parquet commits). Wall time measures the commit cadence, not an
-    # operator; per-batch costs and sf0.01/sf0.1 walls in SCALE.md
-    # round-12.
+    # round 12 — q240/q241/q242/q244 are probe-only under the q204/q234
+    # scratch policy: index builds / ingest simulations with per-batch
+    # or per-table scratch commits (wall time measures commit cadence;
+    # per-batch costs and sf0.01/sf0.1 walls in SCALE.md round-12).
+    # q243 is probe-only under the q212/q230 fixture policy: the
+    # id-shifted copy corpus multiplies BOTH sides of the eval-candidate
+    # join, so scored-candidate mass grows quadratically by construction
+    # (9.1/12.8/56.7 s at 1x/10x/25x — accounting in SCALE.md).
+    # q245: flat 3.4/3.2/3.4 s at 1x/10x/25x — live-bucket-bounded count
+    # shuffle + 8-row rollup; bench citizen.
+    "q245_lsh_occupancy_audit",
 ]
 
 

@@ -71,6 +71,9 @@ FLAGSHIP = {
     "q196_logistic_irls_step": "two corpus passes (closed-form step-1 moments; 1e-3-grid sigmoid weighted moments) + one (k x 2) coefficient broadcast between them",
     "q197_containment_join": "one-sided C-PPJoin: contained-side prefix x full inverted index on int gram keys; PPJoin length+position filters BEFORE the pair-dedup shuffle; exact array verify after",
     "q198_pca_power_iteration": "two power steps = four keyed aggregates over the exploded (vec_id, pos) frame; d-row direction frames broadcast; integer-exact states both engines",
+    # round 12
+    "q243_contamination_attribution": "q224's candidate machinery + one candidate-bounded argmax window (partitioned by corpus doc, never corpus-wide) + a distinct-gram count on the broadcast probe join",
+    "q245_lsh_occupancy_audit": "one embedding scan emitting L int keys in codegen; (tbl, bucket) count shuffle bounded by LIVE bucket count; 8-row rollup",
 }
 
 #: hand-maintained PLANS.md sections that must survive regeneration

@@ -310,8 +310,17 @@ PROBES = [
     "q237_leakage_aware_split",
     "q238_quality_terciles_by_source",
     # q239: one codegen'd scan, no shuffle — the per-doc top-token-share
-    # lambda is the only superlinear-in-DOC-LENGTH term (bounded here).
+    # term is the sorted run-length fold since round 12 (O(n log n) in
+    # doc length, never O(distinct x tokens)).
     "q239_quality_signals",
+    # round 12 — q243: q224's candidate machinery + a candidate-bounded
+    # argmax window + the distinct-gram count. q245: one hash pass +
+    # live-bucket-bounded count shuffle + 8-row rollup. q240/q241/q242/
+    # q244 are NOT probed: index builds / ingest simulations with
+    # per-batch or per-table scratch commits (the q204/q234 policy) —
+    # their per-batch costs are recorded in SCALE.md round-12.
+    "q243_contamination_attribution",
+    "q245_lsh_occupancy_audit",
 ]
 
 
