@@ -228,7 +228,20 @@ def _read_index_manifest(spark, path: str, schema: str = _MANIFEST_SCHEMA) -> di
         ):
             return None
         raise
-    return None if row is None else row.asDict()
+    if row is None:
+        return None
+    params = row.asDict()
+    # Family cross-read guard: reading a manifest with the WRONG index
+    # family's schema (dedup vs semantic) yields NULLs for the columns
+    # the other family doesn't write — fail here, at the gate that
+    # exists for exactly this purpose, instead of mid-maintenance with
+    # a path-not-found or a TypeError downstream (round-12 review).
+    if any(v is None for v in params.values()):
+        raise ValueError(
+            f"manifest at {path!r} does not match the expected schema "
+            f"({schema!r}) — wrong index family?"
+        )
+    return params
 
 
 def build_dedup_index(
@@ -406,12 +419,17 @@ def _swap_rewrite_distinct(
     spark, path: str, partition_col: str | None
 ) -> tuple[int, int]:
     """Rewrite a standing-index table as its DISTINCT rows via a
-    tmp-sibling + atomic-ish swap (write `{path}.compact.tmp`, delete
-    the original, rename) — Spark cannot overwrite a parquet directory
-    it is reading. Returns (rows_before, rows_after). Membership-only
-    semantics make the maintenance window safe: a probe racing the swap
-    sees either the churned or the compacted table, both of which give
-    identical verdicts (same key SET)."""
+    tmp-sibling swap — Spark cannot overwrite a parquet directory it is
+    reading. Swap order is rename-aside → rename-in → delete-old (NOT
+    delete-then-rename), so a crash never loses the canonical data:
+    every failure mode leaves either the original (recoverable by
+    re-running) or the compacted table in place, and the old data
+    survives at `{path}.compact.old` until the final delete. Each FS
+    call's boolean is asserted. On non-atomic filesystems a probe
+    racing the swap can still observe a brief missing-directory window
+    between the two renames — run compaction in a maintenance window;
+    verdicts are identical on either side because both tables hold the
+    same key SET. Returns (rows_before, rows_after)."""
     before_df = spark.read.parquet(path)
     rows_before = before_df.count()
     compacted = before_df.distinct()
@@ -420,10 +438,21 @@ def _swap_rewrite_distinct(
     if partition_col is not None:
         writer = writer.partitionBy(partition_col)
     writer.parquet(tmp)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    jvm = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    jvm_path = jvm(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
-    fs.delete(jvm_path, True)
-    fs.rename(spark._jvm.org.apache.hadoop.fs.Path(tmp), jvm_path)  # noqa: SLF001
+    old = jvm(f"{path}.compact.old")
+    if fs.exists(old):  # crashed prior run: finish its delete first
+        if not fs.delete(old, True):
+            raise IOError(f"compaction: could not clear stale {path}.compact.old")
+    if not fs.rename(jvm_path, old):
+        raise IOError(f"compaction: rename-aside failed for {path}")
+    if not fs.rename(jvm(tmp), jvm_path):
+        # restore the original before surfacing the error
+        fs.rename(old, jvm_path)
+        raise IOError(f"compaction: rename-in failed for {path}")
+    if not fs.delete(old, True):
+        raise IOError(f"compaction: could not delete {path}.compact.old")
     return rows_before, spark.read.parquet(path).count()
 
 
@@ -435,7 +464,8 @@ def compact_dedup_index(spark, path: str) -> dict[str, tuple[int, int]]:
     distinct key set, preserving the hive sharding and the manifest
     untouched. Returns {table: (rows_before, rows_after)}. Probe
     verdicts are IDENTICAL before and after (left-semi membership is
-    set-based — pinned by tests/test_index_compaction.py)."""
+    set-based — pinned by tests/test_index_compaction.py); run it in a
+    maintenance window — see _swap_rewrite_distinct's race note."""
     if _read_index_manifest(spark, path) is None:
         raise ValueError(f"no dedup index manifest at {path!r}")
     return {

@@ -54,7 +54,11 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_mingo_tail_spark.operators.dedup import _read_index_manifest, md5_long
+from flink_mingo_tail_spark.operators.dedup import (
+    _read_index_manifest,
+    _swap_rewrite_distinct,
+    md5_long,
+)
 from flink_mingo_tail_spark.operators.similarity import (
     hyperplane_tables,
     lsh_keys,
@@ -167,7 +171,7 @@ def probe_semantic_index(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    tau: float = 0.3,
+    tau: float = DEFAULT_SEM_TAU,
     broadcast_side: str = "auto",
 ) -> DataFrame:
     """(id_col, semantic_hit) — True iff the probe vector's exact
@@ -243,9 +247,9 @@ def compact_semantic_index(spark, path: str) -> dict[str, tuple[int, int]]:
     sets, sharding and manifest preserved. Returns
     {table: (rows_before, rows_after)}. Probe verdicts are identical
     before and after — candidates are deduplicated by the probe's own
-    DISTINCT, so duplicate index rows only cost bytes and join fan-in."""
-    from flink_mingo_tail_spark.operators.dedup import _swap_rewrite_distinct
-
+    DISTINCT, so duplicate index rows only cost bytes and join fan-in;
+    run it in a maintenance window (_swap_rewrite_distinct's race
+    note)."""
     if _read_index_manifest(spark, path, _SEM_MANIFEST_SCHEMA) is None:
         raise ValueError(f"no semantic index manifest at {path!r}")
     return {

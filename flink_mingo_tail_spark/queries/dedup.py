@@ -2162,9 +2162,12 @@ def q244_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: compaction is one distinct + rewrite per table —
     shuffle keyed on the index key, embarrassingly shard-parallel, run
-    in a maintenance window (verdicts identical on either side of the
-    swap, so probes can race it). Scratch bounded, deleted before
-    return (q204 policy)."""
+    in a maintenance window: verdicts are identical on either side of
+    the swap (same key set), but the rename-aside → rename-in sequence
+    has a brief missing-directory window on non-atomic filesystems, and
+    the swap order + asserted FS booleans guarantee a crash never loses
+    the canonical table (_swap_rewrite_distinct). Scratch bounded,
+    deleted before return (q204 policy)."""
     import shutil
     import tempfile
 

@@ -69,3 +69,25 @@ def test_compaction_refuses_manifestless_path(spark, tmp_path):
         compact_dedup_index(spark, f"{tmp_path}/nope")
     with pytest.raises(ValueError, match="no semantic index manifest"):
         compact_semantic_index(spark, f"{tmp_path}/nope2")
+
+
+def test_cross_family_manifest_read_is_rejected_at_the_gate(spark, tmp_path):
+    """Pointing a dedup operator at a semantic index (or vice versa)
+    must fail at the manifest gate with a readable error, not
+    mid-maintenance with a path-not-found / TypeError (round-12
+    review finding)."""
+    e = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).filter(F.col("vec_id") < 60)
+    d = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 60)
+    sem_path, ded_path = f"{tmp_path}/sem", f"{tmp_path}/ded"
+    build_semantic_index(e, sem_path, expanded=False)
+    build_dedup_index(d, ded_path)
+    with pytest.raises(ValueError, match="wrong index family"):
+        compact_dedup_index(spark, sem_path)
+    with pytest.raises(ValueError, match="wrong index family"):
+        probe_dedup_index(d, sem_path)
+    with pytest.raises(ValueError, match="wrong index family"):
+        compact_semantic_index(spark, ded_path)
+    with pytest.raises(ValueError, match="wrong index family"):
+        probe_semantic_index(e, ded_path)
