@@ -60,6 +60,7 @@ from flink_mingo_tail_spark.operators.dedup import (
     md5_long,
 )
 from flink_mingo_tail_spark.operators.similarity import (
+    auto_n_bits,
     hyperplane_tables,
     lsh_keys,
     lsh_probe_keys,
@@ -108,7 +109,7 @@ def build_semantic_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 8,
-    n_bits: int = 6,
+    n_bits: int | None = 6,
     seed: int = 42,
     dim: int = 64,
     expanded: bool = False,
@@ -123,15 +124,16 @@ def build_semantic_index(
     ``append`` refuses a manifest mismatch, including ``expanded``:
     mixing plain and fanned keys in one bucket table would silently
     double-count Hamming coverage on some rows and halve it on others.
-    """
-    params = {
-        "n_tables": n_tables,
-        "n_bits": n_bits,
-        "seed": seed,
-        "dim": dim,
-        "expanded": expanded,
-        "n_shards": n_shards,
-    }
+
+    ``n_bits=None`` auto-sizes the bucket width from the build frame's
+    count via the codified occupancy rule (operators/similarity.
+    auto_n_bits — n_bits ∝ log n, expected occupancy pinned at the
+    target as the corpus grows). The RESOLVED width lands in the
+    manifest, so probes and appends always hash with the planes the
+    index was built with — auto-sizing never re-resolves on a grown
+    index (re-bucketing is a rebuild, by design: bucket ids are not
+    comparable across widths). On append, ``n_bits=None`` inherits the
+    manifest's resolved width instead."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
     spark = vectors.sparkSession
@@ -142,11 +144,23 @@ def build_semantic_index(
                 f"cannot append to {path!r}: no manifest found "
                 "(build with mode='overwrite' first)"
             )
-        if existing != params:
-            raise ValueError(
-                f"semantic index at {path!r} was built with {existing}, "
-                f"refusing to append with {params}"
-            )
+        if n_bits is None:
+            n_bits = existing["n_bits"]
+    elif n_bits is None:
+        n_bits = auto_n_bits(vectors.count())
+    params = {
+        "n_tables": n_tables,
+        "n_bits": n_bits,
+        "seed": seed,
+        "dim": dim,
+        "expanded": expanded,
+        "n_shards": n_shards,
+    }
+    if mode == "append" and existing != params:
+        raise ValueError(
+            f"semantic index at {path!r} was built with {existing}, "
+            f"refusing to append with {params}"
+        )
     tables = hyperplane_tables(n_tables=n_tables, n_bits=n_bits, dim=dim, seed=seed)
     src = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     keyed = (
@@ -256,3 +270,41 @@ def compact_semantic_index(spark, path: str) -> dict[str, tuple[int, int]]:
         "buckets": _swap_rewrite_distinct(spark, f"{path}/buckets", "shard"),
         "vectors": _swap_rewrite_distinct(spark, f"{path}/vectors", None),
     }
+
+
+def audit_semantic_index(spark, path: str) -> DataFrame:
+    """q245's occupancy rollup run off the PERSISTED bucket table — one
+    narrow scan of ``{path}/buckets``, no re-hashing: per table, live
+    bucket count, max/mean occupancy (milli grid) and Σn² (the realized
+    candidate-pair mass a bucket equi-join would materialize). The
+    a-posteriori check on auto_n_bits' a-priori rule, runnable against
+    a production index between ingest batches. Only meaningful for a
+    plain-key index (``expanded=False``): a fanned index's bucket rows
+    are probes, not members, so the audit refuses it rather than report
+    occupancy that is (n_bits+1)× inflated."""
+    manifest = _read_index_manifest(spark, path, _SEM_MANIFEST_SCHEMA)
+    if manifest is None:
+        raise ValueError(f"no semantic index manifest at {path!r}")
+    if manifest["expanded"]:
+        raise ValueError(
+            f"semantic index at {path!r} stores EXPANDED probe keys — "
+            "occupancy over fanned rows is not bucket occupancy; audit the "
+            "plain-key side instead"
+        )
+    occ = (
+        spark.read.parquet(f"{path}/buckets")
+        .groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        occ.groupBy("tbl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("n").cast("long").alias("max_occ"),
+            F.expr(
+                "CAST(round(CAST(sum(n) AS DOUBLE) * 1000 / count(*)) AS BIGINT)"
+            ).alias("mean_occ_milli"),
+            F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+        )
+        .orderBy("tbl")
+    )

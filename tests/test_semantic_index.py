@@ -153,3 +153,64 @@ def test_probe_plan_has_no_corpus_self_join(spark, eval_index):
     plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_auto_n_bits_knob_resolves_and_persists(spark, tmp_root):
+    """n_bits=None sizes the bucket width from the build count via the
+    codified occupancy rule, persists the RESOLVED width in the
+    manifest, grows with a larger corpus, and append inherits the
+    manifest width instead of re-resolving from the batch."""
+    from flink_mingo_tail_spark.operators.dedup import _read_index_manifest
+    from flink_mingo_tail_spark.operators.semantic_index import (
+        _SEM_MANIFEST_SCHEMA,
+        build_semantic_index,
+    )
+    from flink_mingo_tail_spark.operators.similarity import auto_n_bits
+
+    e = _emb(spark, SF_ORACLE).select("vec_id", "embedding")
+    n = e.count()
+    p1 = f"{tmp_root}/auto1"
+    build_semantic_index(e, p1, n_bits=None)
+    m1 = _read_index_manifest(spark, p1, _SEM_MANIFEST_SCHEMA)
+    assert m1["n_bits"] == auto_n_bits(n)
+    # 10x the rows (id-shifted copies) => wider buckets
+    big = e
+    for i in range(1, 10):
+        big = big.union(e.select((F.col("vec_id") + 100000 * i).alias("vec_id"), "embedding"))
+    p2 = f"{tmp_root}/auto10"
+    build_semantic_index(big, p2, n_bits=None)
+    m2 = _read_index_manifest(spark, p2, _SEM_MANIFEST_SCHEMA)
+    assert m2["n_bits"] == auto_n_bits(10 * n) > m1["n_bits"]
+    # append with n_bits=None inherits the manifest width (no re-resolve
+    # from the 40-row batch, which would refuse)
+    batch = e.filter(F.col("vec_id") < 120).select(
+        (F.col("vec_id") + 999999).alias("vec_id"), "embedding"
+    )
+    build_semantic_index(batch, p1, n_bits=None, mode="append")
+    assert _read_index_manifest(spark, p1, _SEM_MANIFEST_SCHEMA) == m1
+
+
+def test_audit_equals_q245_on_the_same_corpus(spark, tmp_root):
+    """audit_semantic_index off the persisted bucket table must equal
+    q245's in-query derivation row-for-row when the index holds the
+    same corpus at the same (tables, bits, seed); and it refuses an
+    expanded index (fanned rows are probes, not members)."""
+    from flink_mingo_tail_spark.operators.semantic_index import (
+        audit_semantic_index,
+        build_semantic_index,
+    )
+
+    path = f"{tmp_root}/audit_idx"
+    build_semantic_index(_emb(spark, SF_ORACLE), path, expanded=False)
+    got = [tuple(r) for r in audit_semantic_index(spark, path).collect()]
+    want = [
+        tuple(r)
+        for r in REGISTRY["q245_lsh_occupancy_audit"].fn(spark, SF_ORACLE).collect()
+    ]
+    assert got == want
+    exp_path = f"{tmp_root}/audit_exp"
+    build_semantic_index(
+        _emb(spark, SF_ORACLE).filter(F.col("vec_id") < 120), exp_path, expanded=True
+    )
+    with pytest.raises(ValueError, match="EXPANDED probe keys"):
+        audit_semantic_index(spark, exp_path)
