@@ -211,7 +211,7 @@ HEADLINE = [
     # share rewritten to the sorted run-length fold; re-probed
     # 0.83/1.57/3.70 s same-session.
     "q239_quality_signals",
-    # round 12 — q240/q241/q242/q244 are probe-only under the q204/q234
+    # round 12 — q240/q241/q242/q244/q246 are probe-only under the q204/q234
     # scratch policy: index builds / ingest simulations with per-batch
     # or per-table scratch commits (wall time measures commit cadence;
     # per-batch costs and sf0.01/sf0.1 walls in SCALE.md round-12).

@@ -135,6 +135,7 @@ _NEEDS_DRIVER_ROW = (
     "q243_contamination_attribution",
     "q244_index_compaction",
     "q245_lsh_occupancy_audit",
+    "q246_full_curation_ingest",
     # (b) changed-code re-proofs
     "q239_quality_signals",
     "q193_hashed_linear_scorer",

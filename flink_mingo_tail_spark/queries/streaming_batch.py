@@ -888,3 +888,218 @@ def q241_semantic_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFr
         rows,
         "doc_id long, source string, n_toks long, reason string, ingest_batch long",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q246 — the FULL streaming curation pipeline (every stage live)
+# ---------------------------------------------------------------------------
+
+
+def _full_curation_oracle() -> str:
+    """q241's oracle plus the GROWING-index semantic-dup stage: quality
+    passers' embeddings index into per-batch sign-LSH buckets (plain
+    keys — the standing index's expanded=False direction), each batch's
+    probes fan Hamming-1 on its own side, and a doc is 'semantic_dup'
+    when a STRICTLY EARLIER batch's quality passer sits within the
+    q170/q242 tau. The sem (static eval) election and the planes CTE
+    are the shared _SEM_ORACLE_CTES spelling; the dup stages keep
+    q234's batch-granular b' < b semantics."""
+    from flink_mingo_tail_spark.operators.dedup import sql_lsh_band_keys
+    from flink_mingo_tail_spark.operators.semantic_index import DEFAULT_SEM_DUP_TAU
+    from flink_mingo_tail_spark.operators.similarity import SQL_COSINE
+    from flink_mingo_tail_spark.queries.dedup import (
+        _PIPE_STOPS,
+        _SQL_SIG,
+        MINHASH_K,
+    )
+    from flink_mingo_tail_spark.queries.similarity import (
+        _LSH_N_BITS,
+        _SEM_ORACLE_CTES,
+    )
+    from flink_mingo_tail_spark.streaming.curation_ingest import (
+        DEFAULT_BUDGET,
+        DEFAULT_EVAL_MOD,
+        DEFAULT_ROWS_PER_BAND,
+    )
+
+    bands = sql_lsh_band_keys("sig", DEFAULT_ROWS_PER_BAND, MINHASH_K)
+    return f"""
+    WITH {_SEM_ORACLE_CTES},
+    d AS (
+        SELECT doc_id, source, lang, n_chars, text,
+               string_split(text, ' ') AS t,
+               doc_id // {_ING_BATCH_W} AS b
+        FROM documents
+    ), s1 AS (
+        SELECT *,
+               CAST(len(t) AS BIGINT) AS n_toks,
+               CASE WHEN doc_id % {DEFAULT_EVAL_MOD} = 0 THEN 'eval_holdout'
+                    WHEN len(t) < 15 THEN 'too_short'
+                    WHEN len(t) > 5000 THEN 'too_long'
+                    WHEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) < 0.2
+                      THEN 'repetitive'
+                    WHEN lang = 'en'
+                         AND len(list_intersect(list_distinct(t), {_PIPE_STOPS})) < 1
+                      THEN 'no_stopwords'
+                    END AS r1
+        FROM d
+    ), qp AS (
+        SELECT * FROM s1 WHERE r1 IS NULL
+    ), hashes AS (
+        SELECT doc_id, b, md5(text) AS ch FROM qp
+    ), ex AS (
+        SELECT DISTINCT h.doc_id FROM hashes h
+        JOIN hashes h2 ON h2.ch = h.ch AND h2.b < h.b
+    ), sigs AS (
+        SELECT doc_id, b, {_SQL_SIG} AS sig FROM qp
+    ), banded AS (
+        SELECT doc_id, b, unnest({bands}) AS band FROM sigs
+    ), nd AS (
+        SELECT DISTINCT x.doc_id FROM banded x
+        JOIN banded y ON y.band = x.band AND y.b < x.b
+    ), qe AS (
+        -- quality passers' embeddings: the growing index's admission set
+        SELECT q.doc_id, q.b, e.v FROM qp q JOIN e ON e.vec_id = q.doc_id
+    ), qeb AS (
+        SELECT qe.doc_id, qe.b, p.tbl,
+               CAST(sum(CASE WHEN list_dot_product(qe.v, p.pl) > 0
+                             THEN CAST(1 AS BIGINT) << p.bit ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM qe CROSS JOIN planes p
+        GROUP BY qe.doc_id, qe.b, p.tbl
+    ), qprobes AS (
+        SELECT doc_id, b, tbl, bucket FROM qeb
+        UNION ALL
+        SELECT doc_id, b, tbl, xor(bucket, CAST(1 AS BIGINT) << j) AS bucket
+        FROM qeb CROSS JOIN unnest(range(0, {_LSH_N_BITS})) AS t(j)
+    ), sdcand AS (
+        SELECT DISTINCT p.doc_id AS x, i.doc_id AS y
+        FROM qprobes p JOIN qeb i
+          ON i.tbl = p.tbl AND i.bucket = p.bucket AND i.b < p.b
+    ), sd AS (
+        SELECT DISTINCT c.x AS doc_id
+        FROM sdcand c JOIN qe ex ON ex.doc_id = c.x
+                      JOIN qe ey ON ey.doc_id = c.y
+        WHERE round({SQL_COSINE.format(a="ex.v", b="ey.v")}, 6)
+              >= CAST({DEFAULT_SEM_DUP_TAU} AS DOUBLE)
+    ), grams AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+        FROM qp WHERE len(t) >= 4
+    ), probeg AS (
+        SELECT DISTINCT unnest(list_transform(range(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+        FROM d WHERE doc_id % {DEFAULT_EVAL_MOD} = 0 AND len(t) >= 4
+    ), cont AS (
+        SELECT DISTINCT gr.doc_id FROM grams gr JOIN probeg p ON gr.g = p.g
+    ), gate AS (
+        SELECT q.* FROM qp q
+        WHERE q.doc_id NOT IN (SELECT doc_id FROM ex)
+          AND q.doc_id NOT IN (SELECT doc_id FROM nd)
+          AND q.doc_id NOT IN (SELECT doc_id FROM sd)
+          AND q.doc_id NOT IN (SELECT doc_id FROM cont)
+          AND q.doc_id NOT IN (SELECT ci FROM sem)
+    ), packed AS (
+        SELECT doc_id,
+               CAST(coalesce(sum(n_toks) OVER (
+                   PARTITION BY source ORDER BY b, n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+        FROM gate
+    ), ob AS (
+        SELECT doc_id FROM packed WHERE cum_before >= {DEFAULT_BUDGET}
+    )
+    SELECT s1.doc_id, s1.source, s1.n_toks, CAST(s1.b AS BIGINT) AS ingest_batch,
+           coalesce(s1.r1,
+                    CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup' END,
+                    CASE WHEN nd.doc_id IS NOT NULL THEN 'near_dup' END,
+                    CASE WHEN sdj.doc_id IS NOT NULL THEN 'semantic_dup' END,
+                    CASE WHEN ct.doc_id IS NOT NULL THEN 'contaminated' END,
+                    CASE WHEN sm.ci IS NOT NULL THEN 'contaminated_semantic' END,
+                    CASE WHEN ob.doc_id IS NOT NULL THEN 'over_budget' END,
+                    'kept') AS reason
+    FROM s1
+    LEFT JOIN ex ON ex.doc_id = s1.doc_id
+    LEFT JOIN nd ON nd.doc_id = s1.doc_id
+    LEFT JOIN sd sdj ON sdj.doc_id = s1.doc_id
+    LEFT JOIN cont ct ON ct.doc_id = s1.doc_id
+    LEFT JOIN sem sm ON sm.ci = s1.doc_id
+    LEFT JOIN ob ON ob.doc_id = s1.doc_id
+    ORDER BY s1.doc_id
+    """
+
+
+@query("q246_full_curation_ingest", oracle=_full_curation_oracle())
+def q246_full_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE streaming curation pipeline — every stage the
+    engine owns, live in one checkpointable foreachBatch body: quality
+    gate, standing content-hash + MinHash-band dup probes, the GROWING
+    sign-LSH semantic-dup index (q242's direction — probe as of batch
+    start, append quality passers after commit), static 4-gram AND
+    semantic eval decontamination (q241's stage), and the cross-batch
+    per-source budget cut. q234 proved the text spine, q241 the static
+    semantic stage; this row proves the full composition, reason
+    precedence r1 → exact_dup → near_dup → semantic_dup → contaminated
+    → contaminated_semantic → over_budget → kept.
+
+    The oracle replays all of it batch-granularly: text and semantic
+    dup stages join b' < b (arrival order), both decontamination
+    elections are batch-invariant (static eval side — the shared
+    _SEM_ORACLE_CTES spelling), and the budget prefix runs in
+    (batch, quality) order. Per batch the engine does O(batch) hash
+    keys, four membership/candidate joins against standing state
+    (each with its bounded side broadcast), and two bounded appends —
+    no stage re-reads the corpus. Scratch bounded + deleted (q204
+    policy)."""
+    import shutil
+    import tempfile
+
+    from flink_mingo_tail_spark.streaming.curation_ingest import (
+        build_eval_gram_set,
+        build_eval_semantic_index,
+        make_curation_ingest_batch_fn,
+    )
+
+    prepare_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    docs = d.join(e, d.doc_id == e.vec_id, "left").drop("vec_id")
+    tmp = tempfile.mkdtemp(prefix="fmts-curation-ingest-q246-")
+    try:
+        eval_grams_path = f"{tmp}/eval_grams"
+        sem_index_path = f"{tmp}/sem_index"
+        build_eval_gram_set(d, eval_grams_path)
+        build_eval_semantic_index(e, sem_index_path)
+        ingest = make_curation_ingest_batch_fn(
+            f"{tmp}/index",
+            eval_grams_path,
+            f"{tmp}/out",
+            semantic_index_path=sem_index_path,
+            semantic_dup_index_path=f"{tmp}/semdup_index",
+        )
+        batch_ids = sorted(
+            r[0]
+            for r in d.select(
+                F.expr(f"doc_id DIV {_ING_BATCH_W}").alias("b")
+            ).distinct().collect()
+        )
+        for b in batch_ids:
+            ingest(docs.filter(F.expr(f"doc_id DIV {_ING_BATCH_W}") == b), int(b))
+        rows = (
+            spark.read.schema("doc_id long, source string, n_toks long, reason string")
+            .option("basePath", f"{tmp}/out")
+            .parquet(*[f"{tmp}/out/ingest_batch={b}" for b in batch_ids])
+            .withColumn(
+                "ingest_batch", F.expr(f"doc_id DIV {_ING_BATCH_W}").cast("long")
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, source string, n_toks long, reason string, ingest_batch long",
+    ).orderBy("doc_id")
