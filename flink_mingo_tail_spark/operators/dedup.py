@@ -425,11 +425,35 @@ def _swap_rewrite_distinct(
     every failure mode leaves either the original (recoverable by
     re-running) or the compacted table in place, and the old data
     survives at `{path}.compact.old` until the final delete. Each FS
-    call's boolean is asserted. On non-atomic filesystems a probe
+    call's boolean is asserted — including the restore rename in the
+    rename-in failure handler, so a double failure reports the TRUE
+    table state (parked at .compact.old) instead of claiming the
+    original was restored. A crash BETWEEN the two renames leaves
+    ``path`` missing with the only copy parked at ``{path}.compact.old``;
+    the entry-time recovery below renames it back before reading, so
+    re-running after ANY crash point converges (ADVICE round 12).
+    On non-atomic filesystems a probe
     racing the swap can still observe a brief missing-directory window
     between the two renames — run compaction in a maintenance window;
     verdicts are identical on either side because both tables hold the
     same key SET. Returns (rows_before, rows_after)."""
+    jvm = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    jvm_path = jvm(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    old = jvm(f"{path}.compact.old")
+    if not fs.exists(jvm_path):
+        # prior run crashed between rename-aside and rename-in: the
+        # canonical table is parked at .compact.old — restore it before
+        # reading (otherwise re-running fails at spark.read forever)
+        if not fs.exists(old):
+            raise IOError(
+                f"compaction: {path} is missing and no {path}.compact.old "
+                "exists to recover from"
+            )
+        if not fs.rename(old, jvm_path):
+            raise IOError(
+                f"compaction: could not restore {path} from {path}.compact.old"
+            )
     before_df = spark.read.parquet(path)
     rows_before = before_df.count()
     compacted = before_df.distinct()
@@ -438,19 +462,20 @@ def _swap_rewrite_distinct(
     if partition_col is not None:
         writer = writer.partitionBy(partition_col)
     writer.parquet(tmp)
-    jvm = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
-    jvm_path = jvm(path)
-    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
-    old = jvm(f"{path}.compact.old")
     if fs.exists(old):  # crashed prior run: finish its delete first
         if not fs.delete(old, True):
             raise IOError(f"compaction: could not clear stale {path}.compact.old")
     if not fs.rename(jvm_path, old):
         raise IOError(f"compaction: rename-aside failed for {path}")
     if not fs.rename(jvm(tmp), jvm_path):
-        # restore the original before surfacing the error
-        fs.rename(old, jvm_path)
-        raise IOError(f"compaction: rename-in failed for {path}")
+        # restore the original before surfacing the error — and report
+        # the TRUE table state if even the restore fails
+        if fs.rename(old, jvm_path):
+            raise IOError(f"compaction: rename-in failed for {path}; original restored")
+        raise IOError(
+            f"compaction: rename-in failed for {path} AND the restore rename "
+            f"failed — table is parked at {path}.compact.old (re-run to recover)"
+        )
     if not fs.delete(old, True):
         raise IOError(f"compaction: could not delete {path}.compact.old")
     return rows_before, spark.read.parquet(path).count()

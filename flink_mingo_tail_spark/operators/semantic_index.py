@@ -71,6 +71,13 @@ _SEM_MANIFEST_SCHEMA = (
     "n_tables int, n_bits int, seed int, dim int, expanded boolean, n_shards int"
 )
 
+# Canonical sign-LSH table count — build_semantic_index's n_tables
+# default. Exported so oracles that replay the index's fan-out
+# arithmetic (q244's bucket-row accounting) interpolate THIS name
+# instead of a bare literal silently coupled to the default
+# (ADVICE round 12).
+DEFAULT_N_TABLES = 8
+
 # Canonical semantic-hit threshold (rounded cosine >= tau vs ANY indexed
 # vector). queries/similarity.py's _SEM_TAU aliases this — one spelling
 # for q224, q240/q241, and the streaming ingest stage.
@@ -108,7 +115,7 @@ def build_semantic_index(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_tables: int = 8,
+    n_tables: int = DEFAULT_N_TABLES,
     n_bits: int | None = 6,
     seed: int = 42,
     dim: int = 64,

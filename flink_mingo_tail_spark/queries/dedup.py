@@ -30,6 +30,7 @@ from flink_mingo_tail_spark.operators.dedup import (
     word_shingles,
 )
 from flink_mingo_tail_spark.operators.ranks import global_row_number
+from flink_mingo_tail_spark.operators.semantic_index import DEFAULT_N_TABLES
 from flink_mingo_tail_spark.operators.skew import pin_width
 from flink_mingo_tail_spark.queries import query
 from flink_mingo_tail_spark.session import prepare_session
@@ -2131,7 +2132,8 @@ def q237_leakage_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'bands' AS tbl, CAST(3 * b.n AS BIGINT) AS rows_before,
                b.n AS rows_after FROM b
         UNION ALL
-        SELECT 'buckets', CAST(2 * 8 * v.n AS BIGINT), CAST(8 * v.n AS BIGINT) FROM v
+        SELECT 'buckets', CAST(2 * {DEFAULT_N_TABLES} * v.n AS BIGINT),
+               CAST({DEFAULT_N_TABLES} * v.n AS BIGINT) FROM v
         UNION ALL
         SELECT 'content', CAST(3 * d.n AS BIGINT), d.n FROM d
         UNION ALL
@@ -2156,8 +2158,9 @@ def q244_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     index), the full embedding set appended verbatim once (semantic
     index) — compacts, and reports per-table (rows_before, rows_after).
     The oracle derives both counts from first principles: distinct
-    hashes / bands / 8·|vectors| bucket keys, times the append
-    multiplicity. Probe-verdict invariance across compaction is pinned
+    hashes / bands / DEFAULT_N_TABLES·|vectors| bucket keys (the table
+    count interpolated from operators/semantic_index, never a bare
+    literal), times the append multiplicity. Probe-verdict invariance across compaction is pinned
     separately in tests/test_index_compaction.py.
 
     Scale shape: compaction is one distinct + rewrite per table —

@@ -391,6 +391,20 @@ def make_curation_ingest_batch_fn(
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_dir = f"{output_path}/ingest_batch={batch_id}"
+        # Schema gate BEFORE the replay short-circuit: the replay path
+        # skips classify_batch (whose readable ValueError covers the
+        # first run), but append_quality_passers still references the
+        # embedding column when a semantic-dup index is wired — a schema
+        # drift must fail with the same readable error on BOTH paths,
+        # not as a raw AnalysisException mid-replay (ADVICE round 12).
+        needs_emb = (
+            semantic_index_path is not None or semantic_dup_index_path is not None
+        )
+        if needs_emb and "embedding" not in batch_df.columns:
+            raise ValueError(
+                "a semantic index path is set but the batch has no 'embedding' "
+                "column — join the embeddings onto the stream upstream of ingest"
+            )
 
         def append_quality_passers() -> None:
             t = tokens(F.col("text"))

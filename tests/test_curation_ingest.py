@@ -224,6 +224,39 @@ def test_semantic_stage_flags_match_q224_and_requires_embeddings(spark, tmp_path
             assert doc_id not in sem_hits, doc_id
 
 
+def test_replay_path_schema_gate_matches_first_run(spark, tmp_path):
+    """The replay short-circuit skips classify_batch, but a schema
+    drift (embedding column gone) must surface the SAME readable
+    ValueError as a first run — not a raw AnalysisException from
+    append_quality_passers (ADVICE round 12)."""
+    import pytest
+
+    from flink_mingo_tail_spark.streaming.curation_ingest import (
+        build_eval_semantic_index,
+    )
+
+    tmp = str(tmp_path)
+    d = _docs(spark)
+    e = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    eval_path, sem_path = f"{tmp}/eval_grams", f"{tmp}/sem_index"
+    build_eval_gram_set(d, eval_path)
+    build_eval_semantic_index(e, sem_path)
+    docs = d.join(e, d.doc_id == e.vec_id, "left").drop("vec_id")
+    ingest = make_curation_ingest_batch_fn(
+        f"{tmp}/index",
+        eval_path,
+        f"{tmp}/out",
+        semantic_index_path=sem_path,
+        semantic_dup_index_path=f"{tmp}/semdup_index",
+    )
+    b0 = docs.filter(F.expr("doc_id DIV 100") == 0)
+    ingest(b0, 0)  # commits
+    with pytest.raises(ValueError, match="no 'embedding' column"):
+        ingest(b0.drop("embedding"), 0)  # replay with drifted schema
+
+
 def test_semantic_dup_stage_grows_with_batches_and_subsets_q242(spark, tmp_path):
     """Growing-index semantic-dup stage: the index starts empty (batch
     0 flags nothing), later batches flag docs whose embedding sits

@@ -64,6 +64,44 @@ def test_semantic_index_compaction_preserves_probe_verdicts(spark, tmp_path):
     assert any(before.values())  # non-degenerate: some hits exist
 
 
+def test_compaction_recovers_from_mid_swap_crash(spark, tmp_path):
+    """A crash between rename-aside and rename-in leaves {path} missing
+    with the canonical table parked at {path}.compact.old; re-running
+    compaction must restore it and converge, and probe verdicts must
+    be unchanged (ADVICE round 12)."""
+    import os
+
+    path = f"{tmp_path}/didx"
+    d = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 200)
+    idx_side = d.filter(F.col("doc_id") % 10 != 7)
+    incoming = d.filter(F.col("doc_id") % 10 == 7)
+    build_dedup_index(idx_side, path, mode="overwrite")
+    build_dedup_index(idx_side, path, mode="append")
+    before = {r.doc_id: r.status for r in probe_dedup_index(incoming, path).collect()}
+    # simulate the crash window on the content table: rename-aside done,
+    # rename-in never happened
+    os.rename(f"{path}/content", f"{path}/content.compact.old")
+    stats = compact_dedup_index(spark, path)
+    for tbl, (nb, na) in stats.items():
+        assert nb == 2 * na, (tbl, nb, na)
+    assert not os.path.exists(f"{path}/content.compact.old")
+    after = {r.doc_id: r.status for r in probe_dedup_index(incoming, path).collect()}
+    assert before == after
+
+
+def test_compaction_missing_table_without_backup_is_a_readable_error(spark, tmp_path):
+    """{path} missing and NO .compact.old parked: fail loudly at entry
+    (nothing to recover from), not with a raw spark.read path error."""
+    import shutil
+
+    path = f"{tmp_path}/didx2"
+    d = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 100)
+    build_dedup_index(d, path, mode="overwrite")
+    shutil.rmtree(f"{path}/bands")
+    with pytest.raises(IOError, match="no .*compact.old exists to recover"):
+        compact_dedup_index(spark, path)
+
+
 def test_compaction_refuses_manifestless_path(spark, tmp_path):
     with pytest.raises(ValueError, match="no dedup index manifest"):
         compact_dedup_index(spark, f"{tmp_path}/nope")
