@@ -389,9 +389,17 @@ from flink_mingo_tail_spark.operators.multimodal import (  # noqa: E402
     dhash_arrow,
     synthesize_media_variants,
 )
+from flink_mingo_tail_spark.operators.perceptual_index import (  # noqa: E402
+    DEFAULT_N_BANDS,
+    DEFAULT_PH_HAM,
+)
 
-_PH_BANDS = 4   # 4 bands x 8 bits over the 32-bit dHash (q212's contract)
-_PH_HAM = 3     # pigeonhole-complete: d<=3 differs in <=3 of 4 bands
+# One spelling with the standing index (operators/perceptual_index.py):
+# 4 bands x 8 bits over the 32-bit dHash (q212's contract), verdict at
+# Hamming <= 3 — pigeonhole-complete because d<=3 differs in <=3 of 4
+# disjoint bands.
+_PH_BANDS = DEFAULT_N_BANDS
+_PH_HAM = DEFAULT_PH_HAM
 _PH_GROUP = 5   # synthetic near-dup group size (planted variants)
 
 _PH_SQL_PAYLOAD = (
@@ -548,3 +556,99 @@ def q228_perceptual_dup_components(spark: SparkSession, sf_dir: str) -> DataFram
         .withColumn("is_dup", F.col("component") < F.col("media_id"))
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q247 — perceptual standing-index probe (round 13; verdict "missing #1")
+# ---------------------------------------------------------------------------
+
+_PHIDX_BATCHES = 3  # simulated arrival batches (media_id % 3)
+
+
+@query(
+    "q247_perceptual_index_probe",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id AS media_id, doc_id % {_PHIDX_BATCHES} AS b,
+               {_PH_SQL_PAYLOAD} AS h
+        FROM documents
+    ), dh AS (
+        SELECT media_id, b,
+               CAST(sum(CASE WHEN ascii(substr(h, j, 1)) > ascii(substr(h, j + 1, 1))
+                             THEN CAST(1 AS BIGINT) << (j - 1) ELSE 0 END)
+                    AS BIGINT) AS ph
+        FROM m CROSS JOIN unnest(range(1, {DHASH_BITS + 1})) AS t(j)
+        GROUP BY media_id, b
+    ), hit AS (
+        SELECT DISTINCT a.media_id
+        FROM dh a JOIN dh e ON e.b < a.b
+        WHERE bit_count(xor(a.ph, e.ph)) <= {_PH_HAM}
+    )
+    SELECT d.media_id AS media_id, h.media_id IS NOT NULL AS perceptual_hit
+    FROM dh d LEFT JOIN hit h ON h.media_id = d.media_id
+    ORDER BY d.media_id
+    """,
+)
+def q247_perceptual_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q225's perceptual near-dup run the way a PRODUCTION ingest loop
+    runs it — against a PERSISTED dHash band standing index
+    (operators/perceptual_index.py) instead of re-deriving the banding
+    per pass: media arrive in {_PHIDX_BATCHES} simulated batches
+    (media_id % {_PHIDX_BATCHES}); each batch hashes buffer-level via
+    mapInArrow, probes the persisted (shard, band, bits) table AS OF
+    BATCH START (batch 0 bootstraps an empty index — nothing is a dup),
+    confirms candidates with the exact popcount against the ``ph``
+    carried in the band row, then appends its own fingerprints.
+
+    The oracle replays the payload AND the dHash bit-exactly (q225's
+    engine-grid spelling) but applies the PURE Hamming rule — exists an
+    EARLIER-batch fingerprint within Hamming {_PH_HAM} — with no
+    banding at all: with ham < n_bands the pigeonhole argument makes
+    the banded candidate set recall-complete and the popcount confirm
+    makes it precise, so the standing-index verdict must equal the
+    dense rule row-for-row (an independent derivation, stronger than
+    replaying the bands; the same contract is pinned per-band in
+    tests/test_perceptual_index.py).
+
+    Scale shape: per batch the work is O(batch) band rows equi-joined
+    against the standing table with the batch side broadcast; occupancy
+    is bounded by band width; the blob column never leaves the Arrow
+    hasher. Appends are membership-monotone (replay-idempotent).
+    Ref parity: extends the reference's standing-state discipline
+    (SURVEY §2A A6/A7) to the perceptual modality; no reference twin."""
+    import shutil
+    import tempfile
+
+    from flink_mingo_tail_spark.operators.perceptual_index import (
+        build_perceptual_index,
+        probe_perceptual_index,
+    )
+
+    media = synthesize_media_variants(
+        _t(spark, sf_dir, "documents"), group_size=_PH_GROUP
+    )
+    fp = dhash_arrow(media)
+    tmp = tempfile.mkdtemp(prefix="fmts-phidx-q247-")
+    rows: list[tuple[int, bool]] = []
+    try:
+        path = f"{tmp}/ph_index"
+        for b in range(_PHIDX_BATCHES):
+            batch = fp.filter(F.pmod(F.col("media_id"), F.lit(_PHIDX_BATCHES)) == b)
+            if b == 0:
+                rows.extend(
+                    (r.media_id, False) for r in batch.select("media_id").collect()
+                )
+                build_perceptual_index(batch, path, mode="overwrite")
+            else:
+                rows.extend(
+                    (r.media_id, r.perceptual_hit)
+                    for r in probe_perceptual_index(
+                        batch, path, broadcast_side="probe"
+                    ).collect()
+                )
+                build_perceptual_index(batch, path, mode="append")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "media_id long, perceptual_hit boolean"
+    ).orderBy("media_id")
