@@ -891,6 +891,211 @@ def q241_semantic_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # ---------------------------------------------------------------------------
+# q248 — streaming curation WITH the perceptual standing index (round 13)
+# ---------------------------------------------------------------------------
+
+
+_PH_ING_BATCHES = 3  # q247's arrival batching (doc_id % 3): the planted
+# 5-groups straddle batches, so cross-batch perceptual dups exist by
+# construction (DIV-100 batching would align every group inside one
+# batch — 100 is a multiple of the group size — and the stage could
+# never fire)
+
+
+def _perceptual_curation_oracle() -> str:
+    """q234's batch-granular replay extended with the PERCEPTUAL-DUP
+    stage: quality passers' payloads are replayed byte-exactly (q225's
+    engine-grid spelling), dHashed in SQL, and a doc is
+    'perceptual_dup' when a STRICTLY EARLIER batch's quality passer
+    sits within Hamming ham — the pure dense rule, no banding (q247's
+    pigeonhole-completeness argument makes the engine's banded standing
+    index provably equal to it). The text dup stages keep q234's
+    b' < b semantics (over the % batching); a perceptually flagged doc
+    never reaches the gram stage or the budget prefix."""
+    from flink_mingo_tail_spark.operators.dedup import sql_lsh_band_keys
+    from flink_mingo_tail_spark.operators.multimodal import DHASH_BITS
+    from flink_mingo_tail_spark.operators.perceptual_index import DEFAULT_PH_HAM
+    from flink_mingo_tail_spark.queries.dedup import (
+        _PIPE_STOPS,
+        _SQL_SIG,
+        MINHASH_K,
+    )
+    from flink_mingo_tail_spark.queries.multimodal_udf import _PH_SQL_PAYLOAD
+    from flink_mingo_tail_spark.streaming.curation_ingest import (
+        DEFAULT_BUDGET,
+        DEFAULT_EVAL_MOD,
+        DEFAULT_ROWS_PER_BAND,
+    )
+
+    bands = sql_lsh_band_keys("sig", DEFAULT_ROWS_PER_BAND, MINHASH_K)
+    return f"""
+    WITH d AS (
+        SELECT doc_id, source, lang, n_chars, text,
+               string_split(text, ' ') AS t,
+               doc_id % {_PH_ING_BATCHES} AS b
+        FROM documents
+    ), s1 AS (
+        SELECT *,
+               CAST(len(t) AS BIGINT) AS n_toks,
+               CASE WHEN doc_id % {DEFAULT_EVAL_MOD} = 0 THEN 'eval_holdout'
+                    WHEN len(t) < 15 THEN 'too_short'
+                    WHEN len(t) > 5000 THEN 'too_long'
+                    WHEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) < 0.2
+                      THEN 'repetitive'
+                    WHEN lang = 'en'
+                         AND len(list_intersect(list_distinct(t), {_PIPE_STOPS})) < 1
+                      THEN 'no_stopwords'
+                    END AS r1
+        FROM d
+    ), qp AS (
+        SELECT * FROM s1 WHERE r1 IS NULL
+    ), hashes AS (
+        SELECT doc_id, b, md5(text) AS ch FROM qp
+    ), ex AS (
+        SELECT DISTINCT h.doc_id FROM hashes h
+        JOIN hashes h2 ON h2.ch = h.ch AND h2.b < h.b
+    ), sigs AS (
+        SELECT doc_id, b, {_SQL_SIG} AS sig FROM qp
+    ), banded AS (
+        SELECT doc_id, b, unnest({bands}) AS band FROM sigs
+    ), nd AS (
+        SELECT DISTINCT x.doc_id FROM banded x
+        JOIN banded y ON y.band = x.band AND y.b < x.b
+    ), pm AS (
+        -- quality passers' payload replay: the perceptual index's
+        -- admission set (every passer carries a payload here)
+        SELECT doc_id, b, {_PH_SQL_PAYLOAD} AS h FROM qp
+    ), ph AS (
+        SELECT doc_id, b,
+               CAST(sum(CASE WHEN ascii(substr(h, j, 1)) > ascii(substr(h, j + 1, 1))
+                             THEN CAST(1 AS BIGINT) << (j - 1) ELSE 0 END)
+                    AS BIGINT) AS fp
+        FROM pm CROSS JOIN unnest(range(1, {DHASH_BITS + 1})) AS t(j)
+        GROUP BY doc_id, b
+    ), pd AS (
+        SELECT DISTINCT x.doc_id
+        FROM ph x JOIN ph y ON y.b < x.b
+        WHERE bit_count(xor(x.fp, y.fp)) <= {DEFAULT_PH_HAM}
+    ), grams AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+        FROM qp WHERE len(t) >= 4
+    ), probeg AS (
+        SELECT DISTINCT unnest(list_transform(range(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+        FROM d WHERE doc_id % {DEFAULT_EVAL_MOD} = 0 AND len(t) >= 4
+    ), cont AS (
+        SELECT DISTINCT gr.doc_id FROM grams gr JOIN probeg p ON gr.g = p.g
+    ), gate AS (
+        SELECT q.* FROM qp q
+        WHERE q.doc_id NOT IN (SELECT doc_id FROM ex)
+          AND q.doc_id NOT IN (SELECT doc_id FROM nd)
+          AND q.doc_id NOT IN (SELECT doc_id FROM pd)
+          AND q.doc_id NOT IN (SELECT doc_id FROM cont)
+    ), packed AS (
+        SELECT doc_id,
+               CAST(coalesce(sum(n_toks) OVER (
+                   PARTITION BY source ORDER BY b, n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+        FROM gate
+    ), ob AS (
+        SELECT doc_id FROM packed WHERE cum_before >= {DEFAULT_BUDGET}
+    )
+    SELECT s1.doc_id, s1.source, s1.n_toks, CAST(s1.b AS BIGINT) AS ingest_batch,
+           coalesce(s1.r1,
+                    CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup' END,
+                    CASE WHEN nd.doc_id IS NOT NULL THEN 'near_dup' END,
+                    CASE WHEN pdj.doc_id IS NOT NULL THEN 'perceptual_dup' END,
+                    CASE WHEN ct.doc_id IS NOT NULL THEN 'contaminated' END,
+                    CASE WHEN ob.doc_id IS NOT NULL THEN 'over_budget' END,
+                    'kept') AS reason
+    FROM s1
+    LEFT JOIN ex ON ex.doc_id = s1.doc_id
+    LEFT JOIN nd ON nd.doc_id = s1.doc_id
+    LEFT JOIN pd pdj ON pdj.doc_id = s1.doc_id
+    LEFT JOIN cont ct ON ct.doc_id = s1.doc_id
+    LEFT JOIN ob ON ob.doc_id = s1.doc_id
+    ORDER BY s1.doc_id
+    """
+
+
+@query("q248_perceptual_streaming_curation", oracle=_perceptual_curation_oracle())
+def q248_perceptual_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q234's incremental curation pipeline with the PERCEPTUAL-DUP
+    stage live: documents arrive joined with their media payloads
+    (synthesize_media_variants — the planted near-dup fixture q225/q247
+    share) in q247's {_PH_ING_BATCHES} interleaved arrival batches
+    (doc_id % {_PH_ING_BATCHES}, so planted groups straddle batches —
+    see _PH_ING_BATCHES), and each batch's quality passers are dHashed
+    buffer-level (mapInArrow — the blob column never leaves the Arrow
+    hasher) and probed against the GROWING persisted band index
+    (operators/perceptual_index) AS OF BATCH START; passers'
+    fingerprints append after the classification commits. Verdict
+    precedence gains 'perceptual_dup' directly after the text dup
+    stages, and a perceptually flagged doc never consumes budget.
+
+    The oracle replays the payload and the dHash bit-exactly but
+    applies the pure earlier-batch Hamming rule with no banding —
+    q247's independent-derivation argument (pigeonhole recall + exact
+    popcount precision) extended to the composed pipeline; the text
+    dup stages and budget prefix keep q234's batch-granular semantics.
+
+    Scale shape: q234's O(batch) loop plus, per batch, n_bands band
+    rows per passer equi-joined against the standing table with the
+    batch side broadcast — the perceptual modality finally probes
+    standing state instead of re-deriving candidates per batch
+    (round-12 verdict "What's missing #1"). Scratch bounded and
+    deleted before returning (q204/q234 policy)."""
+    import shutil
+    import tempfile
+
+    from flink_mingo_tail_spark.operators.multimodal import (
+        synthesize_media_variants,
+    )
+    from flink_mingo_tail_spark.streaming.curation_ingest import (
+        build_eval_gram_set,
+        make_curation_ingest_batch_fn,
+    )
+
+    prepare_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    media = synthesize_media_variants(d).select(
+        F.col("media_id").alias("doc_id"), "payload"
+    )
+    docs = d.join(media, "doc_id")
+    tmp = tempfile.mkdtemp(prefix="fmts-curation-ingest-q248-")
+    try:
+        eval_grams_path = f"{tmp}/eval_grams"
+        build_eval_gram_set(d, eval_grams_path)
+        ingest = make_curation_ingest_batch_fn(
+            f"{tmp}/index",
+            eval_grams_path,
+            f"{tmp}/out",
+            perceptual_index_path=f"{tmp}/ph_index",
+        )
+        batch_ids = list(range(_PH_ING_BATCHES))
+        for b in batch_ids:
+            ingest(docs.filter(F.col("doc_id") % _PH_ING_BATCHES == b), b)
+        rows = (
+            spark.read.schema("doc_id long, source string, n_toks long, reason string")
+            .option("basePath", f"{tmp}/out")
+            .parquet(*[f"{tmp}/out/ingest_batch={b}" for b in batch_ids])
+            .withColumn(
+                "ingest_batch",
+                F.pmod(F.col("doc_id"), F.lit(_PH_ING_BATCHES)).cast("long"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, source string, n_toks long, reason string, ingest_batch long",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # q246 — the FULL streaming curation pipeline (every stage live)
 # ---------------------------------------------------------------------------
 

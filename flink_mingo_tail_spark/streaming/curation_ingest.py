@@ -9,6 +9,15 @@ runs, but against STANDING state instead of the whole corpus:
   2. exact / near dup   operators/dedup.probe_dedup_index against the
                         persisted content-hash + LSH-band index AS OF
                         BATCH START (O(batch) membership semi-joins);
+                        with ``perceptual_index_path`` set, also the
+                        PERCEPTUAL-DUP stage: quality passers carrying
+                        a binary ``payload`` column are dHashed
+                        buffer-level (operators/multimodal.dhash_arrow)
+                        and probed against the GROWING persisted band
+                        index (operators/perceptual_index — pigeonhole
+                        band equi-join + exact popcount), reason
+                        'perceptual_dup'; passers' fingerprints append
+                        after commit — q247's loop, in place;
                         with ``semantic_dup_index_path`` set, also the
                         SEMANTIC-DUP stage: the GROWING corpus-side
                         sign-LSH index (expanded=False — plain keys
@@ -91,6 +100,11 @@ from flink_mingo_tail_spark.operators.dedup import (
     probe_dedup_index,
     tokens,
     word_shingles,
+)
+from flink_mingo_tail_spark.operators.multimodal import dhash_arrow
+from flink_mingo_tail_spark.operators.perceptual_index import (
+    build_perceptual_index,
+    probe_perceptual_index,
 )
 from flink_mingo_tail_spark.operators.quality import quality_reason
 from flink_mingo_tail_spark.operators.ranks import grouped_prefix_sum
@@ -198,6 +212,7 @@ def classify_batch(
     sem_tau: float = DEFAULT_SEM_TAU,
     semantic_dup_index_path: str | None = None,
     sem_dup_tau: float = DEFAULT_SEM_DUP_TAU,
+    perceptual_index_path: str | None = None,
 ) -> DataFrame:
     """The per-batch verdict (doc_id, source, n_toks, reason) against
     state as of batch start. ``prior_totals`` is (source, prior_toks) —
@@ -208,15 +223,26 @@ def classify_batch(
     batch MUST carry an ``embedding`` column (nullable — a doc without
     one simply can't hit semantically, q224's honest partially-embedded
     shape) and quality passers are additionally probed against the
-    persisted indexes. No writes, no collects (one bounded persist on
-    the flagged frame — see inline note); exposed so the q234/q241
-    driver twins hash exactly this code path."""
+    persisted indexes. With ``perceptual_index_path`` (the GROWING
+    dHash band index, q247's direction) set, the batch MUST carry a
+    binary ``payload`` column (nullable — same honest-partial shape);
+    quality passers' payloads are fingerprinted and probed, reason
+    'perceptual_dup' between the text-dup and semantic-dup stages. No
+    writes, no collects (one bounded persist on the flagged frame — see
+    inline note); exposed so the q234/q241/q248 driver twins hash
+    exactly this code path."""
     spark = batch_df.sparkSession
     needs_emb = semantic_index_path is not None or semantic_dup_index_path is not None
     if needs_emb and "embedding" not in batch_df.columns:
         raise ValueError(
             "a semantic index path is set but the batch has no 'embedding' column "
             "— join the embeddings onto the stream upstream of ingest"
+        )
+    needs_payload = perceptual_index_path is not None
+    if needs_payload and "payload" not in batch_df.columns:
+        raise ValueError(
+            "a perceptual index path is set but the batch has no 'payload' column "
+            "— join the media payloads onto the stream upstream of ingest"
         )
     t = tokens(F.col("text"))
     cols = [
@@ -229,6 +255,8 @@ def classify_batch(
     ]
     if needs_emb:
         cols.insert(4, F.col("embedding"))
+    if needs_payload:
+        cols.insert(4, F.col("payload"))
     s1 = batch_df.select(*cols)
     surv1 = s1.filter(F.col("r1").isNull())
 
@@ -261,6 +289,25 @@ def classify_batch(
         if needs_emb
         else None
     )
+    if needs_payload and _path_exists(spark, f"{perceptual_index_path}/manifest"):
+        pd_ids = (
+            probe_perceptual_index(
+                dhash_arrow(
+                    surv1.filter(F.col("payload").isNotNull()).select(
+                        F.col("doc_id").alias("media_id"), "payload"
+                    )
+                ),
+                perceptual_index_path,
+                broadcast_side="probe",  # the batch is the bounded side
+            )
+            .filter(F.col("perceptual_hit"))
+            .select(F.col("media_id").alias("doc_id"))
+            .withColumn("__pd", F.lit(True))
+        )
+        flagged = flagged.join(pd_ids, "doc_id", "left")
+    else:
+        # stage off, or bootstrap (no index yet) — nothing is a dup
+        flagged = flagged.withColumn("__pd", F.lit(None).cast("boolean"))
     if semantic_dup_index_path is not None and _path_exists(
         spark, f"{semantic_dup_index_path}/manifest"
     ):
@@ -298,9 +345,12 @@ def classify_batch(
         flagged = flagged.withColumn("__sem", F.lit(None).cast("boolean"))
     if needs_emb:
         flagged = flagged.drop("embedding")
+    if needs_payload:
+        flagged = flagged.drop("payload")
     flagged = flagged.persist()
     gate = flagged.filter(
         (F.col("status") == "new")
+        & F.col("__pd").isNull()
         & F.col("__sd").isNull()
         & F.col("__ct").isNull()
         & F.col("__sem").isNull()
@@ -335,6 +385,7 @@ def classify_batch(
         F.col("r1"),
         F.when(F.col("status") == "exact_dup", "exact_dup"),
         F.when(F.col("status") == "near_dup", "near_dup"),
+        F.when(F.col("__pd"), "perceptual_dup"),
         F.when(F.col("__sd"), "semantic_dup"),
         F.when(F.col("__ct"), "contaminated"),
         F.when(F.col("__sem"), "contaminated_semantic"),
@@ -344,7 +395,7 @@ def classify_batch(
     return (
         s1.select("doc_id", "source", "n_toks", "r1")
         .join(
-            flagged.select("doc_id", "status", "__sd", "__ct", "__sem"),
+            flagged.select("doc_id", "status", "__pd", "__sd", "__ct", "__sem"),
             "doc_id",
             "left",
         )
@@ -384,6 +435,7 @@ def make_curation_ingest_batch_fn(
     sem_tau: float = DEFAULT_SEM_TAU,
     semantic_dup_index_path: str | None = None,
     sem_dup_tau: float = DEFAULT_SEM_DUP_TAU,
+    perceptual_index_path: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch body, exposed for direct replay testing (the
     dedup_ingest convention)."""
@@ -394,9 +446,10 @@ def make_curation_ingest_batch_fn(
         # Schema gate BEFORE the replay short-circuit: the replay path
         # skips classify_batch (whose readable ValueError covers the
         # first run), but append_quality_passers still references the
-        # embedding column when a semantic-dup index is wired — a schema
-        # drift must fail with the same readable error on BOTH paths,
-        # not as a raw AnalysisException mid-replay (ADVICE round 12).
+        # embedding/payload columns when the matching index is wired —
+        # a schema drift must fail with the same readable error on BOTH
+        # paths, not as a raw AnalysisException mid-replay (ADVICE
+        # round 12).
         needs_emb = (
             semantic_index_path is not None or semantic_dup_index_path is not None
         )
@@ -404,6 +457,11 @@ def make_curation_ingest_batch_fn(
             raise ValueError(
                 "a semantic index path is set but the batch has no 'embedding' "
                 "column — join the embeddings onto the stream upstream of ingest"
+            )
+        if perceptual_index_path is not None and "payload" not in batch_df.columns:
+            raise ValueError(
+                "a perceptual index path is set but the batch has no 'payload' "
+                "column — join the media payloads onto the stream upstream of ingest"
             )
 
         def append_quality_passers() -> None:
@@ -420,6 +478,25 @@ def make_curation_ingest_batch_fn(
                 )
             else:
                 build_dedup_index(passers, index_path, mode="append", **manifest)
+            if perceptual_index_path is not None:
+                # the growing perceptual index admits the same population:
+                # every quality passer with a payload, fingerprinted and
+                # appended AFTER the batch's classification commits
+                # (membership-monotone, replay-safe — q247's loop, in place)
+                fp = dhash_arrow(
+                    passers.filter(F.col("payload").isNotNull()).select(
+                        F.col("doc_id").alias("media_id"), "payload"
+                    )
+                )
+                if fp.limit(1).count() > 0:
+                    pboot = not _path_exists(
+                        spark, f"{perceptual_index_path}/manifest"
+                    )
+                    build_perceptual_index(
+                        fp,
+                        perceptual_index_path,
+                        mode="overwrite" if pboot else "append",
+                    )
             if semantic_dup_index_path is None:
                 return
             # the growing semantic-dup index admits the same population:
@@ -458,6 +535,7 @@ def make_curation_ingest_batch_fn(
             sem_tau=sem_tau,
             semantic_dup_index_path=semantic_dup_index_path,
             sem_dup_tau=sem_dup_tau,
+            perceptual_index_path=perceptual_index_path,
         )
         verdict.write.mode("overwrite").parquet(batch_dir)
         append_quality_passers()
@@ -478,6 +556,7 @@ def start_curation_ingest_stream(
     sem_tau: float = DEFAULT_SEM_TAU,
     semantic_dup_index_path: str | None = None,
     sem_dup_tau: float = DEFAULT_SEM_DUP_TAU,
+    perceptual_index_path: str | None = None,
     trigger_available_now: bool = True,
 ):
     """Wire the ingest body into a checkpointed foreachBatch stream
@@ -494,6 +573,7 @@ def start_curation_ingest_stream(
                 sem_tau=sem_tau,
                 semantic_dup_index_path=semantic_dup_index_path,
                 sem_dup_tau=sem_dup_tau,
+                perceptual_index_path=perceptual_index_path,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -257,6 +257,70 @@ def test_replay_path_schema_gate_matches_first_run(spark, tmp_path):
         ingest(b0.drop("embedding"), 0)  # replay with drifted schema
 
 
+def test_perceptual_dup_stage_grows_with_batches_and_subsets_q247(spark, tmp_path):
+    """Growing perceptual index stage: batch 0 probes an empty index
+    (flags nothing), later batches flag docs whose payload dHash sits
+    within ham of a PRIOR batch's quality passer, and — because the
+    ingest admits only quality passers, a subset of q247's
+    everyone-index — every ingest 'perceptual_dup' doc must also be
+    flagged by q247 under the same batching. A batch without a payload
+    column is refused on first run AND on replay."""
+    import pytest
+
+    from flink_mingo_tail_spark.operators.multimodal import (
+        synthesize_media_variants,
+    )
+
+    tmp = str(tmp_path)
+    d = _docs(spark)
+    media = synthesize_media_variants(d).select(
+        F.col("media_id").alias("doc_id"), "payload"
+    )
+    docs = d.join(media, "doc_id")
+    eval_path = f"{tmp}/eval_grams"
+    build_eval_gram_set(d, eval_path)
+
+    bad = make_curation_ingest_batch_fn(
+        f"{tmp}/index0", eval_path, f"{tmp}/out0",
+        perceptual_index_path=f"{tmp}/ph0",
+    )
+    with pytest.raises(ValueError, match="no 'payload' column"):
+        bad(d.limit(5), 0)
+
+    ingest = make_curation_ingest_batch_fn(
+        f"{tmp}/index", eval_path, f"{tmp}/out",
+        perceptual_index_path=f"{tmp}/ph_index",
+    )
+    # batch by doc_id % 3 so planted 5-groups straddle batches — the
+    # q247 batching, which guarantees cross-batch perceptual dups
+    for b in range(3):
+        ingest(docs.filter(F.col("doc_id") % 3 == b), b)
+    got = {
+        r.doc_id: r.reason
+        for r in spark.read.schema(
+            "doc_id long, source string, n_toks long, reason string"
+        )
+        .parquet(*committed_batch_dirs(spark, f"{tmp}/out").values())
+        .collect()
+    }
+    pdup = {i for i, reason in got.items() if reason == "perceptual_dup"}
+    assert pdup, "perceptual-dup stage never fired"
+    assert not any(i % 3 == 0 for i in pdup), "batch 0 probed an empty index"
+    from flink_mingo_tail_spark.queries import load_registry
+
+    q247_hits = {
+        r.media_id
+        for r in load_registry()["q247_perceptual_index_probe"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+        if r.perceptual_hit
+    }
+    assert pdup <= q247_hits, pdup - q247_hits
+    # replay with drifted schema fails the same readable way
+    with pytest.raises(ValueError, match="no 'payload' column"):
+        ingest(docs.filter(F.col("doc_id") % 3 == 0).drop("payload"), 0)
+
+
 def test_semantic_dup_stage_grows_with_batches_and_subsets_q242(spark, tmp_path):
     """Growing-index semantic-dup stage: the index starts empty (batch
     0 flags nothing), later batches flag docs whose embedding sits
