@@ -97,6 +97,7 @@ from pyspark.sql import functions as F
 from flink_mingo_tail_spark.operators.dedup import (
     _read_index_manifest,
     build_dedup_index,
+    compact_dedup_index,
     probe_dedup_index,
     tokens,
     word_shingles,
@@ -104,6 +105,7 @@ from flink_mingo_tail_spark.operators.dedup import (
 from flink_mingo_tail_spark.operators.multimodal import dhash_arrow
 from flink_mingo_tail_spark.operators.perceptual_index import (
     build_perceptual_index,
+    compact_perceptual_index,
     probe_perceptual_index,
 )
 from flink_mingo_tail_spark.operators.quality import quality_reason
@@ -112,6 +114,7 @@ from flink_mingo_tail_spark.operators.semantic_index import (
     DEFAULT_SEM_DUP_TAU,
     DEFAULT_SEM_TAU,
     build_semantic_index,
+    compact_semantic_index,
     probe_semantic_index,
 )
 
@@ -157,6 +160,25 @@ def _manifest_or_none(spark: SparkSession, index_path: str):
     if not _path_exists(spark, f"{index_path}/manifest"):
         return None
     return _read_index_manifest(spark, index_path)
+
+
+def estimated_dup_ratio(spark: SparkSession, table_path: str) -> float:
+    """Cheap index-churn estimate: rows / distinct-rows on ONE shard of
+    a standing-index table — O(index / n_shards) work, not a full scan.
+    Shard 0 is representative by construction: churn comes from
+    replayed/overlapping batch appends, which re-insert the WHOLE
+    batch's keys, and md5 sharding spreads any batch uniformly across
+    shards, so every shard sees the same duplicate multiplicity in
+    expectation. Returns 1.0 for a missing/empty shard (nothing to
+    compact)."""
+    if not _path_exists(spark, table_path):
+        return 1.0
+    shard0 = spark.read.parquet(table_path).filter(F.col("shard") == 0)
+    n = shard0.count()
+    if n == 0:
+        return 1.0
+    d = shard0.distinct().count()
+    return n / d
 
 
 def build_eval_semantic_index(
@@ -436,9 +458,24 @@ def make_curation_ingest_batch_fn(
     semantic_dup_index_path: str | None = None,
     sem_dup_tau: float = DEFAULT_SEM_DUP_TAU,
     perceptual_index_path: str | None = None,
+    auto_compact_ratio: float | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch body, exposed for direct replay testing (the
-    dedup_ingest convention)."""
+    dedup_ingest convention).
+
+    ``auto_compact_ratio`` wires the compaction CADENCE onto the
+    operators q244/q245 provide: after each batch's index appends, the
+    churn is estimated on one sampled shard of the dedup index's
+    content table (``estimated_dup_ratio`` — O(index/n_shards), not a
+    full scan); when rows/distinct reaches the threshold, every wired
+    standing index is compacted before the next batch runs. Between
+    foreachBatch invocations IS the maintenance window the compaction
+    contract asks for — no probe can race the swap because the stream
+    serializes batch bodies. Classification is invariant across an
+    auto-triggered compaction (same key SET before and after — pinned
+    in tests/test_curation_ingest.py); a sensible threshold is
+    1.3–2.0 (compact when a third to half the index is replay churn).
+    """
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -517,10 +554,32 @@ def make_curation_ingest_batch_fn(
                 mode="overwrite" if boot else "append",
             )
 
+        def maybe_compact() -> None:
+            # auto-compaction cadence: one sampled-shard churn estimate
+            # per batch; compact EVERY wired index in the inter-batch
+            # maintenance window when it trips (membership-only key
+            # sets, so verdicts are invariant across the swap)
+            if auto_compact_ratio is None:
+                return
+            if _manifest_or_none(spark, index_path) is None:
+                return  # pre-bootstrap: nothing to estimate or compact
+            if estimated_dup_ratio(spark, f"{index_path}/content") < auto_compact_ratio:
+                return
+            compact_dedup_index(spark, index_path)
+            if semantic_dup_index_path is not None and _path_exists(
+                spark, f"{semantic_dup_index_path}/manifest"
+            ):
+                compact_semantic_index(spark, semantic_dup_index_path)
+            if perceptual_index_path is not None and _path_exists(
+                spark, f"{perceptual_index_path}/manifest"
+            ):
+                compact_perceptual_index(spark, perceptual_index_path)
+
         if _path_exists(spark, f"{batch_dir}/_SUCCESS"):
             # replay of a committed batch: the saved verdicts are
             # authoritative; only the (idempotent) index append is redone
             append_quality_passers()
+            maybe_compact()
             return
         eval_grams = spark.read.parquet(eval_grams_path)
         prior = prior_budget_totals(spark, output_path, before_batch=batch_id)
@@ -539,6 +598,7 @@ def make_curation_ingest_batch_fn(
         )
         verdict.write.mode("overwrite").parquet(batch_dir)
         append_quality_passers()
+        maybe_compact()
 
     return ingest
 

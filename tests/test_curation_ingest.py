@@ -224,6 +224,53 @@ def test_semantic_stage_flags_match_q224_and_requires_embeddings(spark, tmp_path
             assert doc_id not in sem_hits, doc_id
 
 
+def test_auto_compaction_cadence_fires_and_preserves_classification(spark, tmp_path):
+    """auto_compact_ratio wires q244's compaction operator onto the
+    ingest loop: a replayed batch churns the index (verbatim re-append),
+    the sampled-shard dup-ratio estimate trips the threshold, compaction
+    runs in the inter-batch window — and the classification of every
+    batch (including ones AFTER the mid-ingest compaction) is identical
+    to the no-knob run."""
+    from flink_mingo_tail_spark.streaming.curation_ingest import (
+        estimated_dup_ratio,
+    )
+
+    batches = _batches(spark, n=3)
+
+    def drive(tmp, **kw):
+        eval_path = f"{tmp}/eval_grams"
+        build_eval_gram_set(_docs(spark), eval_path)
+        ingest = make_curation_ingest_batch_fn(
+            f"{tmp}/index", eval_path, f"{tmp}/out", **kw
+        )
+        for b, df in batches:
+            ingest(df, b)
+            if b == 1:
+                ingest(df, 1)  # committed replay: pure index churn
+        return {
+            r.doc_id: r.reason
+            for r in spark.read.schema(
+                "doc_id long, source string, n_toks long, reason string"
+            )
+            .parquet(*committed_batch_dirs(spark, f"{tmp}/out").values())
+            .collect()
+        }
+
+    plain = drive(str(tmp_path / "plain"))
+    compacted = drive(str(tmp_path / "auto"), auto_compact_ratio=1.05)
+    assert plain == compacted  # classification invariance
+
+    # the churned run really has duplicate index rows; the auto run ends
+    # smaller because the mid-ingest compaction fired (batch 2's append
+    # may legitimately re-insert shared band keys, so compare sizes
+    # rather than demanding rows == distinct at the end)
+    def content_rows(tmp):
+        return spark.read.parquet(f"{tmp_path}/{tmp}/index/content").count()
+
+    assert estimated_dup_ratio(spark, f"{tmp_path}/plain/index/content") > 1.05
+    assert content_rows("auto") < content_rows("plain")
+
+
 def test_replay_path_schema_gate_matches_first_run(spark, tmp_path):
     """The replay short-circuit skips classify_batch, but a schema
     drift (embedding column gone) must surface the SAME readable
