@@ -79,7 +79,26 @@ _MODULES = (
 # The driver's CORRECTNESS pass checks a bounded prefix of the declared
 # registry (every round so far recorded exactly the first 50 entries).
 #
-# ROTATION, round 12 — steady-state policy, 50 slots:
+# ROTATION, round 13 — steady-state policy, 50 slots:
+#   (a) round-13 newcomers, no driver row yet: q247 (perceptual
+#       standing-index probe — the round-12 verdict's #1 item), q248
+#       (curation ingest with the perceptual-dup stage live);
+#   (b) changed-code re-proofs: q244 (compaction swap gained entry-time
+#       crash recovery; oracle now interpolates DEFAULT_N_TABLES —
+#       ADVICE items 1+3), q240/q242/q245 (operators/semantic_index
+#       gained the DEFAULT_N_TABLES constant — default value unchanged,
+#       re-proof by the q221 precedent), q225/q228 (_PH_BANDS/_PH_HAM
+#       now alias operators/perceptual_index's constants — values
+#       unchanged), q234/q241/q246 (classify_batch gained the
+#       default-off perceptual stage + the ingest body gained the
+#       replay schema gate and the default-off auto_compact_ratio
+#       knob — ADVICE item 2);
+#   (c) round-7 drain completes — the last 12 names (q177-q189);
+#       after this round no green row predates round 8;
+#   (d) round-8 cohort refresh, ascending query order (first 27 of 45;
+#       the prefix-50 cut leaves q130+ for round 14).
+#
+# ROTATION, round 12 (historical) — steady-state policy, 50 slots:
 #   (a) new round-12 queries with NO driver row yet (front-load-new-first
 #       precedence) — filled as they land;
 #   (b) changed-code re-proofs: q239 (top-token-share term rewritten from
@@ -127,69 +146,21 @@ _MODULES = (
 #       round-7 refresh lead round 12 (freshness debt traded for driver
 #       rows on every new operator, front-load-new-first precedence).
 _NEEDS_DRIVER_ROW = (
-    # (a) round-12 newcomers, no driver row yet — inserted here as they
+    # (a) round-13 newcomers, no driver row yet — inserted here as they
     #     land (front-load-new-first precedence).
-    "q240_semantic_index_probe",
-    "q241_semantic_streaming_curation",
-    "q242_incremental_semdedup",
-    "q243_contamination_attribution",
+    "q247_perceptual_index_probe",
+    "q248_perceptual_streaming_curation",
+    # (b) changed-code re-proofs (details in the round-13 block above)
     "q244_index_compaction",
+    "q240_semantic_index_probe",
+    "q242_incremental_semdedup",
     "q245_lsh_occupancy_audit",
-    "q246_full_curation_ingest",
-    # (b) changed-code re-proofs
-    "q239_quality_signals",
-    "q193_hashed_linear_scorer",
-    # q224's oracle now interpolates the shared _SEM_ORACLE_CTES block
-    # (verified byte-identical SQL; fn untouched) — re-proof by the
-    # q221 precedent
-    "q224_semantic_decontaminate",
-    # curation_verdict gained the persist_stage_boundary knob (default
-    # off; parity test pins both modes identical) — q226/q227 re-proof;
-    # classify_batch gained the optional semantic stage (default off) —
-    # q234 re-proof
-    "q226_curation_pipeline",
-    "q227_curation_report",
+    "q225_perceptual_hash_near_dup",
+    "q228_perceptual_dup_components",
     "q234_streaming_curation",
-    # (c) round-6 drain completes — 3 names
-    "q168_incremental_agg_maintenance",
-    "q169_mode_gini_profile",
-    "q170_semdedup_prune",
-    # (d) round-7 cohort refresh — 46 names, ascending query order;
-    #     the prefix-50 cut leaves the tail for round 13
-    "q79_knn_ivf",
-    "q90_tumbling_window",
-    "q91_sliding_window",
-    "q92_session_window",
-    "q93_windowed_topk_users",
-    "q95_multimodal_features",
-    "q100_inverted_index",
-    "q101_top_trigrams",
-    "q102_source_stats",
-    "q103_length_histogram",
-    "q105_batch_sessionize",
-    "q105_pack_sequences",
-    "q106_cohort_retention",
-    "q106_split_assign",
-    "q107_chunk_documents",
-    "q107_gap_fill_daily",
-    "q108_column_profile",
-    "q109_mixture_reweight",
-    "q110_pareto_frontier",
-    "q111_fuzzy_name_join",
-    "q112_zorder_layout",
-    "q113_scalar_py_udf",
-    "q115_dedup_within_watermark",
-    "q116_interval_join_clicks_purchases",
-    "q153_heavy_hitters",
-    "q154_set_similarity_join",
-    "q154b_set_similarity_tau07",
-    "q155_linear_interpolate",
-    "q158_ohlc_bars",
-    "q172_repeated_span_dedup",
-    "q173_pivot_report",
-    "q174_group_ols",
-    "q175_charlm_nll",
-    "q176_mixture_resample",
+    "q241_semantic_streaming_curation",
+    "q246_full_curation_ingest",
+    # (c) round-7 drain completes — the last 12 names
     "q177_readability",
     "q178_bpe_merge_pairs",
     "q179_auc_mann_whitney",
@@ -202,6 +173,35 @@ _NEEDS_DRIVER_ROW = (
     "q187_calibration_ece",
     "q188_bpe_train_rounds",
     "q189_drift_windows",
+    # (d) round-8 cohort refresh — first 27 of 45, ascending query
+    #     order; the prefix-50 cut leaves q130+ for round 14
+    "q02_filter_project_topk",
+    "q03_isnull_in_between",
+    "q09_correlated_agg_subquery",
+    "q10_inner_join_agg",
+    "q12_left_outer_join",
+    "q13_right_full_outer",
+    "q14_semi_join",
+    "q15_anti_join",
+    "q16_cross_theta_join",
+    "q17_range_join",
+    "q21_rollup",
+    "q22_cube",
+    "q23_grouping_sets",
+    "q24_dedup_batch",
+    "q78_knn_lsh",
+    "q104_centroid_assign",
+    "q114_watermark_late_drop",
+    "q119_minhash_jaccard_estimate",
+    "q120_pii_redaction",
+    "q121_bm25_scoring",
+    "q122_mad_outlier",
+    "q123_salted_skew_join",
+    "q124_snapshot_diff",
+    "q126_token_cooccurrence",
+    "q127_pagerank_trade_graph",
+    "q128_bfs_reach",
+    "q129_token_length_entropy",
 )
 
 
