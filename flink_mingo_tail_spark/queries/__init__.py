@@ -82,7 +82,8 @@ _MODULES = (
 # ROTATION, round 13 — steady-state policy, 50 slots:
 #   (a) round-13 newcomers, no driver row yet: q247 (perceptual
 #       standing-index probe — the round-12 verdict's #1 item), q248
-#       (curation ingest with the perceptual-dup stage live);
+#       (curation ingest with the perceptual-dup stage live), q249
+#       (perceptual occupancy audit off the persisted band table);
 #   (b) changed-code re-proofs: q244 (compaction swap gained entry-time
 #       crash recovery; oracle now interpolates DEFAULT_N_TABLES —
 #       ADVICE items 1+3), q240/q242/q245 (operators/semantic_index
@@ -95,8 +96,8 @@ _MODULES = (
 #       knob — ADVICE item 2);
 #   (c) round-7 drain completes — the last 12 names (q177-q189);
 #       after this round no green row predates round 8;
-#   (d) round-8 cohort refresh, ascending query order (first 27 of 45;
-#       the prefix-50 cut leaves q130+ for round 14).
+#   (d) round-8 cohort refresh, ascending query order (first 26 of 45;
+#       the prefix-50 cut leaves q129+ for round 14).
 #
 # ROTATION, round 12 (historical) — steady-state policy, 50 slots:
 #   (a) new round-12 queries with NO driver row yet (front-load-new-first
@@ -150,6 +151,7 @@ _NEEDS_DRIVER_ROW = (
     #     land (front-load-new-first precedence).
     "q247_perceptual_index_probe",
     "q248_perceptual_streaming_curation",
+    "q249_perceptual_occupancy_audit",
     # (b) changed-code re-proofs (details in the round-13 block above)
     "q244_index_compaction",
     "q240_semantic_index_probe",
@@ -173,8 +175,8 @@ _NEEDS_DRIVER_ROW = (
     "q187_calibration_ece",
     "q188_bpe_train_rounds",
     "q189_drift_windows",
-    # (d) round-8 cohort refresh — first 27 of 45, ascending query
-    #     order; the prefix-50 cut leaves q130+ for round 14
+    # (d) round-8 cohort refresh — first 26 of 45, ascending query
+    #     order; the prefix-50 cut leaves q129+ for round 14
     "q02_filter_project_topk",
     "q03_isnull_in_between",
     "q09_correlated_agg_subquery",
@@ -201,7 +203,6 @@ _NEEDS_DRIVER_ROW = (
     "q126_token_cooccurrence",
     "q127_pagerank_trade_graph",
     "q128_bfs_reach",
-    "q129_token_length_entropy",
 )
 
 

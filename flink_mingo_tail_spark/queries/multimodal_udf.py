@@ -652,3 +652,72 @@ def q247_perceptual_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "media_id long, perceptual_hit boolean"
     ).orderBy("media_id")
+
+
+@query(
+    "q249_perceptual_occupancy_audit",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id AS media_id, {_PH_SQL_PAYLOAD} AS h
+        FROM documents
+    ), dh AS (
+        SELECT media_id,
+               CAST(sum(CASE WHEN ascii(substr(h, j, 1)) > ascii(substr(h, j + 1, 1))
+                             THEN CAST(1 AS BIGINT) << (j - 1) ELSE 0 END)
+                    AS BIGINT) AS ph
+        FROM m CROSS JOIN unnest(range(1, {DHASH_BITS + 1})) AS t(j)
+        GROUP BY media_id
+    ), bands AS (
+        SELECT media_id, u.band, (ph >> (8 * u.band)) & 255 AS bits
+        FROM dh, unnest(range(0, {_PH_BANDS})) AS u(band)
+    ), occ AS (
+        SELECT band, bits, CAST(count(*) AS BIGINT) AS n
+        FROM bands GROUP BY band, bits
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(n) AS BIGINT) AS max_occ,
+           CAST(round(CAST(sum(n) AS DOUBLE) * 1000 / count(*)) AS BIGINT)
+             AS mean_occ_milli,
+           CAST(sum(n * n) AS BIGINT) AS sum_sq
+    FROM occ GROUP BY band ORDER BY band
+    """,
+)
+def q249_perceptual_occupancy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q245's occupancy measurement applied to the PERCEPTUAL index —
+    run off the PERSISTED band table (operators/perceptual_index.
+    audit_perceptual_index: one narrow scan of {{path}}/bands, no
+    re-hashing): per band position, live (bits) bucket count, max/mean
+    occupancy (milli grid) and Σn², the candidate-pair mass the band
+    equi-join materializes. This is the number that decides when the
+    q212 rule fires (widen the hash / the bands when a bucket crowds);
+    at 8-bit bands occupancy is corpus/256 per band in expectation, and
+    the planted variant groups concentrate mass measurably above it.
+
+    The driver row builds the index in scratch over the full media
+    corpus and audits it; the oracle replays payload → dHash → band
+    explosion → the same two-level rollup entirely in SQL. Scratch
+    bounded + deleted (q204 policy). Scale shape: the audit is one
+    count shuffle bounded by live buckets (≤ n_bands·2^band_bits rows)
+    + an n_bands-row rollup — runnable between ingest batches."""
+    import shutil
+    import tempfile
+
+    from flink_mingo_tail_spark.operators.perceptual_index import (
+        audit_perceptual_index,
+        build_perceptual_index,
+    )
+
+    media = synthesize_media_variants(
+        _t(spark, sf_dir, "documents"), group_size=_PH_GROUP
+    )
+    tmp = tempfile.mkdtemp(prefix="fmts-phaudit-q249-")
+    try:
+        path = f"{tmp}/ph_index"
+        build_perceptual_index(dhash_arrow(media), path)
+        rows = audit_perceptual_index(spark, path).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "band int, n_buckets long, max_occ long, mean_occ_milli long, sum_sq long"
+    ).orderBy("band")
