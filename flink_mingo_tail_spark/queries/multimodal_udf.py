@@ -721,3 +721,109 @@ def q249_perceptual_occupancy_audit(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame(
         rows, "band int, n_buckets long, max_occ long, mean_occ_milli long, sum_sq long"
     ).orderBy("band")
+
+
+# ---------------------------------------------------------------------------
+# q250 — cross-modal dup agreement (text LSH vs perceptual hash)
+# ---------------------------------------------------------------------------
+
+
+def _modality_agreement_oracle() -> str:
+    from flink_mingo_tail_spark.queries.dedup import (
+        _SQL_SIG,
+        MINHASH_K,
+        ROWS_PER_BAND,
+    )
+    from flink_mingo_tail_spark.operators.dedup import sql_lsh_band_keys
+
+    tbands = sql_lsh_band_keys("sig", ROWS_PER_BAND, MINHASH_K)
+    return f"""
+    WITH {_PH_CORE_SQL},
+    sigs AS (
+        SELECT doc_id, {_SQL_SIG} AS sig FROM documents
+    ), tbanded AS (
+        SELECT doc_id, unnest({tbands}) AS band FROM sigs
+    ), band_rep AS (
+        SELECT band, min(doc_id) AS rep FROM tbanded GROUP BY band
+    ), td AS (
+        SELECT b.doc_id FROM tbanded b JOIN band_rep r ON b.band = r.band
+        GROUP BY b.doc_id HAVING min(r.rep) < b.doc_id
+    ), pd AS (
+        SELECT DISTINCT media_b AS doc_id FROM pairs
+    )
+    SELECT td.doc_id IS NOT NULL AS text_dup,
+           pd.doc_id IS NOT NULL AS perceptual_dup,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d
+    LEFT JOIN td ON td.doc_id = d.doc_id
+    LEFT JOIN pd ON pd.doc_id = d.doc_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@query("q250_modality_dup_agreement", oracle=_modality_agreement_oracle())
+def q250_modality_dup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup AGREEMENT matrix — the QA view that tells a
+    curation pipeline whether its modalities are redundant or
+    complementary: per document, (a) the TEXT near-dup flag under
+    q73's MinHash-LSH representative election (an earlier doc shares a
+    band) and (b) the PERCEPTUAL near-dup flag under q225's dHash rule
+    (an earlier media payload within Hamming {_PH_HAM}) — both
+    'earlier-witness' semantics, so the two flags are directly
+    comparable — rolled up to the 2×2 (text_dup, perceptual_dup)
+    contingency counts. A large text-only cell means payload variants
+    carry rewritten text; a large perceptual-only cell means the text
+    pipeline misses media-level duplication — each asymmetry is a
+    concrete reason the composed ingest (q248) runs BOTH stages.
+
+    Scale shape: one corpus pass per modality (MinHash signatures /
+    Arrow dHash), two band-key shuffles bounded by live buckets, a
+    4-cell rollup; no pair list is materialized on the text side (the
+    q73 election shape) and the perceptual pair frame is band-bounded.
+    """
+    from pyspark.sql import Window
+
+    from flink_mingo_tail_spark.operators.dedup import (
+        lsh_band_keys,
+        minhash_from_hashes,
+        shingle_hashes,
+        tokens,
+    )
+    from flink_mingo_tail_spark.queries.dedup import MINHASH_K, ROWS_PER_BAND
+
+    d = _t(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", shingle_hashes(F.array_distinct(tokens(F.col("text")))).alias("hs")
+    )
+    banded = hashed.select(
+        "doc_id",
+        F.explode(
+            lsh_band_keys(minhash_from_hashes(F.col("hs"), MINHASH_K), ROWS_PER_BAND, MINHASH_K)
+        ).alias("band"),
+    )
+    w = Window.partitionBy("band")
+    td = (
+        banded.withColumn("rep", F.min("doc_id").over(w))
+        .groupBy("doc_id")
+        .agg(F.min("rep").alias("rep"))
+        .filter(F.col("rep") < F.col("doc_id"))
+        .select("doc_id")
+        .withColumn("__td", F.lit(True))
+    )
+    pd_flag = (
+        perceptual_near_dup_pairs(spark, sf_dir)
+        .select(F.col("media_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__pd", F.lit(True))
+    )
+    return (
+        d.select("doc_id")
+        .join(td, "doc_id", "left")
+        .join(pd_flag, "doc_id", "left")
+        .groupBy(
+            F.coalesce(F.col("__td"), F.lit(False)).alias("text_dup"),
+            F.coalesce(F.col("__pd"), F.lit(False)).alias("perceptual_dup"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("text_dup", "perceptual_dup")
+    )
