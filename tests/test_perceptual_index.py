@@ -161,6 +161,24 @@ def test_cross_family_manifest_read_is_rejected(spark, tmp_path):
         compact_perceptual_index(spark, ded_path)
 
 
+def test_probe_plan_is_band_equi_join_not_cartesian(spark, tmp_path):
+    """Plan contract: candidates come from an equi-join on
+    (shard, band, bits) with the popcount confirm as a filter — never a
+    cartesian / nested-loop over fingerprints; with broadcast_side=
+    'probe' the bounded batch broadcasts (the streaming direction)."""
+    fp = _fingerprints(spark, limit=120)
+    idx_side = fp.filter(F.col("media_id") % 3 != 1)
+    probes = fp.filter(F.col("media_id") % 3 == 1)
+    path = f"{tmp_path}/phidx"
+    build_perceptual_index(idx_side, path)
+    df = probe_perceptual_index(probes, path, broadcast_side="probe")
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan and "bits" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_batch_of_one_matches_q225_classification(spark):
     """Driving media through the standing index ONE AT A TIME in id
     order (probe before append) must flag exactly the media that appear

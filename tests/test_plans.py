@@ -644,6 +644,17 @@ def test_perceptual_near_dup_plan_shape(spark):
     assert "MapInArrow" in p or "ArrowEvalPython" in p or "mapInArrow" in p.lower()
 
 
+def test_modality_agreement_plan_shape(spark):
+    """q250 (round 13): both modality flags must come from banded
+    equi-joins/windows — no cartesian, no nested-loop; the text side
+    uses the q73 election shape (no pair list), the perceptual side
+    q225's (band, bits) candidates."""
+    p = plan_of(spark, "q250_modality_dup_agreement")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "band" in p and "bits" in p
+
+
 def test_curation_pipeline_plan_shape(spark):
     """q226: ONE lazy plan, no cartesian, broadcast semi-join for the
     gram probe — and the scan count stays at the restructured bound.
