@@ -1952,3 +1952,94 @@ def q235_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q251 — semantic standing-index RECALL eval (round 13)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q251_semantic_index_recall",
+    oracle=f"""
+    WITH {_SEM_ORACLE_CTES},
+    dense AS (
+        SELECT DISTINCT co.ci
+        FROM co CROSS JOIN ev
+        WHERE round({SQL_COSINE.format(a="co.cv", b="ev.evv")}, 6)
+              >= CAST({_SEM_TAU} AS DOUBLE)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM co) AS n_probes,
+           (SELECT CAST(count(*) AS BIGINT) FROM dense) AS dense_hits,
+           (SELECT CAST(count(*) AS BIGINT) FROM sem) AS index_hits,
+           (SELECT CAST(count(*) AS BIGINT) FROM dense) -
+             (SELECT CAST(count(*) AS BIGINT) FROM sem) AS missed,
+           CASE WHEN (SELECT count(*) FROM dense) > 0 THEN
+             CAST(round((SELECT count(*) FROM sem) * 1000000.0
+                        / (SELECT count(*) FROM dense)) AS BIGINT)
+           END AS recall_micro
+    """,
+)
+def q251_semantic_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL of the persisted semantic standing index's Hamming-1
+    multi-probe against the DENSE cosine ground truth — q218's
+    blocking-quality eval (measure, don't guess) applied to the
+    embedding modality's index: flagging is monotone in the candidate
+    set, so index hits are a true SUBSET of the dense answer (precision
+    1.0 by construction — q224's argument) and recall is THE number
+    that validates an (n_tables, n_bits) config before trusting the
+    index at a new corpus size. Reported as one summary row: probe
+    count, dense hits, index hits, missed, recall in micro units.
+
+    Spark side: the dense truth is the q76 contract (bounded eval side
+    broadcast against one corpus scan — never a corpus self-join); the
+    index side builds the expanded eval index in scratch and probes the
+    corpus through operators/semantic_index's real probe path (the
+    exact code q240/q241 run). Oracle: the shared _SEM_ORACLE_CTES
+    election (index side) + a bounded cross join (dense side).
+
+    Scale shape: dense truth costs |corpus| x |eval| broadcast rows —
+    affordable exactly because the eval slice is benchmark-sized, which
+    is what makes this an EVAL operator rather than a production path;
+    the index side stays occupancy-bounded. Scratch deleted before
+    returning (q204 policy)."""
+    import shutil
+    import tempfile
+
+    from flink_mingo_tail_spark.operators.semantic_index import (
+        build_semantic_index,
+        probe_semantic_index,
+    )
+
+    e = _emb(spark, sf_dir)
+    ev = e.filter(F.col("vec_id") % _EVAL_MOD == 0)
+    co = e.filter(F.col("vec_id") % _EVAL_MOD != 0)
+    dense_hits = (
+        co.alias("c")
+        .join(
+            F.broadcast(ev.select(F.col("embedding").alias("evv"))),
+            rounded_cosine(F.col("c.embedding"), F.col("evv")) >= F.lit(_SEM_TAU),
+        )
+        .select("c.vec_id")
+        .distinct()
+        .count()
+    )
+    tmp = tempfile.mkdtemp(prefix="fmts-semrecall-q251-")
+    try:
+        path = f"{tmp}/eval_index"
+        build_semantic_index(ev, path, expanded=True)
+        index_hits = (
+            probe_semantic_index(co, path, tau=_SEM_TAU, broadcast_side="index")
+            .filter(F.col("semantic_hit"))
+            .count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    n_probes = co.count()
+    recall = (
+        int(round(index_hits * 1_000_000.0 / dense_hits)) if dense_hits else None
+    )
+    return spark.createDataFrame(
+        [(n_probes, dense_hits, index_hits, dense_hits - index_hits, recall)],
+        "n_probes long, dense_hits long, index_hits long, missed long, recall_micro long",
+    )
