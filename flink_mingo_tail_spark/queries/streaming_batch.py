@@ -1101,15 +1101,23 @@ def q248_perceptual_streaming_curation(spark: SparkSession, sf_dir: str) -> Data
 
 
 def _full_curation_oracle() -> str:
-    """q241's oracle plus the GROWING-index semantic-dup stage: quality
-    passers' embeddings index into per-batch sign-LSH buckets (plain
-    keys — the standing index's expanded=False direction), each batch's
-    probes fan Hamming-1 on its own side, and a doc is 'semantic_dup'
-    when a STRICTLY EARLIER batch's quality passer sits within the
-    q170/q242 tau. The sem (static eval) election and the planes CTE
-    are the shared _SEM_ORACLE_CTES spelling; the dup stages keep
-    q234's batch-granular b' < b semantics."""
+    """q241's oracle plus the GROWING-index semantic-dup stage AND
+    (round 13) the GROWING perceptual-dup stage: quality passers'
+    embeddings index into per-batch sign-LSH buckets (plain keys — the
+    standing index's expanded=False direction), each batch's probes fan
+    Hamming-1 on its own side, and a doc is 'semantic_dup' when a
+    STRICTLY EARLIER batch's quality passer sits within the q170/q242
+    tau; passers' payloads replay byte-exactly and a doc is
+    'perceptual_dup' when an earlier batch's passer sits within dHash
+    Hamming ham (the pure dense rule — q247's pigeonhole argument).
+    The sem (static eval) election and the planes CTE are the shared
+    _SEM_ORACLE_CTES spelling; the dup stages keep q234's
+    batch-granular b' < b semantics over q248's interleaved % batching
+    (DIV batching aligns every planted payload group inside one batch
+    and the perceptual stage could never fire)."""
     from flink_mingo_tail_spark.operators.dedup import sql_lsh_band_keys
+    from flink_mingo_tail_spark.operators.multimodal import DHASH_BITS
+    from flink_mingo_tail_spark.operators.perceptual_index import DEFAULT_PH_HAM
     from flink_mingo_tail_spark.operators.semantic_index import DEFAULT_SEM_DUP_TAU
     from flink_mingo_tail_spark.operators.similarity import SQL_COSINE
     from flink_mingo_tail_spark.queries.dedup import (
@@ -1117,6 +1125,7 @@ def _full_curation_oracle() -> str:
         _SQL_SIG,
         MINHASH_K,
     )
+    from flink_mingo_tail_spark.queries.multimodal_udf import _PH_SQL_PAYLOAD
     from flink_mingo_tail_spark.queries.similarity import (
         _LSH_N_BITS,
         _SEM_ORACLE_CTES,
@@ -1133,7 +1142,7 @@ def _full_curation_oracle() -> str:
     d AS (
         SELECT doc_id, source, lang, n_chars, text,
                string_split(text, ' ') AS t,
-               doc_id // {_ING_BATCH_W} AS b
+               doc_id % {_PH_ING_BATCHES} AS b
         FROM documents
     ), s1 AS (
         SELECT *,
@@ -1187,6 +1196,20 @@ def _full_curation_oracle() -> str:
                       JOIN qe ey ON ey.doc_id = c.y
         WHERE round({SQL_COSINE.format(a="ex.v", b="ey.v")}, 6)
               >= CAST({DEFAULT_SEM_DUP_TAU} AS DOUBLE)
+    ), pm AS (
+        -- quality passers' payload replay (q248's perceptual admission)
+        SELECT doc_id, b, {_PH_SQL_PAYLOAD} AS h FROM qp
+    ), phf AS (
+        SELECT doc_id, b,
+               CAST(sum(CASE WHEN ascii(substr(h, j, 1)) > ascii(substr(h, j + 1, 1))
+                             THEN CAST(1 AS BIGINT) << (j - 1) ELSE 0 END)
+                    AS BIGINT) AS fp
+        FROM pm CROSS JOIN unnest(range(1, {DHASH_BITS + 1})) AS t(j)
+        GROUP BY doc_id, b
+    ), pd AS (
+        SELECT DISTINCT x.doc_id
+        FROM phf x JOIN phf y ON y.b < x.b
+        WHERE bit_count(xor(x.fp, y.fp)) <= {DEFAULT_PH_HAM}
     ), grams AS (
         SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
@@ -1201,6 +1224,7 @@ def _full_curation_oracle() -> str:
         SELECT q.* FROM qp q
         WHERE q.doc_id NOT IN (SELECT doc_id FROM ex)
           AND q.doc_id NOT IN (SELECT doc_id FROM nd)
+          AND q.doc_id NOT IN (SELECT doc_id FROM pd)
           AND q.doc_id NOT IN (SELECT doc_id FROM sd)
           AND q.doc_id NOT IN (SELECT doc_id FROM cont)
           AND q.doc_id NOT IN (SELECT ci FROM sem)
@@ -1218,6 +1242,7 @@ def _full_curation_oracle() -> str:
            coalesce(s1.r1,
                     CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup' END,
                     CASE WHEN nd.doc_id IS NOT NULL THEN 'near_dup' END,
+                    CASE WHEN pdj.doc_id IS NOT NULL THEN 'perceptual_dup' END,
                     CASE WHEN sdj.doc_id IS NOT NULL THEN 'semantic_dup' END,
                     CASE WHEN ct.doc_id IS NOT NULL THEN 'contaminated' END,
                     CASE WHEN sm.ci IS NOT NULL THEN 'contaminated_semantic' END,
@@ -1226,6 +1251,7 @@ def _full_curation_oracle() -> str:
     FROM s1
     LEFT JOIN ex ON ex.doc_id = s1.doc_id
     LEFT JOIN nd ON nd.doc_id = s1.doc_id
+    LEFT JOIN pd pdj ON pdj.doc_id = s1.doc_id
     LEFT JOIN sd sdj ON sdj.doc_id = s1.doc_id
     LEFT JOIN cont ct ON ct.doc_id = s1.doc_id
     LEFT JOIN sem sm ON sm.ci = s1.doc_id
@@ -1239,26 +1265,34 @@ def q246_full_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE streaming curation pipeline — every stage the
     engine owns, live in one checkpointable foreachBatch body: quality
     gate, standing content-hash + MinHash-band dup probes, the GROWING
-    sign-LSH semantic-dup index (q242's direction — probe as of batch
-    start, append quality passers after commit), static 4-gram AND
-    semantic eval decontamination (q241's stage), and the cross-batch
-    per-source budget cut. q234 proved the text spine, q241 the static
-    semantic stage; this row proves the full composition, reason
-    precedence r1 → exact_dup → near_dup → semantic_dup → contaminated
-    → contaminated_semantic → over_budget → kept.
+    perceptual dHash band index (q247/q248's direction, round 13), the
+    GROWING sign-LSH semantic-dup index (q242's direction — probe as
+    of batch start, append quality passers after commit), static
+    4-gram AND semantic eval decontamination (q241's stage), and the
+    cross-batch per-source budget cut. q234 proved the text spine,
+    q241 the static semantic stage, q248 the perceptual stage; this
+    row proves the full composition, reason precedence r1 → exact_dup
+    → near_dup → perceptual_dup → semantic_dup → contaminated →
+    contaminated_semantic → over_budget → kept, over q248's
+    interleaved doc_id % {_PH_ING_BATCHES} arrival batches (planted
+    payload groups must straddle batches or the perceptual stage is
+    degenerate — see _PH_ING_BATCHES).
 
-    The oracle replays all of it batch-granularly: text and semantic
-    dup stages join b' < b (arrival order), both decontamination
-    elections are batch-invariant (static eval side — the shared
-    _SEM_ORACLE_CTES spelling), and the budget prefix runs in
-    (batch, quality) order. Per batch the engine does O(batch) hash
-    keys, four membership/candidate joins against standing state
-    (each with its bounded side broadcast), and two bounded appends —
-    no stage re-reads the corpus. Scratch bounded + deleted (q204
+    The oracle replays all of it batch-granularly: text, perceptual
+    and semantic dup stages join b' < b (arrival order), both
+    decontamination elections are batch-invariant (static eval side —
+    the shared _SEM_ORACLE_CTES spelling), and the budget prefix runs
+    in (batch, quality) order. Per batch the engine does O(batch) hash
+    keys, five membership/candidate joins against standing state
+    (each with its bounded side broadcast), and three bounded appends
+    — no stage re-reads the corpus. Scratch bounded + deleted (q204
     policy)."""
     import shutil
     import tempfile
 
+    from flink_mingo_tail_spark.operators.multimodal import (
+        synthesize_media_variants,
+    )
     from flink_mingo_tail_spark.streaming.curation_ingest import (
         build_eval_gram_set,
         build_eval_semantic_index,
@@ -1271,7 +1305,10 @@ def q246_full_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id"),
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
-    docs = d.join(e, d.doc_id == e.vec_id, "left").drop("vec_id")
+    media = synthesize_media_variants(d).select(
+        F.col("media_id").alias("doc_id"), "payload"
+    )
+    docs = d.join(e, d.doc_id == e.vec_id, "left").drop("vec_id").join(media, "doc_id")
     tmp = tempfile.mkdtemp(prefix="fmts-curation-ingest-q246-")
     try:
         eval_grams_path = f"{tmp}/eval_grams"
@@ -1284,21 +1321,18 @@ def q246_full_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{tmp}/out",
             semantic_index_path=sem_index_path,
             semantic_dup_index_path=f"{tmp}/semdup_index",
+            perceptual_index_path=f"{tmp}/ph_index",
         )
-        batch_ids = sorted(
-            r[0]
-            for r in d.select(
-                F.expr(f"doc_id DIV {_ING_BATCH_W}").alias("b")
-            ).distinct().collect()
-        )
+        batch_ids = list(range(_PH_ING_BATCHES))
         for b in batch_ids:
-            ingest(docs.filter(F.expr(f"doc_id DIV {_ING_BATCH_W}") == b), int(b))
+            ingest(docs.filter(F.col("doc_id") % _PH_ING_BATCHES == b), b)
         rows = (
             spark.read.schema("doc_id long, source string, n_toks long, reason string")
             .option("basePath", f"{tmp}/out")
             .parquet(*[f"{tmp}/out/ingest_batch={b}" for b in batch_ids])
             .withColumn(
-                "ingest_batch", F.expr(f"doc_id DIV {_ING_BATCH_W}").cast("long")
+                "ingest_batch",
+                F.pmod(F.col("doc_id"), F.lit(_PH_ING_BATCHES)).cast("long"),
             )
             .collect()
         )
