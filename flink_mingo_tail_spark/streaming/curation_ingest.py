@@ -457,11 +457,23 @@ def make_curation_ingest_batch_fn(
     sem_tau: float = DEFAULT_SEM_TAU,
     semantic_dup_index_path: str | None = None,
     sem_dup_tau: float = DEFAULT_SEM_DUP_TAU,
+    sem_dup_n_bits: int | None = 6,
     perceptual_index_path: str | None = None,
     auto_compact_ratio: float | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch body, exposed for direct replay testing (the
     dedup_ingest convention).
+
+    ``sem_dup_n_bits`` is the growing semantic-dup index's bucket width
+    at BOOTSTRAP (later appends inherit the manifest width). The
+    default 6 is the q242/q246 oracle spelling (_LSH_N_BITS); a
+    PRODUCTION ingest should pass ``None`` to auto-size from the first
+    batch's embedded-passer count via the codified occupancy rule
+    (operators/similarity.auto_n_bits) — at fixed width 6 a
+    10^5-row-per-trigger stream packs ~n/64 vectors per bucket per
+    table and the probe's candidate mass goes quadratic (measured:
+    the round-13 batch-size amortization probe stalled exactly here
+    before this knob existed; SCALE.md round-13).
 
     ``auto_compact_ratio`` wires the compaction CADENCE onto the
     operators q244/q245 provide: after each batch's index appends, the
@@ -550,6 +562,10 @@ def make_curation_ingest_batch_fn(
                 emb,
                 semantic_dup_index_path,
                 id_col="doc_id",
+                # bootstrap resolves the width (None = auto-size from
+                # THIS batch's count); appends inherit the manifest's
+                # resolved width — build_semantic_index's contract
+                n_bits=sem_dup_n_bits if boot else None,
                 expanded=False,
                 mode="overwrite" if boot else "append",
             )
@@ -616,6 +632,7 @@ def start_curation_ingest_stream(
     sem_tau: float = DEFAULT_SEM_TAU,
     semantic_dup_index_path: str | None = None,
     sem_dup_tau: float = DEFAULT_SEM_DUP_TAU,
+    sem_dup_n_bits: int | None = 6,
     perceptual_index_path: str | None = None,
     trigger_available_now: bool = True,
 ):
@@ -633,6 +650,7 @@ def start_curation_ingest_stream(
                 sem_tau=sem_tau,
                 semantic_dup_index_path=semantic_dup_index_path,
                 sem_dup_tau=sem_dup_tau,
+                sem_dup_n_bits=sem_dup_n_bits,
                 perceptual_index_path=perceptual_index_path,
             )
         )

@@ -321,6 +321,19 @@ PROBES = [
     # their per-batch costs are recorded in SCALE.md round-12.
     "q243_contamination_attribution",
     "q245_lsh_occupancy_audit",
+    # round 13 — q250: two corpus passes (MinHash sigs / Arrow dHash) +
+    # band-bounded shuffles + a 4-cell rollup; copies densify band
+    # buckets like q237, so the text-side window partitions are the
+    # growth term. q251: the dense ground-truth join is |corpus| x
+    # |eval| BY DESIGN (an eval operator — both sides grow with copies,
+    # so expect ~N^2; the index side stays occupancy-bounded). q249:
+    # one Arrow hash pass + live-bucket-bounded count shuffle + 4-row
+    # rollup (the flat q245 shape). q247/q248 are NOT probed: index
+    # builds / ingest simulations with per-batch scratch commits (the
+    # q204/q234 policy) — per-batch costs in SCALE.md round-13.
+    "q249_perceptual_occupancy_audit",
+    "q250_modality_dup_agreement",
+    "q251_semantic_index_recall",
 ]
 
 

@@ -224,6 +224,56 @@ def test_semantic_stage_flags_match_q224_and_requires_embeddings(spark, tmp_path
             assert doc_id not in sem_hits, doc_id
 
 
+def test_sem_dup_index_bootstrap_width_knob(spark, tmp_path):
+    """sem_dup_n_bits=None auto-sizes the growing semantic-dup index's
+    bucket width from the FIRST batch's embedded-passer count (the
+    auto_n_bits occupancy rule) and later appends inherit the manifest
+    width; the default (6) stays the oracle spelling."""
+    from flink_mingo_tail_spark.operators.dedup import _read_index_manifest
+    from flink_mingo_tail_spark.operators.semantic_index import (
+        _SEM_MANIFEST_SCHEMA,
+    )
+    from flink_mingo_tail_spark.operators.similarity import auto_n_bits
+
+    tmp = str(tmp_path)
+    d = _docs(spark)
+    e = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    eval_path = f"{tmp}/eval_grams"
+    build_eval_gram_set(d, eval_path)
+    docs = d.join(e, d.doc_id == e.vec_id, "left").drop("vec_id")
+
+    for label, knob in (("auto", None), ("pinned", 6)):
+        idx = f"{tmp}/semdup_{label}"
+        ingest = make_curation_ingest_batch_fn(
+            f"{tmp}/index_{label}", eval_path, f"{tmp}/out_{label}",
+            semantic_dup_index_path=idx, sem_dup_n_bits=knob,
+        )
+        b0 = docs.filter(F.expr("doc_id DIV 100") == 0)
+        ingest(b0, 0)
+        # the admitted population: batch-0 quality passers with embeddings
+        from flink_mingo_tail_spark.operators.quality import quality_reason
+        from flink_mingo_tail_spark.operators.dedup import tokens as _toks
+
+        n0 = (
+            b0.filter(
+                quality_reason(
+                    F.col("doc_id"), _toks(F.col("text")), F.col("lang"), 100
+                ).isNull()
+            )
+            .filter(F.col("embedding").isNotNull())
+            .count()
+        )
+        manifest = _read_index_manifest(spark, idx, _SEM_MANIFEST_SCHEMA)
+        want = auto_n_bits(n0) if knob is None else knob
+        assert manifest["n_bits"] == want, (label, n0, manifest)
+        # append inherits the resolved width (no re-resolve on growth)
+        ingest(docs.filter(F.expr("doc_id DIV 100") == 1), 1)
+        after = _read_index_manifest(spark, idx, _SEM_MANIFEST_SCHEMA)
+        assert after["n_bits"] == want, (label, after)
+
+
 def test_auto_compaction_cadence_fires_and_preserves_classification(spark, tmp_path):
     """auto_compact_ratio wires q244's compaction operator onto the
     ingest loop: a replayed batch churns the index (verbatim re-append),
