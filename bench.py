@@ -219,16 +219,16 @@ HEADLINE = [
     # id-shifted copy corpus multiplies BOTH sides of the eval-candidate
     # join, so scored-candidate mass grows quadratically by construction
     # (9.1/12.8/56.7 s at 1x/10x/25x — accounting in SCALE.md).
-    # round 13 — q249: flat 6.7/6.8/7.2 s at 1x/10x/25x (one Arrow hash
-    # pass + live-bucket-bounded count shuffle + 4-row rollup, q245's
-    # shape on the perceptual modality). q250: flat 2.2/2.4/2.9 s (two
-    # corpus passes + band-bounded shuffles + 4-cell rollup). q251 is
-    # probe-only BY DESIGN: its dense ground-truth join is
+    # round 13 — q250: flat 2.2/2.4/2.9 s at 1x/10x/25x (two corpus
+    # passes + band-bounded shuffles + 4-cell rollup). q249 is
+    # probe-only under q204's scratch-write-bound exclusion (it builds
+    # the persisted band index before auditing it — flat 6.7/6.8/7.2 s,
+    # but the wall is the build's write + job chain, not the audit);
+    # q251 is probe-only BY DESIGN: its dense ground-truth join is
     # |corpus| x |eval| (an eval operator — 11.6/17.1/67.2 s at
     # 1x/10x/25x, both sides grow with copies); q247/q248 are
     # probe-only under the q240/q241 scratch-index-commit policy
     # (per-batch walls in SCALE.md round-13).
-    "q249_perceptual_occupancy_audit",
     "q250_modality_dup_agreement",
     # q245: flat 3.4/3.2/3.4 s at 1x/10x/25x — live-bucket-bounded count
     # shuffle + 8-row rollup; bench citizen.
