@@ -230,6 +230,9 @@ HEADLINE = [
     # probe-only under the q240/q241 scratch-index-commit policy
     # (per-batch walls in SCALE.md round-13).
     "q250_modality_dup_agreement",
+    # q252: flat 1.9/1.7/2.1 s at 1x/10x/25x — one index-key pass, a
+    # kilobyte bloom broadcast, a probe-bounded groupBy.
+    "q252_bloom_membership_audit",
     # q245: flat 3.4/3.2/3.4 s at 1x/10x/25x — live-bucket-bounded count
     # shuffle + 8-row rollup; bench citizen.
     "q245_lsh_occupancy_audit",

@@ -412,6 +412,91 @@ def probe_dedup_index(
 
 
 # ---------------------------------------------------------------------------
+# Bloom membership sketch (round 13)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS_PER_KEY = 4  # m = next power of two >= 4n (~13% FP at k=3)
+BLOOM_K = 3             # ~optimal for 4 bits/key (m/n * ln 2 ≈ 2.8)
+_BLOOM_SLOT_BITS = 32   # 32-bit slots in BIGINTs: shifts stay positive
+                        # and two's-complement-free in BOTH engines
+
+
+def bloom_m_bits(n_keys: int, bits_per_key: int = BLOOM_BITS_PER_KEY) -> int:
+    """Auto-sized Bloom width: the smallest power of two holding
+    ``bits_per_key`` bits per key — the auto_n_bits discipline applied
+    to membership sketching (constant expected FP rate as the corpus
+    grows, from one count). Integer-exact and replayable in SQL as
+    ``1 << length(bin(bits_per_key * n - 1))``."""
+    if n_keys <= 0:
+        raise ValueError(f"n_keys must be positive, got {n_keys}")
+    return 1 << (bits_per_key * n_keys - 1).bit_length()
+
+
+def bloom_bits(keys: DataFrame, key_col: str, m_bits: int, k: int = BLOOM_K) -> DataFrame:
+    """(slot, bits) — the Bloom bit array of a key frame, built in ONE
+    distributed pass: k salted md5-long bit positions per key, OR-folded
+    into 32-bit slots by a bounded groupBy (≤ m_bits/32 rows — kilobytes,
+    broadcastable). This is the 100 TB membership shape: the standing
+    EXACT-dedup state compresses to a fixed-size frame that ships to
+    every executor, so probe batches test membership with NO shuffle of
+    the index side at all; the price is a measured false-positive rate
+    (q252's audit), and the classic two-tier answer is bloom-prefilter →
+    exact semi-join confirm on the (few) bloom-positive survivors."""
+    idx = F.explode(
+        F.array(*[
+            F.pmod(salted_md5_long(F.col(key_col), j), F.lit(m_bits))
+            for j in range(k)
+        ])
+    ).alias("idx")
+    return (
+        keys.select(idx)
+        .select(
+            (F.col("idx") / _BLOOM_SLOT_BITS).cast("int").alias("slot"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), idx % {_BLOOM_SLOT_BITS})").alias("mask"),
+        )
+        .groupBy("slot")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom: DataFrame,
+    *,
+    id_col: str,
+    key_col: str,
+    m_bits: int,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """(id_col, bloom_hit) — True iff ALL k bit positions of the probe
+    key are set: k (slot, mask) rows per probe joined against the
+    broadcast bloom frame, folded with bool_and. A missing slot is a
+    definite miss (left join null)."""
+    rows = probes.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.pmod(salted_md5_long(F.col(key_col), j), F.lit(m_bits))
+                for j in range(k)
+            ])
+        ).alias("idx"),
+    ).select(
+        id_col,
+        (F.col("idx") / _BLOOM_SLOT_BITS).cast("int").alias("slot"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), idx % {_BLOOM_SLOT_BITS})").alias("mask"),
+    )
+    return (
+        rows.join(F.broadcast(bloom), "slot", "left")
+        .groupBy(id_col)
+        .agg(
+            F.expr("bool_and(bits IS NOT NULL AND (bits & mask) = mask)").alias(
+                "bloom_hit"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Standing-index compaction (round 12)
 # ---------------------------------------------------------------------------
 

@@ -85,7 +85,8 @@ _MODULES = (
 #       (curation ingest with the perceptual-dup stage live), q249
 #       (perceptual occupancy audit off the persisted band table), q250
 #       (cross-modal text-vs-perceptual dup agreement matrix), q251
-#       (semantic standing-index recall vs the dense ground truth);
+#       (semantic standing-index recall vs the dense ground truth),
+#       q252 (Bloom membership sketch + measured FP audit);
 #   (b) changed-code re-proofs: q244 (compaction swap gained entry-time
 #       crash recovery; oracle now interpolates DEFAULT_N_TABLES —
 #       ADVICE items 1+3), q240/q242/q245 (operators/semantic_index
@@ -98,8 +99,8 @@ _MODULES = (
 #       knob — ADVICE item 2);
 #   (c) round-7 drain completes — the last 12 names (q177-q189);
 #       after this round no green row predates round 8;
-#   (d) round-8 cohort refresh, ascending query order (first 24 of 45;
-#       the prefix-50 cut leaves q127+ for round 14).
+#   (d) round-8 cohort refresh, ascending query order (first 23 of 45;
+#       the prefix-50 cut leaves q126+ for round 14).
 #
 # ROTATION, round 12 (historical) — steady-state policy, 50 slots:
 #   (a) new round-12 queries with NO driver row yet (front-load-new-first
@@ -156,6 +157,7 @@ _NEEDS_DRIVER_ROW = (
     "q249_perceptual_occupancy_audit",
     "q250_modality_dup_agreement",
     "q251_semantic_index_recall",
+    "q252_bloom_membership_audit",
     # (b) changed-code re-proofs (details in the round-13 block above)
     "q244_index_compaction",
     "q240_semantic_index_probe",
@@ -179,8 +181,8 @@ _NEEDS_DRIVER_ROW = (
     "q187_calibration_ece",
     "q188_bpe_train_rounds",
     "q189_drift_windows",
-    # (d) round-8 cohort refresh — first 24 of 45, ascending query
-    #     order; the prefix-50 cut leaves q127+ for round 14
+    # (d) round-8 cohort refresh — first 23 of 45, ascending query
+    #     order; the prefix-50 cut leaves q126+ for round 14
     "q02_filter_project_topk",
     "q03_isnull_in_between",
     "q09_correlated_agg_subquery",
@@ -204,7 +206,6 @@ _NEEDS_DRIVER_ROW = (
     "q122_mad_outlier",
     "q123_salted_skew_join",
     "q124_snapshot_diff",
-    "q126_token_cooccurrence",
 )
 
 

@@ -2206,3 +2206,134 @@ def q244_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(t, int(b), int(a)) for t, (b, a) in sorted(stats.items())],
         "tbl string, rows_before long, rows_after long",
     ).orderBy("tbl")
+
+
+# ---------------------------------------------------------------------------
+# q252 — Bloom membership audit (round 13)
+# ---------------------------------------------------------------------------
+
+from flink_mingo_tail_spark.operators.dedup import (  # noqa: E402
+    BLOOM_BITS_PER_KEY,
+    BLOOM_K,
+    bloom_bits,
+    bloom_m_bits,
+    bloom_probe,
+)
+
+
+def _bloom_oracle() -> str:
+    hashes = [sql_md5_long("ch", salt=j) for j in range(BLOOM_K)]
+    idx_union = "\n        UNION ALL ".join(
+        f"SELECT ch, ({h}) % (SELECT m FROM mm) AS idx FROM ik" for h in hashes
+    )
+    probe_union = "\n        UNION ALL ".join(
+        f"SELECT doc_id, ({h}) % (SELECT m FROM mm) AS idx FROM pr" for h in hashes
+    )
+    return f"""
+    WITH ik AS (
+        SELECT DISTINCT md5(text) AS ch FROM documents WHERE doc_id % 10 <> 7
+    ), mm AS (
+        SELECT CAST(1 AS BIGINT) << length(bin({BLOOM_BITS_PER_KEY} * count(*) - 1)) AS m
+        FROM ik
+    ), irows AS (
+        {idx_union}
+    ), ibits AS (
+        SELECT CAST(idx // 32 AS INT) AS slot,
+               bit_or(CAST(1 AS BIGINT) << CAST(idx % 32 AS INT)) AS bits
+        FROM irows GROUP BY 1
+    ), pr AS (
+        -- the incoming slice, plus replayed index members re-keyed the
+        -- q120 injection way: the fixture has no cross-slice exact text
+        -- dup below sf0.1, so true membership hits are planted
+        -- deterministically (doc_id % 20 = 0 docs re-arriving)
+        SELECT doc_id, md5(text) AS ch FROM documents WHERE doc_id % 10 = 7
+        UNION ALL
+        SELECT doc_id + 1000000, md5(text) FROM documents
+        WHERE doc_id % 20 = 0 AND doc_id % 10 <> 7
+    ), prows AS (
+        {probe_union}
+    ), pj AS (
+        SELECT doc_id, CAST(idx // 32 AS INT) AS slot,
+               CAST(1 AS BIGINT) << CAST(idx % 32 AS INT) AS mask
+        FROM prows
+    ), bh AS (
+        SELECT doc_id,
+               bool_and(b.bits IS NOT NULL AND (b.bits & pj.mask) = pj.mask)
+                 AS bloom_hit
+        FROM pj LEFT JOIN ibits b ON b.slot = pj.slot
+        GROUP BY doc_id
+    ), eh AS (
+        SELECT DISTINCT p.doc_id FROM pr p JOIN ik ON ik.ch = p.ch
+    )
+    SELECT bh.doc_id AS doc_id, bh.bloom_hit AS bloom_hit,
+           eh.doc_id IS NOT NULL AS exact_hit,
+           bh.bloom_hit AND eh.doc_id IS NULL AS false_positive
+    FROM bh LEFT JOIN eh ON eh.doc_id = bh.doc_id
+    ORDER BY bh.doc_id
+    """
+
+
+@query("q252_bloom_membership_audit", oracle=_bloom_oracle())
+def q252_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter MEMBERSHIP sketch for the exact-dedup state, with
+    its false-positive rate measured against the exact answer — the
+    broadcastable tier below the standing content-hash index: the
+    whole index compresses to ≤ m/32 (slot, bits) rows (kilobytes at
+    any corpus size under the auto-width rule), so a probe batch tests
+    membership with NO shuffle of the index side; bloom-positive
+    survivors then confirm against the exact table, cutting the
+    semi-join's probe side to hit-rate x batch. The sketch is
+    DETERMINISTIC and engine-portable: k={BLOOM_K} salted md5-long bit
+    positions per key, 32-bit slots OR-folded by a bounded groupBy,
+    m auto-sized to the next power of two holding {BLOOM_BITS_PER_KEY}
+    bits/key (bloom_m_bits — the auto_n_bits discipline, constant
+    expected FP as the corpus grows; replayed in SQL as
+    1 << length(bin(4n-1))). The q117 convention: index side is
+    doc_id % 10 != 7, probes are the incoming slice.
+
+    Output per probe doc: bloom verdict, exact verdict, and the
+    false-positive flag (bloom-hit while exact-miss) — bloom misses
+    are NEVER false negatives (a Bloom filter has none), pinned by the
+    oracle row-for-row. Scale shape: one pass over index keys (3 int
+    positions each) + a ≤ m/32-row broadcast + a probe-bounded
+    groupBy; nothing index-sized ever moves. Ref parity: the quorum
+    state-hygiene discipline (SURVEY §2A A6) applied to membership
+    sketching; no reference twin."""
+    d = _t(spark, sf_dir, "documents")
+    ik = (
+        d.filter(F.col("doc_id") % 10 != 7)
+        .select(F.md5(F.col("text")).alias("ch"))
+        .distinct()
+    )
+    m_bits = bloom_m_bits(ik.count())
+    bloom = bloom_bits(ik, "ch", m_bits)
+    # incoming slice + deterministically replayed index members (the
+    # fixture has no cross-slice exact text dup below sf0.1 — q120's
+    # injection pattern plants true membership hits)
+    pr = (
+        d.filter(F.col("doc_id") % 10 == 7)
+        .select("doc_id", F.md5(F.col("text")).alias("ch"))
+        .unionByName(
+            d.filter((F.col("doc_id") % 20 == 0) & (F.col("doc_id") % 10 != 7))
+            .select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.md5(F.col("text")).alias("ch"),
+            )
+        )
+    )
+    bh = bloom_probe(pr, bloom, id_col="doc_id", key_col="ch", m_bits=m_bits)
+    eh = (
+        pr.join(ik, "ch", "left_semi")
+        .select("doc_id")
+        .withColumn("__e", F.lit(True))
+    )
+    return (
+        bh.join(eh, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce(F.col("__e"), F.lit(False)).alias("exact_hit"),
+            (F.col("bloom_hit") & F.col("__e").isNull()).alias("false_positive"),
+        )
+        .orderBy("doc_id")
+    )

@@ -334,6 +334,10 @@ PROBES = [
     "q249_perceptual_occupancy_audit",
     "q250_modality_dup_agreement",
     "q251_semantic_index_recall",
+    # q252: one index-key pass (3 int positions/key) + a <= m/32-row
+    # broadcast + a probe-bounded groupBy; m grows with n (auto width)
+    # so the bloom frame stays kilobytes and growth is scan-linear.
+    "q252_bloom_membership_audit",
 ]
 
 
