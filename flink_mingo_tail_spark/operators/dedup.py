@@ -496,16 +496,105 @@ def bloom_probe(
     )
 
 
+_BLOOM_MANIFEST_SCHEMA = "m_bits int, k int"
+
+
+def build_bloom_index(
+    keys: DataFrame,
+    path: str,
+    *,
+    key_col: str,
+    m_bits: int | None = None,
+    k: int = BLOOM_K,
+    mode: str = "overwrite",
+) -> None:
+    """Persist (or ``mode='append'`` OR-merge into) a standing Bloom
+    membership index: ``{path}/bits`` (≤ m_bits/32 slot rows — kilobytes
+    at any corpus size) + a one-row ``{path}/manifest`` (m_bits, k).
+
+    The incremental form the other standing indexes cannot match:
+    appends never grow the table (bitwise OR into a FIXED-size array —
+    zero churn, nothing to compact) and replaying a batch is exactly
+    idempotent (OR is idempotent). The cost is one-way-ness: keys can
+    never be removed, and the FP rate drifts up as members accumulate
+    past the width's design load — re-widening is a rebuild, detected
+    by comparing the manifest width to bloom_m_bits(current members).
+    ``m_bits=None`` auto-sizes from the build frame's count
+    (bloom_m_bits); appends inherit the manifest width and refuse an
+    explicit mismatch. Probe parameters always come from the manifest
+    (the standing-index family rule)."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
+    spark = keys.sparkSession
+    if mode == "append":
+        existing = _read_index_manifest(spark, path, _BLOOM_MANIFEST_SCHEMA)
+        if existing is None:
+            raise ValueError(
+                f"cannot append to {path!r}: no manifest found "
+                "(build with mode='overwrite' first)"
+            )
+        if m_bits is None:
+            m_bits = existing["m_bits"]
+        if {"m_bits": m_bits, "k": k} != existing:
+            raise ValueError(
+                f"bloom index at {path!r} was built with {existing}, "
+                f"refusing to append with {{'m_bits': {m_bits}, 'k': {k}}}"
+            )
+        new_bits = bloom_bits(keys, key_col, m_bits, k)
+        _swap_rewrite(
+            spark,
+            f"{path}/bits",
+            lambda df: df.unionByName(new_bits)
+            .groupBy("slot")
+            .agg(F.expr("bit_or(bits)").alias("bits")),
+            None,
+        )
+        return
+    if m_bits is None:
+        m_bits = bloom_m_bits(keys.count())
+    bloom_bits(keys, key_col, m_bits, k).write.mode("overwrite").parquet(
+        f"{path}/bits"
+    )
+    spark.createDataFrame([(m_bits, k)], _BLOOM_MANIFEST_SCHEMA).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/manifest")
+
+
+def probe_bloom_index(
+    probes: DataFrame, path: str, *, id_col: str, key_col: str
+) -> DataFrame:
+    """(id_col, bloom_hit) against the PERSISTED bloom index —
+    parameters from the manifest, the bit frame broadcast (≤ m/32
+    rows). The zero-shuffle membership tier: a probe batch never
+    touches index-sized data. No false negatives; bloom-positive
+    survivors confirm against the exact standing index
+    (probe_dedup_index) when precision matters."""
+    spark = probes.sparkSession
+    manifest = _read_index_manifest(spark, path, _BLOOM_MANIFEST_SCHEMA)
+    if manifest is None:
+        raise ValueError(f"no bloom index manifest at {path!r}")
+    return bloom_probe(
+        probes,
+        spark.read.parquet(f"{path}/bits"),
+        id_col=id_col,
+        key_col=key_col,
+        m_bits=manifest["m_bits"],
+        k=manifest["k"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Standing-index compaction (round 12)
 # ---------------------------------------------------------------------------
 
-def _swap_rewrite_distinct(
-    spark, path: str, partition_col: str | None
+def _swap_rewrite(
+    spark, path: str, transform, partition_col: str | None
 ) -> tuple[int, int]:
-    """Rewrite a standing-index table as its DISTINCT rows via a
-    tmp-sibling swap — Spark cannot overwrite a parquet directory it is
-    reading. Swap order is rename-aside → rename-in → delete-old (NOT
+    """Rewrite a standing-index table as ``transform(current_rows)``
+    via a tmp-sibling swap — Spark cannot overwrite a parquet directory
+    it is reading. ``transform`` is a pure DataFrame→DataFrame function
+    (DISTINCT for compaction; a union + bit_or re-aggregate for the
+    Bloom OR-merge). Swap order is rename-aside → rename-in → delete-old (NOT
     delete-then-rename), so a crash never loses the canonical data:
     every failure mode leaves either the original (recoverable by
     re-running) or the compacted table in place, and the old data
@@ -541,7 +630,7 @@ def _swap_rewrite_distinct(
             )
     before_df = spark.read.parquet(path)
     rows_before = before_df.count()
-    compacted = before_df.distinct()
+    compacted = transform(before_df)
     tmp = f"{path}.compact.tmp"
     writer = compacted.write.mode("overwrite")
     if partition_col is not None:
@@ -564,6 +653,14 @@ def _swap_rewrite_distinct(
     if not fs.delete(old, True):
         raise IOError(f"compaction: could not delete {path}.compact.old")
     return rows_before, spark.read.parquet(path).count()
+
+
+def _swap_rewrite_distinct(
+    spark, path: str, partition_col: str | None
+) -> tuple[int, int]:
+    """Compaction's transform: rewrite as the DISTINCT row set (the
+    membership-only append contract's churn remover)."""
+    return _swap_rewrite(spark, path, lambda df: df.distinct(), partition_col)
 
 
 def compact_dedup_index(spark, path: str) -> dict[str, tuple[int, int]]:

@@ -2337,3 +2337,112 @@ def q252_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q253 — persisted incremental Bloom index (probe-then-merge, round 13)
+# ---------------------------------------------------------------------------
+
+from flink_mingo_tail_spark.operators.dedup import (  # noqa: E402
+    build_bloom_index,
+    probe_bloom_index,
+)
+
+_BLOOM_ING_BATCHES = 3  # simulated arrival batches (doc_id % 3)
+
+
+def _bloom_index_oracle() -> str:
+    hashes = [sql_md5_long("ch", salt=j) for j in range(BLOOM_K)]
+    pos_union = "\n        UNION ALL ".join(
+        f"SELECT doc_id, b, ({h}) % (SELECT m FROM mm) AS idx FROM d" for h in hashes
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, doc_id % {_BLOOM_ING_BATCHES} AS b, md5(text) AS ch
+        FROM documents
+    ), n0 AS (
+        SELECT count(DISTINCT ch) AS n FROM d WHERE b = 0
+    ), mm AS (
+        SELECT CAST(1 AS BIGINT) << length(bin({BLOOM_BITS_PER_KEY} * n - 1)) AS m
+        FROM n0
+    ), pos AS (
+        {pos_union}
+    ), firstb AS (
+        SELECT idx, min(b) AS fb FROM pos GROUP BY idx
+    ), hit AS (
+        SELECT p.doc_id
+        FROM pos p JOIN firstb f ON f.idx = p.idx
+        GROUP BY p.doc_id
+        HAVING bool_and(f.fb < p.b)
+    )
+    SELECT dd.doc_id AS doc_id, h.doc_id IS NOT NULL AS bloom_hit
+    FROM (SELECT DISTINCT doc_id FROM d) dd
+    LEFT JOIN hit h ON h.doc_id = dd.doc_id
+    ORDER BY dd.doc_id
+    """
+
+
+@query("q253_bloom_index_incremental", oracle=_bloom_index_oracle())
+def q253_bloom_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED incremental form of q252's Bloom membership sketch
+    — the standing-index family's zero-churn tier: documents arrive in
+    {_BLOOM_ING_BATCHES} batches (doc_id % {_BLOOM_ING_BATCHES}); each
+    batch probes the stored ≤ m/32-row bit frame AS OF BATCH START
+    (broadcast — no index-sized data moves, q247's loop at kilobyte
+    state), then OR-merges its own keys in via the crash-safe swap
+    (operators/dedup.build_bloom_index mode='append'). Unlike the
+    hash/band/bucket indexes, appends never grow the table (bitwise OR
+    into a fixed array) and a replayed batch is exactly idempotent (OR
+    is idempotent) — there is nothing to compact, ever. The trade: the
+    FP rate drifts up past the width's design load, detected by
+    comparing the manifest width to bloom_m_bits(members) — and a
+    bloom hit is a CANDIDATE (q252's measured FP rate), confirmed
+    against the exact index when precision matters.
+
+    The oracle replays the bit array itself: every key's k salted
+    md5-long positions, first-setting batch per position, hit iff ALL
+    the probe's positions were set by a STRICTLY EARLIER batch — so
+    even the false positives match row-for-row (the sketch is
+    deterministic and engine-portable). Width auto-sizes from batch
+    0's distinct-key count and the manifest pins it thereafter.
+
+    Scale shape: per batch, k int positions per key, one kilobyte
+    broadcast join, one bounded OR-merge rewrite. Ref parity: the
+    reference's standing-state discipline (SURVEY §2A A6/A7) at the
+    cheapest possible state representation; no reference twin."""
+    import shutil
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(_BLOOM_ING_BATCHES)).alias("b"),
+        F.md5(F.col("text")).alias("ch"),
+    )
+    tmp = tempfile.mkdtemp(prefix="fmts-bloomidx-q253-")
+    rows: list[tuple[int, bool]] = []
+    try:
+        path = f"{tmp}/bloom_index"
+        for b in range(_BLOOM_ING_BATCHES):
+            batch = d.filter(F.col("b") == b)
+            if b == 0:
+                rows.extend(
+                    (r.doc_id, False) for r in batch.select("doc_id").collect()
+                )
+                build_bloom_index(
+                    batch.select("ch").distinct(), path, key_col="ch"
+                )
+            else:
+                rows.extend(
+                    (r.doc_id, r.bloom_hit)
+                    for r in probe_bloom_index(
+                        batch, path, id_col="doc_id", key_col="ch"
+                    ).collect()
+                )
+                build_bloom_index(
+                    batch.select("ch"), path, key_col="ch", mode="append"
+                )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, bloom_hit boolean"
+    ).orderBy("doc_id")
