@@ -233,6 +233,9 @@ HEADLINE = [
     # q252: flat 1.9/1.7/2.1 s at 1x/10x/25x — one index-key pass, a
     # kilobyte bloom broadcast, a probe-bounded groupBy.
     "q252_bloom_membership_audit",
+    # q254: flat 3.2/3.5/3.7 s at 1x/10x/25x — q252's pass + a kilobyte
+    # bit_count aggregate; the bloom tier's measurement loop.
+    "q254_bloom_load_audit",
     # q245: flat 3.4/3.2/3.4 s at 1x/10x/25x — live-bucket-bounded count
     # shuffle + 8-row rollup; bench citizen.
     "q245_lsh_occupancy_audit",

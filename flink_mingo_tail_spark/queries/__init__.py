@@ -87,7 +87,8 @@ _MODULES = (
 #       (cross-modal text-vs-perceptual dup agreement matrix), q251
 #       (semantic standing-index recall vs the dense ground truth),
 #       q252 (Bloom membership sketch + measured FP audit), q253 (the
-#       persisted incremental Bloom index, probe-then-OR-merge);
+#       persisted incremental Bloom index, probe-then-OR-merge), q254
+#       (Bloom load audit: fill ratio, predicted vs measured FP);
 #   (b) changed-code re-proofs: q244 (compaction swap gained entry-time
 #       crash recovery; oracle now interpolates DEFAULT_N_TABLES —
 #       ADVICE items 1+3), q240/q242/q245 (operators/semantic_index
@@ -100,8 +101,8 @@ _MODULES = (
 #       knob — ADVICE item 2);
 #   (c) round-7 drain completes — the last 12 names (q177-q189);
 #       after this round no green row predates round 8;
-#   (d) round-8 cohort refresh, ascending query order (first 22 of 45;
-#       the prefix-50 cut leaves q124+ for round 14).
+#   (d) round-8 cohort refresh, ascending query order (first 21 of 45;
+#       the prefix-50 cut leaves q123+ for round 14).
 #
 # ROTATION, round 12 (historical) — steady-state policy, 50 slots:
 #   (a) new round-12 queries with NO driver row yet (front-load-new-first
@@ -160,6 +161,7 @@ _NEEDS_DRIVER_ROW = (
     "q251_semantic_index_recall",
     "q252_bloom_membership_audit",
     "q253_bloom_index_incremental",
+    "q254_bloom_load_audit",
     # (b) changed-code re-proofs (details in the round-13 block above)
     "q244_index_compaction",
     "q240_semantic_index_probe",
@@ -183,8 +185,8 @@ _NEEDS_DRIVER_ROW = (
     "q187_calibration_ece",
     "q188_bpe_train_rounds",
     "q189_drift_windows",
-    # (d) round-8 cohort refresh — first 22 of 45, ascending query
-    #     order; the prefix-50 cut leaves q124+ for round 14
+    # (d) round-8 cohort refresh — first 21 of 45, ascending query
+    #     order; the prefix-50 cut leaves q123+ for round 14
     "q02_filter_project_topk",
     "q03_isnull_in_between",
     "q09_correlated_agg_subquery",
@@ -206,7 +208,6 @@ _NEEDS_DRIVER_ROW = (
     "q120_pii_redaction",
     "q121_bm25_scoring",
     "q122_mad_outlier",
-    "q123_salted_skew_join",
 )
 
 

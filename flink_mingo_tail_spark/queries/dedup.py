@@ -2446,3 +2446,124 @@ def q253_bloom_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "doc_id long, bloom_hit boolean"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q254 — Bloom LOAD audit: realized fill vs predicted vs measured FP
+# ---------------------------------------------------------------------------
+
+
+def _bloom_load_oracle() -> str:
+    hashes = [sql_md5_long("ch", salt=j) for j in range(BLOOM_K)]
+    idx_union = "\n        UNION ALL ".join(
+        f"SELECT ({h}) % (SELECT m FROM mm) AS idx FROM ik" for h in hashes
+    )
+    probe_union = "\n        UNION ALL ".join(
+        f"SELECT doc_id, ({h}) % (SELECT m FROM mm) AS idx FROM npr" for h in hashes
+    )
+    return f"""
+    WITH ik AS (
+        SELECT DISTINCT md5(text) AS ch FROM documents WHERE doc_id % 10 <> 7
+    ), mm AS (
+        SELECT CAST(1 AS BIGINT) << length(bin({BLOOM_BITS_PER_KEY} * count(*) - 1)) AS m
+        FROM ik
+    ), irows AS (
+        {idx_union}
+    ), ibits AS (
+        SELECT CAST(idx // 32 AS INT) AS slot,
+               bit_or(CAST(1 AS BIGINT) << CAST(idx % 32 AS INT)) AS bits
+        FROM irows GROUP BY 1
+    ), load AS (
+        SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS n_set FROM ibits
+    ), npr AS (
+        -- non-member probes: the incoming slice minus any exact member
+        SELECT doc_id, md5(text) AS ch FROM documents
+        WHERE doc_id % 10 = 7
+          AND md5(text) NOT IN (SELECT ch FROM ik)
+    ), prows AS (
+        {probe_union}
+    ), pj AS (
+        SELECT doc_id, CAST(idx // 32 AS INT) AS slot,
+               CAST(1 AS BIGINT) << CAST(idx % 32 AS INT) AS mask
+        FROM prows
+    ), bh AS (
+        SELECT doc_id,
+               bool_and(b.bits IS NOT NULL AND (b.bits & pj.mask) = pj.mask) AS hit
+        FROM pj LEFT JOIN ibits b ON b.slot = pj.slot
+        GROUP BY doc_id
+    )
+    SELECT (SELECT CAST(m AS BIGINT) FROM mm) AS m_bits,
+           CAST({BLOOM_K} AS BIGINT) AS k,
+           (SELECT CAST(count(*) AS BIGINT) FROM ik) AS n_members,
+           (SELECT n_set FROM load) AS n_set_bits,
+           CAST(round((SELECT n_set FROM load) * 1000.0
+                      / (SELECT m FROM mm)) AS BIGINT) AS fill_milli,
+           CAST(round(pow((SELECT n_set FROM load) * 1.0 / (SELECT m FROM mm),
+                          {BLOOM_K}) * 1000000) AS BIGINT) AS predicted_fp_micro,
+           (SELECT CAST(count(*) AS BIGINT) FROM bh) AS n_nonmember_probes,
+           (SELECT CAST(count(*) AS BIGINT) FROM bh WHERE hit) AS nonmember_hits,
+           CAST(round((SELECT count(*) FROM bh WHERE hit) * 1000000.0
+                      / (SELECT count(*) FROM bh)) AS BIGINT) AS measured_fp_micro
+    """
+
+
+@query("q254_bloom_load_audit", oracle=_bloom_load_oracle())
+def q254_bloom_load_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom tier's MEASUREMENT loop (q245/q249's role for the
+    hash-band indexes): one row reporting the sketch's realized state —
+    member count, set-bit count, fill ratio (milli), the
+    fill^k-predicted false-positive rate (micro), and the FP rate
+    actually MEASURED against known non-members. This is the number a
+    production ingest checks between batches to decide when the fixed
+    width has drifted past its design load and the index needs a
+    re-widen rebuild (build_bloom_index's one-way-ness trade) — the
+    auto_n_bits discipline's a-posteriori check, the measure-don't-
+    guess loop the whole index family follows.
+
+    Prediction vs measurement on the fixture: fill ≈ 0.48 at the
+    4-bits/key design load (n=450 keys in m=2048), predicting
+    fill³ ≈ 11% FP; the measured slice sits within sampling noise of
+    it (the oracle pins BOTH numbers bit-exactly — the sketch and the
+    probes are deterministic in either engine).
+
+    Scale shape: one pass over the distinct index keys, a ≤ m/32-row
+    aggregate for the fill, a probe-bounded broadcast join for the
+    measured rate. Everything after the key scan is kilobyte-sized."""
+    d = _t(spark, sf_dir, "documents")
+    ik = (
+        d.filter(F.col("doc_id") % 10 != 7)
+        .select(F.md5(F.col("text")).alias("ch"))
+        .distinct()
+    )
+    n_members = ik.count()
+    m_bits = bloom_m_bits(n_members)
+    bloom = bloom_bits(ik, "ch", m_bits).persist()
+    n_set = int(
+        bloom.agg(F.sum(F.expr("bit_count(bits)")).cast("long")).head()[0]
+    )
+    npr = (
+        d.filter(F.col("doc_id") % 10 == 7)
+        .select("doc_id", F.md5(F.col("text")).alias("ch"))
+        .join(ik, "ch", "left_anti")
+    )
+    bh = bloom_probe(npr, bloom, id_col="doc_id", key_col="ch", m_bits=m_bits)
+    n_probes = bh.count()
+    n_hits = bh.filter(F.col("bloom_hit")).count()
+    bloom.unpersist()
+    fill = n_set / m_bits
+    return spark.createDataFrame(
+        [(
+            m_bits,
+            BLOOM_K,
+            n_members,
+            n_set,
+            int(round(n_set * 1000.0 / m_bits)),
+            int(round(fill**BLOOM_K * 1_000_000)),
+            n_probes,
+            n_hits,
+            int(round(n_hits * 1_000_000.0 / n_probes)),
+        )],
+        "m_bits long, k long, n_members long, n_set_bits long, fill_milli long, "
+        "predicted_fp_micro long, n_nonmember_probes long, nonmember_hits long, "
+        "measured_fp_micro long",
+    )

@@ -338,6 +338,8 @@ PROBES = [
     # broadcast + a probe-bounded groupBy; m grows with n (auto width)
     # so the bloom frame stays kilobytes and growth is scan-linear.
     "q252_bloom_membership_audit",
+    # q254: q252's pass + a <= m/32-row bit_count aggregate — same shape.
+    "q254_bloom_load_audit",
 ]
 
 
