@@ -606,6 +606,21 @@ def _swap_rewrite(
     ``path`` missing with the only copy parked at ``{path}.compact.old``;
     the entry-time recovery below renames it back before reading, so
     re-running after ANY crash point converges (ADVICE round 12).
+
+    When BOTH ``path`` and a parked ``.compact.old`` exist, the parked
+    copy is never assumed obsolete: an ingest loop's APPEND may have
+    recreated ``path`` with only a recent batch's rows while the full
+    canonical set sits parked (round-13 review — deleting the parked
+    copy there would permanently lose membership). Instead the parked
+    rows are UNIONED into the rewrite input, which is correct in every
+    interleaving because these tables are membership/OR-monotone: if
+    the parked copy is obsolete (crash after rename-in, before
+    delete-old) it is row-equivalent to ``path`` and the union is a
+    no-op under the transform; if it is canonical, the union restores
+    it plus whatever appends landed since. The parked directory is
+    deleted only after the merged rewrite is safely written to the tmp
+    sibling.
+
     On non-atomic filesystems a probe
     racing the swap can still observe a brief missing-directory window
     between the two renames — run compaction in a maintenance window;
@@ -615,6 +630,7 @@ def _swap_rewrite(
     jvm_path = jvm(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
     old = jvm(f"{path}.compact.old")
+    old_str = f"{path}.compact.old"
     if not fs.exists(jvm_path):
         # prior run crashed between rename-aside and rename-in: the
         # canonical table is parked at .compact.old — restore it before
@@ -629,6 +645,10 @@ def _swap_rewrite(
                 f"compaction: could not restore {path} from {path}.compact.old"
             )
     before_df = spark.read.parquet(path)
+    if fs.exists(old):
+        # unresolved prior crash with path ALSO present: fold the parked
+        # copy into the rewrite (see docstring — never delete it unread)
+        before_df = before_df.unionByName(spark.read.parquet(old_str))
     rows_before = before_df.count()
     compacted = transform(before_df)
     tmp = f"{path}.compact.tmp"
@@ -636,9 +656,9 @@ def _swap_rewrite(
     if partition_col is not None:
         writer = writer.partitionBy(partition_col)
     writer.parquet(tmp)
-    if fs.exists(old):  # crashed prior run: finish its delete first
+    if fs.exists(old):  # parked copy now folded into tmp: safe to clear
         if not fs.delete(old, True):
-            raise IOError(f"compaction: could not clear stale {path}.compact.old")
+            raise IOError(f"compaction: could not clear merged {path}.compact.old")
     if not fs.rename(jvm_path, old):
         raise IOError(f"compaction: rename-aside failed for {path}")
     if not fs.rename(jvm(tmp), jvm_path):

@@ -2502,8 +2502,10 @@ def _bloom_load_oracle() -> str:
                           {BLOOM_K}) * 1000000) AS BIGINT) AS predicted_fp_micro,
            (SELECT CAST(count(*) AS BIGINT) FROM bh) AS n_nonmember_probes,
            (SELECT CAST(count(*) AS BIGINT) FROM bh WHERE hit) AS nonmember_hits,
-           CAST(round((SELECT count(*) FROM bh WHERE hit) * 1000000.0
-                      / (SELECT count(*) FROM bh)) AS BIGINT) AS measured_fp_micro
+           CASE WHEN (SELECT count(*) FROM bh) > 0 THEN
+             CAST(round((SELECT count(*) FROM bh WHERE hit) * 1000000.0
+                        / (SELECT count(*) FROM bh)) AS BIGINT)
+           END AS measured_fp_micro
     """
 
 
@@ -2547,21 +2549,34 @@ def q254_bloom_load_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ik, "ch", "left_anti")
     )
     bh = bloom_probe(npr, bloom, id_col="doc_id", key_col="ch", m_bits=m_bits)
-    n_probes = bh.count()
-    n_hits = bh.filter(F.col("bloom_hit")).count()
+    # one agg job for both counts (round-13 review)
+    probes_row = bh.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("h"),
+    ).head()
+    n_probes, n_hits = int(probes_row.n), int(probes_row.h or 0)
     bloom.unpersist()
     fill = n_set / m_bits
+
+    def away(v: float) -> int:
+        # DuckDB round() is half-AWAY-from-zero; Python round() is
+        # banker's — a .5 on the grid would silently diverge the engines
+        # (round-13 review). All values here are non-negative.
+        import math
+
+        return int(math.floor(v + 0.5))
+
     return spark.createDataFrame(
         [(
             m_bits,
             BLOOM_K,
             n_members,
             n_set,
-            int(round(n_set * 1000.0 / m_bits)),
-            int(round(fill**BLOOM_K * 1_000_000)),
+            away(n_set * 1000.0 / m_bits),
+            away(fill**BLOOM_K * 1_000_000),
             n_probes,
             n_hits,
-            int(round(n_hits * 1_000_000.0 / n_probes)),
+            away(n_hits * 1_000_000.0 / n_probes) if n_probes else None,
         )],
         "m_bits long, k long, n_members long, n_set_bits long, fill_milli long, "
         "predicted_fp_micro long, n_nonmember_probes long, nonmember_hits long, "

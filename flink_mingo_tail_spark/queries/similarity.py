@@ -2036,8 +2036,14 @@ def q251_semantic_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     n_probes = co.count()
+    # half-AWAY rounding to match DuckDB's round() (Python round() is
+    # banker's — a .5 on the micro grid would diverge; round-13 review)
+    import math
+
     recall = (
-        int(round(index_hits * 1_000_000.0 / dense_hits)) if dense_hits else None
+        int(math.floor(index_hits * 1_000_000.0 / dense_hits + 0.5))
+        if dense_hits
+        else None
     )
     return spark.createDataFrame(
         [(n_probes, dense_hits, index_hits, dense_hits - index_hits, recall)],

@@ -174,11 +174,14 @@ def estimated_dup_ratio(spark: SparkSession, table_path: str) -> float:
     if not _path_exists(spark, table_path):
         return 1.0
     shard0 = spark.read.parquet(table_path).filter(F.col("shard") == 0)
-    n = shard0.count()
-    if n == 0:
+    # one job for both counts (round-13 review): rows + distinct rows
+    row = shard0.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(c) for c in shard0.columns]).alias("d"),
+    ).head()
+    if row.n == 0:
         return 1.0
-    d = shard0.distinct().count()
-    return n / d
+    return row.n / row.d
 
 
 def build_eval_semantic_index(
@@ -531,18 +534,20 @@ def make_curation_ingest_batch_fn(
                 # the growing perceptual index admits the same population:
                 # every quality passer with a payload, fingerprinted and
                 # appended AFTER the batch's classification commits
-                # (membership-monotone, replay-safe — q247's loop, in place)
-                fp = dhash_arrow(
-                    passers.filter(F.col("payload").isNotNull()).select(
-                        F.col("doc_id").alias("media_id"), "payload"
-                    )
+                # (membership-monotone, replay-safe — q247's loop, in
+                # place). Emptiness is checked on the RAW payload column
+                # so the Arrow dHash pass runs once per batch, inside the
+                # build, never a second time just to count (round-13
+                # review).
+                with_payload = passers.filter(F.col("payload").isNotNull()).select(
+                    F.col("doc_id").alias("media_id"), "payload"
                 )
-                if fp.limit(1).count() > 0:
+                if with_payload.limit(1).count() > 0:
                     pboot = not _path_exists(
                         spark, f"{perceptual_index_path}/manifest"
                     )
                     build_perceptual_index(
-                        fp,
+                        dhash_arrow(with_payload),
                         perceptual_index_path,
                         mode="overwrite" if pboot else "append",
                     )
@@ -579,7 +584,26 @@ def make_curation_ingest_batch_fn(
                 return
             if _manifest_or_none(spark, index_path) is None:
                 return  # pre-bootstrap: nothing to estimate or compact
-            if estimated_dup_ratio(spark, f"{index_path}/content") < auto_compact_ratio:
+            # a parked .compact.old means a prior compaction crashed
+            # mid-swap and THIS loop's appends may since have recreated
+            # the table with only recent rows — force the reconciling
+            # rewrite now (_swap_rewrite folds the parked copy back in)
+            # instead of waiting for a ratio that a near-empty recreated
+            # table will never trip (round-13 review)
+            parked = any(
+                _path_exists(spark, f"{base}/{tbl}.compact.old")
+                for base, tbls in (
+                    (index_path, ("content", "bands")),
+                    (semantic_dup_index_path, ("buckets", "vectors")),
+                    (perceptual_index_path, ("bands",)),
+                )
+                if base is not None
+                for tbl in tbls
+            )
+            if not parked and (
+                estimated_dup_ratio(spark, f"{index_path}/content")
+                < auto_compact_ratio
+            ):
                 return
             compact_dedup_index(spark, index_path)
             if semantic_dup_index_path is not None and _path_exists(
@@ -634,6 +658,7 @@ def start_curation_ingest_stream(
     sem_dup_tau: float = DEFAULT_SEM_DUP_TAU,
     sem_dup_n_bits: int | None = 6,
     perceptual_index_path: str | None = None,
+    auto_compact_ratio: float | None = None,
     trigger_available_now: bool = True,
 ):
     """Wire the ingest body into a checkpointed foreachBatch stream
@@ -652,6 +677,7 @@ def start_curation_ingest_stream(
                 sem_dup_tau=sem_dup_tau,
                 sem_dup_n_bits=sem_dup_n_bits,
                 perceptual_index_path=perceptual_index_path,
+                auto_compact_ratio=auto_compact_ratio,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

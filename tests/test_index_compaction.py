@@ -89,6 +89,39 @@ def test_compaction_recovers_from_mid_swap_crash(spark, tmp_path):
     assert before == after
 
 
+def test_compaction_merges_parked_copy_when_appends_recreated_the_table(spark, tmp_path):
+    """The round-13 review's data-loss composition: a compaction crash
+    between rename-aside and rename-in parks the canonical table at
+    .compact.old; an ingest APPEND then recreates {path} with only a
+    recent batch's rows. Re-running compaction must UNION the parked
+    copy back in — not delete it as stale — so no membership is lost
+    and probe verdicts match a never-crashed index."""
+    import os
+
+    path = f"{tmp_path}/didx"
+    d = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 300)
+    full = d.filter(F.col("doc_id") % 10 != 7)
+    late = d.filter((F.col("doc_id") % 10 == 3))  # arrives after the crash
+    incoming = d.filter(F.col("doc_id") % 10 == 7)
+    build_dedup_index(full, path, mode="overwrite")
+    # crash window on content: rename-aside happened, rename-in did not
+    os.rename(f"{path}/content", f"{path}/content.compact.old")
+    # the ingest loop appends before anyone notices: content is recreated
+    # with ONLY this batch's hashes
+    build_dedup_index(late, path, mode="append")
+    assert os.path.exists(f"{path}/content.compact.old")
+    compact_dedup_index(spark, path)
+    assert not os.path.exists(f"{path}/content.compact.old")
+    got = {r.doc_id: r.status for r in probe_dedup_index(incoming, path).collect()}
+    # reference: an index that never crashed, same admissions
+    ref_path = f"{tmp_path}/ref"
+    build_dedup_index(full, ref_path, mode="overwrite")
+    build_dedup_index(late, ref_path, mode="append")
+    compact_dedup_index(spark, ref_path)
+    want = {r.doc_id: r.status for r in probe_dedup_index(incoming, ref_path).collect()}
+    assert got == want
+
+
 def test_compaction_missing_table_without_backup_is_a_readable_error(spark, tmp_path):
     """{path} missing and NO .compact.old parked: fail loudly at entry
     (nothing to recover from), not with a raw spark.read path error."""
