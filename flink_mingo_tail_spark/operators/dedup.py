@@ -331,6 +331,7 @@ def probe_dedup_index(
     k: int | None = None,
     rows_per_band: int | None = None,
     n_shards: int | None = None,
+    bloom_prefilter: str | bool | None = None,
 ) -> DataFrame:
     """Classify each incoming document against a persisted index
     (``build_dedup_index``): 'exact_dup' on content-hash membership,
@@ -346,7 +347,22 @@ def probe_dedup_index(
     classifies every document as 'new', so callers may only NARROW the
     defaults, never contradict the manifest (explicit arguments are
     validated against it; for a pre-manifest index all three must be
-    supplied explicitly)."""
+    supplied explicitly).
+
+    ``bloom_prefilter`` wires the two-tier membership shape q252's
+    docstring names: the batch's distinct content hashes first test
+    against the kilobyte Bloom bit frame (zero index-side shuffle — the
+    bits broadcast to executors), and ONLY bloom-positive hashes reach
+    the exact semi-join, so the index-side shuffle touches ~(hit rate +
+    FP rate) of the batch instead of all of it. ``True`` reads the
+    conventional sibling at ``{path}/bloom``; a string names an
+    explicit Bloom index path (``build_bloom_index``). Classification
+    is IDENTICAL to the direct path — a Bloom miss is definitive (no
+    false negatives) and false positives merely confirm-and-fail —
+    PROVIDED the Bloom index covers every hash in the content table
+    (maintain both in the same batch commits, as the curation ingest
+    body does; a stale Bloom missing recent keys would misclassify
+    their duplicates as 'new'). The near-dup band probe is unaffected."""
     spark = incoming.sparkSession
     manifest = _read_index_manifest(spark, path)
     supplied = {"k": k, "rows_per_band": rows_per_band, "n_shards": n_shards}
@@ -373,6 +389,16 @@ def probe_dedup_index(
     inc_ch = incoming.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("ch")
     ).withColumn("shard", _index_shard(F.col("ch"), n_shards))
+    if bloom_prefilter:
+        bloom_path = (
+            f"{path}/bloom" if bloom_prefilter is True else bloom_prefilter
+        )
+        bloom_pos = probe_bloom_index(
+            inc_ch.select("ch").distinct(), bloom_path, id_col="ch", key_col="ch"
+        ).filter(F.col("bloom_hit")).select("ch")
+        # bloom_pos is batch-bounded (<= distinct batch hashes), so the
+        # semi-join broadcasts; only survivors shuffle toward the index
+        inc_ch = inc_ch.join(F.broadcast(bloom_pos), "ch", "left_semi")
     exact = (
         inc_ch.join(content, ["shard", "ch"], "left_semi")
         .select(id_col)
@@ -432,6 +458,30 @@ def bloom_m_bits(n_keys: int, bits_per_key: int = BLOOM_BITS_PER_KEY) -> int:
     return 1 << (bits_per_key * n_keys - 1).bit_length()
 
 
+def _bloom_positions(key_col: str, m_bits: int, k: int):
+    """The k salted md5-long bit positions of a key, exploded to one
+    ``idx`` row each — ONE spelling for build and probe (round-14
+    extraction), so the two sides can never drift apart."""
+    return F.explode(
+        F.array(*[
+            F.pmod(salted_md5_long(F.col(key_col), j), F.lit(m_bits))
+            for j in range(k)
+        ])
+    ).alias("idx")
+
+
+def _slot_mask(idx_col: str = "idx"):
+    """``idx`` → (slot, mask) columns: which 32-bit slot the bit lives
+    in and its single-bit BIGINT mask — ONE spelling for build and
+    probe (round-14 extraction)."""
+    return [
+        (F.col(idx_col) / _BLOOM_SLOT_BITS).cast("int").alias("slot"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), {idx_col} % {_BLOOM_SLOT_BITS})"
+        ).alias("mask"),
+    ]
+
+
 def bloom_bits(keys: DataFrame, key_col: str, m_bits: int, k: int = BLOOM_K) -> DataFrame:
     """(slot, bits) — the Bloom bit array of a key frame, built in ONE
     distributed pass: k salted md5-long bit positions per key, OR-folded
@@ -442,18 +492,9 @@ def bloom_bits(keys: DataFrame, key_col: str, m_bits: int, k: int = BLOOM_K) -> 
     the index side at all; the price is a measured false-positive rate
     (q252's audit), and the classic two-tier answer is bloom-prefilter →
     exact semi-join confirm on the (few) bloom-positive survivors."""
-    idx = F.explode(
-        F.array(*[
-            F.pmod(salted_md5_long(F.col(key_col), j), F.lit(m_bits))
-            for j in range(k)
-        ])
-    ).alias("idx")
     return (
-        keys.select(idx)
-        .select(
-            (F.col("idx") / _BLOOM_SLOT_BITS).cast("int").alias("slot"),
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), idx % {_BLOOM_SLOT_BITS})").alias("mask"),
-        )
+        keys.select(_bloom_positions(key_col, m_bits, k))
+        .select(*_slot_mask())
         .groupBy("slot")
         .agg(F.expr("bit_or(mask)").alias("bits"))
     )
@@ -471,20 +512,17 @@ def bloom_probe(
     """(id_col, bloom_hit) — True iff ALL k bit positions of the probe
     key are set: k (slot, mask) rows per probe joined against the
     broadcast bloom frame, folded with bool_and. A missing slot is a
-    definite miss (left join null)."""
+    definite miss (left join null).
+
+    CONTRACT: exactly one key per id. The bool_and fold groups by
+    ``id_col`` alone, so an id carrying MULTIPLE distinct keys would be
+    reported as a hit only if EVERY key's positions are set — not
+    per-(id, key) membership (ADVICE r13). Callers probing multi-key
+    ids must either deduplicate to one key first or group their own
+    per-(id, key) verdicts from a distinct id."""
     rows = probes.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.pmod(salted_md5_long(F.col(key_col), j), F.lit(m_bits))
-                for j in range(k)
-            ])
-        ).alias("idx"),
-    ).select(
-        id_col,
-        (F.col("idx") / _BLOOM_SLOT_BITS).cast("int").alias("slot"),
-        F.expr(f"shiftleft(CAST(1 AS BIGINT), idx % {_BLOOM_SLOT_BITS})").alias("mask"),
-    )
+        F.col(id_col), _bloom_positions(key_col, m_bits, k)
+    ).select(id_col, *_slot_mask())
     return (
         rows.join(F.broadcast(bloom), "slot", "left")
         .groupBy(id_col)
@@ -583,6 +621,40 @@ def probe_bloom_index(
     )
 
 
+def maybe_rewiden_bloom_index(
+    spark,
+    path: str,
+    keys: DataFrame,
+    *,
+    key_col: str = "ch",
+    max_fill: float = 0.5,
+) -> bool:
+    """q254's re-widen trigger as a wired maintenance step: read the
+    kilobyte bit frame, compute the realized fill ratio, and when it
+    exceeds ``max_fill`` rebuild the index from ``keys`` (the exact
+    membership ground truth — e.g. the standing content table) at the
+    fresh auto width (bloom_m_bits). Fill 0.5 at k=3 predicts a
+    fill³ = 12.5% FP rate — past the 4-bits/key design point, so the
+    fixed width has drifted under its load and every probe pays the FP
+    confirm cost. The check is O(m/32) rows — trivial per batch; the
+    rebuild is one pass over ``keys`` (the one-way-ness trade
+    build_bloom_index documents). Returns True iff rebuilt."""
+    manifest = _read_index_manifest(spark, path, _BLOOM_MANIFEST_SCHEMA)
+    if manifest is None:
+        raise ValueError(f"no bloom index manifest at {path!r}")
+    n_set = (
+        spark.read.parquet(f"{path}/bits")
+        .agg(F.sum(F.expr("bit_count(bits)")).alias("n"))
+        .head()
+        .n
+        or 0
+    )
+    if n_set / manifest["m_bits"] <= max_fill:
+        return False
+    build_bloom_index(keys, path, key_col=key_col, mode="overwrite")
+    return True
+
+
 # ---------------------------------------------------------------------------
 # Standing-index compaction (round 12)
 # ---------------------------------------------------------------------------
@@ -594,84 +666,115 @@ def _swap_rewrite(
     via a tmp-sibling swap — Spark cannot overwrite a parquet directory
     it is reading. ``transform`` is a pure DataFrame→DataFrame function
     (DISTINCT for compaction; a union + bit_or re-aggregate for the
-    Bloom OR-merge). Swap order is rename-aside → rename-in → delete-old (NOT
-    delete-then-rename), so a crash never loses the canonical data:
-    every failure mode leaves either the original (recoverable by
-    re-running) or the compacted table in place, and the old data
-    survives at `{path}.compact.old` until the final delete. Each FS
-    call's boolean is asserted — including the restore rename in the
-    rename-in failure handler, so a double failure reports the TRUE
-    table state (parked at .compact.old) instead of claiming the
-    original was restored. A crash BETWEEN the two renames leaves
-    ``path`` missing with the only copy parked at ``{path}.compact.old``;
-    the entry-time recovery below renames it back before reading, so
-    re-running after ANY crash point converges (ADVICE round 12).
+    Bloom OR-merge) that must be IDEMPOTENT UNDER ROW DUPLICATION —
+    transform(df ∪ df') == transform(df) whenever df' ⊆ df — which
+    every membership/OR-monotone index table satisfies. That property
+    is what makes the protocol below loss-free at EVERY crash point.
 
-    When BOTH ``path`` and a parked ``.compact.old`` exist, the parked
-    copy is never assumed obsolete: an ingest loop's APPEND may have
-    recreated ``path`` with only a recent batch's rows while the full
-    canonical set sits parked (round-13 review — deleting the parked
-    copy there would permanently lose membership). Instead the parked
-    rows are UNIONED into the rewrite input, which is correct in every
-    interleaving because these tables are membership/OR-monotone: if
-    the parked copy is obsolete (crash after rename-in, before
-    delete-old) it is row-equivalent to ``path`` and the union is a
-    no-op under the transform; if it is canonical, the union restores
-    it plus whatever appends landed since. The parked directory is
-    deleted only after the merged rewrite is safely written to the tmp
-    sibling.
+    Protocol (round-14, replacing the round-13 delete-before-rename-in
+    window ADVICE flagged): RECONCILE parked siblings first, then a
+    clean swap whose only deletes happen after rename-in.
 
-    On non-atomic filesystems a probe
-    racing the swap can still observe a brief missing-directory window
-    between the two renames — run compaction in a maintenance window;
-    verdicts are identical on either side because both tables hold the
-    same key SET. Returns (rows_before, rows_after)."""
+    1. Entry restore: if ``path`` is missing, rename back the newest
+       parked canonical — ``{path}.compact.aside`` (pre-swap copy from
+       a crash between the two renames), else the legacy
+       ``{path}.compact.old``, else a COMPLETE ``{path}.compact.tmp``
+       (``_SUCCESS`` present).
+    2. Reconcile-by-append: for each surviving sibling (aside, legacy
+       old, complete tmp), APPEND its rows into ``path`` and only then
+       delete it. A crash between append and delete re-appends on the
+       next run — duplicate rows, which the transform collapses — and
+       a crash mid-append leaves the sibling intact (parquet job
+       commit), so no interleaving of crashes and concurrent ingest
+       appends can lose membership: a sibling is never removed until
+       its rows are durably IN ``path``. This subsumes the round-13
+       union-at-read fix and closes its residual window (the merged
+       rewrite living only in scratch tmp while the parked copy was
+       already deleted).
+    3. Swap: write transform(path) → ``.compact.tmp``, rename
+       ``path`` → ``.compact.aside``, rename tmp → ``path``, delete
+       aside. Each FS boolean is asserted; the rename-in failure
+       handler restores aside → path and reports the TRUE table state
+       if even the restore fails.
+
+    On non-atomic filesystems a probe racing the swap can still observe
+    a brief missing-directory window between the two renames — run
+    compaction in a maintenance window; verdicts are identical on
+    either side because both tables hold the same key SET. Returns
+    (rows_before, rows_after); rows_before counts the RECONCILED
+    pre-transform table (including any recovery re-appends)."""
     jvm = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
     jvm_path = jvm(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
-    old = jvm(f"{path}.compact.old")
+    aside_str = f"{path}.compact.aside"
     old_str = f"{path}.compact.old"
+    tmp = f"{path}.compact.tmp"
+    aside, old, jvm_tmp = jvm(aside_str), jvm(old_str), jvm(tmp)
+
+    def _tmp_complete() -> bool:
+        return fs.exists(jvm_tmp) and fs.exists(jvm(f"{tmp}/_SUCCESS"))
+
+    def _append_into_path(src: str) -> None:
+        writer = spark.read.parquet(src).write.mode("append")
+        if partition_col is not None:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(path)
+
     if not fs.exists(jvm_path):
         # prior run crashed between rename-aside and rename-in: the
-        # canonical table is parked at .compact.old — restore it before
+        # canonical table is parked — restore the newest copy before
         # reading (otherwise re-running fails at spark.read forever)
-        if not fs.exists(old):
-            raise IOError(
-                f"compaction: {path} is missing and no {path}.compact.old "
-                "exists to recover from"
-            )
-        if not fs.rename(old, jvm_path):
-            raise IOError(
-                f"compaction: could not restore {path} from {path}.compact.old"
-            )
+        for parked in (aside, old):
+            if fs.exists(parked):
+                if not fs.rename(parked, jvm_path):
+                    raise IOError(
+                        f"compaction: could not restore {path} from {parked}"
+                    )
+                break
+        else:
+            if _tmp_complete():
+                if not fs.rename(jvm_tmp, jvm_path):
+                    raise IOError(f"compaction: could not restore {path} from {tmp}")
+            else:
+                raise IOError(
+                    f"compaction: {path} is missing and no {aside_str}, "
+                    f"{old_str}, or complete {tmp} exists to recover from"
+                )
+    # reconcile surviving siblings into path (append, THEN delete — a
+    # sibling is never removed until its rows are durably in path)
+    for sib_jvm, sib_str in ((aside, aside_str), (old, old_str)):
+        if fs.exists(sib_jvm):
+            _append_into_path(sib_str)
+            if not fs.delete(sib_jvm, True):
+                raise IOError(f"compaction: could not clear reconciled {sib_str}")
+    if _tmp_complete():
+        # a complete rewrite left in scratch by a crash before its
+        # rename-in: its rows may be the only copy of membership that
+        # was reconciled from a since-deleted sibling — fold it in too
+        _append_into_path(tmp)
+    if fs.exists(jvm_tmp) and not fs.delete(jvm_tmp, True):
+        raise IOError(f"compaction: could not clear stale {tmp}")
+
     before_df = spark.read.parquet(path)
-    if fs.exists(old):
-        # unresolved prior crash with path ALSO present: fold the parked
-        # copy into the rewrite (see docstring — never delete it unread)
-        before_df = before_df.unionByName(spark.read.parquet(old_str))
     rows_before = before_df.count()
     compacted = transform(before_df)
-    tmp = f"{path}.compact.tmp"
     writer = compacted.write.mode("overwrite")
     if partition_col is not None:
         writer = writer.partitionBy(partition_col)
     writer.parquet(tmp)
-    if fs.exists(old):  # parked copy now folded into tmp: safe to clear
-        if not fs.delete(old, True):
-            raise IOError(f"compaction: could not clear merged {path}.compact.old")
-    if not fs.rename(jvm_path, old):
+    if not fs.rename(jvm_path, aside):
         raise IOError(f"compaction: rename-aside failed for {path}")
-    if not fs.rename(jvm(tmp), jvm_path):
+    if not fs.rename(jvm_tmp, jvm_path):
         # restore the original before surfacing the error — and report
         # the TRUE table state if even the restore fails
-        if fs.rename(old, jvm_path):
+        if fs.rename(aside, jvm_path):
             raise IOError(f"compaction: rename-in failed for {path}; original restored")
         raise IOError(
             f"compaction: rename-in failed for {path} AND the restore rename "
-            f"failed — table is parked at {path}.compact.old (re-run to recover)"
+            f"failed — table is parked at {aside_str} (re-run to recover)"
         )
-    if not fs.delete(old, True):
-        raise IOError(f"compaction: could not delete {path}.compact.old")
+    if not fs.delete(aside, True):
+        raise IOError(f"compaction: could not delete {aside_str}")
     return rows_before, spark.read.parquet(path).count()
 
 

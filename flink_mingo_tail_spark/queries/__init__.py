@@ -79,7 +79,29 @@ _MODULES = (
 # The driver's CORRECTNESS pass checks a bounded prefix of the declared
 # registry (every round so far recorded exactly the first 50 entries).
 #
-# ROTATION, round 13 — steady-state policy, 50 slots:
+# ROTATION, round 14 — steady-state policy, 50 slots:
+#   (a) round-14 newcomers, no driver row yet — inserted as they land;
+#   (b) changed-code re-proofs, per the round-13 deferral list + this
+#       round's maintenance work:
+#       - sql_dhash extraction (the five spelled dHash SQL replays now
+#         interpolate ONE helper): q225/q228 (shared _PH_CORE_SQL),
+#         q246, q247, q248, q249;
+#       - Bloom oracle factoring (_bloom_bits_cte/_bloom_probe_cte) +
+#         the negative probe re-key (ADVICE r13): q252, q254;
+#       - _swap_rewrite rewritten to the reconcile-by-append protocol
+#         (ADVICE r13 medium — closes the tmp-only-merge crash
+#         window): q244 (compaction), q253 (Bloom OR-merge append
+#         rides the same swap);
+#       - classify_batch/probe_dedup_index gained the default-off
+#         bloom_prefilter knob + estimated_dup_ratio gained the
+#         empty-shard/unsharded fallback: q234, q241 (the ingest
+#         twins; q246/q248 already above);
+#   (c) round-8 drain completes — all 24 remaining names, ascending;
+#       after this round no green row predates round 9;
+#   (d) round-9 cohort refresh, ascending query order (first 14 of 49;
+#       the prefix-50 cut leaves q192+ and the q201+ tail for r15).
+#
+# ROTATION, round 13 (historical) — steady-state policy, 50 slots:
 #   (a) round-13 newcomers, no driver row yet: q247 (perceptual
 #       standing-index probe — the round-12 verdict's #1 item), q248
 #       (curation ingest with the perceptual-dup stage live), q249
@@ -152,62 +174,62 @@ _MODULES = (
 #       round-7 refresh lead round 12 (freshness debt traded for driver
 #       rows on every new operator, front-load-new-first precedence).
 _NEEDS_DRIVER_ROW = (
-    # (a) round-13 newcomers, no driver row yet — inserted here as they
+    # (a) round-14 newcomers, no driver row yet — inserted here as they
     #     land (front-load-new-first precedence).
+    # (b) changed-code re-proofs (details in the round-14 block above)
+    "q225_perceptual_hash_near_dup",
+    "q228_perceptual_dup_components",
+    "q246_full_curation_ingest",
     "q247_perceptual_index_probe",
     "q248_perceptual_streaming_curation",
     "q249_perceptual_occupancy_audit",
-    "q250_modality_dup_agreement",
-    "q251_semantic_index_recall",
     "q252_bloom_membership_audit",
-    "q253_bloom_index_incremental",
     "q254_bloom_load_audit",
-    # (b) changed-code re-proofs (details in the round-13 block above)
     "q244_index_compaction",
-    "q240_semantic_index_probe",
-    "q242_incremental_semdedup",
-    "q245_lsh_occupancy_audit",
-    "q225_perceptual_hash_near_dup",
-    "q228_perceptual_dup_components",
+    "q253_bloom_index_incremental",
     "q234_streaming_curation",
     "q241_semantic_streaming_curation",
-    "q246_full_curation_ingest",
-    # (c) round-7 drain completes — the last 12 names
-    "q177_readability",
-    "q178_bpe_merge_pairs",
-    "q179_auc_mann_whitney",
-    "q180_ks_two_sample",
-    "q181_chi2_independence",
-    "q183_percent_rank_cume_dist",
-    "q184_rrf_fusion",
-    "q185_bpe_merge_apply",
-    "q186_cohens_kappa",
-    "q187_calibration_ece",
-    "q188_bpe_train_rounds",
-    "q189_drift_windows",
-    # (d) round-8 cohort refresh — first 21 of 45, ascending query
-    #     order; the prefix-50 cut leaves q123+ for round 14
-    "q02_filter_project_topk",
-    "q03_isnull_in_between",
-    "q09_correlated_agg_subquery",
-    "q10_inner_join_agg",
-    "q12_left_outer_join",
-    "q13_right_full_outer",
-    "q14_semi_join",
-    "q15_anti_join",
-    "q16_cross_theta_join",
-    "q17_range_join",
-    "q21_rollup",
-    "q22_cube",
-    "q23_grouping_sets",
-    "q24_dedup_batch",
-    "q78_knn_lsh",
-    "q104_centroid_assign",
-    "q114_watermark_late_drop",
-    "q119_minhash_jaccard_estimate",
-    "q120_pii_redaction",
-    "q121_bm25_scoring",
-    "q122_mad_outlier",
+    # (c) round-8 drain completes — all 24 remaining names
+    "q123_salted_skew_join",
+    "q124_snapshot_diff",
+    "q126_token_cooccurrence",
+    "q127_pagerank_trade_graph",
+    "q128_bfs_reach",
+    "q129_token_length_entropy",
+    "q130_corr_profile",
+    "q131_asof_join_forward",
+    "q132_recursive_exposure",
+    "q133_variant_shredding",
+    "q134_hll_sketch_rollup",
+    "q135_stratified_hash_sample",
+    "q161_rfm_segments",
+    "q171_semdedup_end_to_end",
+    "q182_phrase_search",
+    "q190_token_budget_cut",
+    "q191_spearman_corr",
+    "q194_seasonal_dow_index",
+    "q195_zipf_slope",
+    "q196_logistic_irls_step",
+    "q197_containment_join",
+    "q198_pca_power_iteration",
+    "q199_heaps_law",
+    "q200_source_overlap_matrix",
+    # (d) round-9 cohort refresh — first 14 of 49, ascending query
+    #     order; the prefix-50 cut leaves the tail for round 15
+    "q136_unpivot_nation_metrics",
+    "q137_running_distinct_users",
+    "q138_week_over_week",
+    "q139_copurchase_triangles",
+    "q140_levenshtein_pairs",
+    "q141_interval_join_left_outer",
+    "q142_lateral_topk_per_region",
+    "q143_nullsafe_join",
+    "q144_try_arithmetic",
+    "q146_theta_set_algebra",
+    "q147_kll_quantile_rollup",
+    "q148_distribution_windows",
+    "q149_locf_forward_fill",
+    "q150_arrow_udf_scalar",
 )
 
 

@@ -2221,36 +2221,38 @@ from flink_mingo_tail_spark.operators.dedup import (  # noqa: E402
 )
 
 
-def _bloom_oracle() -> str:
+def _bloom_bits_cte(src: str = "ik") -> str:
+    """mm → irows → ibits: the Bloom BIT-ARRAY build's DuckDB replay in
+    ONE spelling (round-14 extraction — previously spelled per-oracle
+    in q252/q254): auto-width ``mm`` from ``src``'s key count, k salted
+    md5-long positions per key, OR-folded into 32-bit slots. Mirrors
+    operators/dedup.bloom_bits + bloom_m_bits bit-exactly."""
     hashes = [sql_md5_long("ch", salt=j) for j in range(BLOOM_K)]
     idx_union = "\n        UNION ALL ".join(
-        f"SELECT ch, ({h}) % (SELECT m FROM mm) AS idx FROM ik" for h in hashes
+        f"SELECT ({h}) % (SELECT m FROM mm) AS idx FROM {src}" for h in hashes
     )
-    probe_union = "\n        UNION ALL ".join(
-        f"SELECT doc_id, ({h}) % (SELECT m FROM mm) AS idx FROM pr" for h in hashes
-    )
-    return f"""
-    WITH ik AS (
-        SELECT DISTINCT md5(text) AS ch FROM documents WHERE doc_id % 10 <> 7
-    ), mm AS (
+    return f"""mm AS (
         SELECT CAST(1 AS BIGINT) << length(bin({BLOOM_BITS_PER_KEY} * count(*) - 1)) AS m
-        FROM ik
+        FROM {src}
     ), irows AS (
         {idx_union}
     ), ibits AS (
         SELECT CAST(idx // 32 AS INT) AS slot,
                bit_or(CAST(1 AS BIGINT) << CAST(idx % 32 AS INT)) AS bits
         FROM irows GROUP BY 1
-    ), pr AS (
-        -- the incoming slice, plus replayed index members re-keyed the
-        -- q120 injection way: the fixture has no cross-slice exact text
-        -- dup below sf0.1, so true membership hits are planted
-        -- deterministically (doc_id % 20 = 0 docs re-arriving)
-        SELECT doc_id, md5(text) AS ch FROM documents WHERE doc_id % 10 = 7
-        UNION ALL
-        SELECT doc_id + 1000000, md5(text) FROM documents
-        WHERE doc_id % 20 = 0 AND doc_id % 10 <> 7
-    ), prows AS (
+    )"""
+
+
+def _bloom_probe_cte(src: str, hit_alias: str = "hit") -> str:
+    """prows → pj → bh: the probe side's (slot, mask) projection and
+    bool_and fold against ``ibits``, in ONE spelling (q252/q254).
+    Mirrors operators/dedup.bloom_probe bit-exactly (a missing slot is
+    a definite miss — the left-join NULL)."""
+    hashes = [sql_md5_long("ch", salt=j) for j in range(BLOOM_K)]
+    probe_union = "\n        UNION ALL ".join(
+        f"SELECT doc_id, ({h}) % (SELECT m FROM mm) AS idx FROM {src}" for h in hashes
+    )
+    return f"""prows AS (
         {probe_union}
     ), pj AS (
         SELECT doc_id, CAST(idx // 32 AS INT) AS slot,
@@ -2259,10 +2261,28 @@ def _bloom_oracle() -> str:
     ), bh AS (
         SELECT doc_id,
                bool_and(b.bits IS NOT NULL AND (b.bits & pj.mask) = pj.mask)
-                 AS bloom_hit
+                 AS {hit_alias}
         FROM pj LEFT JOIN ibits b ON b.slot = pj.slot
         GROUP BY doc_id
-    ), eh AS (
+    )"""
+
+
+def _bloom_oracle() -> str:
+    return f"""
+    WITH ik AS (
+        SELECT DISTINCT md5(text) AS ch FROM documents WHERE doc_id % 10 <> 7
+    ), {_bloom_bits_cte()}, pr AS (
+        -- the incoming slice, plus replayed index members re-keyed
+        -- NEGATIVE so they can never collide with a genuine incoming
+        -- doc_id at any corpus size (ADVICE r13): the fixture has no
+        -- cross-slice exact text dup below sf0.1, so true membership
+        -- hits are planted deterministically (doc_id % 20 = 0 docs
+        -- re-arriving)
+        SELECT doc_id, md5(text) AS ch FROM documents WHERE doc_id % 10 = 7
+        UNION ALL
+        SELECT -doc_id - 1, md5(text) FROM documents
+        WHERE doc_id % 20 = 0 AND doc_id % 10 <> 7
+    ), {_bloom_probe_cte('pr', hit_alias='bloom_hit')}, eh AS (
         SELECT DISTINCT p.doc_id FROM pr p JOIN ik ON ik.ch = p.ch
     )
     SELECT bh.doc_id AS doc_id, bh.bloom_hit AS bloom_hit,
@@ -2316,7 +2336,10 @@ def q252_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             d.filter((F.col("doc_id") % 20 == 0) & (F.col("doc_id") % 10 != 7))
             .select(
-                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                # negative re-key: replayed probes can NEVER collide
+                # with a genuine incoming doc_id at any corpus size
+                # (a fixed +1M offset would at >1M docs — ADVICE r13)
+                (-F.col("doc_id") - 1).alias("doc_id"),
                 F.md5(F.col("text")).alias("ch"),
             )
         )
@@ -2454,44 +2477,17 @@ def q253_bloom_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bloom_load_oracle() -> str:
-    hashes = [sql_md5_long("ch", salt=j) for j in range(BLOOM_K)]
-    idx_union = "\n        UNION ALL ".join(
-        f"SELECT ({h}) % (SELECT m FROM mm) AS idx FROM ik" for h in hashes
-    )
-    probe_union = "\n        UNION ALL ".join(
-        f"SELECT doc_id, ({h}) % (SELECT m FROM mm) AS idx FROM npr" for h in hashes
-    )
     return f"""
     WITH ik AS (
         SELECT DISTINCT md5(text) AS ch FROM documents WHERE doc_id % 10 <> 7
-    ), mm AS (
-        SELECT CAST(1 AS BIGINT) << length(bin({BLOOM_BITS_PER_KEY} * count(*) - 1)) AS m
-        FROM ik
-    ), irows AS (
-        {idx_union}
-    ), ibits AS (
-        SELECT CAST(idx // 32 AS INT) AS slot,
-               bit_or(CAST(1 AS BIGINT) << CAST(idx % 32 AS INT)) AS bits
-        FROM irows GROUP BY 1
-    ), load AS (
+    ), {_bloom_bits_cte()}, load AS (
         SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS n_set FROM ibits
     ), npr AS (
         -- non-member probes: the incoming slice minus any exact member
         SELECT doc_id, md5(text) AS ch FROM documents
         WHERE doc_id % 10 = 7
           AND md5(text) NOT IN (SELECT ch FROM ik)
-    ), prows AS (
-        {probe_union}
-    ), pj AS (
-        SELECT doc_id, CAST(idx // 32 AS INT) AS slot,
-               CAST(1 AS BIGINT) << CAST(idx % 32 AS INT) AS mask
-        FROM prows
-    ), bh AS (
-        SELECT doc_id,
-               bool_and(b.bits IS NOT NULL AND (b.bits & pj.mask) = pj.mask) AS hit
-        FROM pj LEFT JOIN ibits b ON b.slot = pj.slot
-        GROUP BY doc_id
-    )
+    ), {_bloom_probe_cte('npr')}
     SELECT (SELECT CAST(m AS BIGINT) FROM mm) AS m_bits,
            CAST({BLOOM_K} AS BIGINT) AS k,
            (SELECT CAST(count(*) AS BIGINT) FROM ik) AS n_members,

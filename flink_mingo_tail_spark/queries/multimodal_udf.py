@@ -409,6 +409,25 @@ _PH_SQL_PAYLOAD = (
 )
 
 
+def sql_dhash(src: str, id_cols: str, out: str = "ph", h_col: str = "h") -> str:
+    """The dHash bit fold's DuckDB replay, in ONE spelling (round-14
+    extraction — previously spelled verbatim in five oracles:
+    q225/q228's shared core, q246, q247, q248, q249): byte j vs byte
+    j+1 of the payload stream sets bit j-1, summed into a BIGINT —
+    bit-exact with the engine's buffer-level mapInArrow dHash
+    (operators/multimodal.dhash_arrow). Returns the SELECT body for a
+    CTE: ``{out}`` per ``{id_cols}`` from payload column ``{h_col}``
+    of ``{src}``."""
+    return (
+        f"""SELECT {id_cols},
+               CAST(sum(CASE WHEN ascii(substr({h_col}, j, 1)) > ascii(substr({h_col}, j + 1, 1))
+                             THEN CAST(1 AS BIGINT) << (j - 1) ELSE 0 END)
+                    AS BIGINT) AS {out}
+        FROM {src} CROSS JOIN unnest(range(1, {DHASH_BITS + 1})) AS t(j)
+        GROUP BY {id_cols}"""
+    )
+
+
 # Shared SQL core for q225/q228 (no WITH keyword — q228 prepends WITH
 # RECURSIVE for the reachability closure): payload replay -> dHash ->
 # bands -> exact-filtered near-dup `pairs`.
@@ -416,12 +435,7 @@ _PH_CORE_SQL = f"""m AS (
         SELECT doc_id AS media_id, {_PH_SQL_PAYLOAD} AS h
         FROM documents
     ), dh AS (
-        SELECT media_id,
-               CAST(sum(CASE WHEN ascii(substr(h, j, 1)) > ascii(substr(h, j + 1, 1))
-                             THEN CAST(1 AS BIGINT) << (j - 1) ELSE 0 END)
-                    AS BIGINT) AS ph
-        FROM m CROSS JOIN unnest(range(1, {DHASH_BITS + 1})) AS t(j)
-        GROUP BY media_id
+        {sql_dhash('m', 'media_id')}
     ), bands AS (
         SELECT media_id, ph, u.band, (ph >> (8 * u.band)) & 255 AS bits
         FROM dh, unnest(range(0, {_PH_BANDS})) AS u(band)
@@ -573,12 +587,7 @@ _PHIDX_BATCHES = 3  # simulated arrival batches (media_id % 3)
                {_PH_SQL_PAYLOAD} AS h
         FROM documents
     ), dh AS (
-        SELECT media_id, b,
-               CAST(sum(CASE WHEN ascii(substr(h, j, 1)) > ascii(substr(h, j + 1, 1))
-                             THEN CAST(1 AS BIGINT) << (j - 1) ELSE 0 END)
-                    AS BIGINT) AS ph
-        FROM m CROSS JOIN unnest(range(1, {DHASH_BITS + 1})) AS t(j)
-        GROUP BY media_id, b
+        {sql_dhash('m', 'media_id, b')}
     ), hit AS (
         SELECT DISTINCT a.media_id
         FROM dh a JOIN dh e ON e.b < a.b
@@ -661,12 +670,7 @@ def q247_perceptual_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id AS media_id, {_PH_SQL_PAYLOAD} AS h
         FROM documents
     ), dh AS (
-        SELECT media_id,
-               CAST(sum(CASE WHEN ascii(substr(h, j, 1)) > ascii(substr(h, j + 1, 1))
-                             THEN CAST(1 AS BIGINT) << (j - 1) ELSE 0 END)
-                    AS BIGINT) AS ph
-        FROM m CROSS JOIN unnest(range(1, {DHASH_BITS + 1})) AS t(j)
-        GROUP BY media_id
+        {sql_dhash('m', 'media_id')}
     ), bands AS (
         SELECT media_id, u.band, (ph >> (8 * u.band)) & 255 AS bits
         FROM dh, unnest(range(0, {_PH_BANDS})) AS u(band)

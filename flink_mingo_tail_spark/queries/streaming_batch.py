@@ -913,14 +913,16 @@ def _perceptual_curation_oracle() -> str:
     b' < b semantics (over the % batching); a perceptually flagged doc
     never reaches the gram stage or the budget prefix."""
     from flink_mingo_tail_spark.operators.dedup import sql_lsh_band_keys
-    from flink_mingo_tail_spark.operators.multimodal import DHASH_BITS
     from flink_mingo_tail_spark.operators.perceptual_index import DEFAULT_PH_HAM
     from flink_mingo_tail_spark.queries.dedup import (
         _PIPE_STOPS,
         _SQL_SIG,
         MINHASH_K,
     )
-    from flink_mingo_tail_spark.queries.multimodal_udf import _PH_SQL_PAYLOAD
+    from flink_mingo_tail_spark.queries.multimodal_udf import (
+        _PH_SQL_PAYLOAD,
+        sql_dhash,
+    )
     from flink_mingo_tail_spark.streaming.curation_ingest import (
         DEFAULT_BUDGET,
         DEFAULT_EVAL_MOD,
@@ -966,12 +968,7 @@ def _perceptual_curation_oracle() -> str:
         -- admission set (every passer carries a payload here)
         SELECT doc_id, b, {_PH_SQL_PAYLOAD} AS h FROM qp
     ), ph AS (
-        SELECT doc_id, b,
-               CAST(sum(CASE WHEN ascii(substr(h, j, 1)) > ascii(substr(h, j + 1, 1))
-                             THEN CAST(1 AS BIGINT) << (j - 1) ELSE 0 END)
-                    AS BIGINT) AS fp
-        FROM pm CROSS JOIN unnest(range(1, {DHASH_BITS + 1})) AS t(j)
-        GROUP BY doc_id, b
+        {sql_dhash('pm', 'doc_id, b', out='fp')}
     ), pd AS (
         SELECT DISTINCT x.doc_id
         FROM ph x JOIN ph y ON y.b < x.b
@@ -1116,7 +1113,6 @@ def _full_curation_oracle() -> str:
     (DIV batching aligns every planted payload group inside one batch
     and the perceptual stage could never fire)."""
     from flink_mingo_tail_spark.operators.dedup import sql_lsh_band_keys
-    from flink_mingo_tail_spark.operators.multimodal import DHASH_BITS
     from flink_mingo_tail_spark.operators.perceptual_index import DEFAULT_PH_HAM
     from flink_mingo_tail_spark.operators.semantic_index import DEFAULT_SEM_DUP_TAU
     from flink_mingo_tail_spark.operators.similarity import SQL_COSINE
@@ -1125,7 +1121,10 @@ def _full_curation_oracle() -> str:
         _SQL_SIG,
         MINHASH_K,
     )
-    from flink_mingo_tail_spark.queries.multimodal_udf import _PH_SQL_PAYLOAD
+    from flink_mingo_tail_spark.queries.multimodal_udf import (
+        _PH_SQL_PAYLOAD,
+        sql_dhash,
+    )
     from flink_mingo_tail_spark.queries.similarity import (
         _LSH_N_BITS,
         _SEM_ORACLE_CTES,
@@ -1200,12 +1199,7 @@ def _full_curation_oracle() -> str:
         -- quality passers' payload replay (q248's perceptual admission)
         SELECT doc_id, b, {_PH_SQL_PAYLOAD} AS h FROM qp
     ), phf AS (
-        SELECT doc_id, b,
-               CAST(sum(CASE WHEN ascii(substr(h, j, 1)) > ascii(substr(h, j + 1, 1))
-                             THEN CAST(1 AS BIGINT) << (j - 1) ELSE 0 END)
-                    AS BIGINT) AS fp
-        FROM pm CROSS JOIN unnest(range(1, {DHASH_BITS + 1})) AS t(j)
-        GROUP BY doc_id, b
+        {sql_dhash('pm', 'doc_id, b', out='fp')}
     ), pd AS (
         SELECT DISTINCT x.doc_id
         FROM phf x JOIN phf y ON y.b < x.b

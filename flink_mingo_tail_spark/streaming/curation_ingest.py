@@ -93,11 +93,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from flink_mingo_tail_spark.operators.dedup import (
     _read_index_manifest,
+    build_bloom_index,
     build_dedup_index,
     compact_dedup_index,
+    maybe_rewiden_bloom_index,
     probe_dedup_index,
     tokens,
     word_shingles,
@@ -169,19 +172,34 @@ def estimated_dup_ratio(spark: SparkSession, table_path: str) -> float:
     replayed/overlapping batch appends, which re-insert the WHOLE
     batch's keys, and md5 sharding spreads any batch uniformly across
     shards, so every shard sees the same duplicate multiplicity in
-    expectation. Returns 1.0 for a missing/empty shard (nothing to
-    compact)."""
+    expectation. An EMPTY shard 0 implies a tiny index (uniform
+    sharding puts ~1/n_shards of the rows there), so the estimate
+    falls back to the whole table rather than silently reporting 1.0
+    for an index whose churn all sits in other shards; an unsharded
+    table is likewise measured whole (ADVICE r13). Returns 1.0 for a
+    missing/empty table (nothing to compact)."""
     if not _path_exists(spark, table_path):
         return 1.0
-    shard0 = spark.read.parquet(table_path).filter(F.col("shard") == 0)
-    # one job for both counts (round-13 review): rows + distinct rows
-    row = shard0.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(*[F.col(c) for c in shard0.columns]).alias("d"),
-    ).head()
-    if row.n == 0:
+    try:
+        df = spark.read.parquet(table_path)
+    except AnalysisException:
+        # zero-row write: the directory exists but holds no parquet
+        # footers to infer a schema from — nothing to compact
         return 1.0
-    return row.n / row.d
+
+    def _ratio(frame) -> float | None:
+        # one job for both counts (round-13 review): rows + distinct
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(c) for c in frame.columns]).alias("d"),
+        ).head()
+        return None if row.n == 0 else row.n / row.d
+
+    if "shard" in df.columns:
+        est = _ratio(df.filter(F.col("shard") == 0))
+        if est is not None:
+            return est
+    return _ratio(df) or 1.0
 
 
 def build_eval_semantic_index(
@@ -238,6 +256,7 @@ def classify_batch(
     semantic_dup_index_path: str | None = None,
     sem_dup_tau: float = DEFAULT_SEM_DUP_TAU,
     perceptual_index_path: str | None = None,
+    bloom_prefilter: bool = False,
 ) -> DataFrame:
     """The per-batch verdict (doc_id, source, n_toks, reason) against
     state as of batch start. ``prior_totals`` is (source, prior_toks) —
@@ -289,7 +308,15 @@ def classify_batch(
         # bootstrap: no index yet (first batch) — nothing is a dup
         probed = surv1.select("doc_id", F.lit("new").alias("status"))
     else:
-        probed = probe_dedup_index(surv1, index_path).select("doc_id", "status")
+        # bloom_prefilter=True routes the exact-membership probe through
+        # the kilobyte Bloom sibling at {index_path}/bloom (two-tier:
+        # only bloom-positive hashes reach the exact semi-join) — the
+        # ingest body guarantees the sibling exists and covers the
+        # content table before any probe runs; classification is
+        # identical either way (no Bloom false negatives)
+        probed = probe_dedup_index(
+            surv1, index_path, bloom_prefilter=bloom_prefilter
+        ).select("doc_id", "status")
 
     grams = surv1.select(
         "doc_id", F.explode(word_shingles(tokens(F.col("text")), _GRAM_N)).alias("g")
@@ -463,9 +490,26 @@ def make_curation_ingest_batch_fn(
     sem_dup_n_bits: int | None = 6,
     perceptual_index_path: str | None = None,
     auto_compact_ratio: float | None = None,
+    bloom_prefilter: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch body, exposed for direct replay testing (the
     dedup_ingest convention).
+
+    ``bloom_prefilter`` maintains a Bloom membership sibling at
+    ``{index_path}/bloom`` covering the content table's hashes, and
+    routes every batch's exact-dup probe through it (two-tier: the
+    kilobyte bit frame broadcasts, only bloom-positive hashes reach the
+    exact semi-join — q252's production shape). The sibling is
+    bootstrapped (or BACKFILLED, when the knob is enabled on an index
+    that predates it) from the content table in one pass, appended
+    per batch after classification commits, and re-widened from the
+    content table when its fill ratio drifts past the design load
+    (maybe_rewiden_bloom_index — q254's trigger, checked each batch on
+    the kilobyte frame). A crash between the content append and the
+    bloom append converges through the committed-batch replay path the
+    other indexes use (the appends are idempotent: DISTINCT rows /
+    bitwise OR). Classification is invariant to the knob (no Bloom
+    false negatives — parity-pinned in tests/test_dedup_index.py).
 
     ``sem_dup_n_bits`` is the growing semantic-dup index's bucket width
     at BOOTSTRAP (later appends inherit the manifest width). The
@@ -530,6 +574,32 @@ def make_curation_ingest_batch_fn(
                 )
             else:
                 build_dedup_index(passers, index_path, mode="append", **manifest)
+            if bloom_prefilter:
+                # the Bloom sibling tracks the content table it filters
+                # for: bootstrap/backfill reads the (already distinct)
+                # content table whole; steady state appends just this
+                # batch's hashes, then the kilobyte fill check decides
+                # whether the width drifted past its design load
+                bpath = f"{index_path}/bloom"
+                if not _path_exists(spark, f"{bpath}/manifest"):
+                    build_bloom_index(
+                        spark.read.parquet(f"{index_path}/content").select("ch"),
+                        bpath,
+                        key_col="ch",
+                        mode="overwrite",
+                    )
+                else:
+                    build_bloom_index(
+                        passers.select(F.md5(F.col("text")).alias("ch")).distinct(),
+                        bpath,
+                        key_col="ch",
+                        mode="append",
+                    )
+                    maybe_rewiden_bloom_index(
+                        spark,
+                        bpath,
+                        spark.read.parquet(f"{index_path}/content").select("ch"),
+                    )
             if perceptual_index_path is not None:
                 # the growing perceptual index admits the same population:
                 # every quality passer with a payload, fingerprinted and
@@ -584,14 +654,15 @@ def make_curation_ingest_batch_fn(
                 return
             if _manifest_or_none(spark, index_path) is None:
                 return  # pre-bootstrap: nothing to estimate or compact
-            # a parked .compact.old means a prior compaction crashed
-            # mid-swap and THIS loop's appends may since have recreated
-            # the table with only recent rows — force the reconciling
-            # rewrite now (_swap_rewrite folds the parked copy back in)
+            # a parked .compact.aside/.compact.old means a prior
+            # compaction crashed mid-swap and THIS loop's appends may
+            # since have recreated the table with only recent rows —
+            # force the reconciling rewrite now (_swap_rewrite's
+            # reconcile-by-append entry folds the parked copy back in)
             # instead of waiting for a ratio that a near-empty recreated
             # table will never trip (round-13 review)
             parked = any(
-                _path_exists(spark, f"{base}/{tbl}.compact.old")
+                _path_exists(spark, f"{base}/{tbl}.compact.{sib}")
                 for base, tbls in (
                     (index_path, ("content", "bands")),
                     (semantic_dup_index_path, ("buckets", "vectors")),
@@ -599,6 +670,7 @@ def make_curation_ingest_batch_fn(
                 )
                 if base is not None
                 for tbl in tbls
+                for sib in ("aside", "old")
             )
             if not parked and (
                 estimated_dup_ratio(spark, f"{index_path}/content")
@@ -621,6 +693,19 @@ def make_curation_ingest_batch_fn(
             append_quality_passers()
             maybe_compact()
             return
+        if (
+            bloom_prefilter
+            and _manifest_or_none(spark, index_path) is not None
+            and not _path_exists(spark, f"{index_path}/bloom/manifest")
+        ):
+            # knob enabled on an index that predates the Bloom sibling:
+            # backfill from the content table BEFORE the first probe
+            build_bloom_index(
+                spark.read.parquet(f"{index_path}/content").select("ch"),
+                f"{index_path}/bloom",
+                key_col="ch",
+                mode="overwrite",
+            )
         eval_grams = spark.read.parquet(eval_grams_path)
         prior = prior_budget_totals(spark, output_path, before_batch=batch_id)
         verdict = classify_batch(
@@ -635,6 +720,7 @@ def make_curation_ingest_batch_fn(
             semantic_dup_index_path=semantic_dup_index_path,
             sem_dup_tau=sem_dup_tau,
             perceptual_index_path=perceptual_index_path,
+            bloom_prefilter=bloom_prefilter,
         )
         verdict.write.mode("overwrite").parquet(batch_dir)
         append_quality_passers()
@@ -659,6 +745,7 @@ def start_curation_ingest_stream(
     sem_dup_n_bits: int | None = 6,
     perceptual_index_path: str | None = None,
     auto_compact_ratio: float | None = None,
+    bloom_prefilter: bool = False,
     trigger_available_now: bool = True,
 ):
     """Wire the ingest body into a checkpointed foreachBatch stream
@@ -678,6 +765,7 @@ def start_curation_ingest_stream(
                 sem_dup_n_bits=sem_dup_n_bits,
                 perceptual_index_path=perceptual_index_path,
                 auto_compact_ratio=auto_compact_ratio,
+                bloom_prefilter=bloom_prefilter,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -17,8 +17,11 @@ post-bootstrap batches (batch 0 additionally pays the one-time index
 builds). The claim holds if wall grows FAR sub-linearly in batch rows:
 e.g. 1000x the rows in far less than 1000x the wall.
 
-Usage: python scripts/probe_batch_amortization.py [sizes...]
+Usage: python scripts/probe_batch_amortization.py [--bloom] [sizes...]
 Defaults: 100 1000 10000 100000. Prints one JSON line per size.
+``--bloom`` enables the round-14 two-tier Bloom prefilter on the
+exact-dup probe (bloom_prefilter=True) so its delta can be measured
+against the direct run at the same sizes.
 """
 
 from __future__ import annotations
@@ -98,7 +101,7 @@ def replicated_docs(spark, total_rows: int):
     return docs.join(media, "doc_id")
 
 
-def run_size(spark, batch_rows: int) -> dict:
+def run_size(spark, batch_rows: int, bloom_prefilter: bool = False) -> dict:
     docs = replicated_docs(spark, batch_rows * N_BATCHES).persist()
     docs.count()  # materialize input so ingest timing excludes synthesis
     tmp = tempfile.mkdtemp(prefix=f"fmts-amort-{batch_rows}-")
@@ -121,6 +124,10 @@ def run_size(spark, batch_rows: int) -> dict:
             # goes quadratic — this probe found that, see the knob's doc)
             sem_dup_n_bits=None,
             perceptual_index_path=f"{tmp}/ph_index",
+            # --bloom: route the exact-dup probe through the kilobyte
+            # Bloom sibling (two-tier, round-14) to measure its delta
+            # against the direct semi-join at production batch sizes
+            bloom_prefilter=bloom_prefilter,
         )
         walls = []
         for b in range(N_BATCHES):
@@ -133,6 +140,7 @@ def run_size(spark, batch_rows: int) -> dict:
         post = walls[1:]
         return {
             "batch_rows": batch_rows,
+            "bloom_prefilter": bloom_prefilter,
             "walls_s": walls,
             "mean_post_bootstrap_s": round(sum(post) / len(post), 2),
         }
@@ -142,10 +150,12 @@ def run_size(spark, batch_rows: int) -> dict:
 
 
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [100, 1_000, 10_000, 100_000]
+    args = sys.argv[1:]
+    bloom = "--bloom" in args
+    sizes = [int(a) for a in args if a != "--bloom"] or [100, 1_000, 10_000, 100_000]
     spark = build_session()
     for size in sizes:
-        print(json.dumps(run_size(spark, size)), flush=True)
+        print(json.dumps(run_size(spark, size, bloom_prefilter=bloom)), flush=True)
 
 
 if __name__ == "__main__":

@@ -96,3 +96,82 @@ def test_bloom_cross_family_manifest_rejected(spark, tmp_path):
         probe_bloom_index(
             _keys(spark, F.col("doc_id") < 10), ded, id_col="doc_id", key_col="ch"
         )
+
+
+def test_bloom_prefilter_probe_is_classification_identical(spark, tmp_path):
+    """probe_dedup_index(bloom_prefilter=...) must classify every doc
+    exactly as the direct two-table probe does — a Bloom miss is
+    definitive (no false negatives) and false positives merely
+    confirm-and-fail against the exact table (q252's two-tier shape,
+    wired — round-14 verdict item)."""
+    from flink_mingo_tail_spark.operators.dedup import (
+        build_dedup_index,
+        probe_dedup_index,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    idx_side = d.filter(F.col("doc_id") % 10 != 7)
+    # incoming slice + replayed index members (negative re-key, q252's
+    # injection pattern) so the EXACT path the bloom tier fronts is
+    # exercised by genuine membership hits, not just near-dups
+    incoming = d.filter(F.col("doc_id") % 10 == 7).unionByName(
+        d.filter((F.col("doc_id") % 20 == 0) & (F.col("doc_id") % 10 != 7))
+        .withColumn("doc_id", -F.col("doc_id") - 1)
+    )
+    path = f"{tmp_path}/didx"
+    build_dedup_index(idx_side, path, mode="overwrite")
+    build_bloom_index(
+        idx_side.select(F.md5("text").alias("ch")).distinct(),
+        f"{path}/bloom",
+        key_col="ch",
+    )
+    direct = {
+        r.doc_id: r.status for r in probe_dedup_index(incoming, path).collect()
+    }
+    two_tier = {
+        r.doc_id: r.status
+        for r in probe_dedup_index(incoming, path, bloom_prefilter=True).collect()
+    }
+    assert direct == two_tier
+    # explicit-path spelling resolves to the same sibling
+    explicit = {
+        r.doc_id: r.status
+        for r in probe_dedup_index(
+            incoming, path, bloom_prefilter=f"{path}/bloom"
+        ).collect()
+    }
+    assert direct == explicit
+    # non-degenerate: the fixture carries both dups and novel docs
+    assert {"exact_dup", "new"} <= set(direct.values())
+
+
+def test_bloom_rewiden_trigger_rebuilds_at_fresh_width(spark, tmp_path):
+    """maybe_rewiden_bloom_index: below the fill threshold it is a
+    no-op; an overloaded index (built at a deliberately tiny width)
+    trips it and is rebuilt at the auto width from the ground-truth
+    key frame, after which probes still never miss a member."""
+    from flink_mingo_tail_spark.operators.dedup import (
+        _read_index_manifest,
+        _BLOOM_MANIFEST_SCHEMA,
+        maybe_rewiden_bloom_index,
+    )
+
+    keys = _keys(spark, F.col("doc_id") % 10 != 7).select("ch").distinct()
+    n = keys.count()
+    path = f"{tmp_path}/bloom"
+    # healthy width: no rebuild
+    build_bloom_index(keys, path, key_col="ch")
+    assert maybe_rewiden_bloom_index(spark, path, keys) is False
+    assert _read_index_manifest(spark, path, _BLOOM_MANIFEST_SCHEMA)[
+        "m_bits"
+    ] == bloom_m_bits(n)
+    # overloaded width (1 bit/key rounds down far past design load)
+    tiny = 1 << max(1, (n - 1).bit_length() - 2)
+    path2 = f"{tmp_path}/bloom_tiny"
+    build_bloom_index(keys, path2, key_col="ch", m_bits=tiny)
+    assert maybe_rewiden_bloom_index(spark, path2, keys) is True
+    man = _read_index_manifest(spark, path2, _BLOOM_MANIFEST_SCHEMA)
+    assert man["m_bits"] == bloom_m_bits(n)
+    probes = _keys(spark, F.col("doc_id") % 10 != 7)
+    hits = probe_bloom_index(probes, path2, id_col="doc_id", key_col="ch")
+    assert hits.filter(~F.col("bloom_hit")).count() == 0  # no false negatives

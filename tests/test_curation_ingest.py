@@ -462,3 +462,80 @@ def test_semantic_dup_stage_grows_with_batches_and_subsets_q242(spark, tmp_path)
         if r.is_semantic_dup
     }
     assert sd <= q242_dups, sd - q242_dups
+
+
+def test_estimated_dup_ratio_falls_back_when_shard0_is_empty(spark, tmp_path):
+    """A tiny index can leave shard 0 empty (16 shards over a few dozen
+    keys) while other shards are heavily churned — the estimate must
+    fall back to the whole table instead of silently reporting 1.0,
+    and an UNSHARDED table must be measured whole, not raise on the
+    missing 'shard' column (ADVICE r13)."""
+    from flink_mingo_tail_spark.streaming.curation_ingest import (
+        estimated_dup_ratio,
+    )
+
+    # shard 0 empty, shard 3 churned 2x
+    churned = spark.createDataFrame(
+        [(3, f"k{i}") for i in range(20)] * 2, "shard int, key string"
+    )
+    p1 = f"{tmp_path}/sharded"
+    churned.write.partitionBy("shard").parquet(p1)
+    assert abs(estimated_dup_ratio(spark, p1) - 2.0) < 1e-9
+
+    # unsharded table: measured whole, no AnalysisException
+    plain = spark.createDataFrame(
+        [(f"k{i}",) for i in range(10)] * 3, "key string"
+    )
+    p2 = f"{tmp_path}/unsharded"
+    plain.write.parquet(p2)
+    assert abs(estimated_dup_ratio(spark, p2) - 3.0) < 1e-9
+
+    # genuinely empty table: 1.0 (nothing to compact)
+    spark.createDataFrame([], "shard int, key string").write.partitionBy(
+        "shard"
+    ).parquet(f"{tmp_path}/empty")
+    assert estimated_dup_ratio(spark, f"{tmp_path}/empty") == 1.0
+
+
+def test_bloom_prefilter_knob_is_classification_invariant(spark, tmp_path):
+    """bloom_prefilter=True must leave every batch's verdicts identical
+    to the direct-probe run, maintain the Bloom sibling alongside the
+    content table (bootstrap + per-batch appends), and backfill it
+    when the knob is enabled on an index that predates it."""
+    import os
+
+    batches = _batches(spark, n=3)
+
+    def drive(tmp, bloom_from=None):
+        """bloom_from=None: never enable; an int: enable the knob from
+        that batch id on (a fresh batch fn per batch, as a restarted
+        stream with changed config would)."""
+        eval_path = f"{tmp}/eval_grams"
+        build_eval_gram_set(_docs(spark), eval_path)
+        for b, df in batches:
+            ingest = make_curation_ingest_batch_fn(
+                f"{tmp}/index",
+                eval_path,
+                f"{tmp}/out",
+                bloom_prefilter=bloom_from is not None and b >= bloom_from,
+            )
+            ingest(df, b)
+        return {
+            r.doc_id: r.reason
+            for r in spark.read.schema(
+                "doc_id long, source string, n_toks long, reason string"
+            )
+            .parquet(*committed_batch_dirs(spark, f"{tmp}/out").values())
+            .collect()
+        }
+
+    plain = drive(str(tmp_path / "plain"))
+    bloomed = drive(str(tmp_path / "bloom"), bloom_from=0)
+    assert plain == bloomed
+    assert os.path.exists(f"{tmp_path}/bloom/index/bloom/manifest")
+    # late enablement: first batch runs direct (no sibling), the knob
+    # turns on for batch 1+ — the backfill path must cover batch 0's
+    # hashes before the first two-tier probe
+    late = drive(str(tmp_path / "late"), bloom_from=1)
+    assert plain == late
+    assert os.path.exists(f"{tmp_path}/late/index/bloom/manifest")

@@ -131,7 +131,7 @@ def test_compaction_missing_table_without_backup_is_a_readable_error(spark, tmp_
     d = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 100)
     build_dedup_index(d, path, mode="overwrite")
     shutil.rmtree(f"{path}/bands")
-    with pytest.raises(IOError, match="no .*compact.old exists to recover"):
+    with pytest.raises(IOError, match="exists to recover"):
         compact_dedup_index(spark, path)
 
 
@@ -162,3 +162,87 @@ def test_cross_family_manifest_read_is_rejected_at_the_gate(spark, tmp_path):
         compact_semantic_index(spark, ded_path)
     with pytest.raises(ValueError, match="wrong index family"):
         probe_semantic_index(e, ded_path)
+
+
+def test_compaction_survives_tmp_only_merge_with_parked_copy_cleared(spark, tmp_path):
+    """The round-13 ADVICE data-loss window, replayed as a post-crash
+    STATE: a prior (pre-fix) run merged the parked canonical copy into
+    .compact.tmp, deleted the parked copy, and crashed before
+    rename-in — so the only copy of the parked membership lives in a
+    complete .compact.tmp while {path} holds just a recent append.
+    The reconcile-by-append entry must fold the complete tmp back into
+    {path} (never blindly overwrite it), so no membership is lost."""
+    import os
+    import shutil
+
+    path = f"{tmp_path}/didx"
+    d = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 300)
+    full = d.filter(F.col("doc_id") % 10 != 7)
+    late = d.filter(F.col("doc_id") % 10 == 3)
+    incoming = d.filter(F.col("doc_id") % 10 == 7)
+    build_dedup_index(full, path, mode="overwrite")
+    # the crashed run's complete merged rewrite sits at .compact.tmp
+    # (with _SUCCESS) — simulated by copying the canonical table there
+    shutil.copytree(f"{path}/content", f"{path}/content.compact.tmp")
+    assert os.path.exists(f"{path}/content.compact.tmp/_SUCCESS")
+    # the parked copy is already gone and path was recreated by an
+    # ingest append with ONLY the late batch's hashes
+    shutil.rmtree(f"{path}/content")
+    build_dedup_index(late, path, mode="append")
+    compact_dedup_index(spark, path)
+    assert not os.path.exists(f"{path}/content.compact.tmp")
+    got = {r.doc_id: r.status for r in probe_dedup_index(incoming, path).collect()}
+    ref_path = f"{tmp_path}/ref"
+    build_dedup_index(full, ref_path, mode="overwrite")
+    build_dedup_index(late, ref_path, mode="append")
+    compact_dedup_index(spark, ref_path)
+    want = {r.doc_id: r.status for r in probe_dedup_index(incoming, ref_path).collect()}
+    assert got == want
+
+
+def test_compaction_recovers_from_aside_parked_crash(spark, tmp_path):
+    """Round-14 swap names: a crash between rename-aside and rename-in
+    now parks the canonical table at {path}.compact.aside (with the
+    stale rewrite still at .compact.tmp). Re-running must restore from
+    aside, fold the tmp, and converge with verdicts unchanged."""
+    import os
+    import shutil
+
+    path = f"{tmp_path}/didx"
+    d = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 200)
+    idx_side = d.filter(F.col("doc_id") % 10 != 7)
+    incoming = d.filter(F.col("doc_id") % 10 == 7)
+    build_dedup_index(idx_side, path, mode="overwrite")
+    build_dedup_index(idx_side, path, mode="append")
+    before = {r.doc_id: r.status for r in probe_dedup_index(incoming, path).collect()}
+    # crash window: tmp written, rename-aside done, rename-in never ran
+    shutil.copytree(f"{path}/content", f"{path}/content.compact.tmp")
+    os.rename(f"{path}/content", f"{path}/content.compact.aside")
+    compact_dedup_index(spark, path)
+    assert not os.path.exists(f"{path}/content.compact.aside")
+    assert not os.path.exists(f"{path}/content.compact.tmp")
+    after = {r.doc_id: r.status for r in probe_dedup_index(incoming, path).collect()}
+    assert before == after
+
+
+def test_compaction_clears_obsolete_aside_after_rename_in_crash(spark, tmp_path):
+    """Crash between rename-in and delete-aside: {path} already holds
+    the compacted table and .compact.aside is the obsolete pre-swap
+    copy. Re-running must reconcile it away (append is a no-op under
+    DISTINCT) and end clean."""
+    import os
+    import shutil
+
+    path = f"{tmp_path}/didx"
+    d = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 200)
+    idx_side = d.filter(F.col("doc_id") % 10 != 7)
+    incoming = d.filter(F.col("doc_id") % 10 == 7)
+    build_dedup_index(idx_side, path, mode="overwrite")
+    before = {r.doc_id: r.status for r in probe_dedup_index(incoming, path).collect()}
+    shutil.copytree(f"{path}/content", f"{path}/content.compact.aside")
+    stats = compact_dedup_index(spark, path)
+    nb, na = stats["content"]
+    assert nb == 2 * na  # aside re-appended, then collapsed by DISTINCT
+    assert not os.path.exists(f"{path}/content.compact.aside")
+    after = {r.doc_id: r.status for r in probe_dedup_index(incoming, path).collect()}
+    assert before == after
