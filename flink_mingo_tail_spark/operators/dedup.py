@@ -802,3 +802,84 @@ def compact_dedup_index(spark, path: str) -> dict[str, tuple[int, int]]:
         "content": _swap_rewrite_distinct(spark, f"{path}/content", "shard"),
         "bands": _swap_rewrite_distinct(spark, f"{path}/bands", "shard"),
     }
+
+
+# ---------------------------------------------------------------------------
+# Duplicated token spans — substring-level exact dedup (round 14)
+# ---------------------------------------------------------------------------
+
+DEFAULT_SPAN_L = 8  # duplicated-window width in tokens (the detector's
+                    # resolution: every maximal duplicated span >= L
+                    # tokens is found exactly; spans shorter than L are
+                    # below the detector's floor by design)
+
+
+def duplicated_token_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_l: int = DEFAULT_SPAN_L,
+) -> DataFrame:
+    """Maximal duplicated token spans per document — substring-level
+    exact dedup (the training-data rule that a long span repeated
+    ANYWHERE in the corpus, including the same document, is memorizable
+    boilerplate even when no whole document duplicates): every
+    ``span_l``-token window is keyed by md5 of its joined tokens; a
+    window is DUPLICATED iff its key occurs more than once in the
+    corpus; per document, overlapping/adjacent duplicated windows merge
+    into maximal spans (gaps-and-islands over window start positions —
+    a break where the next start exceeds prev + span_l).
+
+    Returns (id_col, span_start, span_end) with 1-based inclusive
+    WINDOW-START positions; the span covers tokens
+    [span_start, span_end + span_l - 1], i.e. span_end - span_start +
+    span_l tokens.
+
+    Scale shape: one narrow pass builds the window keys (corpus-token
+    x 1 rows, no text duplication — each row is one md5), one shuffle
+    groups keys to find multiplicity, one shuffle joins the duplicated
+    key set back (corpus-sized on both sides — the honest distributed
+    shape; no broadcast pretense), and the island merge is a per-doc
+    window function over the (small) marked subset. Documents shorter
+    than span_l yield no windows and no spans."""
+    t = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    w = (
+        t.filter(F.size("toks") >= span_l)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - span_l + 1)
+            ).alias("pos"),
+            "toks",
+        )
+        .select(
+            id_col,
+            "pos",
+            F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), span_l))).alias(
+                "h"
+            ),
+        )
+    )
+    dup = w.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    marked = w.join(dup, "h", "left_semi").select(id_col, "pos")
+    from pyspark.sql.window import Window
+
+    order = Window.partitionBy(id_col).orderBy("pos")
+    run = (
+        marked.withColumn("prev", F.lag("pos").over(order))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > span_l),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return run.groupBy(id_col, "island").agg(
+        F.min("pos").alias("span_start"), F.max("pos").alias("span_end")
+    ).drop("island")

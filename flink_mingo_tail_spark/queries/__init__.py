@@ -98,8 +98,9 @@ _MODULES = (
 #         twins; q246/q248 already above);
 #   (c) round-8 drain completes — all 24 remaining names, ascending;
 #       after this round no green row predates round 9;
-#   (d) round-9 cohort refresh, ascending query order (first 14 of 49;
-#       the prefix-50 cut leaves q192+ and the q201+ tail for r15).
+#   (d) round-9 cohort refresh, ascending query order (first 10 of 49
+#       after the four newcomers took their slots; the prefix-50 cut
+#       leaves q147+ and the q192+/q201+ tail for r15).
 #
 # ROTATION, round 13 (historical) — steady-state policy, 50 slots:
 #   (a) round-13 newcomers, no driver row yet: q247 (perceptual
@@ -174,8 +175,11 @@ _MODULES = (
 #       round-7 refresh lead round 12 (freshness debt traded for driver
 #       rows on every new operator, front-load-new-first precedence).
 _NEEDS_DRIVER_ROW = (
-    # (a) round-14 newcomers, no driver row yet — inserted here as they
-    #     land (front-load-new-first precedence).
+    # (a) round-14 newcomers, no driver row yet (front-load-new-first)
+    "q255_bloom_prefilter_probe",
+    "q256_duplicated_spans",
+    "q257_dup_span_rollup",
+    "q258_span_trim_plan",
     # (b) changed-code re-proofs (details in the round-14 block above)
     "q225_perceptual_hash_near_dup",
     "q228_perceptual_dup_components",
@@ -226,10 +230,6 @@ _NEEDS_DRIVER_ROW = (
     "q143_nullsafe_join",
     "q144_try_arithmetic",
     "q146_theta_set_algebra",
-    "q147_kll_quantile_rollup",
-    "q148_distribution_windows",
-    "q149_locf_forward_fill",
-    "q150_arrow_udf_scalar",
 )
 
 

@@ -2578,3 +2578,422 @@ def q254_bloom_load_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "predicted_fp_micro long, n_nonmember_probes long, nonmember_hits long, "
         "measured_fp_micro long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q255 — two-tier Bloom-prefiltered standing-index probe (round 14)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_prefilter_oracle() -> str:
+    return f"""
+    WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
+    idx AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+    ik AS (SELECT DISTINCT md5(text) AS ch FROM idx),
+    {_bloom_bits_cte()},
+    pr AS (SELECT doc_id, md5(text) AS ch FROM inc),
+    {_bloom_probe_cte('pr', hit_alias='bloom_pos')},
+    exact AS (
+        SELECT DISTINCT i.doc_id
+        FROM inc i JOIN ik ON md5(i.text) = ik.ch
+    ),
+    inc_b AS (
+        SELECT doc_id, unnest({sql_lsh_band_keys('sig', ROWS_PER_BAND, MINHASH_K)}) AS band
+        FROM (SELECT doc_id, {sql_minhash_signature("list_distinct(string_split(text, ' '))", MINHASH_K)} AS sig FROM inc)
+    ),
+    idx_b AS (
+        SELECT DISTINCT unnest({sql_lsh_band_keys('sig', ROWS_PER_BAND, MINHASH_K)}) AS band
+        FROM (SELECT {sql_minhash_signature("list_distinct(string_split(text, ' '))", MINHASH_K)} AS sig FROM idx)
+    ),
+    near AS (
+        SELECT DISTINCT b.doc_id FROM inc_b b JOIN idx_b USING (band)
+    )
+    SELECT i.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS status,
+           bh.bloom_pos AS bloom_pos
+    FROM inc i
+    LEFT JOIN exact e ON e.doc_id = i.doc_id
+    LEFT JOIN near n ON n.doc_id = i.doc_id
+    JOIN bh ON bh.doc_id = i.doc_id
+    ORDER BY i.doc_id
+    """
+
+
+@query("q255_bloom_prefilter_probe", oracle=_bloom_prefilter_oracle())
+def q255_bloom_prefilter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TWO-TIER standing-index probe as a driver row (round-14
+    verdict #4, proven in the correctness gate rather than only in
+    tests): the incoming slice (q117's doc_id%10==7 convention) is
+    classified by probe_dedup_index with ``bloom_prefilter=True`` — the
+    batch's distinct content hashes first test against the kilobyte
+    Bloom bit frame (broadcast, ZERO index-side shuffle), and only
+    bloom-positive hashes reach the exact (shard, ch) semi-join, so the
+    index-side shuffle touches ~(hit + FP) of the batch instead of all
+    of it. Output per incoming doc: the classification (which the
+    oracle replays through the DIRECT banding/hash SQL — proving the
+    two-tier path changes NOTHING) and the raw ``bloom_pos`` verdict
+    (replayed bit-exactly through the shared _bloom_bits_cte /
+    _bloom_probe_cte spellings, so even false positives must match).
+    A Bloom miss is definitive — every 'exact_dup' row necessarily
+    carries bloom_pos=TRUE, pinned row-for-row by the oracle.
+
+    Scale shape: the scratch index build is fixture plumbing (q244's
+    class — production probes a standing index); the probe itself is
+    one kilobyte broadcast + a hit-rate-bounded semi-join + the
+    unchanged band probe. Ref parity: SURVEY §2A A6/A7 state
+    discipline; the two-tier composition has no reference twin."""
+    import shutil
+    import tempfile
+
+    from flink_mingo_tail_spark.operators.dedup import (
+        build_bloom_index,
+        build_dedup_index,
+        probe_bloom_index,
+        probe_dedup_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    idx_side = d.filter(F.col("doc_id") % 10 != 7)
+    incoming = d.filter(F.col("doc_id") % 10 == 7)
+    tmp = tempfile.mkdtemp(prefix="fmts-bloom2t-q255-")
+    try:
+        path = f"{tmp}/didx"
+        build_dedup_index(idx_side, path, mode="overwrite")
+        build_bloom_index(
+            idx_side.select(F.md5(F.col("text")).alias("ch")).distinct(),
+            f"{path}/bloom",
+            key_col="ch",
+        )
+        status = probe_dedup_index(incoming, path, bloom_prefilter=True)
+        bl = probe_bloom_index(
+            incoming.select(F.md5(F.col("text")).alias("ch")).distinct(),
+            f"{path}/bloom",
+            id_col="ch",
+            key_col="ch",
+        )
+        per_doc = (
+            incoming.select("doc_id", F.md5(F.col("text")).alias("ch"))
+            .join(bl, "ch")
+            .select("doc_id", F.col("bloom_hit").alias("bloom_pos"))
+        )
+        rows = [
+            (r.doc_id, r.status, r.bloom_pos)
+            for r in status.join(per_doc, "doc_id")
+            .orderBy("doc_id")
+            .collect()  # bounded: the incoming slice; materialized
+            # before the scratch index is removed (q253's pattern)
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, status string, bloom_pos boolean"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q256/q257 — duplicated token spans (substring-level exact dedup, round 14)
+# ---------------------------------------------------------------------------
+
+from flink_mingo_tail_spark.operators.dedup import (  # noqa: E402
+    DEFAULT_SPAN_L,
+    duplicated_token_spans,
+)
+
+# Shared oracle core: window keys -> duplicated-key set -> marked window
+# starts -> gaps-and-islands merge into maximal spans. One spelling for
+# q256 (per-doc) and q257 (per-source rollup). DuckDB list slices are
+# 1-based inclusive: toks[i : i+L-1] is the L-token window at start i.
+_DUP_SPAN_CTES = f"""t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ), w AS (
+        SELECT doc_id, i AS pos,
+               md5(list_aggregate(toks[i:i+{DEFAULT_SPAN_L}-1], 'string_agg', ' ')) AS h
+        FROM t, unnest(range(1, len(toks) - {DEFAULT_SPAN_L} + 2)) AS u(i)
+    ), dup AS (
+        SELECT h FROM w GROUP BY h HAVING count(*) > 1
+    ), marked AS (
+        SELECT w.doc_id, w.pos FROM w JOIN dup USING (h)
+    ), isl AS (
+        SELECT doc_id, pos,
+               sum(CASE WHEN prev IS NULL OR pos - prev > {DEFAULT_SPAN_L}
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM (SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM marked)
+    ), spans AS (
+        SELECT doc_id, island, min(pos) AS s, max(pos) AS e
+        FROM isl GROUP BY doc_id, island
+    ), perdoc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+               CAST(sum(e - s + {DEFAULT_SPAN_L}) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id
+    )"""
+
+
+@query(
+    "q256_duplicated_spans",
+    oracle=f"""
+    WITH {_DUP_SPAN_CTES}
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_toks,
+           coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(p.dup_tokens, 0) AS dup_tokens,
+           CAST(round(coalesce(p.dup_tokens, 0) * 1000000.0 / len(t.toks))
+                AS BIGINT) AS dup_frac_micro
+    FROM t LEFT JOIN perdoc p USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def q256_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup — the span detector whole-document
+    hashing cannot cover: a long token span repeated ANYWHERE in the
+    corpus (boilerplate headers, licenses, templated paragraphs — or
+    self-repetition inside one document) is memorizable training
+    content even when no two documents are duplicates. Every
+    {DEFAULT_SPAN_L}-token window is keyed by md5 of its joined
+    tokens; windows whose key occurs more than once are duplicated;
+    per document, overlapping/adjacent duplicated windows merge into
+    MAXIMAL spans (gaps-and-islands), and the output reports span
+    count, duplicated-token mass, and its micro-fraction of the doc.
+
+    The detector's resolution is exact at >= {DEFAULT_SPAN_L} tokens:
+    every maximal duplicated span at least that long is found in full
+    (all its windows collide), shorter repeats are below the floor by
+    design (operators/dedup.duplicated_token_spans).
+
+    Scale shape: one narrow pass emits one md5 per token position (the
+    text itself never duplicates into the shuffle), one groupBy finds
+    key multiplicity, one semi-join marks positions — both corpus-
+    sized shuffles keyed on the hash, the honest distributed shape —
+    and the island merge is a per-doc window over the marked subset
+    only. Ref parity: no reference twin (the reference has no
+    relational operators); the training-data rule follows the exact
+    substring-dedup practice the dedup family's SURVEY row cites."""
+    d = _t(spark, sf_dir, "documents")
+    spans = duplicated_token_spans(d)
+    perdoc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(
+            F.col("span_end") - F.col("span_start") + F.lit(DEFAULT_SPAN_L)
+        ).alias("dup_tokens"),
+    )
+    return (
+        d.select("doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_toks"))
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                * F.lit(1000000.0)
+                / F.col("n_toks")
+            )
+            .cast("long")
+            .alias("dup_frac_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q257_dup_span_rollup",
+    oracle=f"""
+    WITH {_DUP_SPAN_CTES}
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(p.doc_id) AS BIGINT) AS n_docs_with_dups,
+           CAST(sum(len(t.toks)) AS BIGINT) AS total_tokens,
+           CAST(sum(coalesce(p.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+           CAST(round(sum(coalesce(p.dup_tokens, 0)) * 1000000.0
+                      / sum(len(t.toks))) AS BIGINT) AS dup_frac_micro
+    FROM t LEFT JOIN perdoc p USING (doc_id)
+    GROUP BY t.source
+    ORDER BY t.source
+    """,
+)
+def q257_dup_span_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-hygiene report over q256's spans: per source, how much of
+    the token mass sits inside duplicated >= {DEFAULT_SPAN_L}-token
+    spans — the number a curation pipeline tracks per ingest source to
+    spot boilerplate-heavy feeds (a source whose dup fraction climbs is
+    shipping templated content even if document-level dedup stays
+    quiet). Same detector, one extra groupBy on the source dimension."""
+    d = _t(spark, sf_dir, "documents")
+    perdoc = (
+        duplicated_token_spans(d)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("span_end") - F.col("span_start") + F.lit(DEFAULT_SPAN_L)
+            ).alias("dup_tokens")
+        )
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+        )
+        .join(perdoc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.col("dup_tokens")).alias("n_docs_with_dups"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.sum(F.coalesce(F.col("dup_tokens"), F.lit(0))).alias("dup_tokens"),
+            F.round(
+                F.sum(F.coalesce(F.col("dup_tokens"), F.lit(0)))
+                * F.lit(1000000.0)
+                / F.sum("n_toks")
+            )
+            .cast("long")
+            .alias("dup_frac_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q258 — span trim plan: remove all-but-first occurrences (round 14)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q258_span_trim_plan",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), w AS (
+        SELECT doc_id, i AS pos,
+               md5(list_aggregate(toks[i:i+{DEFAULT_SPAN_L}-1], 'string_agg', ' ')) AS h
+        FROM t, unnest(range(1, len(toks) - {DEFAULT_SPAN_L} + 2)) AS u(i)
+    ), dup AS (
+        SELECT h FROM w GROUP BY h HAVING count(*) > 1
+    ), marked AS (
+        SELECT w.doc_id, w.pos, w.h FROM w JOIN dup USING (h)
+    ), removable AS (
+        -- the kept occurrence per duplicated key is the earliest
+        -- (doc_id, pos); every later occurrence is removable
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+            FROM marked
+        ) WHERE rn > 1
+    ), isl AS (
+        SELECT doc_id, pos,
+               sum(CASE WHEN prev IS NULL OR pos - prev > {DEFAULT_SPAN_L}
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM (SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM removable)
+    ), spans AS (
+        SELECT doc_id, island, min(pos) AS s, max(pos) AS e
+        FROM isl GROUP BY doc_id, island
+    ), perdoc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trim_spans,
+               CAST(sum(e - s + {DEFAULT_SPAN_L}) AS BIGINT) AS trim_tokens
+        FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_toks,
+           coalesce(p.n_trim_spans, 0) AS n_trim_spans,
+           coalesce(p.trim_tokens, 0) AS trim_tokens,
+           CAST(len(t.toks) - coalesce(p.trim_tokens, 0) AS BIGINT) AS kept_tokens
+    FROM t LEFT JOIN perdoc p USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def q258_span_trim_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE form of q256: for every duplicated
+    {DEFAULT_SPAN_L}-token window key, ONE occurrence is kept — the
+    globally earliest (doc_id, pos), the same deterministic earliest-
+    witness election the dedup family uses everywhere (q73's window-min
+    rule) — and every other occurrence is marked removable; removable
+    windows merge into maximal trim spans per document and the output
+    is the TRIM PLAN: spans to cut, token mass removed, tokens kept.
+    This is the exact-substring-dedup practice for training corpora
+    (cut repeated boilerplate once the corpus-wide copy is kept) as a
+    deterministic, engine-portable plan rather than a destructive
+    rewrite — downstream can apply it or veto it per source.
+
+    Election note: a row_number over (h ORDER BY doc_id, pos) in BOTH
+    engines makes the kept copy unique and deterministic even when a
+    key repeats inside one document. Trim-mass caveat (shared with the
+    practice it models): a removable span may overlap a KEPT window in
+    the same document, so trim_tokens is the plan's upper bound —
+    applying a cut re-checks the kept occurrence survives.
+
+    Scale shape: q256's passes plus one more groupBy on the window key
+    (the election) — still nothing but hash-keyed shuffles and a
+    per-doc window over the marked subset. Ref parity: no reference
+    twin; extends the SURVEY dedup row's exact family."""
+    d = _t(spark, sf_dir, "documents")
+    L = DEFAULT_SPAN_L
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    w = (
+        t.filter(F.size("toks") >= L)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - L + 1)).alias("pos"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), L))).alias("h"),
+        )
+    )
+    dup = w.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    marked = w.join(dup, "h", "left_semi")
+    from pyspark.sql.window import Window
+
+    by_key = Window.partitionBy("h").orderBy("doc_id", "pos")
+    removable = (
+        marked.withColumn("rn", F.row_number().over(by_key))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "pos")
+    )
+
+    order = Window.partitionBy("doc_id").orderBy("pos")
+    run = (
+        removable.withColumn("prev", F.lag("pos").over(order))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > L), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    perdoc = (
+        run.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), F.max("pos").alias("e"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trim_spans"),
+            F.sum(F.col("e") - F.col("s") + F.lit(L)).alias("trim_tokens"),
+        )
+    )
+    return (
+        t.select("doc_id", F.size("toks").cast("long").alias("n_toks"))
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce(F.col("n_trim_spans"), F.lit(0)).alias("n_trim_spans"),
+            F.coalesce(F.col("trim_tokens"), F.lit(0)).alias("trim_tokens"),
+            (F.col("n_toks") - F.coalesce(F.col("trim_tokens"), F.lit(0))).alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy("doc_id")
+    )
