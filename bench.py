@@ -239,6 +239,14 @@ HEADLINE = [
     # q245: flat 3.4/3.2/3.4 s at 1x/10x/25x — live-bucket-bounded count
     # shuffle + 8-row rollup; bench citizen.
     "q245_lsh_occupancy_audit",
+    # round 14 — substring-level span dedup: one md5 per token position,
+    # hash-keyed multiplicity groupBy + semi-join, islands per doc.
+    # q256 sub-linear 2.2/2.8/3.8 s at 1x/10x/25x; q258 adds the
+    # per-key row_number election, 2.3/2.8/3.1 s. (q257 shares q256's
+    # passes + a rollup — not double-counted; q255/q259 are scratch-
+    # index-write-bound, probe-only by the q244 policy.)
+    "q256_duplicated_spans",
+    "q258_span_trim_plan",
 ]
 
 
@@ -277,6 +285,8 @@ LARGE_OUTPUT = {
     # per-doc verdict/audit outputs: one row per corpus doc
     "q224_semantic_decontaminate",
     "q226_curation_pipeline",
+    "q256_duplicated_spans",
+    "q258_span_trim_plan",
 }
 
 

@@ -843,26 +843,24 @@ def duplicated_token_spans(
     shape; no broadcast pretense), and the island merge is a per-doc
     window function over the (small) marked subset. Documents shorter
     than span_l yield no windows and no spans."""
-    t = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
-    w = (
-        t.filter(F.size("toks") >= span_l)
-        .select(
-            id_col,
-            F.explode(
-                F.sequence(F.lit(1), F.size("toks") - span_l + 1)
-            ).alias("pos"),
-            "toks",
-        )
-        .select(
-            id_col,
-            "pos",
-            F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), span_l))).alias(
-                "h"
-            ),
-        )
-    )
+    w = _span_windows(docs, id_col=id_col, text_col=text_col, span_l=span_l)
     dup = w.groupBy("h").count().filter(F.col("count") > 1).select("h")
     marked = w.join(dup, "h", "left_semi").select(id_col, "pos")
+    return _merge_span_islands(marked, id_col=id_col, span_l=span_l)
+
+
+# ---------------------------------------------------------------------------
+# Standing span index — incremental substring-level dedup (round 14)
+# ---------------------------------------------------------------------------
+
+_SPAN_MANIFEST_SCHEMA = "span_l int, span_n_shards int"
+
+
+def _merge_span_islands(marked: DataFrame, *, id_col: str, span_l: int) -> DataFrame:
+    """Gaps-and-islands merge of marked window START positions into
+    maximal spans: a break where the next start exceeds prev + span_l.
+    ONE spelling for the in-query detector, the standing-index probe,
+    and the trim plan. Returns (id_col, span_start, span_end)."""
     from pyspark.sql.window import Window
 
     order = Window.partitionBy(id_col).orderBy("pos")
@@ -871,8 +869,7 @@ def duplicated_token_spans(
         .withColumn(
             "brk",
             F.when(
-                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > span_l),
-                1,
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > span_l), 1
             ).otherwise(0),
         )
         .withColumn(
@@ -880,6 +877,124 @@ def duplicated_token_spans(
             F.sum("brk").over(order.rowsBetween(Window.unboundedPreceding, 0)),
         )
     )
-    return run.groupBy(id_col, "island").agg(
-        F.min("pos").alias("span_start"), F.max("pos").alias("span_end")
-    ).drop("island")
+    return (
+        run.groupBy(id_col, "island")
+        .agg(F.min("pos").alias("span_start"), F.max("pos").alias("span_end"))
+        .drop("island")
+    )
+
+
+def _span_windows(
+    docs: DataFrame, *, id_col: str, text_col: str, span_l: int
+) -> DataFrame:
+    """(id_col, pos, h): every span_l-token window's start position and
+    md5 key — ONE spelling for build and probe (duplicated_token_spans'
+    window pass, factored for the standing form)."""
+    t = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    return (
+        t.filter(F.size("toks") >= span_l)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.size("toks") - span_l + 1)).alias("pos"),
+            "toks",
+        )
+        .select(
+            id_col,
+            "pos",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), span_l))
+            ).alias("h"),
+        )
+    )
+
+
+def build_span_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_l: int = DEFAULT_SPAN_L,
+    n_shards: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the standing SPAN index: ``{path}/windows`` — the
+    DISTINCT md5 window keys of every ``span_l``-token window in the
+    admitted corpus, hive-partitioned by md5-long shard (the content
+    table's layout discipline applied to the substring modality).
+    This is the largest standing index in the family (≈ one row per
+    corpus token), which is exactly what distributed substring dedup
+    costs: suffix structures don't shard, window-hash tables do, and
+    the probe stays an O(batch-tokens) membership semi-join.
+
+    Membership-only append contract (the family rule): appended
+    batches may re-insert keys already present — bytes, never
+    correctness; compact with compact_span_index. A one-row manifest
+    pins (span_l, n_shards); appends refuse a mismatch (a span_l drift
+    would silently mark every batch window novel)."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
+    params = {"span_l": span_l, "span_n_shards": n_shards}
+    spark = docs.sparkSession
+    if mode == "append":
+        existing = _read_index_manifest(spark, path, _SPAN_MANIFEST_SCHEMA)
+        if existing is None:
+            raise ValueError(
+                f"cannot append to {path!r}: no manifest found "
+                "(build with mode='overwrite' first)"
+            )
+        if existing != params:
+            raise ValueError(
+                f"span index at {path!r} was built with {existing}, "
+                f"refusing to append with {params}"
+            )
+    (
+        _span_windows(docs, id_col=id_col, text_col=text_col, span_l=span_l)
+        .select("h")
+        .distinct()
+        .withColumn("shard", _index_shard(F.col("h"), n_shards))
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(f"{path}/windows")
+    )
+    if mode == "overwrite":
+        spark.createDataFrame(
+            [(span_l, n_shards)], _SPAN_MANIFEST_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
+
+
+def probe_span_index(
+    incoming: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal spans of each incoming document already present in the
+    STANDING corpus (build_span_index): the batch's windows semi-join
+    the persisted key set on (shard, h) — probe-side shard computed
+    from the key, so dynamic partition pruning can skip index
+    directories for selective batches — and matching window starts
+    merge gaps-and-islands into maximal spans, duplicated_token_spans'
+    contract against persisted state. Returns (id_col, span_start,
+    span_end); span parameters always come from the manifest."""
+    spark = incoming.sparkSession
+    manifest = _read_index_manifest(spark, path, _SPAN_MANIFEST_SCHEMA)
+    if manifest is None:
+        raise ValueError(f"no span index manifest at {path!r}")
+    span_l, n_shards = manifest["span_l"], manifest["span_n_shards"]
+    w = _span_windows(
+        incoming, id_col=id_col, text_col=text_col, span_l=span_l
+    ).withColumn("shard", _index_shard(F.col("h"), n_shards))
+    idx = spark.read.parquet(f"{path}/windows")
+    marked = w.join(idx, ["shard", "h"], "left_semi").select(id_col, "pos")
+    return _merge_span_islands(marked, id_col=id_col, span_l=span_l)
+
+
+def compact_span_index(spark, path: str) -> dict[str, tuple[int, int]]:
+    """Distinct-rewrite of a churned span index (the q244 swap — see
+    _swap_rewrite's crash contract); probe verdicts are invariant
+    (membership is set-based)."""
+    if _read_index_manifest(spark, path, _SPAN_MANIFEST_SCHEMA) is None:
+        raise ValueError(f"no span index manifest at {path!r}")
+    return {"windows": _swap_rewrite_distinct(spark, f"{path}/windows", "shard")}

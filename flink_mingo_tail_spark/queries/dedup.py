@@ -2701,36 +2701,56 @@ from flink_mingo_tail_spark.operators.dedup import (  # noqa: E402
     duplicated_token_spans,
 )
 
-# Shared oracle core: window keys -> duplicated-key set -> marked window
-# starts -> gaps-and-islands merge into maximal spans. One spelling for
-# q256 (per-doc) and q257 (per-source rollup). DuckDB list slices are
-# 1-based inclusive: toks[i : i+L-1] is the L-token window at start i.
-_DUP_SPAN_CTES = f"""t AS (
-        SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
-    ), w AS (
-        SELECT doc_id, i AS pos,
+# Shared oracle spellings for the span family (q256/q257/q258/q259) —
+# DuckDB list slices are 1-based inclusive: toks[i : i+L-1] is the
+# L-token window at start i.
+
+
+def _sql_span_windows(src: str = "t", where: str = "") -> str:
+    """(doc_id, pos, h) window keys of ``src`` (a CTE with doc_id +
+    toks) — the dHash-style one-spelling rule for the span window pass
+    (mirrors operators/dedup._span_windows bit-exactly)."""
+    return (
+        f"""SELECT doc_id, i AS pos,
                md5(list_aggregate(toks[i:i+{DEFAULT_SPAN_L}-1], 'string_agg', ' ')) AS h
-        FROM t, unnest(range(1, len(toks) - {DEFAULT_SPAN_L} + 2)) AS u(i)
-    ), dup AS (
-        SELECT h FROM w GROUP BY h HAVING count(*) > 1
-    ), marked AS (
-        SELECT w.doc_id, w.pos FROM w JOIN dup USING (h)
-    ), isl AS (
+        FROM {src}, unnest(range(1, len(toks) - {DEFAULT_SPAN_L} + 2)) AS u(i){where}"""
+    )
+
+
+def _sql_span_islands(
+    src: str, out: str = "perdoc", count_col: str = "n_dup_spans",
+    sum_col: str = "dup_tokens",
+) -> str:
+    """isl → spans → {out}: the gaps-and-islands merge of marked window
+    starts into maximal spans plus the per-doc rollup — one spelling
+    (mirrors operators/dedup._merge_span_islands)."""
+    return f"""isl AS (
         SELECT doc_id, pos,
                sum(CASE WHEN prev IS NULL OR pos - prev > {DEFAULT_SPAN_L}
                         THEN 1 ELSE 0 END)
                  OVER (PARTITION BY doc_id ORDER BY pos) AS island
         FROM (SELECT doc_id, pos,
                      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-              FROM marked)
+              FROM {src})
     ), spans AS (
         SELECT doc_id, island, min(pos) AS s, max(pos) AS e
         FROM isl GROUP BY doc_id, island
-    ), perdoc AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
-               CAST(sum(e - s + {DEFAULT_SPAN_L}) AS BIGINT) AS dup_tokens
+    ), {out} AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS {count_col},
+               CAST(sum(e - s + {DEFAULT_SPAN_L}) AS BIGINT) AS {sum_col}
         FROM spans GROUP BY doc_id
     )"""
+
+
+_DUP_SPAN_CTES = f"""t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ), w AS (
+        {_sql_span_windows()}
+    ), dup AS (
+        SELECT h FROM w GROUP BY h HAVING count(*) > 1
+    ), marked AS (
+        SELECT w.doc_id, w.pos FROM w JOIN dup USING (h)
+    ), {_sql_span_islands('marked')}"""
 
 
 @query(
@@ -2869,9 +2889,7 @@ def q257_dup_span_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), w AS (
-        SELECT doc_id, i AS pos,
-               md5(list_aggregate(toks[i:i+{DEFAULT_SPAN_L}-1], 'string_agg', ' ')) AS h
-        FROM t, unnest(range(1, len(toks) - {DEFAULT_SPAN_L} + 2)) AS u(i)
+        {_sql_span_windows()}
     ), dup AS (
         SELECT h FROM w GROUP BY h HAVING count(*) > 1
     ), marked AS (
@@ -2884,22 +2902,7 @@ def q257_dup_span_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
             FROM marked
         ) WHERE rn > 1
-    ), isl AS (
-        SELECT doc_id, pos,
-               sum(CASE WHEN prev IS NULL OR pos - prev > {DEFAULT_SPAN_L}
-                        THEN 1 ELSE 0 END)
-                 OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        FROM (SELECT doc_id, pos,
-                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-              FROM removable)
-    ), spans AS (
-        SELECT doc_id, island, min(pos) AS s, max(pos) AS e
-        FROM isl GROUP BY doc_id, island
-    ), perdoc AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trim_spans,
-               CAST(sum(e - s + {DEFAULT_SPAN_L}) AS BIGINT) AS trim_tokens
-        FROM spans GROUP BY doc_id
-    )
+    ), {_sql_span_islands('removable', count_col='n_trim_spans', sum_col='trim_tokens')}
     SELECT t.doc_id,
            CAST(len(t.toks) AS BIGINT) AS n_toks,
            coalesce(p.n_trim_spans, 0) AS n_trim_spans,
@@ -2933,54 +2936,33 @@ def q258_span_trim_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the election) — still nothing but hash-keyed shuffles and a
     per-doc window over the marked subset. Ref parity: no reference
     twin; extends the SURVEY dedup row's exact family."""
+    from pyspark.sql.window import Window
+
+    from flink_mingo_tail_spark.operators.dedup import (
+        _merge_span_islands,
+        _span_windows,
+    )
+
     d = _t(spark, sf_dir, "documents")
     L = DEFAULT_SPAN_L
     t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
-    w = (
-        t.filter(F.size("toks") >= L)
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.size("toks") - L + 1)).alias("pos"),
-            "toks",
-        )
-        .select(
-            "doc_id",
-            "pos",
-            F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), L))).alias("h"),
-        )
-    )
+    w = _span_windows(d, id_col="doc_id", text_col="text", span_l=L)
     dup = w.groupBy("h").count().filter(F.col("count") > 1).select("h")
     marked = w.join(dup, "h", "left_semi")
-    from pyspark.sql.window import Window
-
     by_key = Window.partitionBy("h").orderBy("doc_id", "pos")
     removable = (
         marked.withColumn("rn", F.row_number().over(by_key))
         .filter(F.col("rn") > 1)
         .select("doc_id", "pos")
     )
-
-    order = Window.partitionBy("doc_id").orderBy("pos")
-    run = (
-        removable.withColumn("prev", F.lag("pos").over(order))
-        .withColumn(
-            "brk",
-            F.when(
-                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > L), 1
-            ).otherwise(0),
-        )
-        .withColumn(
-            "island",
-            F.sum("brk").over(order.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-    )
     perdoc = (
-        run.groupBy("doc_id", "island")
-        .agg(F.min("pos").alias("s"), F.max("pos").alias("e"))
+        _merge_span_islands(removable, id_col="doc_id", span_l=L)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_trim_spans"),
-            F.sum(F.col("e") - F.col("s") + F.lit(L)).alias("trim_tokens"),
+            F.sum(
+                F.col("span_end") - F.col("span_start") + F.lit(L)
+            ).alias("trim_tokens"),
         )
     )
     return (
@@ -2997,3 +2979,98 @@ def q258_span_trim_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q259 — standing span index: incremental substring dedup (round 14)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q259_span_index_probe",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), iw AS (
+        SELECT DISTINCT h FROM (
+            {_sql_span_windows(where=" WHERE doc_id % 10 <> 7")}
+        )
+    ), pw AS (
+        {_sql_span_windows(where=" WHERE doc_id % 10 = 7")}
+    ), marked AS (
+        SELECT pw.doc_id, pw.pos FROM pw JOIN iw USING (h)
+    ), {_sql_span_islands('marked')}
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_toks,
+           coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(p.dup_tokens, 0) AS dup_tokens
+    FROM t LEFT JOIN perdoc p USING (doc_id)
+    WHERE t.doc_id % 10 = 7
+    ORDER BY t.doc_id
+    """,
+)
+def q259_span_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q256's detector in its INCREMENTAL standing form (the growing
+    direction every dedup modality in this engine gets): the admitted
+    corpus's window keys persist as a sharded standing table
+    (operators/dedup.build_span_index — one row per corpus token, the
+    family's biggest index, which is exactly what distributed
+    substring dedup costs since suffix structures don't shard), and
+    each incoming batch (q117's doc_id%10==7 convention) reports the
+    maximal spans it shares with the STANDING corpus via an O(batch-
+    tokens) membership semi-join on (shard, h) + the islands merge —
+    never re-scanning corpus text. Output per incoming doc: token
+    count, standing-dup span count, standing-dup token mass.
+
+    Scale shape: probe cost rides the batch (its windows), index cost
+    is the one-time build + membership appends; the semi-join is
+    hash-keyed against the hive-sharded key set with the probe-side
+    shard computed from the key (partition pruning for selective
+    batches). Ref parity: SURVEY §2A A6/A7 standing-state discipline
+    applied to the substring modality; no reference twin."""
+    import shutil
+    import tempfile
+
+    from flink_mingo_tail_spark.operators.dedup import (
+        build_span_index,
+        probe_span_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    idx_side = d.filter(F.col("doc_id") % 10 != 7)
+    incoming = d.filter(F.col("doc_id") % 10 == 7)
+    tmp = tempfile.mkdtemp(prefix="fmts-spanidx-q259-")
+    try:
+        path = f"{tmp}/sidx"
+        build_span_index(idx_side, path, mode="overwrite")
+        perdoc = (
+            probe_span_index(incoming, path)
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_dup_spans"),
+                F.sum(
+                    F.col("span_end") - F.col("span_start") + F.lit(DEFAULT_SPAN_L)
+                ).alias("dup_tokens"),
+            )
+        )
+        rows = [
+            (r.doc_id, r.n_toks, r.n_dup_spans, r.dup_tokens)
+            for r in incoming.select(
+                "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_toks")
+            )
+            .join(perdoc, "doc_id", "left")
+            .select(
+                "doc_id",
+                "n_toks",
+                F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+            )
+            .orderBy("doc_id")
+            .collect()  # bounded: the incoming slice; materialized
+            # before the scratch index is removed (q253's pattern)
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, n_toks long, n_dup_spans long, dup_tokens long"
+    ).orderBy("doc_id")

@@ -340,6 +340,19 @@ PROBES = [
     "q252_bloom_membership_audit",
     # q254: q252's pass + a <= m/32-row bit_count aggregate — same shape.
     "q254_bloom_load_audit",
+    # round 14 — span dedup: one md5 per token position, multiplicity
+    # groupBy + semi-join both keyed on the hash (corpus-token-scale
+    # shuffles — the family's biggest, by design), islands per doc over
+    # the marked subset. Copy corpus: every window gains N-1 copies, so
+    # the marked subset grows ~N and dup groups densify ~N — worst-case
+    # duplicate density, same caveat as q73. q258 adds the per-key
+    # row_number election (one more hash-keyed window).
+    "q256_duplicated_spans",
+    "q257_dup_span_rollup",
+    "q258_span_trim_plan",
+    # q255: expect scratch-index-write-bound (q244's class) — the probe
+    # itself is a kilobyte broadcast + hit-bounded semi-join
+    "q255_bloom_prefilter_probe",
 ]
 
 

@@ -175,3 +175,59 @@ def test_bloom_rewiden_trigger_rebuilds_at_fresh_width(spark, tmp_path):
     probes = _keys(spark, F.col("doc_id") % 10 != 7)
     hits = probe_bloom_index(probes, path2, id_col="doc_id", key_col="ch")
     assert hits.filter(~F.col("bloom_hit")).count() == 0  # no false negatives
+
+
+def test_bloom_prefilter_parity_property(spark, tmp_path):
+    """Property: for ANY corpus split, the two-tier probe classifies
+    identically to the direct probe (Bloom has no false negatives and
+    FPs confirm-and-fail). Randomized via hypothesis over synthetic
+    doc sets with planted exact dups, shared-shingle near dups, and
+    novel docs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from flink_mingo_tail_spark.operators.dedup import (
+        build_dedup_index,
+        probe_dedup_index,
+    )
+
+    counter = iter(range(10_000))
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(data=st.data())
+    def prop(data):
+        n_idx = data.draw(st.integers(4, 12))
+        n_inc = data.draw(st.integers(3, 8))
+        words = [f"w{j}" for j in range(12)]
+        mk = lambda r: " ".join(data.draw(st.sampled_from(words)) for _ in range(r))
+        idx_rows = [(i, mk(data.draw(st.integers(6, 14)))) for i in range(n_idx)]
+        inc_rows = []
+        for i in range(n_inc):
+            kind = data.draw(st.sampled_from(["copy", "novel", "mut"]))
+            if kind == "copy" and idx_rows:
+                text = data.draw(st.sampled_from(idx_rows))[1]
+            elif kind == "mut" and idx_rows:
+                text = data.draw(st.sampled_from(idx_rows))[1] + " zz"
+            else:
+                text = mk(data.draw(st.integers(6, 14))) + f" uniq{i}"
+            inc_rows.append((1000 + i, text))
+        ddl = "doc_id long, text string"
+        idx_df = spark.createDataFrame(idx_rows, ddl)
+        inc_df = spark.createDataFrame(inc_rows, ddl)
+        path = f"{tmp_path}/p{next(counter)}"
+        build_dedup_index(idx_df, path, mode="overwrite")
+        build_bloom_index(
+            idx_df.select(F.md5("text").alias("ch")).distinct(),
+            f"{path}/bloom",
+            key_col="ch",
+        )
+        direct = {
+            r.doc_id: r.status for r in probe_dedup_index(inc_df, path).collect()
+        }
+        two_tier = {
+            r.doc_id: r.status
+            for r in probe_dedup_index(inc_df, path, bloom_prefilter=True).collect()
+        }
+        assert direct == two_tier
+
+    prop()
