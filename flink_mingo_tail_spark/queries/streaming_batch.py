@@ -1336,3 +1336,191 @@ def q246_full_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "doc_id long, source string, n_toks long, reason string, ingest_batch long",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q260 — streaming curation WITH the standing span index (round 14)
+# ---------------------------------------------------------------------------
+
+_SPAN_DUP_FRAC = 0.5  # the boilerplate threshold (classify_batch default)
+
+
+def _span_curation_oracle() -> str:
+    """q234's batch-granular replay extended with the BOILERPLATE stage:
+    window keys of quality passers, matched against STRICTLY EARLIER
+    batches' passers (y.b < x.b — batch-vs-state granularity), islands-
+    merged per doc (the q256/q259 shared spelling pattern), flagged when
+    the merged mass reaches {_SPAN_DUP_FRAC} of the doc's tokens."""
+    from flink_mingo_tail_spark.operators.dedup import (
+        DEFAULT_SPAN_L,
+        sql_lsh_band_keys,
+    )
+    from flink_mingo_tail_spark.queries.dedup import (
+        _PIPE_STOPS,
+        _SQL_SIG,
+        _sql_span_islands,
+        MINHASH_K,
+    )
+    from flink_mingo_tail_spark.streaming.curation_ingest import (
+        DEFAULT_BUDGET,
+        DEFAULT_EVAL_MOD,
+        DEFAULT_ROWS_PER_BAND,
+    )
+
+    bands = sql_lsh_band_keys("sig", DEFAULT_ROWS_PER_BAND, MINHASH_K)
+    L = DEFAULT_SPAN_L
+    return f"""
+    WITH d AS (
+        SELECT doc_id, source, lang, n_chars, text,
+               string_split(text, ' ') AS t,
+               doc_id // {_ING_BATCH_W} AS b
+        FROM documents
+    ), s1 AS (
+        SELECT *,
+               CAST(len(t) AS BIGINT) AS n_toks,
+               CASE WHEN doc_id % {DEFAULT_EVAL_MOD} = 0 THEN 'eval_holdout'
+                    WHEN len(t) < 15 THEN 'too_short'
+                    WHEN len(t) > 5000 THEN 'too_long'
+                    WHEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) < 0.2
+                      THEN 'repetitive'
+                    WHEN lang = 'en'
+                         AND len(list_intersect(list_distinct(t), {_PIPE_STOPS})) < 1
+                      THEN 'no_stopwords'
+                    END AS r1
+        FROM d
+    ), qp AS (
+        SELECT * FROM s1 WHERE r1 IS NULL
+    ), hashes AS (
+        SELECT doc_id, b, md5(text) AS ch FROM qp
+    ), ex AS (
+        SELECT DISTINCT h.doc_id FROM hashes h
+        JOIN hashes h2 ON h2.ch = h.ch AND h2.b < h.b
+    ), sigs AS (
+        SELECT doc_id, b, {_SQL_SIG} AS sig FROM qp
+    ), banded AS (
+        SELECT doc_id, b, unnest({bands}) AS band FROM sigs
+    ), nd AS (
+        SELECT DISTINCT x.doc_id FROM banded x
+        JOIN banded y ON y.band = x.band AND y.b < x.b
+    ), swin AS (
+        SELECT doc_id, b, i AS pos,
+               md5(list_aggregate(t[i:i+{L}-1], 'string_agg', ' ')) AS h
+        FROM qp, unnest(range(1, len(t) - {L} + 2)) AS u(i)
+    ), smark AS (
+        SELECT DISTINCT x.doc_id, x.pos FROM swin x
+        JOIN swin y ON y.h = x.h AND y.b < x.b
+    ), {_sql_span_islands('smark', out='sp')}, bp AS (
+        SELECT q.doc_id FROM qp q JOIN sp ON sp.doc_id = q.doc_id
+        WHERE sp.dup_tokens >= {_SPAN_DUP_FRAC} * q.n_toks
+    ), grams AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+        FROM qp WHERE len(t) >= 4
+    ), probeg AS (
+        SELECT DISTINCT unnest(list_transform(range(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+        FROM d WHERE doc_id % {DEFAULT_EVAL_MOD} = 0 AND len(t) >= 4
+    ), cont AS (
+        SELECT DISTINCT gr.doc_id FROM grams gr JOIN probeg p ON gr.g = p.g
+    ), gate AS (
+        SELECT q.* FROM qp q
+        WHERE q.doc_id NOT IN (SELECT doc_id FROM ex)
+          AND q.doc_id NOT IN (SELECT doc_id FROM nd)
+          AND q.doc_id NOT IN (SELECT doc_id FROM bp)
+          AND q.doc_id NOT IN (SELECT doc_id FROM cont)
+    ), packed AS (
+        SELECT doc_id,
+               CAST(coalesce(sum(n_toks) OVER (
+                   PARTITION BY source ORDER BY b, n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+        FROM gate
+    ), ob AS (
+        SELECT doc_id FROM packed WHERE cum_before >= {DEFAULT_BUDGET}
+    )
+    SELECT s1.doc_id, s1.source, s1.n_toks, CAST(s1.b AS BIGINT) AS ingest_batch,
+           coalesce(s1.r1,
+                    CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup' END,
+                    CASE WHEN nd.doc_id IS NOT NULL THEN 'near_dup' END,
+                    CASE WHEN bp.doc_id IS NOT NULL THEN 'boilerplate' END,
+                    CASE WHEN ct.doc_id IS NOT NULL THEN 'contaminated' END,
+                    CASE WHEN ob.doc_id IS NOT NULL THEN 'over_budget' END,
+                    'kept') AS reason
+    FROM s1
+    LEFT JOIN ex ON ex.doc_id = s1.doc_id
+    LEFT JOIN nd ON nd.doc_id = s1.doc_id
+    LEFT JOIN bp ON bp.doc_id = s1.doc_id
+    LEFT JOIN cont ct ON ct.doc_id = s1.doc_id
+    LEFT JOIN ob ON ob.doc_id = s1.doc_id
+    ORDER BY s1.doc_id
+    """
+
+
+@query("q260_span_streaming_curation", oracle=_span_curation_oracle())
+def q260_span_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q234's streaming curation ingest WITH the substring modality's
+    stage live (round 14): a growing standing SPAN index
+    (operators/dedup.build_span_index) rides the loop — every batch's
+    quality passers probe it AS OF BATCH START and a passer whose
+    standing-dup span mass reaches {_SPAN_DUP_FRAC} of its tokens is
+    flagged 'boilerplate' (templated content that survives document
+    and near dedup because its novel remainder keeps the signature
+    distinct); passers' window keys append after the batch commits
+    (membership-monotone, replay-idempotent). Runs streaming/
+    curation_ingest's OWN foreachBatch body — the oracle replays the
+    batch-granular semantics exactly (y.b < x.b window matches,
+    islands merge, the {_SPAN_DUP_FRAC} threshold, and the budget
+    prefix over the reduced gate).
+
+    Stage order note: 'boilerplate' sits AFTER the text-dup stages
+    (an exact/near dup is reported as such even if also span-covered)
+    and BEFORE decontamination — mirroring classify_batch's reason
+    precedence. Scale shape: per batch, O(batch-tokens) window keys
+    semi-joined against the sharded standing key set + the bounded
+    islands window; the index grows by appends, never re-scanned.
+    Ref parity: SURVEY §2A A6/A7 standing-state discipline; no
+    reference twin."""
+    import shutil
+    import tempfile
+
+    from flink_mingo_tail_spark.streaming.curation_ingest import (
+        build_eval_gram_set,
+        make_curation_ingest_batch_fn,
+    )
+
+    prepare_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="fmts-span-ingest-q260-")
+    try:
+        eval_grams_path = f"{tmp}/eval_grams"
+        build_eval_gram_set(d, eval_grams_path)
+        ingest = make_curation_ingest_batch_fn(
+            f"{tmp}/index",
+            eval_grams_path,
+            f"{tmp}/out",
+            span_index_path=f"{tmp}/span_index",
+            span_dup_frac=_SPAN_DUP_FRAC,
+        )
+        batch_ids = sorted(
+            r[0]
+            for r in d.select(
+                F.expr(f"doc_id DIV {_ING_BATCH_W}").alias("b")
+            ).distinct().collect()
+        )
+        for b in batch_ids:
+            ingest(d.filter(F.expr(f"doc_id DIV {_ING_BATCH_W}") == b), int(b))
+        rows = (
+            spark.read.schema("doc_id long, source string, n_toks long, reason string")
+            .option("basePath", f"{tmp}/out")
+            .parquet(*[f"{tmp}/out/ingest_batch={b}" for b in batch_ids])
+            .withColumn(
+                "ingest_batch", F.expr(f"doc_id DIV {_ING_BATCH_W}").cast("long")
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, source string, n_toks long, reason string, ingest_batch long",
+    ).orderBy("doc_id")

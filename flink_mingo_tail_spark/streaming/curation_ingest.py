@@ -25,7 +25,15 @@ runs, but against STANDING state instead of the whole corpus:
                         probes), exact-cosine re-rank at
                         DEFAULT_SEM_DUP_TAU — q242's incremental
                         SemDeDup, reason 'semantic_dup'; quality
-                        passers' embeddings append after commit
+                        passers' embeddings append after commit;
+                        with ``span_index_path`` set, also the
+                        BOILERPLATE stage: passers whose standing-span
+                        dup mass (operators/dedup.probe_span_index —
+                        maximal >= span_l-token spans shared with the
+                        admitted corpus) reaches ``span_dup_frac`` of
+                        their tokens, reason 'boilerplate' — the
+                        substring modality's q248-style stage; passers'
+                        window keys append after commit
   3. decontamination    word 4-grams vs the PRE-BUILT eval gram set
                         (static broadcast side — the eval set is fixed
                         before ingest begins, as in production), and —
@@ -96,12 +104,16 @@ from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
 from flink_mingo_tail_spark.operators.dedup import (
+    _SPAN_MANIFEST_SCHEMA,
     _read_index_manifest,
     build_bloom_index,
     build_dedup_index,
+    build_span_index,
     compact_dedup_index,
+    compact_span_index,
     maybe_rewiden_bloom_index,
     probe_dedup_index,
+    probe_span_index,
     tokens,
     word_shingles,
 )
@@ -257,6 +269,8 @@ def classify_batch(
     sem_dup_tau: float = DEFAULT_SEM_DUP_TAU,
     perceptual_index_path: str | None = None,
     bloom_prefilter: bool = False,
+    span_index_path: str | None = None,
+    span_dup_frac: float = 0.5,
 ) -> DataFrame:
     """The per-batch verdict (doc_id, source, n_toks, reason) against
     state as of batch start. ``prior_totals`` is (source, prior_toks) —
@@ -336,6 +350,36 @@ def classify_batch(
         .join(probed, "doc_id", "left")
         .join(cont_ids.withColumn("__ct", F.lit(True)), "doc_id", "left")
     )
+    if span_index_path is not None and _path_exists(
+        spark, f"{span_index_path}/manifest"
+    ):
+        # BOILERPLATE stage (round 14): quality passers whose standing-
+        # span dup mass (operators/dedup.probe_span_index — maximal
+        # spans shared with the admitted corpus AS OF BATCH START)
+        # reaches span_dup_frac of their tokens. Catches templated/
+        # boilerplate-heavy documents that survive whole-document and
+        # near dedup because their novel remainder keeps the signature
+        # distinct.
+        span_l = _read_index_manifest(spark, span_index_path, _SPAN_MANIFEST_SCHEMA)[
+            "span_l"
+        ]
+        bp_ids = (
+            probe_span_index(surv1, span_index_path)
+            .groupBy("doc_id")
+            .agg(
+                F.sum(
+                    F.col("span_end") - F.col("span_start") + F.lit(span_l)
+                ).alias("__dupt")
+            )
+            .join(surv1.select("doc_id", "n_toks"), "doc_id")
+            .filter(F.col("__dupt") >= F.lit(span_dup_frac) * F.col("n_toks"))
+            .select("doc_id")
+            .withColumn("__bp", F.lit(True))
+        )
+        flagged = flagged.join(bp_ids, "doc_id", "left")
+    else:
+        # stage off, or bootstrap (no index yet) — nothing is boilerplate
+        flagged = flagged.withColumn("__bp", F.lit(None).cast("boolean"))
     embedded = (
         surv1.filter(F.col("embedding").isNotNull()).select("doc_id", "embedding")
         if needs_emb
@@ -402,6 +446,7 @@ def classify_batch(
     flagged = flagged.persist()
     gate = flagged.filter(
         (F.col("status") == "new")
+        & F.col("__bp").isNull()
         & F.col("__pd").isNull()
         & F.col("__sd").isNull()
         & F.col("__ct").isNull()
@@ -437,6 +482,7 @@ def classify_batch(
         F.col("r1"),
         F.when(F.col("status") == "exact_dup", "exact_dup"),
         F.when(F.col("status") == "near_dup", "near_dup"),
+        F.when(F.col("__bp"), "boilerplate"),
         F.when(F.col("__pd"), "perceptual_dup"),
         F.when(F.col("__sd"), "semantic_dup"),
         F.when(F.col("__ct"), "contaminated"),
@@ -447,7 +493,7 @@ def classify_batch(
     return (
         s1.select("doc_id", "source", "n_toks", "r1")
         .join(
-            flagged.select("doc_id", "status", "__pd", "__sd", "__ct", "__sem"),
+            flagged.select("doc_id", "status", "__bp", "__pd", "__sd", "__ct", "__sem"),
             "doc_id",
             "left",
         )
@@ -491,6 +537,8 @@ def make_curation_ingest_batch_fn(
     perceptual_index_path: str | None = None,
     auto_compact_ratio: float | None = None,
     bloom_prefilter: bool = False,
+    span_index_path: str | None = None,
+    span_dup_frac: float = 0.5,
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch body, exposed for direct replay testing (the
     dedup_ingest convention).
@@ -532,8 +580,19 @@ def make_curation_ingest_batch_fn(
     contract asks for — no probe can race the swap because the stream
     serializes batch bodies. Classification is invariant across an
     auto-triggered compaction (same key SET before and after — pinned
-    in tests/test_curation_ingest.py); a sensible threshold is
-    1.3–2.0 (compact when a third to half the index is replay churn).
+    in tests/test_curation_ingest.py). RECOMMENDED DEFAULT: 1.3 —
+    measured, not guessed (SCALE.md round-14: at steady 2x replay
+    churn over 50 sf0.1 batches, ratio 1.3 cut total ingest wall to
+    0.78x and final index bytes to 0.30x of the cadence-off run; the
+    off-run's per-batch wall GROWS 7 → 32 s with accumulated churn +
+    part files, the on-run's stays bounded).
+
+    ``span_index_path`` wires the substring modality's stage
+    (operators/dedup.build_span_index / probe_span_index): quality
+    passers whose standing-span dup mass reaches ``span_dup_frac`` of
+    their tokens are flagged 'boilerplate' (after the text-dup stages,
+    before decontamination), and passers' window keys append after the
+    batch commits — q260's loop.
     """
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
@@ -600,6 +659,17 @@ def make_curation_ingest_batch_fn(
                         bpath,
                         spark.read.parquet(f"{index_path}/content").select("ch"),
                     )
+            if span_index_path is not None:
+                # the growing span index admits the same population:
+                # every quality passer's window keys, appended AFTER the
+                # batch's classification commits (membership-monotone,
+                # replay-idempotent — the family rule)
+                sboot = not _path_exists(spark, f"{span_index_path}/manifest")
+                build_span_index(
+                    passers,
+                    span_index_path,
+                    mode="overwrite" if sboot else "append",
+                )
             if perceptual_index_path is not None:
                 # the growing perceptual index admits the same population:
                 # every quality passer with a payload, fingerprinted and
@@ -667,6 +737,7 @@ def make_curation_ingest_batch_fn(
                     (index_path, ("content", "bands")),
                     (semantic_dup_index_path, ("buckets", "vectors")),
                     (perceptual_index_path, ("bands",)),
+                    (span_index_path, ("windows",)),
                 )
                 if base is not None
                 for tbl in tbls
@@ -686,6 +757,10 @@ def make_curation_ingest_batch_fn(
                 spark, f"{perceptual_index_path}/manifest"
             ):
                 compact_perceptual_index(spark, perceptual_index_path)
+            if span_index_path is not None and _path_exists(
+                spark, f"{span_index_path}/manifest"
+            ):
+                compact_span_index(spark, span_index_path)
 
         if _path_exists(spark, f"{batch_dir}/_SUCCESS"):
             # replay of a committed batch: the saved verdicts are
@@ -721,6 +796,8 @@ def make_curation_ingest_batch_fn(
             sem_dup_tau=sem_dup_tau,
             perceptual_index_path=perceptual_index_path,
             bloom_prefilter=bloom_prefilter,
+            span_index_path=span_index_path,
+            span_dup_frac=span_dup_frac,
         )
         verdict.write.mode("overwrite").parquet(batch_dir)
         append_quality_passers()
@@ -746,6 +823,8 @@ def start_curation_ingest_stream(
     perceptual_index_path: str | None = None,
     auto_compact_ratio: float | None = None,
     bloom_prefilter: bool = False,
+    span_index_path: str | None = None,
+    span_dup_frac: float = 0.5,
     trigger_available_now: bool = True,
 ):
     """Wire the ingest body into a checkpointed foreachBatch stream
@@ -766,6 +845,8 @@ def start_curation_ingest_stream(
                 perceptual_index_path=perceptual_index_path,
                 auto_compact_ratio=auto_compact_ratio,
                 bloom_prefilter=bloom_prefilter,
+                span_index_path=span_index_path,
+                span_dup_frac=span_dup_frac,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -539,3 +539,45 @@ def test_bloom_prefilter_knob_is_classification_invariant(spark, tmp_path):
     late = drive(str(tmp_path / "late"), bloom_from=1)
     assert plain == late
     assert os.path.exists(f"{tmp_path}/late/index/bloom/manifest")
+
+
+def test_span_boilerplate_stage_flags_planted_doc(spark, tmp_path):
+    """A later-batch doc sharing exactly half its tokens (one long
+    contiguous span) with an earlier passer is flagged 'boilerplate':
+    too little overlap for the 1x8 near-dup band (J ~ 1/3 over
+    distinct tokens), but 50% standing-span coverage. The same overlap
+    WITHIN one batch is not flagged (batch-vs-state granularity), and
+    a committed replay converges."""
+    import os
+
+    t1 = " ".join(f"t{j}" for j in range(20))
+    t2 = " ".join(f"u{j}" for j in range(20))
+    novel = " ".join(f"n{j}" for j in range(20))
+    novel2 = " ".join(f"m{j}" for j in range(20))
+    ddl = "doc_id long, source string, lang string, n_chars long, text string"
+    a = (11, "web", "de", 80, t1 + " " + t2)
+    b = (23, "web", "de", 80, t1 + " " + novel)       # later batch: flagged
+    c = (12, "web", "de", 80, t1 + " " + novel2)      # same batch as a: not flagged
+    eval_path = f"{tmp_path}/eval_grams"
+    build_eval_gram_set(_docs(spark), eval_path)
+    ingest = make_curation_ingest_batch_fn(
+        f"{tmp_path}/index",
+        eval_path,
+        f"{tmp_path}/out",
+        span_index_path=f"{tmp_path}/span_index",
+    )
+    ingest(spark.createDataFrame([a, c], ddl), 0)
+    ingest(spark.createDataFrame([b], ddl), 1)
+    ingest(spark.createDataFrame([b], ddl), 1)  # committed replay
+    got = {
+        r.doc_id: r.reason
+        for r in spark.read.schema(
+            "doc_id long, source string, n_toks long, reason string"
+        )
+        .parquet(*committed_batch_dirs(spark, f"{tmp_path}/out").values())
+        .collect()
+    }
+    assert got[23] == "boilerplate"
+    assert got[11] == "kept"
+    assert got[12] == "kept"  # intra-batch overlap never flags
+    assert os.path.exists(f"{tmp_path}/span_index/manifest")
