@@ -247,6 +247,9 @@ HEADLINE = [
     # index-write-bound, probe-only by the q244 policy.)
     "q256_duplicated_spans",
     "q258_span_trim_plan",
+    # q261: flat 0.9/1.4/1.4 s at 1x/10x/25x — one narrow window-key
+    # pass + a 16-row shard rollup.
+    "q261_span_index_audit",
 ]
 
 

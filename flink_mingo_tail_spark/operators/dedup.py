@@ -998,3 +998,33 @@ def compact_span_index(spark, path: str) -> dict[str, tuple[int, int]]:
     if _read_index_manifest(spark, path, _SPAN_MANIFEST_SCHEMA) is None:
         raise ValueError(f"no span index manifest at {path!r}")
     return {"windows": _swap_rewrite_distinct(spark, f"{path}/windows", "shard")}
+
+
+def audit_span_index(spark, path: str) -> DataFrame:
+    """Layout-health rollup off the PERSISTED windows table (the q245/
+    audit_semantic_index pattern for the substring modality): one
+    narrow scan reporting per-shard key counts and each shard's milli
+    share of the table. md5-sharding should spread keys uniformly
+    (share ≈ 1000/n_shards per shard); a skewed share means the layout
+    discipline broke (e.g. a non-hash key column was sharded on) and
+    the probe semi-join's partition pruning would hot-spot. Returns
+    (shard, n_keys, share_milli) ordered by shard."""
+    if _read_index_manifest(spark, path, _SPAN_MANIFEST_SCHEMA) is None:
+        raise ValueError(f"no span index manifest at {path!r}")
+    occ = (
+        spark.read.parquet(f"{path}/windows")
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    )
+    total = occ.agg(F.sum("n_keys").alias("t"))
+    return (
+        occ.crossJoin(F.broadcast(total))
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_keys",
+            F.round(F.col("n_keys") * F.lit(1000.0) / F.col("t"))
+            .cast("long")
+            .alias("share_milli"),
+        )
+        .orderBy("shard")
+    )

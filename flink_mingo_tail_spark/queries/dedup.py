@@ -3074,3 +3074,65 @@ def q259_span_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "doc_id long, n_toks long, n_dup_spans long, dup_tokens long"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q261 — span index occupancy/layout audit (round 14)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q261_span_index_audit",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), keys AS (
+        SELECT DISTINCT h FROM ({_sql_span_windows()})
+    ), occ AS (
+        SELECT ({sql_md5_long('h')}) % 16 AS shard,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM keys GROUP BY 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, n_keys,
+           CAST(round(n_keys * 1000.0 / (SELECT sum(n_keys) FROM occ))
+                AS BIGINT) AS share_milli
+    FROM occ
+    ORDER BY shard
+    """,
+)
+def q261_span_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span index family's MEASUREMENT loop (q245/q249/q254's role
+    for the substring modality): the distinct window-key population's
+    shard distribution — per shard, key count and milli share of the
+    table. md5 sharding should be uniform (≈ 62-63 milli per shard at
+    16 shards); the wired a-posteriori check that the layout the probe
+    semi-join prunes against actually spreads. Derived IN-QUERY from
+    the corpus (bench-citizen shape: one narrow pass + a 16-row
+    rollup); operators/dedup.audit_span_index runs the identical
+    rollup off a PERSISTED index between ingest batches, tested EQUAL
+    to this derivation (the q245/audit_semantic_index twin pattern)."""
+    d = _t(spark, sf_dir, "documents")
+    from flink_mingo_tail_spark.operators.dedup import _index_shard, _span_windows
+
+    keys = (
+        _span_windows(d, id_col="doc_id", text_col="text", span_l=DEFAULT_SPAN_L)
+        .select("h")
+        .distinct()
+    )
+    occ = (
+        keys.select(_index_shard(F.col("h"), 16).alias("shard"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    )
+    total = occ.agg(F.sum("n_keys").alias("t"))
+    return (
+        occ.crossJoin(F.broadcast(total))
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_keys",
+            F.round(F.col("n_keys") * F.lit(1000.0) / F.col("t"))
+            .cast("long")
+            .alias("share_milli"),
+        )
+        .orderBy("shard")
+    )

@@ -353,6 +353,9 @@ PROBES = [
     # q255: expect scratch-index-write-bound (q244's class) — the probe
     # itself is a kilobyte broadcast + hit-bounded semi-join
     "q255_bloom_prefilter_probe",
+    # q261: one narrow window-key pass + a 16-row shard rollup —
+    # expect scan-linear, flat at fixture scales
+    "q261_span_index_audit",
 ]
 
 

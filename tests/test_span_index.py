@@ -164,3 +164,23 @@ def test_self_duplication_within_batch_is_not_reported(spark, tmp_path):
     build_span_index(spark.createDataFrame(rows, ddl), path)
     out = probe_span_index(spark.createDataFrame(inc, ddl), path)
     assert out.count() == 0
+
+
+def test_persisted_audit_equals_in_query_derivation(spark, tmp_path):
+    """audit_span_index off the persisted windows table EQUALS q261's
+    in-query derivation from the same corpus (the q245/
+    audit_semantic_index twin pattern), and refuses a manifest-less
+    path."""
+    from flink_mingo_tail_spark.operators.dedup import audit_span_index
+    from flink_mingo_tail_spark.queries.dedup import q261_span_index_audit
+
+    from .conftest import SF_SMOKE as sf
+
+    d = load_table(spark, sf, "documents")
+    path = f"{tmp_path}/sidx"
+    build_span_index(d, path)
+    persisted = [tuple(r) for r in audit_span_index(spark, path).collect()]
+    inquery = [tuple(r) for r in q261_span_index_audit(spark, sf).collect()]
+    assert persisted == inquery
+    with pytest.raises(ValueError, match="no span index manifest"):
+        audit_span_index(spark, f"{tmp_path}/nope")
