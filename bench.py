@@ -250,6 +250,9 @@ HEADLINE = [
     # q261: flat 0.9/1.4/1.4 s at 1x/10x/25x — one narrow window-key
     # pass + a 16-row shard rollup.
     "q261_span_index_audit",
+    # q262: sub-linear 2.6/3.5/4.6 s — the trim APPLY (posexplode +
+    # range anti-join + per-doc re-assembly).
+    "q262_span_trim_apply",
 ]
 
 
@@ -290,6 +293,7 @@ LARGE_OUTPUT = {
     "q226_curation_pipeline",
     "q256_duplicated_spans",
     "q258_span_trim_plan",
+    "q262_span_trim_apply",
 }
 
 

@@ -1028,3 +1028,25 @@ def audit_span_index(spark, path: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def verify_bloom_covers_content(
+    spark, index_path: str, bloom_path: str | None = None
+) -> int:
+    """Stale-Bloom detector for the two-tier probe contract
+    (probe_dedup_index's bloom_prefilter documents the hazard: a Bloom
+    sibling missing recent content hashes silently misclassifies their
+    duplicates as 'new'). Probes EVERY distinct content-table hash
+    through the sibling — a Bloom filter has no false negatives, so any
+    miss proves missing keys (e.g. the content append committed and the
+    bloom append crashed without the replay path re-running). Returns
+    the uncovered-hash count: 0 means the two-tier probe is safe.
+    O(index keys) work against the kilobyte broadcast bit frame — a
+    maintenance-window check, the q254/q261 measure-don't-guess loop
+    for the coverage invariant (the ingest's crash-replay convergence
+    makes staleness unreachable in the wired loop; this check is for
+    indexes maintained by hand or after a checkpoint rollback)."""
+    bpath = bloom_path or f"{index_path}/bloom"
+    content = spark.read.parquet(f"{index_path}/content").select("ch").distinct()
+    hits = probe_bloom_index(content, bpath, id_col="ch", key_col="ch")
+    return hits.filter(~F.col("bloom_hit")).count()

@@ -98,9 +98,9 @@ _MODULES = (
 #         twins; q246/q248 already above);
 #   (c) round-8 drain completes — all 24 remaining names, ascending;
 #       after this round no green row predates round 9;
-#   (d) round-9 cohort refresh, ascending query order (first 7 of 49
-#       after the seven newcomers took their slots; the prefix-50 cut
-#       leaves q143+ and the q192+/q201+ tail for r15).
+#   (d) round-9 cohort refresh, ascending query order (first 6 of 49
+#       after the eight newcomers took their slots; the prefix-50 cut
+#       leaves q142+ and the q192+/q201+ tail for r15).
 #
 # ROTATION, round 13 (historical) — steady-state policy, 50 slots:
 #   (a) round-13 newcomers, no driver row yet: q247 (perceptual
@@ -183,6 +183,7 @@ _NEEDS_DRIVER_ROW = (
     "q259_span_index_probe",
     "q260_span_streaming_curation",
     "q261_span_index_audit",
+    "q262_span_trim_apply",
     # (b) changed-code re-proofs (details in the round-14 block above)
     "q225_perceptual_hash_near_dup",
     "q228_perceptual_dup_components",
@@ -229,7 +230,6 @@ _NEEDS_DRIVER_ROW = (
     "q139_copurchase_triangles",
     "q140_levenshtein_pairs",
     "q141_interval_join_left_outer",
-    "q142_lateral_topk_per_region",
 )
 
 

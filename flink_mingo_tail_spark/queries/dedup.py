@@ -3136,3 +3136,117 @@ def q261_span_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# q262 — span trim APPLY: the rewritten corpus (round 14)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q262_span_trim_apply",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), w AS (
+        {_sql_span_windows()}
+    ), dup AS (
+        SELECT h FROM w GROUP BY h HAVING count(*) > 1
+    ), marked AS (
+        SELECT w.doc_id, w.pos, w.h FROM w JOIN dup USING (h)
+    ), removable AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+            FROM marked
+        ) WHERE rn > 1
+    ), {_sql_span_islands('removable', count_col='n_trim_spans', sum_col='trim_tokens')},
+    tok AS (
+        SELECT doc_id, i AS pos, toks[i] AS tok
+        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+    ), kept AS (
+        SELECT k.doc_id, k.pos, k.tok FROM tok k
+        LEFT JOIN spans s
+          ON s.doc_id = k.doc_id
+         AND k.pos BETWEEN s.s AND s.e + {DEFAULT_SPAN_L} - 1
+        WHERE s.doc_id IS NULL
+    ), ka AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS kept_text,
+               CAST(count(*) AS BIGINT) AS n_kept_tokens
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(ka.kept_text, '') AS kept_text,
+           coalesce(ka.n_kept_tokens, 0) AS n_kept_tokens
+    FROM t LEFT JOIN ka USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def q262_span_trim_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q258's plan APPLIED — the destructive step, as a deterministic
+    distributed rewrite rather than a driver loop: every token inside a
+    removable trim span (all-but-the-earliest occurrence of each
+    duplicated {DEFAULT_SPAN_L}-token window key, islands-merged) is
+    dropped and each document's survivors re-assemble in position
+    order. Output per doc: the trimmed text and its token count — an
+    empty string for a document the plan empties entirely (every
+    window a later occurrence). This is the corpus a substring-
+    deduplicated training run actually reads; q258 stays the dry-run
+    report for per-source veto.
+
+    Scale shape: q258's passes, then one posexplode of the corpus
+    tokens (corpus-token rows, narrow), an equi-keyed anti-join
+    against the per-doc span ranges (spans are few per doc — the range
+    predicate rides the doc_id equi key), and a per-doc
+    sort-and-concat re-assembly (array_sort over collect_list — one
+    aggregation, no window). Ref parity: no reference twin."""
+    from pyspark.sql.window import Window
+
+    from flink_mingo_tail_spark.operators.dedup import (
+        _merge_span_islands,
+        _span_windows,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    L = DEFAULT_SPAN_L
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    w = _span_windows(d, id_col="doc_id", text_col="text", span_l=L)
+    dup = w.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    marked = w.join(dup, "h", "left_semi")
+    by_key = Window.partitionBy("h").orderBy("doc_id", "pos")
+    removable = (
+        marked.withColumn("rn", F.row_number().over(by_key))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "pos")
+    )
+    spans = _merge_span_islands(removable, id_col="doc_id", span_l=L)
+    tok = t.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tok.join(
+        spans,
+        (tok.doc_id == spans.doc_id)
+        & (tok.pos >= spans.span_start)
+        & (tok.pos <= spans.span_end + F.lit(L - 1)),
+        "left_anti",
+    )
+    ka = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("kept_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept_tokens"),
+    )
+    return (
+        t.select("doc_id")
+        .join(ka, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+            F.coalesce(F.col("n_kept_tokens"), F.lit(0)).alias("n_kept_tokens"),
+        )
+        .orderBy("doc_id")
+    )

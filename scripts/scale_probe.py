@@ -356,6 +356,9 @@ PROBES = [
     # q261: one narrow window-key pass + a 16-row shard rollup —
     # expect scan-linear, flat at fixture scales
     "q261_span_index_audit",
+    # q262: q258's passes + a corpus-token posexplode, an equi-keyed
+    # range anti-join, and a per-doc sort-and-concat re-assembly
+    "q262_span_trim_apply",
 ]
 
 

@@ -231,3 +231,26 @@ def test_bloom_prefilter_parity_property(spark, tmp_path):
         assert direct == two_tier
 
     prop()
+
+
+def test_bloom_coverage_check_detects_stale_sibling(spark, tmp_path):
+    """verify_bloom_covers_content: 0 for a sibling built from the full
+    content table; positive when the sibling was built from only part
+    of it (the stale-Bloom hazard the two-tier contract documents)."""
+    from flink_mingo_tail_spark.operators.dedup import (
+        build_dedup_index,
+        verify_bloom_covers_content,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") % 10 != 7)
+    path = f"{tmp_path}/didx"
+    build_dedup_index(d, path)
+    ch = d.select(F.md5("text").alias("ch")).distinct()
+    build_bloom_index(ch, f"{path}/bloom", key_col="ch")
+    assert verify_bloom_covers_content(spark, path) == 0
+    # stale sibling: built from only half the hashes
+    stale = f"{tmp_path}/stale_bloom"
+    build_bloom_index(
+        ch.filter(F.crc32(F.col("ch")) % 2 == 0), stale, key_col="ch"
+    )
+    assert verify_bloom_covers_content(spark, path, bloom_path=stale) > 0

@@ -102,3 +102,71 @@ def test_fixture_is_nondegenerate_and_spans_are_windows(spark):
         ).count()
         == 0
     )
+
+
+def test_trim_apply_consistency_and_survivorship(spark):
+    """q262's applied rewrite agrees with q258's plan doc-for-doc
+    (n_kept_tokens = kept_tokens), leaves untouched docs verbatim, and
+    keeps exactly one copy of a planted duplicated span (the earliest
+    occurrence survives, later ones are cut)."""
+    from flink_mingo_tail_spark.queries.dedup import (
+        q258_span_trim_plan,
+        q262_span_trim_apply,
+    )
+
+    plan = {
+        r.doc_id: (r.n_toks, r.kept_tokens)
+        for r in q258_span_trim_plan(spark, SF_SMOKE).collect()
+    }
+    applied = {
+        r.doc_id: (r.kept_text, r.n_kept_tokens)
+        for r in q262_span_trim_apply(spark, SF_SMOKE).collect()
+    }
+    assert set(plan) == set(applied)
+    d = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    }
+    changed = 0
+    for doc_id, (n_toks, kept_toks) in plan.items():
+        text, n_kept = applied[doc_id]
+        assert n_kept == kept_toks, doc_id
+        if kept_toks == n_toks:
+            assert text == d[doc_id], doc_id  # untouched docs verbatim
+        else:
+            changed += 1
+            assert len(text.split(" ")) == kept_toks or (text == "" and kept_toks == 0)
+    assert changed > 0  # the fixture really has trims
+
+
+def test_trim_apply_keeps_earliest_occurrence(spark):
+    """Planted: the shared span survives in the earlier doc and is cut
+    from the later one."""
+    from flink_mingo_tail_spark.operators.dedup import (
+        DEFAULT_SPAN_L,
+        _merge_span_islands,
+        _span_windows,
+    )
+    from pyspark.sql.window import Window
+
+    L = DEFAULT_SPAN_L
+    shared = _toks("s", L)
+    a_txt = shared + " " + _toks("a", 5)
+    b_txt = _toks("b", 5) + " " + shared
+    docs = _docs(spark, [(1, a_txt), (2, b_txt)])
+    w = _span_windows(docs, id_col="doc_id", text_col="text", span_l=L)
+    dup = w.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    marked = w.join(dup, "h", "left_semi")
+    removable = (
+        marked.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "pos"))
+        )
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "pos")
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in _merge_span_islands(removable, id_col="doc_id", span_l=L).collect()
+    }
+    # only doc 2's copy (window start at position 6) is removable
+    assert spans == {(2, 6, 6)}
