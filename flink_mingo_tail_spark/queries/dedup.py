@@ -689,6 +689,17 @@ def _ssj_impl(spark: SparkSession, sf_dir: str, tau_num: int, tau_den: int) -> D
     keyed = docs.withColumn(
         "skey", F.md5(F.concat_ws("\x1f", F.sort_array("st")))
     ).withColumn("rep", F.min("doc_id").over(Window.partitionBy("skey")))
+    # MATERIALIZE the keyed frame once (r14): it feeds four downstream
+    # branches (members twice, sets, the identical-pair emit) and
+    # differential column pruning makes the branch subtrees
+    # non-identical, so ReuseExchange never fires — the pre-checkpoint
+    # plan re-ran the tokenize + shingle + md5 + skey-window chain for
+    # every branch (17 documents scans, plans/r14/q154b_*_before.txt).
+    # One localCheckpoint (the cluster.py/graph.py loop idiom) computes
+    # the chain once; at 100 TB this replaces O(branches) corpus scans
+    # with one scan + one bounded materialization of (rep, doc_id, st,
+    # sz) — the same bytes ONE branch already shuffled.
+    keyed = keyed.select("rep", "doc_id", "st", "sz").localCheckpoint()
     members = keyed.select("rep", "doc_id")
     sets = keyed.filter(F.col("doc_id") == F.col("rep")).select("rep", "st", "sz")
     tok = sets.select("rep", "sz", F.explode("st").alias("bg"))
@@ -704,6 +715,11 @@ def _ssj_impl(spark: SparkSession, sf_dir: str, tau_num: int, tau_den: int) -> D
         "pos",
         F.row_number().over(Window.partitionBy("rep").orderBy("gid")),
     )
+    # Same materialize-once treatment (r14): ranked feeds isets AND the
+    # prefix frame (which self-joins, doubling again) — without it the
+    # explode + dfreq-join + gid-rank + rep-window chain re-runs per
+    # branch. bg is dropped first: downstream only needs the int gid.
+    ranked = ranked.select("rep", "sz", "gid", "pos").localCheckpoint()
     # full sets as SORTED int arrays for the verify intersects — same
     # ranked frame the prefixes come from, one extra shuffle on the
     # long rep key

@@ -251,9 +251,16 @@ _SQL_COLOR = f"""
 
 
 def _hex_color(col):
+    # r14 optimization: the when/ascii spelling referenced the
+    # substring(md5(...)) subtree FOUR times (between-bounds + two
+    # ascii branches) and neither CollapseProject nor codegen CSE
+    # deduplicated it — four md5 evaluations per fact row in the plan
+    # (plans/r14/q139b_*_before.txt). conv(ch, 16, 10) reads the single
+    # hex char once and yields the identical 0..15 value (md5 output is
+    # always [0-9a-f]), so the color — and every downstream count — is
+    # bit-identical.
     ch = F.substring(F.md5(col.cast("string")), 1, 1)
-    hexval = F.when(ch.between("0", "9"), F.ascii(ch) - 48).otherwise(F.ascii(ch) - 87)
-    return hexval % _N_COLORS
+    return F.conv(ch, 16, 10).cast("int") % _N_COLORS
 
 
 @query(

@@ -1799,25 +1799,41 @@ def q233_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver state, no shuffle at all beyond the top-1 merge. At 100 TB
     you run this per-stratum (source/language) with the same plan, or
     seed from q79's IVF centroids to cut rounds."""
-    e = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
+    # r14 optimization: the embeddings frame is scanned K-1 times by the
+    # greedy loop — materialize it once (localCheckpoint, the graph.py
+    # loop idiom). And the chosen centers enter each round as a 1-row
+    # broadcast DATA frame rather than literal arrays: the literal
+    # spelling re-analyzed/optimized/codegen'd a fresh plan every round
+    # (center values baked into the plan text — K-1 full driver
+    # compiles over ~r*192 folded literals each), while the data-driven
+    # plan is structurally IDENTICAL across rounds, so Catalyst and the
+    # codegen cache do the work once. array_min(transform(...)) is
+    # order-independent min over the same per-center d² expression —
+    # values bitwise unchanged (same dot/round spelling).
+    e = (
+        _emb(spark, sf_dir)
+        .select("vec_id", F.col("embedding").alias("v"))
+        .localCheckpoint()
+    )
     first = e.orderBy("vec_id").limit(1).collect()[0]
     chosen = [(1, int(first.vec_id), -1.0, list(first.v))]
     for r in range(2, _KCENTER_K + 1):
-        d2s = []
-        for _, _, _, cv in chosen:
-            lit_c = F.array(*[F.lit(float(x)).cast("double") for x in cv])
-            d2s.append(
-                F.round(
-                    dot(F.col("v"), F.col("v"))
-                    + dot(lit_c, lit_c)
-                    - 2 * dot(F.col("v"), lit_c),
-                    6,
-                )
-            )
-        md = F.least(*d2s) if len(d2s) > 1 else d2s[0]
+        aux = spark.createDataFrame(
+            [([list(map(float, cv)) for _, _, _, cv in chosen],
+              [c[1] for c in chosen])],
+            "centers array<array<double>>, cids array<bigint>",
+        )
+        d2 = lambda c: F.round(  # noqa: E731 — per-center d², q233's exact spelling
+            dot(F.col("v"), F.col("v")) + dot(c, c) - 2 * dot(F.col("v"), c), 6
+        )
         row = (
-            e.filter(~F.col("vec_id").isin([c[1] for c in chosen]))
-            .select("vec_id", "v", md.alias("md"))
+            e.join(F.broadcast(aux))
+            .filter(~F.array_contains(F.col("cids"), F.col("vec_id")))
+            .select(
+                "vec_id",
+                "v",
+                F.array_min(F.transform(F.col("centers"), d2)).alias("md"),
+            )
             .orderBy(F.desc("md"), "vec_id")
             .limit(1)
             .collect()[0]

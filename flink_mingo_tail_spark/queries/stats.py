@@ -1203,16 +1203,29 @@ def q202_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(CAST(CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':',"
         " CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) AS DOUBLE) / 4294967296.0)"
     )
-    reps = t.select(
-        "event_type",
-        "v100",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
-        F.col("event_id"),
-    ).select(
-        "event_type",
-        "b",
-        "v100",
-        F.expr(f"CAST({_pois_m_sql(u)} AS BIGINT)").alias("m"),
+    # r14 optimization: bind u to its own projection and let the CASE
+    # chain reference the COLUMN. The inline spelling pasted the
+    # md5+conv expression into all six threshold comparisons and
+    # neither CollapseProject nor codegen CSE deduplicated them —
+    # measured 6 md5 evaluations per (row, replicate) instead of 1
+    # (micro-probe: 0.49 s vs 0.25 s per 3.2M-row pass). Spark's
+    # CollapseProject keeps the split because a non-cheap expression
+    # referenced 6x is not inlined — exactly the barrier we want.
+    # Values are bit-identical: same expression, evaluated once.
+    reps = (
+        t.select(
+            "event_type",
+            "v100",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+            F.col("event_id"),
+        )
+        .withColumn("u", F.expr(u))
+        .select(
+            "event_type",
+            "b",
+            "v100",
+            F.expr(f"CAST({_pois_m_sql('u')} AS BIGINT)").alias("m"),
+        )
     )
     # HAVING sum(m) > 0 (spelled identically in the oracle): a replicate
     # whose Poisson multiplicities are all zero (probability e^-n per
