@@ -842,10 +842,23 @@ def duplicated_token_spans(
     key set back (corpus-sized on both sides — the honest distributed
     shape; no broadcast pretense), and the island merge is a per-doc
     window function over the (small) marked subset. Documents shorter
-    than span_l yield no windows and no spans."""
+    than span_l yield no windows and no spans.
+
+    r14 optimization: multiplicity is a count() window over the hash
+    key, not a groupBy + semi-join — the join spelling re-ran the
+    whole window-key build for its second leg (no ReuseExchange across
+    differentially-pruned branches) and shuffled the corpus-token
+    frame twice; the window spelling shuffles it once and touches the
+    source once. Row set identical: both keep every window whose key
+    occurs more than once."""
+    from pyspark.sql.window import Window
+
     w = _span_windows(docs, id_col=id_col, text_col=text_col, span_l=span_l)
-    dup = w.groupBy("h").count().filter(F.col("count") > 1).select("h")
-    marked = w.join(dup, "h", "left_semi").select(id_col, "pos")
+    marked = (
+        w.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("cnt") > 1)
+        .select(id_col, "pos")
+    )
     return _merge_span_islands(marked, id_col=id_col, span_l=span_l)
 
 

@@ -1188,12 +1188,17 @@ def q200_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair space exists anywhere.
     """
     d = _t(spark, sf_dir, "documents")
+    # r14 optimization: the distinct (source, gram) frame feeds three
+    # branches (per-source sizes + both pair-join sides); lazily each
+    # re-ran the corpus explode + distinct shuffle. Materialize the
+    # vocabulary-bounded frame once.
     g = (
         d.select(
             "source",
             F.explode(word_shingles(tokens(F.col("text")), 4)).alias("gram"),
         )
         .distinct()
+        .localCheckpoint()
     )
     sz = g.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a = g.select(F.col("source").alias("src_a"), "gram")
@@ -1717,11 +1722,13 @@ def curation_verdict(
     construction and the output is a per-doc audit trail: doc_id,
     source, first-failing-stage reason, keep.
 
-    Proves the operators COMPOSE without inter-stage materialization:
-    no collect, no checkpoint, no temp table — survivor frames are
-    filters/joins over the same lazy scan, and Catalyst pipelines the
-    whole thing (plan-pinned scan count + cartesian-free in
-    tests/test_plans.py). ``persist_stage_boundary=True`` is the 100 TB
+    The stages compose as ONE plan over a single shared tokenize pass:
+    the corpus is scanned and tokenized once (localCheckpoint of the
+    narrow token/hash frame — round 14; the earlier all-lazy spelling
+    re-ran the scan+tokenize chain in every stage branch, 19 scans),
+    and survivor frames are filters/joins over that frame (plan-pinned
+    scan count + cartesian-free in tests/test_plans.py). No collect,
+    no temp table. ``persist_stage_boundary=True`` is the 100 TB
     knob the docstring used to only describe: it persists the exact-dedup
     survivor frame (surv2 — the subtree every later stage re-reads:
     near-dup signatures, decontamination restriction, budget gate, and
@@ -1745,15 +1752,35 @@ def curation_verdict(
 
     d = _t(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
-    n_toks = F.size(t)
+    # r14 optimization: tokenize + content-hash ONCE. The all-lazy
+    # formulation re-ran split(text) and md5(lower(trim(text))) in
+    # every stage branch (quality pass, minhash signatures, 4-gram
+    # build, verdict join — 19 document scans in the physical plan,
+    # plans/r14/q226_*_before.txt). One localCheckpoint of the narrow
+    # (doc_id, source, n_chars, lang, t, content_hash) frame computes
+    # the scan+tokenize chain once; every stage below derives from it,
+    # classification unchanged (t/content_hash are the same
+    # expressions). At 100 TB this is the same materialization the
+    # persist_stage_boundary knob already argued for, moved to the
+    # tokenize boundary where the fan-out actually starts.
+    base = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "lang",
+        t.alias("t"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
+    ).localCheckpoint()
+    tcol = F.col("t")
+    n_toks = F.size(tcol)
     # one shared spelling with streaming/curation_ingest (operators/quality)
-    r1 = quality_reason(F.col("doc_id"), t, F.col("lang"), _PIPE_EVAL_MOD)
-    s1 = d.select(
+    r1 = quality_reason(F.col("doc_id"), tcol, F.col("lang"), _PIPE_EVAL_MOD)
+    s1 = base.select(
         "doc_id",
         "source",
         "n_chars",
         n_toks.cast("long").alias("n_toks"),
-        F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
+        "content_hash",
         r1.alias("r1"),
     )
     surv1 = s1.filter(F.col("r1").isNull())
@@ -1772,8 +1799,8 @@ def curation_verdict(
         surv2 = surv2.persist()
 
     # near-dup: q73's representative election, restricted to survivors
-    hashed = d.select(
-        "doc_id", shingle_hashes(F.array_distinct(tokens(F.col("text")))).alias("hs")
+    hashed = base.select(
+        "doc_id", shingle_hashes(F.array_distinct(tcol)).alias("hs")
     )
     sigs = hashed.join(surv2.select("doc_id"), "doc_id", "left_semi").select(
         "doc_id", minhash_from_hashes(F.col("hs"), MINHASH_K).alias("sig")
@@ -1797,7 +1824,7 @@ def curation_verdict(
     # nd_ids and cont_ids are sibling branches off surv2, not a chain
     # (each chained anti-join would replay the whole upstream subtree —
     # the 50-scan plan this formulation replaces; see the plan pin).
-    toks_f = d.select("doc_id", t.alias("t"), F.size(t).alias("ln"))
+    toks_f = base.select("doc_id", "t", n_toks.alias("ln"))
     gram_expr = F.expr(
         "transform(sequence(1, ln - 3), i -> concat_ws(' ', "
         "element_at(t, i), element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))"
@@ -2963,11 +2990,14 @@ def q258_span_trim_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     L = DEFAULT_SPAN_L
     t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
     w = _span_windows(d, id_col="doc_id", text_col="text", span_l=L)
-    dup = w.groupBy("h").count().filter(F.col("count") > 1).select("h")
-    marked = w.join(dup, "h", "left_semi")
+    # r14 optimization: row_number > 1 alone selects all-but-first
+    # occurrences of every duplicated key (a singleton key only ever
+    # gets rn = 1), so the separate multiplicity aggregate + semi-join
+    # — which re-ran the whole window-key build for its second leg —
+    # is redundant. One shuffle on h, source touched once.
     by_key = Window.partitionBy("h").orderBy("doc_id", "pos")
     removable = (
-        marked.withColumn("rn", F.row_number().over(by_key))
+        w.withColumn("rn", F.row_number().over(by_key))
         .filter(F.col("rn") > 1)
         .select("doc_id", "pos")
     )
@@ -3227,11 +3257,14 @@ def q262_span_trim_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     L = DEFAULT_SPAN_L
     t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
     w = _span_windows(d, id_col="doc_id", text_col="text", span_l=L)
-    dup = w.groupBy("h").count().filter(F.col("count") > 1).select("h")
-    marked = w.join(dup, "h", "left_semi")
+    # r14 optimization: row_number > 1 alone selects all-but-first
+    # occurrences of every duplicated key (a singleton key only ever
+    # gets rn = 1), so the separate multiplicity aggregate + semi-join
+    # — which re-ran the whole window-key build for its second leg —
+    # is redundant. One shuffle on h, source touched once.
     by_key = Window.partitionBy("h").orderBy("doc_id", "pos")
     removable = (
-        marked.withColumn("rn", F.row_number().over(by_key))
+        w.withColumn("rn", F.row_number().over(by_key))
         .filter(F.col("rn") > 1)
         .select("doc_id", "pos")
     )

@@ -1275,6 +1275,14 @@ def q188_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg = seg.crossJoin(F.broadcast(top)).select(
             F.expr(_SPARK_FOLD).alias("syms"), "cnt"
         )
+        if r < _BPE_ROUNDS:
+            # r14 optimization: materialize the re-segmentation between
+            # rounds (graph.py's loop idiom). Lazy chaining doubles the
+            # plan per round — round r's argmax subtree re-derives
+            # every earlier round's fold AND its pair aggregate, so the
+            # unrolled plan held 2^rounds copies of the vocabulary
+            # frame. The checkpointed frame is vocabulary-sized.
+            seg = seg.localCheckpoint()
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
@@ -1351,10 +1359,16 @@ def q232_bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     in fertility, so the metric covers the full corpus. Milli-grid
     divisions only at the final two columns; all sums integer-exact."""
     d = _docs(spark, sf_dir)
+    # r14 optimization: the per-(source, word) count feeds BOTH the
+    # global vocabulary (training) and the final rollup — lazily it
+    # re-ran the corpus token pass twice; materialized once it is the
+    # single corpus-sized touch the docstring promises (the frame
+    # itself is vocabulary x sources, bounded).
     swc = (
         d.select("source", F.explode(tokens(F.col("text"))).alias("w"))
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
     )
     wc = swc.groupBy("w").agg(F.sum("cnt").cast("long").alias("cnt"))
     seg = wc.select("w", F.split("w", "").alias("syms"), "cnt")
@@ -1362,7 +1376,7 @@ def q232_bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, size(syms) - 1),"
         " i -> struct(syms[i - 1] AS a, syms[i] AS b))"
     )
-    for _ in range(_BPE_ROUNDS):
+    for r in range(1, _BPE_ROUNDS + 1):
         top = (
             seg.filter(F.size("syms") >= 2)
             .select(F.explode(pair_expr).alias("p"), "cnt")
@@ -1375,6 +1389,10 @@ def q232_bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg = seg.crossJoin(F.broadcast(top)).select(
             "w", F.expr(_SPARK_FOLD).alias("syms"), "cnt"
         )
+        if r < _BPE_ROUNDS:
+            # q188's loop fix: without the inter-round materialization
+            # the unrolled lazy plan held 2^rounds vocabulary subtrees.
+            seg = seg.localCheckpoint()
     lens = seg.select("w", F.size("syms").cast("long").alias("n_syms"))
     rolled = (
         swc.join(lens, "w")

@@ -332,12 +332,18 @@ def q198_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    # r14 optimization: the exploded (vec_id, pos, xq) frame feeds all
+    # four matvec aggregates and the lazy spelling re-ran the scan +
+    # explode + quantize chain per use (12 scans in the plan,
+    # plans/r14/q198_*_before.txt); materialize it once. w1/w2 are
+    # d-row frames each read twice (renormalizer + rescale) whose
+    # recompute would re-run a corpus join+aggregate — checkpoint both.
     e = emb.select(
         "vec_id",
         F.posexplode(
             F.transform("embedding", lambda x: F.round(x * _PCA_S, 0).cast("long"))
         ).alias("pos", "xq"),
-    )
+    ).localCheckpoint()
     s1 = e.groupBy("vec_id").agg(
         F.expr(f"CAST(sum(xq * 125000) AS BIGINT) div {_PCA_S}").alias("s")
     )
@@ -345,7 +351,7 @@ def q198_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(s1, "vec_id")
         .groupBy("pos")
         .agg(F.sum(F.col("xq") * F.col("s")).cast("long").alias("w"))
-    )
+    ).localCheckpoint()
     m1 = w1.agg(F.max(F.abs(F.col("w"))).alias("mx"))
     v1 = w1.crossJoin(F.broadcast(m1)).select(
         "pos",
@@ -360,7 +366,7 @@ def q198_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(s2, "vec_id")
         .groupBy("pos")
         .agg(F.sum(F.col("xq") * F.col("s")).cast("long").alias("w"))
-    )
+    ).localCheckpoint()
     m2 = w2.agg(F.max(F.abs(F.col("w"))).alias("mx"))
     return (
         w2.crossJoin(F.broadcast(m2))

@@ -166,6 +166,12 @@ def q161_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_orders",
         "m_100",
     )
+    # r14 optimization: materialize the per-customer rollup once. The
+    # three independent ntile cuts each re-ran the orders scan + rollup
+    # + reference-day aggregate (26 scans in the physical plan,
+    # plans/r14/q161_*_before.txt); the rfm frame is |customers| narrow
+    # rows — the frame every leg and the final joins want anyway.
+    rfm = rfm.localCheckpoint()
     res = rfm
     # widths sized to the metric domains: offsets frames stay in the
     # hundreds of rows while per-bucket partitions stay balanced
@@ -1058,9 +1064,14 @@ def q191_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(unix_micros(CAST(ts AS TIMESTAMP)) % {_US_DAY}) div {_US_HOUR}"
         ).alias("hr"),
     )
+    # r14 optimization: the joint (type, v100, hr) count frame is the
+    # one corpus-sized aggregate and feeds FOUR branches (gx, gy, gn,
+    # the joint join) — lazily each branch re-ran the events scan +
+    # aggregate (6 scans in the plan). Materialize the bounded domain
+    # frame once.
     g = e.groupBy("event_type", "v100", "hr").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
-    )
+    ).localCheckpoint()
     gx = g.groupBy("event_type", "v100").agg(F.sum("cnt").cast("long").alias("cx"))
     px = grouped_prefix_sum(
         gx, ["event_type"], F.col("v100"), {"below": F.col("cx")}, width=64,
