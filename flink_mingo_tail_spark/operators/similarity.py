@@ -195,14 +195,38 @@ def lsh_tables_for(
     return hyperplane_tables(n_tables=n_tables, n_bits=bits, dim=dim, seed=seed)
 
 
-def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
+def lsh_bucket(vec: Column | str, planes: np.ndarray) -> Column:
     """Integer LSH bucket: bit j = sign(vec · plane_j). Pure expressions —
-    the plane components are literals folded into codegen."""
-    acc = F.lit(0)
-    for j, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        acc = acc + F.when(dot(vec, lit_plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return acc
+    the plane components are literals folded into codegen.
+
+    r14 optimization: the expression is built as ONE SQL string (one
+    py4j round-trip) instead of per-component ``F.lit`` trees — the
+    literal-tree spelling cost ~2.7 s of driver-side construction per
+    8-table key build (thousands of py4j calls for the plane
+    components; measured construct walls in OPTIMIZATION_r14.md) while
+    the parsed form is ~0.3 s and bit-identical: double literals
+    round-trip through repr + the D suffix, the per-bit sign terms and
+    ascending weighted sum are the same fold. ``vec`` may be a column
+    NAME (preferred — enables the single-expr path); Column inputs keep
+    working via their SQL spelling."""
+    vec_sql = f"`{vec}`" if isinstance(vec, str) else _col_sql(vec)
+    planes_sql = "array(" + ", ".join(
+        "array(" + ", ".join(repr(float(x)) + "D" for x in pl) + ")" for pl in planes
+    ) + ")"
+    weights_sql = "array(" + ", ".join(str(1 << j) for j in range(len(planes))) + ")"
+    return F.expr(
+        f"aggregate(zip_with(transform({planes_sql}, pl -> CASE WHEN "
+        f"aggregate(zip_with({vec_sql}, pl, (x, y) -> x * y), 0.0D, (a, x) -> a + x)"
+        f" > 0D THEN 1 ELSE 0 END), {weights_sql}, (b, w) -> b * w),"
+        f" 0, (a, x) -> a + x)"
+    )
+
+
+def _col_sql(col: Column) -> str:
+    """SQL text of a simple column reference (the only Column form the
+    LSH builders receive — attribute names, possibly dotted)."""
+    name = col._jc.toString()  # noqa: SLF001 — py4j Column, no public accessor
+    return ".".join(f"`{part}`" for part in name.split("."))
 
 
 def _lit_vec(v) -> Column:
@@ -502,7 +526,7 @@ def knn_lsh(
                 *[
                     F.struct(
                         F.lit(t).alias("table"),
-                        lsh_bucket(F.col(corpus_vec), planes).alias("bucket"),
+                        lsh_bucket(corpus_vec, planes).alias("bucket"),
                     )
                     for t, planes in enumerate(tables)
                 ]
@@ -523,7 +547,7 @@ def knn_lsh(
                 *[
                     F.struct(
                         F.lit(t).alias("table"),
-                        lsh_bucket(F.col(query_vec), planes).alias("bucket"),
+                        lsh_bucket(query_vec, planes).alias("bucket"),
                     )
                     for t, planes in enumerate(tables)
                 ]
@@ -774,7 +798,7 @@ def lsh_keys(df: DataFrame, id_col: str, vec_col: str, tables: list[np.ndarray])
                 *[
                     F.struct(
                         F.lit(t).alias("tbl"),
-                        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+                        lsh_bucket(vec_col, planes).alias("bucket"),
                     )
                     for t, planes in enumerate(tables)
                 ]

@@ -908,7 +908,7 @@ def mutual_knn_blocked(
                 *[
                     F.struct(
                         F.lit(t).alias("tbl"),
-                        lsh_bucket(F.col("av"), planes).alias("bucket"),
+                        lsh_bucket("av", planes).alias("bucket"),
                     )
                     for t, planes in enumerate(tables)
                 ]
@@ -932,7 +932,7 @@ def mutual_knn_blocked(
                 *[
                     F.struct(
                         F.lit(t).alias("tbl"),
-                        lsh_bucket(F.col("bv"), planes).alias("bucket"),
+                        lsh_bucket("bv", planes).alias("bucket"),
                     )
                     for t, planes in enumerate(_LSH_TABLES)
                 ]
