@@ -2363,10 +2363,14 @@ def q252_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     state-hygiene discipline (SURVEY §2A A6) applied to membership
     sketching; no reference twin."""
     d = _t(spark, sf_dir, "documents")
+    # r14 optimization: ik feeds three consumers (width count, sketch
+    # build, exact semi-join) and pr two (bloom probe, exact probe) —
+    # materialize each md5 pass once.
     ik = (
         d.filter(F.col("doc_id") % 10 != 7)
         .select(F.md5(F.col("text")).alias("ch"))
         .distinct()
+        .localCheckpoint()
     )
     m_bits = bloom_m_bits(ik.count())
     bloom = bloom_bits(ik, "ch", m_bits)
@@ -2386,6 +2390,7 @@ def q252_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.md5(F.col("text")).alias("ch"),
             )
         )
+        .localCheckpoint()
     )
     bh = bloom_probe(pr, bloom, id_col="doc_id", key_col="ch", m_bits=m_bits)
     eh = (
@@ -2571,10 +2576,14 @@ def q254_bloom_load_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate for the fill, a probe-bounded broadcast join for the
     measured rate. Everything after the key scan is kilobyte-sized."""
     d = _t(spark, sf_dir, "documents")
+    # r14 optimization: the distinct index-key frame feeds three
+    # consumers (the width count, the sketch build, the non-member
+    # anti-join) — materialize the md5+distinct pass once.
     ik = (
         d.filter(F.col("doc_id") % 10 != 7)
         .select(F.md5(F.col("text")).alias("ch"))
         .distinct()
+        .localCheckpoint()
     )
     n_members = ik.count()
     m_bits = bloom_m_bits(n_members)

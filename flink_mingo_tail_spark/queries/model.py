@@ -757,10 +757,16 @@ def q205_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     )
+    # r14 optimization: dcnt feeds the model derivation AND the scoring
+    # join, cab feeds three branches (c_a, V, scoring) — materialize
+    # each once instead of re-running the corpus explode + aggregate
+    # per branch.
     dcnt = bg.groupBy("doc_id", "a", "b").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
-    )
-    cab = dcnt.groupBy("a", "b").agg(F.sum("cnt").cast("long").alias("c_ab"))
+    ).localCheckpoint()
+    cab = dcnt.groupBy("a", "b").agg(
+        F.sum("cnt").cast("long").alias("c_ab")
+    ).localCheckpoint()
     ca = cab.groupBy("a").agg(F.sum("c_ab").cast("long").alias("c_a"))
     v = cab.agg(F.countDistinct("b").cast("long").alias("vsz"))
     scored = (

@@ -112,7 +112,10 @@ def score_batch_novelty(
     """(id, n_shingles, n_novel, novel_micro) vs a shingle set — the
     q209 statistic with 'first occurrence' meaning 'absent from the
     index'."""
-    sh = doc_shingle_hashes(batch_df, k, id_col, text_col)
+    # r14 optimization: sh feeds both the totals aggregate and the
+    # novelty anti-join — materialize the batch-bounded shingle pass
+    # once instead of re-running the explode + md5 + distinct per leg.
+    sh = doc_shingle_hashes(batch_df, k, id_col, text_col).localCheckpoint()
     novel = sh.join(index_shingles.select("h"), "h", "left_anti")
     totals = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_shingles"))
     novels = novel.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
