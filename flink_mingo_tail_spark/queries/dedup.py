@@ -1722,13 +1722,15 @@ def curation_verdict(
     construction and the output is a per-doc audit trail: doc_id,
     source, first-failing-stage reason, keep.
 
-    The stages compose as ONE plan over a single shared tokenize pass:
-    the corpus is scanned and tokenized once (localCheckpoint of the
-    narrow token/hash frame — round 14; the earlier all-lazy spelling
-    re-ran the scan+tokenize chain in every stage branch, 19 scans),
-    and survivor frames are filters/joins over that frame (plan-pinned
-    scan count + cartesian-free in tests/test_plans.py). No collect,
-    no temp table. ``persist_stage_boundary=True`` is the 100 TB
+    The stages compose as ONE plan over a shared quality/hash frame:
+    the per-doc stage-1 frame is computed once (localCheckpoint of the
+    narrow id/count/hash/reason rows — round 14; the earlier all-lazy
+    spelling re-ran its scan+tokenize+md5 chain in every stage branch,
+    19 scans), survivor frames are filters/joins over it, and only the
+    two token consumers (minhash signatures, 4-gram build) re-read the
+    text (plan-pinned scan count + cartesian-free in
+    tests/test_plans.py). No collect, no temp table.
+    ``persist_stage_boundary=True`` is the 100 TB
     knob the docstring used to only describe: it persists the exact-dedup
     survivor frame (surv2 — the subtree every later stage re-reads:
     near-dup signatures, decontamination restriction, budget gate, and
@@ -1752,37 +1754,25 @@ def curation_verdict(
 
     d = _t(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
-    # r14 optimization: tokenize + content-hash ONCE. The all-lazy
-    # formulation re-ran split(text) and md5(lower(trim(text))) in
-    # every stage branch (quality pass, minhash signatures, 4-gram
-    # build, verdict join — 19 document scans in the physical plan,
-    # plans/r14/q226_*_before.txt). One localCheckpoint of the narrow
-    # (doc_id, source, n_chars, lang, t, content_hash) frame computes
-    # the scan+tokenize chain once; every stage below derives from it,
-    # classification unchanged (t/content_hash are the same
-    # expressions). At 100 TB this is the same materialization the
-    # persist_stage_boundary knob already argued for, moved to the
-    # tokenize boundary where the fan-out actually starts.
-    base = d.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        "lang",
-        t.alias("t"),
-        F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
-    ).localCheckpoint()
-    tcol = F.col("t")
-    n_toks = F.size(tcol)
+    # r14 optimization: the quality/hash stage frame (s1) feeds every
+    # downstream branch — exact-dedup window, survivor semi-joins,
+    # budget gate, final verdict join — and the all-lazy formulation
+    # re-ran its scan + tokenize + md5 chain per branch (19 document
+    # scans, plans/r14/q226_*_before.txt). One localCheckpoint of the
+    # NARROW per-doc frame (ids, counts, hash, reason — deliberately
+    # not the token arrays: materializing those measured slower than
+    # re-tokenizing the two places that need tokens) computes it once.
+    n_toks = F.size(t)
     # one shared spelling with streaming/curation_ingest (operators/quality)
-    r1 = quality_reason(F.col("doc_id"), tcol, F.col("lang"), _PIPE_EVAL_MOD)
-    s1 = base.select(
+    r1 = quality_reason(F.col("doc_id"), t, F.col("lang"), _PIPE_EVAL_MOD)
+    s1 = d.select(
         "doc_id",
         "source",
         "n_chars",
         n_toks.cast("long").alias("n_toks"),
-        "content_hash",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
         r1.alias("r1"),
-    )
+    ).localCheckpoint()
     surv1 = s1.filter(F.col("r1").isNull())
 
     w_hash = Window.partitionBy("content_hash")
@@ -1799,8 +1789,8 @@ def curation_verdict(
         surv2 = surv2.persist()
 
     # near-dup: q73's representative election, restricted to survivors
-    hashed = base.select(
-        "doc_id", shingle_hashes(F.array_distinct(tcol)).alias("hs")
+    hashed = d.select(
+        "doc_id", shingle_hashes(F.array_distinct(tokens(F.col("text")))).alias("hs")
     )
     sigs = hashed.join(surv2.select("doc_id"), "doc_id", "left_semi").select(
         "doc_id", minhash_from_hashes(F.col("hs"), MINHASH_K).alias("sig")
@@ -1824,7 +1814,7 @@ def curation_verdict(
     # nd_ids and cont_ids are sibling branches off surv2, not a chain
     # (each chained anti-join would replay the whole upstream subtree —
     # the 50-scan plan this formulation replaces; see the plan pin).
-    toks_f = base.select("doc_id", "t", n_toks.alias("ln"))
+    toks_f = d.select("doc_id", t.alias("t"), F.size(t).alias("ln"))
     gram_expr = F.expr(
         "transform(sequence(1, ln - 3), i -> concat_ws(' ', "
         "element_at(t, i), element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))"
