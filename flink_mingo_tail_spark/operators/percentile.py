@@ -67,8 +67,8 @@ from pyspark.sql import functions as F
 def _pick(alias: str, rank: Column) -> Column:
     """Order statistic at 0-based ``rank`` (among the group's non-null
     values) read from the bracket decomposition: lo-run | interior | hi-run."""
-    lo = F.col(f"_br_{alias}")[0].cast("double")
-    hi = F.col(f"_br_{alias}")[1].cast("double")
+    lo = F.col(f"_lo_{alias}").cast("double")
+    hi = F.col(f"_hi_{alias}").cast("double")
     idx = rank - F.col(f"_below_{alias}")
     n_lo = F.col(f"_nlo_{alias}")
     interior = F.col(f"_in_{alias}")
@@ -119,12 +119,15 @@ def exact_percentiles(
             p_lo, p_hi = max(0.0, p - margin), min(1.0, p + margin)
             idx = len(ps)
             ps.extend([p_lo, p_hi])
-            bracket_reads.append(
-                (
-                    f"_br_{alias}",
-                    F.array(F.col(f"_brall_{col}")[idx], F.col(f"_brall_{col}")[idx + 1]),
-                )
-            )
+            # r14 optimization: carry the bracket as TWO SCALAR double
+            # columns, not a 2-element array — the select pass reuses
+            # the carried columns as GROUPING KEYS, and an array-typed
+            # grouping key disqualifies whole-stage HashAggregate
+            # (Spark falls back to a sort-based aggregate: a full sort
+            # of the fact rows, measured ~2.5 s of q125's wall).
+            # Scalar keys keep the identical values hash-aggregable.
+            bracket_reads.append((f"_lo_{alias}", F.col(f"_brall_{col}")[idx]))
+            bracket_reads.append((f"_hi_{alias}", F.col(f"_brall_{col}")[idx + 1]))
             stats_aggs.append(F.count(col).alias(f"_n_{alias}"))
         stats_aggs.append(
             F.percentile_approx(
@@ -157,8 +160,8 @@ def exact_percentiles(
     # separate small-route list short-circuits on one boolean.
     select_aggs = []
     for col, p, alias in specs:
-        lo = F.col(f"_br_{alias}")[0].cast("double")
-        hi = F.col(f"_br_{alias}")[1].cast("double")
+        lo = F.col(f"_lo_{alias}").cast("double")
+        hi = F.col(f"_hi_{alias}").cast("double")
         c = F.col(col).cast("double")
         select_aggs.extend(
             [
@@ -168,8 +171,17 @@ def exact_percentiles(
                 F.sort_array(
                     F.collect_list(F.when(is_large & (c > lo) & (c < hi), c))
                 ).alias(f"_in_{alias}"),
-                F.sort_array(F.collect_list(F.when(~is_large, c))).alias(f"_all_{alias}"),
             ]
+        )
+    # r14 optimization: the small-route complete-array list depends only
+    # on the COLUMN (identical for every spec sharing it) — collect it
+    # once per distinct column instead of once per spec (q125's 7
+    # septiles shared one column and paid 7 identical list aggregates).
+    for col in by_col:
+        select_aggs.append(
+            F.sort_array(
+                F.collect_list(F.when(~is_large, F.col(col).cast("double")))
+            ).alias(f"_all_{col}")
         )
     # The readout needs the per-group n and bracket columns. They are
     # CONSTANT within a group (computed per group, broadcast-joined), so
@@ -182,7 +194,11 @@ def exact_percentiles(
     # non-identical, so ReuseExchange never fired: q125's plan scanned
     # the fact table 4x / built the sketch twice; now 2 scans, 1 sketch
     # — pinned in tests/test_plans.py).
-    carry = [f"_br_{a}" for _, _, a in specs] + [f"_n_{a}" for _, _, a in specs]
+    carry = (
+        [f"_lo_{a}" for _, _, a in specs]
+        + [f"_hi_{a}" for _, _, a in specs]
+        + [f"_n_{a}" for _, _, a in specs]
+    )
     picked = joined.groupBy(*keys, *carry).agg(*select_aggs)
 
     out_cols = [F.col(k) for k in keys]
@@ -203,7 +219,7 @@ def exact_percentiles(
         # clamped + try_element_at: CaseWhen branches are not reliably
         # lazy under codegen (see _pick), and n = 0 (all-null group)
         # must yield NULL, not an ANSI index error.
-        arr = F.col(f"_all_{alias}")
+        arr = F.col(f"_all_{col}")
         at_lo = F.try_element_at(arr, F.greatest(lower + 1, F.lit(1)).cast("int"))
         at_hi = F.try_element_at(arr, F.greatest(higher + 1, F.lit(1)).cast("int"))
         exact_small = F.when(n == 0, F.lit(None).cast("double")).otherwise(
