@@ -55,22 +55,26 @@ def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
 
 
 def doc_shingle_hashes(
-    df: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text",
+    *, distinct: bool = True,
 ) -> DataFrame:
     """Per-document DISTINCT k-token shingle hashes. Same shingling as
     q209; the key is md5_long (60-bit bigint) rather than q209's md5
     hex string — membership semantics are identical and the int key
-    halves the index's shuffle/storage width."""
-    return (
-        df.select(
-            F.col(id_col),
-            F.explode(
-                F.array_distinct(word_shingles(tokens(F.col(text_col)), k))
-            ).alias("_s"),
-        )
-        .select(F.col(id_col), md5_long(F.col("_s")).alias("h"))
-        .distinct()
-    )
+    halves the index's shuffle/storage width.
+
+    ``distinct=False`` skips the corpus-wide dedup shuffle for
+    consumers whose downstream is multiplicity-blind (an anti-join /
+    semi-join right side treats duplicate hashes identically — r14):
+    array_distinct already dedups within a document, so the only
+    duplicates left are cross-document."""
+    h = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col(text_col)), k))
+        ).alias("_s"),
+    ).select(F.col(id_col), md5_long(F.col("_s")).alias("h"))
+    return h.distinct() if distinct else h
 
 
 def build_novelty_index(
