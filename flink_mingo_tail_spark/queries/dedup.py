@@ -1283,12 +1283,16 @@ def q209_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(word_shingles(tokens(F.col("text")), _NOV_K))
         ).alias("s"),
     ).select("doc_id", F.md5("s").alias("h"))
-    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    # r14 optimization: first-occurrence election as a min() window over
+    # the shingle hash instead of a groupBy + join-back — the join
+    # spelling re-ran the corpus explode for its second leg (no
+    # ReuseExchange across differentially-pruned branches) and paid a
+    # second shuffle on h. One shuffle, one source read, same election.
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     ).cast("long")
     return (
-        sh.join(first, "h")
+        sh.withColumn("first_doc", F.min("doc_id").over(Window.partitionBy("h")))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),
