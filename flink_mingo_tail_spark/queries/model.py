@@ -454,11 +454,17 @@ def q199_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression.
     """
     d = _t(spark, sf_dir, "documents")
+    # n_toks per doc is the token-array length — split() never yields an
+    # empty array for non-null text, so size() equals the exploded row
+    # count exactly and the per_doc branch needs no explode and no shuffle
+    # (the NULL-text guard mirrors unnest's drop of NULL arrays).
+    per_doc = d.where(F.col("text").isNotNull()).select(
+        "source",
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
     tok = d.select(
         "source", "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
-    )
-    per_doc = tok.groupBy("source", "doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_toks")
     )
     firsts = tok.groupBy("source", "tok").agg(F.min("doc_id").alias("first_doc"))
     new_types = firsts.groupBy(
@@ -664,8 +670,13 @@ def q203_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cab = bg.groupBy("source", "a", "b").agg(
         F.count(F.lit(1)).cast("long").alias("c_ab")
     )
-    ca = cab.groupBy("source", "a").agg(F.sum("c_ab").cast("long").alias("c_a"))
-    terms = cab.join(ca, ["source", "a"]).select(
+    # the (source, a) margin is a window sum over the distinct-bigram
+    # frame — same values as the old re-aggregate + join-back, but cab
+    # (and its corpus explode) is computed ONCE with a single consumer
+    terms = cab.withColumn(
+        "c_a",
+        F.sum("c_ab").over(Window.partitionBy("source", "a")).cast("long"),
+    ).select(
         "source",
         "c_ab",
         F.expr(
@@ -1125,32 +1136,37 @@ def q231_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "source", F.pmod(md5_long(F.col("tok")), F.lit(_DSIR_B)).alias("h")
     )
-    ct = (
-        tok.filter(F.col("source") == _DSIR_TARGET)
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).cast("long").alias("c_t"))
-    )
-    cc = tok.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("c_c"))
-    n = tok.agg(
-        F.count(F.lit(1)).cast("long").alias("n_c"),
-        F.count_if(F.col("source") == _DSIR_TARGET).cast("long").alias("n_t"),
-    )
-    model = (
-        cc.join(ct, "h", "left")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "h",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double")
-                    * (F.col("n_c") + _DSIR_B)
-                    / ((F.col("c_c") + 1).cast("double") * (F.col("n_t") + _DSIR_B))
-                )
-                * 1000000.0
-            )
-            .cast("long")
-            .alias("lr_micro"),
+    # ONE counts pass builds both models: c_c per bucket plus the
+    # target-slice c_t as a filtered count in the same hash aggregate
+    # (c_t = 0 where the old left join found no target row — identical
+    # through the +1 smoothing), and the totals n_c/n_t are the B-row
+    # frame's own sums — 3 corpus scans fold into this single one.
+    counts = (
+        tok.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c_c"),
+            F.count_if(F.col("source") == _DSIR_TARGET).cast("long").alias("c_t"),
         )
+        # at most _DSIR_B rows; materialized once so the totals pass and
+        # the model projection don't each re-run the corpus explode
+        .localCheckpoint()
+    )
+    n = counts.agg(
+        F.sum("c_c").cast("long").alias("n_c"),
+        F.sum("c_t").cast("long").alias("n_t"),
+    )
+    model = counts.crossJoin(F.broadcast(n)).select(
+        "h",
+        F.round(
+            F.log(
+                (F.col("c_t") + 1).cast("double")
+                * (F.col("n_c") + _DSIR_B)
+                / ((F.col("c_c") + 1).cast("double") * (F.col("n_t") + _DSIR_B))
+            )
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("lr_micro"),
     )
     scored = (
         tok.join(F.broadcast(model), "h")

@@ -741,11 +741,15 @@ def q180_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         width=1024,
         inclusive=True,
     )
-    n = g.groupBy("event_type").agg(
-        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
-    )
+    # n1/n2 are the last (= max, the counts are non-negative) values of
+    # the inclusive running sums — read them off p with one window
+    # instead of re-aggregating g (whose events scan would re-run)
+    from pyspark.sql import Window
+
+    n_w = Window.partitionBy("event_type")
     return (
-        p.join(F.broadcast(n), "event_type")
+        p.withColumn("n1", F.max("cum1").over(n_w).cast("long"))
+        .withColumn("n2", F.max("cum2").over(n_w).cast("long"))
         .filter((F.col("n1") > 0) & (F.col("n2") > 0))
         .groupBy("event_type", "n1", "n2")
         .agg(

@@ -873,6 +873,20 @@ def token_weight(tok):
     )
 
 
+# Per-document score as an array fold (same weight arithmetic as
+# token_weight, spelled as a SQL lambda over the token array): the
+# whole per-doc aggregate runs INSIDE the row — no explode, no
+# token-level shuffle — because exact int64 sums are order-independent.
+# split(text, ' ', -1) never yields an empty array for non-null text,
+# so size() equals the exploded row count exactly.
+_SCORER_FOLD_SQL = (
+    f"aggregate(split(text, ' ', -1), CAST(0 AS BIGINT),"
+    f" (acc, tok) -> acc"
+    f" + CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"
+    f" % {_SCORER_MOD} - {_SCORER_SHIFT})"
+)
+
+
 @query(
     "q193_hashed_linear_scorer",
     oracle=f"""
@@ -912,10 +926,12 @@ def q193_hashed_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE division, rounded to a milli grid.
     """
     d = _docs(spark, sf_dir)
-    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    w = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_toks"),
-        F.sum(token_weight(F.col("tok"))).cast("long").alias("score"),
+    # per-doc aggregate as an in-row array fold (_SCORER_FOLD_SQL): no
+    # explode, no token shuffle — the NULL-text guard mirrors unnest
+    w = d.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+        F.expr(_SCORER_FOLD_SQL).cast("long").alias("score"),
     )
     return w.select(
         "doc_id",
@@ -1144,10 +1160,13 @@ def q238_quality_terciles_by_source(spark: SparkSession, sf_dir: str) -> DataFra
     from flink_mingo_tail_spark.operators.ranks import ntile_from_rowno
 
     d = _docs(spark, sf_dir)
-    tok = d.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok"))
-    w = tok.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_toks"),
-        F.sum(token_weight(F.col("tok"))).cast("long").alias("score"),
+    # per-doc aggregate as an in-row array fold (_SCORER_FOLD_SQL): no
+    # explode, no token shuffle — the NULL-text guard mirrors unnest
+    w = d.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+        F.expr(_SCORER_FOLD_SQL).cast("long").alias("score"),
     )
     scored = w.select(
         "doc_id",
@@ -1178,8 +1197,13 @@ def q238_quality_terciles_by_source(spark: SparkSession, sf_dir: str) -> DataFra
         width=1 << 34,
         inclusive=True,
     )
-    n = scored.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    tiled = p.join(F.broadcast(n), "source").withColumn(
+    # group size from the prefix counts themselves: rowno is an
+    # inclusive running count of 1s per source, so its per-source max
+    # IS the group size — no second pass over scored, no join
+    from pyspark.sql import Window
+
+    n_w = Window.partitionBy("source")
+    tiled = p.withColumn("n", F.max("rowno").over(n_w)).withColumn(
         "t", ntile_from_rowno("rowno", "n", _CCNET_K)
     )
     bucket = (

@@ -518,10 +518,12 @@ def test_auc_ks_have_no_unpartitioned_corpus_window(spark):
     for name in ("q179_auc_mann_whitney", "q180_ks_two_sample"):
         plan = plan_of(spark, name)
         assert "HashAggregate" in plan, name
-        # a partitioned Window's Arguments line has THREE bracketed
-        # lists ([exprs], [partition], [order]); an ORDER-BY-only one
-        # has TWO — so every window argument line must carry two "], ["
-        # separators
+        # a partitioned+ordered Window's Arguments line has THREE
+        # bracketed lists ([exprs], [partition], [order]); a
+        # partition-only window (q180's n1/n2 group totals) has TWO,
+        # where the trailing list is a bare-attribute partition spec;
+        # an ORDER-BY-only (unpartitioned) window also has TWO but its
+        # trailing list carries ASC/DESC sort directions — reject that
         lines = plan.splitlines()
         saw_window = False
         for i, line in enumerate(lines):
@@ -529,7 +531,13 @@ def test_auc_ks_have_no_unpartitioned_corpus_window(spark):
                 args = next(
                     ln for ln in lines[i + 1 :] if ln.strip().startswith("Arguments:")
                 )
-                assert args.count("], [") == 2, (name, args)
+                n_lists = args.count("], [")
+                if n_lists != 2:
+                    tail = args.split("], [")[-1]
+                    assert n_lists == 1 and " ASC" not in tail and " DESC" not in tail, (
+                        name,
+                        args,
+                    )
                 saw_window = True
         assert saw_window, name
 
