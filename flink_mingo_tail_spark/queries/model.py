@@ -221,6 +221,15 @@ def q196_logistic_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.lit(2) * F.col("y") - 1).cast("long").alias("u0"),
         F.sum(F.col("x") * (F.lit(2) * F.col("y") - 1)).cast("long").alias("u1"),
     )
+    # step 2's moments depend on the row only through (x, y), so the
+    # second pass aggregates the corpus to the distinct-(event_type, x,
+    # y) frame first (domain-bounded: |x-grid| * 2 rows per group) and
+    # reweights each moment by cnt — exact int64 sums are identical,
+    # while exp() runs once per DOMAIN VALUE instead of once per row
+    # and the broadcast join touches only the tiny frame
+    tc = t.groupBy("event_type", "x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
     b1 = s1.select(
         "event_type",
         "n",
@@ -233,28 +242,26 @@ def q196_logistic_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
         ).alias("b1"),
     )
-    r = t.join(F.broadcast(b1), "event_type").withColumn(
+    r = tc.join(F.broadcast(b1), "event_type").withColumn(
         "pk",
         F.expr(
             "CAST(round(1000.0 / (1.0 + exp(-(b0 + b1 * CAST(x AS DOUBLE)))))"
             " AS BIGINT)"
         ),
     )
+    wgt = F.col("pk") * (F.lit(1000) - F.col("pk"))
+    res = F.lit(1000) * F.col("y") - F.col("pk")
     s2 = r.groupBy("event_type").agg(
         F.any_value("b0").alias("b0"),
         F.any_value("b1").alias("b1"),
         F.any_value("n").cast("long").alias("n"),
-        F.sum(F.col("pk") * (F.lit(1000) - F.col("pk"))).cast("long").alias("a00"),
-        F.sum(F.col("pk") * (F.lit(1000) - F.col("pk")) * F.col("x"))
-        .cast("long")
-        .alias("a01"),
-        F.sum(F.col("pk") * (F.lit(1000) - F.col("pk")) * F.col("x") * F.col("x"))
+        F.sum(wgt * F.col("cnt")).cast("long").alias("a00"),
+        F.sum(wgt * F.col("x") * F.col("cnt")).cast("long").alias("a01"),
+        F.sum(wgt * F.col("x") * F.col("x") * F.col("cnt"))
         .cast("long")
         .alias("a11"),
-        F.sum(F.lit(1000) * F.col("y") - F.col("pk")).cast("long").alias("g0"),
-        F.sum((F.lit(1000) * F.col("y") - F.col("pk")) * F.col("x"))
-        .cast("long")
-        .alias("g1"),
+        F.sum(res * F.col("cnt")).cast("long").alias("g0"),
+        F.sum(res * F.col("x") * F.col("cnt")).cast("long").alias("g1"),
     )
     return s2.select(
         "event_type",

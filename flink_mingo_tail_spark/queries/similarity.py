@@ -1936,18 +1936,21 @@ def q235_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).filter(F.col("vec_id") < _JL_PAIRS_N).select(
         "vec_id", F.col("embedding").alias("v")
     )
-    scale = F.lit(float(_JL_OUT_DIM) ** 0.5)
-    y = F.array(
-        *[
-            dot(
-                F.col("v"),
-                F.array(*[F.lit(float(x)) for x in _JL_R[k]]),
-            )
-            / scale
-            for k in range(_JL_OUT_DIM)
-        ]
-    )
-    p = e.select("vec_id", "v", y.alias("y"))
+    # the projection is rendered as ONE parsed SQL string instead of
+    # _JL_OUT_DIM x _JL_IN_DIM per-literal py4j trees (the lsh_bucket
+    # lever — repr(x) + "D" double literals round-trip exactly, and the
+    # fold spelling matches operators.similarity.dot term for term), so
+    # the driver builds the plan in one parse instead of ~1.5 s of
+    # py4j round-trips
+    scale_lit = repr(float(_JL_OUT_DIM) ** 0.5) + "D"
+    proj_sql = "array(" + ", ".join(
+        "aggregate(zip_with(v, array("
+        + ", ".join(repr(float(x)) + "D" for x in _JL_R[k])
+        + "), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) / "
+        + scale_lit
+        for k in range(_JL_OUT_DIM)
+    ) + ")"
+    p = e.select("vec_id", "v", F.expr(proj_sql).alias("y"))
 
     def d2(a, b):
         return F.round(dot(a, a) + dot(b, b) - 2 * dot(a, b), 6)

@@ -543,6 +543,9 @@ def q192_acf_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(round(CAST(sum(v100) AS DOUBLE) * 1000.0 / count(*)) AS BIGINT)"
             ).alias("xm")
         )
+        # calendar-bounded; materialized once so the moments pass and
+        # both lag-join legs don't each re-run the events scan+aggregate
+        .localCheckpoint()
     )
     s = d.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
