@@ -494,7 +494,10 @@ def perceptual_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media_variants(
         _t(spark, sf_dir, "documents"), group_size=_PH_GROUP
     )
-    fp = dhash_arrow(media)
+    # both self-join legs consume the fingerprints — materialize the
+    # narrow (media_id, ph) frame once so the Arrow-boundary dHash pass
+    # (and the payload synthesis feeding it) runs a single time
+    fp = dhash_arrow(media).select("media_id", "ph").localCheckpoint()
     bands = fp.select(
         "media_id",
         "ph",
@@ -636,7 +639,8 @@ def q247_perceptual_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media_variants(
         _t(spark, sf_dir, "documents"), group_size=_PH_GROUP
     )
-    fp = dhash_arrow(media)
+    # the batch loop filters fp 2x per batch — hash once, not 2B times
+    fp = dhash_arrow(media).localCheckpoint()
     tmp = tempfile.mkdtemp(prefix="fmts-phidx-q247-")
     rows: list[tuple[int, bool]] = []
     try:

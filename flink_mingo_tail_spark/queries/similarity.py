@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from flink_mingo_tail_spark.operators.similarity import (
     IVF_MEAN_SCALE,
     dot,
+    l2_norm,
     SQL_COSINE,
     _nearest_cells,
     auto_n_bits,
@@ -589,7 +590,11 @@ def q170_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     column plays the cell id so the oracle stays engine-neutral.
     """
     e = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
-    a, b = e.alias("a"), e.alias("b")
+    # carry each vector's norm THROUGH the join (8 bytes/row) so the
+    # pair filter computes one dot instead of three: round(dot/(na*nb))
+    # is the same IEEE tree as rounded_cosine evaluated in place
+    en = e.withColumn("nrm", l2_norm(F.col("embedding")))
+    a, b = en.alias("a"), en.alias("b")
     dup = (
         a.join(
             b,
@@ -597,11 +602,15 @@ def q170_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("b.vec_id") < F.col("a.vec_id")),
         )
         .filter(
-            rounded_cosine(F.col("a.embedding"), F.col("b.embedding"))
+            F.round(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            )
             >= _SEMDEDUP_TAU
         )
         .select(F.col("a.vec_id").alias("vec_id"))
-        .distinct()
+        # no distinct: left-anti ignores right-side multiplicity
     )
     return e.join(dup, "vec_id", "left_anti").select("vec_id", "label").orderBy("vec_id")
 
