@@ -680,21 +680,46 @@ def q165_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("semb")
     )
     qd = lambda c: F.round(c * _KM_QD, 0).cast("long")  # noqa: E731
-    d = F.aggregate(
-        F.zip_with("embedding", "semb", lambda x, y: (qd(x) - qd(y)) * (qd(x) - qd(y))),
+    # r14 (guide §2.1/§3): the groupBy(vec_id) argmin + join-back
+    # spelling shuffled the corpus TWICE (k-fold row explosion through
+    # the aggregate, then a corpus-corpus equi-join to recover the
+    # embedding) and re-ran the whole assignment subtree a third time
+    # for the per-cluster count (12 scans / 34 Exchange in the before
+    # plan). The k seeds now enter as ONE broadcast row holding the
+    # (cid, semb) struct array, and the argmin is computed per row:
+    # array_min over struct(d, cid) is the same (d, cid) lexicographic
+    # order as min(struct(d, cid)), and d is the identical exact-int64
+    # fold, so the assignment is bit-identical. One corpus scan, no
+    # corpus shuffle before the (cid, pos) mean aggregate.
+    seeds1 = seed.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "semb"))).alias("seeds")
+    )
+    dseed = lambda s: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.col("embedding"), s.getField("semb"),
+            lambda x, y: (qd(x) - qd(y)) * (qd(x) - qd(y)),
+        ),
         F.lit(0).cast("long"),
         lambda acc, t: acc + t,
     )
-    dist = e.crossJoin(F.broadcast(seed)).select(
-        "vec_id", "cid", d.alias("d")
+    ec = e.crossJoin(F.broadcast(seeds1)).select(
+        F.array_min(
+            F.transform(
+                "seeds",
+                lambda s: F.struct(
+                    dseed(s).alias("d"), s.getField("cid").alias("cid")
+                ),
+            )
+        )
+        .getField("cid")
+        .alias("cid"),
+        "embedding",
     )
-    assign = (
-        dist.groupBy("vec_id")
-        .agg(F.min(F.struct("d", "cid")).getField("cid").alias("cid"))
-    )
-    ex = assign.join(e, "vec_id").select(
-        "cid", F.posexplode("embedding").alias("pos0", "v")
-    )
+    ex = ec.select("cid", F.posexplode("embedding").alias("pos0", "v"))
+    # fixed-dimension embedding column (the fixture/ANN-family schema
+    # contract): the per-(cid, pos) row count IS the cluster member
+    # count, so n_assigned rides out of the SAME aggregate instead of a
+    # third corpus pass over a recomputed assignment frame.
     mean_q = ex.groupBy("cid", "pos0").agg(
         F.round(
             F.sum(F.round(F.col("v") * _KM_QC, 0).cast("long")).cast("double")
@@ -702,20 +727,21 @@ def q165_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             0,
         )
         .cast("long")
-        .alias("mq")
+        .alias("mq"),
+        F.count(F.lit(1)).alias("cnt"),
     )
     seed_q = seed.select(
         "cid", F.posexplode("semb").alias("pos0", "sv")
     ).select("cid", "pos0", F.round(F.col("sv") * _KM_QC, 0).cast("long").alias("sq"))
-    n = assign.groupBy("cid").agg(F.count("*").alias("n_assigned"))
     return (
         mean_q.join(seed_q, ["cid", "pos0"])
-        .join(F.broadcast(n), "cid")
-        .groupBy("cid", "n_assigned")
+        .groupBy("cid")
         .agg(
+            F.max("cnt").alias("n_assigned"),
             F.sum((F.col("pos0") + 1) * F.col("mq")).alias("centroid_fp"),
             F.sum((F.col("mq") - F.col("sq")) * (F.col("mq") - F.col("sq"))).alias("shift_sq"),
         )
+        .select("cid", "n_assigned", "centroid_fp", "shift_sq")
         .orderBy("cid")
     )
 

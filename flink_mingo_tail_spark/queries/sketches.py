@@ -493,6 +493,19 @@ def q164_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             md5_long(F.concat(F.lit(f"{j}|"), key.cast("string"))), F.lit(_BLOOM_M)
         )
 
+    # r14 (guide §2.1/§3): the probe side used to shuffle TWICE — the
+    # exploded probe frame broadcast-joined the bit set, aggregated
+    # per key, then equi-JOINED BACK onto the full customer table to
+    # restore the non-hit rows (and a third shuffle for the membership
+    # truth join). The join-back is redundant: the explode emits
+    # exactly k rows for EVERY probe key, so a LEFT join against the
+    # bit set keeps every key in the aggregate and n_set = count of
+    # matched rows — the groupBy output already has one row per
+    # customer. The membership truth frame is bounded (distinct 'F'
+    # custkeys) and broadcasts, leaving ONE probe-side shuffle (the
+    # per-key conjunction) instead of three. (mem is computed once per
+    # consumer — a materialize-once barrier was measured SLOWER here
+    # than letting the two bounded broadcast builds overlap.)
     bits = (
         mem.select(
             F.explode(
@@ -507,21 +520,23 @@ def q164_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[pos(F.col("c_custkey"), j) for j in range(_BLOOM_K)])
         ).alias("pos"),
     )
-    hits = (
-        pp.join(F.broadcast(bits), "pos")
-        .groupBy("c_custkey")
-        .agg(F.count("*").alias("n_set"))
-    )
     verdict = (
-        c.select("c_custkey")
-        .join(hits, "c_custkey", "left")
+        pp.join(
+            F.broadcast(bits.withColumn("__hit", F.lit(1))), "pos", "left"
+        )
+        .groupBy("c_custkey")
+        .agg((F.count("__hit") == _BLOOM_K).alias("bloom_pos"))
         .join(
-            mem.select(F.col("o_custkey").alias("c_custkey"), F.lit(True).alias("is_member")),
+            F.broadcast(
+                mem.select(
+                    F.col("o_custkey").alias("c_custkey"), F.lit(True).alias("is_member")
+                )
+            ),
             "c_custkey",
             "left",
         )
         .select(
-            (F.coalesce(F.col("n_set"), F.lit(0)) == _BLOOM_K).alias("bloom_pos"),
+            "bloom_pos",
             F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member"),
         )
     )
@@ -559,11 +574,31 @@ def mix_walk_frame(d: DataFrame):
     (a document heavier than its source's step => multi-hit picks)."""
     from pyspark.sql import Window
 
+    # Two-level per-source prefix sum (q151's pattern + source key).
+    # r14 (guide §2.1): the per-source char masses previously aggregated
+    # the corpus in their OWN full pass (groupBy(source) over d, a third
+    # corpus aggregation beside the walk window and the bucket totals).
+    # t_chars is now the integer rollup of the per-bucket totals — same
+    # int64 addends regrouped (associative, bit-identical), and the
+    # rollup input is |buckets| rows, not the corpus.
+    w_in = Window.partitionBy("source", "b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    within = d.withColumn("within", F.sum("n_chars").over(w_in))
+    # btot feeds BOTH the weight plan (via tot) and the bucket offsets;
+    # without a materialization the corpus aggregate re-runs per branch
+    # (no ReuseExchange across differentially-pruned subtrees). The
+    # output is |sources × buckets| rows — kilobytes — so the
+    # materialize-once idiom costs one tiny barrier and caps the plan
+    # at TWO corpus passes (walk window + bucket totals) total.
+    btot = d.groupBy("source", "b").agg(
+        F.sum("n_chars").alias("tot")
+    ).localCheckpoint()
     # sqrt gridded to integer micro-units BEFORE the sum (the repo's
     # double-aggregate determinism convention): the denominator is then
     # an order-independent int64 sum and the target is a pure integer
     # division — no float aggregate anywhere in the plan arithmetic.
-    tot = d.groupBy("source").agg(F.sum("n_chars").cast("long").alias("t_chars"))
+    tot = btot.groupBy("source").agg(F.sum("tot").cast("long").alias("t_chars"))
     sq = tot.withColumn(
         "sq", F.round(F.sqrt("t_chars") * 1000000.0).cast("long")
     )
@@ -582,12 +617,6 @@ def mix_walk_frame(d: DataFrame):
         "n_target",
         F.greatest(F.lit(1).cast("long"), F.expr("t_chars DIV n_target")).alias("step"),
     )
-    # Two-level per-source prefix sum (q151's pattern + source key).
-    w_in = Window.partitionBy("source", "b").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    within = d.withColumn("within", F.sum("n_chars").over(w_in))
-    btot = d.groupBy("source", "b").agg(F.sum("n_chars").alias("tot"))
     w_off = Window.partitionBy("source").orderBy("b").rowsBetween(
         Window.unboundedPreceding, -1
     )

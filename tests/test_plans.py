@@ -645,11 +645,34 @@ def test_perceptual_near_dup_plan_shape(spark):
     """q225: candidates must come from an equi-join on (band, bits) —
     q212's banding contract applied to the dHash fingerprints; the
     payload column must not survive past the Arrow hasher (the blob
-    never shuffles); no cartesian anywhere."""
+    never shuffles); no cartesian anywhere. The r14 materialize-once
+    change computes the Arrow dHash pass in a checkpoint job (the pair
+    self-join consumes the narrow fingerprint frame twice), so the
+    Arrow-boundary pin moves to the fingerprint subtree's own plan."""
     p = plan_of(spark, "q225_perceptual_hash_near_dup")
     assert "CartesianProduct" not in p
     assert "band" in p and "bits" in p
-    assert "MapInArrow" in p or "ArrowEvalPython" in p or "mapInArrow" in p.lower()
+
+    from flink_mingo_tail_spark.queries.multimodal_udf import (
+        _PH_GROUP,
+        dhash_arrow,
+        synthesize_media_variants,
+    )
+    from flink_mingo_tail_spark.tables import load_table
+
+    fp = dhash_arrow(
+        synthesize_media_variants(
+            load_table(spark, SF_ORACLE, "documents"), group_size=_PH_GROUP
+        )
+    ).select("media_id", "ph")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fp.explain("formatted")
+    fp_plan = buf.getvalue()
+    assert "MapInArrow" in fp_plan or "ArrowEvalPython" in fp_plan
+    # the blob column dies inside the Arrow hasher: nothing after the
+    # Python node carries payload bytes
+    assert "payload" not in fp_plan.split("MapInArrow")[0]
 
 
 def test_modality_agreement_plan_shape(spark):
