@@ -131,9 +131,16 @@ def q77_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force all-pairs variant (correctness oracle for the LSH path;
     at production scale q78's bucketing replaces the O(n²) pair space)."""
     e = _emb(spark, sf_dir)
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = rounded_cosine(F.col("a.embedding"), F.col("b.embedding"))
+    # norms once per vector, carried through the pair join: one dot per
+    # pair instead of three (same IEEE tree — the q170 equivalence)
+    en = e.withColumn("nrm", l2_norm(F.col("embedding")))
+    a = en.alias("a")
+    b = en.alias("b")
+    cos = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -685,7 +692,10 @@ def q171_semdedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         _nearest_cells(F.col("embedding"), centroids)[0]["cell"].alias("cell"),
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
+    # norms once per vector through the cell-blocked join (q170's
+    # one-dot-per-pair equivalence)
+    an = assigned.withColumn("nrm", l2_norm(F.col("embedding")))
+    a, b = an.alias("a"), an.alias("b")
     dup = (
         a.join(
             b,
@@ -693,7 +703,11 @@ def q171_semdedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("b.vec_id") < F.col("a.vec_id")),
         )
         .filter(
-            rounded_cosine(F.col("a.embedding"), F.col("b.embedding"))
+            F.round(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            )
             >= _SEMDEDUP_TAU
         )
         .select(F.col("a.vec_id").alias("vec_id"))
@@ -759,14 +773,23 @@ def q217_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     election VERBATIM — the windows and join only ever see each side's
     current best, so the election layer is already scale-shaped."""
     e = _emb(spark, sf_dir)
-    a = e.filter(F.col("vec_id") % 2 == 0).select(
-        F.col("vec_id").alias("ai"), F.col("embedding").alias("av")
+    # norms once per vector through the cross join (q170's
+    # one-dot-per-pair equivalence)
+    en = e.withColumn("nrm", l2_norm(F.col("embedding")))
+    a = en.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("ai"), F.col("embedding").alias("av"),
+        F.col("nrm").alias("na"),
     )
-    b = e.filter(F.col("vec_id") % 2 == 1).select(
-        F.col("vec_id").alias("bi"), F.col("embedding").alias("bv")
+    b = en.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("bi"), F.col("embedding").alias("bv"),
+        F.col("nrm").alias("nb"),
     )
     scored = a.crossJoin(b).select(
-        "ai", "bi", rounded_cosine(F.col("av"), F.col("bv")).alias("cos_sim")
+        "ai",
+        "bi",
+        F.round(
+            dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cos_sim"),
     )
     wa = Window.partitionBy("ai").orderBy(F.col("cos_sim").desc(), "bi")
     wb = Window.partitionBy("bi").orderBy(F.col("cos_sim").desc(), "ai")
@@ -950,10 +973,18 @@ def mutual_knn_blocked(
     ).select("bi", "tb.tbl", "tb.bucket")
 
     cand = a_b.join(b_b, ["tbl", "bucket"]).select("ai", "bi").distinct()
+    # norms once per vector before the candidate fan-out (q170's
+    # one-dot-per-pair equivalence)
     scored = (
-        cand.join(a, "ai")
-        .join(b, "bi")
-        .select("ai", "bi", rounded_cosine(F.col("av"), F.col("bv")).alias("cos_sim"))
+        cand.join(a.withColumn("na", l2_norm(F.col("av"))), "ai")
+        .join(b.withColumn("nb", l2_norm(F.col("bv"))), "bi")
+        .select(
+            "ai",
+            "bi",
+            F.round(
+                dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
+        )
     )
     wa = Window.partitionBy("ai").orderBy(F.col("cos_sim").desc(), "bi")
     wb = Window.partitionBy("bi").orderBy(F.col("cos_sim").desc(), "ai")
@@ -1022,18 +1053,29 @@ def q222_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly as q217b composes them; the label filter and the top-k
     election are unchanged by the blocking."""
     e = _emb(spark, sf_dir)
-    anchors = e.filter(F.col("vec_id") < _HN_ANCHORS).select(
+    # norms ride through the broadcast join (one double per side) so
+    # each (anchor, candidate) pair computes ONE dot instead of three —
+    # round(dot/(nq*ne)) is the same IEEE tree as rounded_cosine
+    # evaluated in place (the q170 equivalence; IEEE multiplication is
+    # commutative)
+    en = e.withColumn("ne", l2_norm(F.col("embedding")))
+    anchors = en.filter(F.col("vec_id") < _HN_ANCHORS).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
         F.col("embedding").alias("qv"),
+        F.col("ne").alias("nq"),
     )
     scored = (
-        e.join(F.broadcast(anchors), F.col("label") != F.col("anchor_label"))
+        en.join(F.broadcast(anchors), F.col("label") != F.col("anchor_label"))
         .select(
             "anchor_id",
             "vec_id",
             "label",
-            rounded_cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("embedding"))
+                / (F.col("nq") * F.col("ne")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("anchor_id").orderBy(F.col("cos_sim").desc(), "vec_id")
@@ -1108,18 +1150,24 @@ def q223_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the neighbor stage swaps to LSH/IVF candidates (the q217b
     composition) with election and accuracy unchanged."""
     e = _emb(spark, sf_dir)
-    probes = e.filter(F.col("vec_id") < _KE_PROBES).select(
+    # same norm-through-the-join as q222: one dot per scored pair
+    en = e.withColumn("ne", l2_norm(F.col("embedding")))
+    probes = en.filter(F.col("vec_id") < _KE_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("qv"),
+        F.col("ne").alias("nq"),
     )
-    scored = e.join(
+    scored = en.join(
         F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
     ).select(
         "probe_id",
         "true_label",
         "label",
-        rounded_cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+        F.round(
+            dot(F.col("qv"), F.col("embedding")) / (F.col("nq") * F.col("ne")),
+            6,
+        ).alias("cos_sim"),
         "vec_id",
     )
     wk = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), "vec_id")
@@ -1303,10 +1351,18 @@ def q224_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     co_b = lsh_keys(co, "ci", "cv", _LSH_TABLES)
 
     cand = co_b.join(F.broadcast(ev_b), ["tbl", "bucket"]).select("ci", "ei").distinct()
+    # norms computed once per vector BEFORE the candidate fan-out: the
+    # exact re-rank then costs one dot per candidate pair (same IEEE
+    # tree as rounded_cosine — the q170/q222 equivalence)
     sem = (
-        cand.join(co, "ci")
-        .join(F.broadcast(ev), "ei")
-        .filter(rounded_cosine(F.col("cv"), F.col("evv")) >= F.lit(_SEM_TAU))
+        cand.join(co.withColumn("ncv", l2_norm(F.col("cv"))), "ci")
+        .join(F.broadcast(ev.withColumn("nev", l2_norm(F.col("evv")))), "ei")
+        .filter(
+            F.round(
+                dot(F.col("cv"), F.col("evv")) / (F.col("ncv") * F.col("nev")), 6
+            )
+            >= F.lit(_SEM_TAU)
+        )
         .select("ci")
         .distinct()
         .withColumnRenamed("ci", "doc_id")
@@ -1573,10 +1629,18 @@ def q243_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     ev_b = lsh_probe_keys(ev, "ei", "evv", _LSH_TABLES, _LSH_N_BITS)
     co_b = lsh_keys(co, "ci", "cv", _LSH_TABLES)
     cand = co_b.join(F.broadcast(ev_b), ["tbl", "bucket"]).select("ci", "ei").distinct()
+    # norms once per vector before the candidate fan-out (q170/q224's
+    # one-dot-per-pair equivalence)
     scored = (
-        cand.join(co, "ci")
-        .join(F.broadcast(ev), "ei")
-        .select("ci", "ei", rounded_cosine(F.col("cv"), F.col("evv")).alias("c"))
+        cand.join(co.withColumn("ncv", l2_norm(F.col("cv"))), "ci")
+        .join(F.broadcast(ev.withColumn("nev", l2_norm(F.col("evv")))), "ei")
+        .select(
+            "ci",
+            "ei",
+            F.round(
+                dot(F.col("cv"), F.col("evv")) / (F.col("ncv") * F.col("nev")), 6
+            ).alias("c"),
+        )
         .filter(F.col("c") >= F.lit(_SEM_TAU))
     )
     w = Window.partitionBy("ci").orderBy(F.col("c").desc(), "ei")
@@ -2042,11 +2106,25 @@ def q251_semantic_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     ev = e.filter(F.col("vec_id") % _EVAL_MOD == 0)
     co = e.filter(F.col("vec_id") % _EVAL_MOD != 0)
+    # norms once per vector on both sides of the dense-truth join: the
+    # |corpus| x |eval| threshold test costs one dot per pair (q170's
+    # equivalence)
     dense_hits = (
-        co.alias("c")
+        co.withColumn("ncv", l2_norm(F.col("embedding")))
+        .alias("c")
         .join(
-            F.broadcast(ev.select(F.col("embedding").alias("evv"))),
-            rounded_cosine(F.col("c.embedding"), F.col("evv")) >= F.lit(_SEM_TAU),
+            F.broadcast(
+                ev.select(
+                    F.col("embedding").alias("evv"),
+                    l2_norm(F.col("embedding")).alias("nev"),
+                )
+            ),
+            F.round(
+                dot(F.col("c.embedding"), F.col("evv"))
+                / (F.col("ncv") * F.col("nev")),
+                6,
+            )
+            >= F.lit(_SEM_TAU),
         )
         .select("c.vec_id")
         .distinct()
