@@ -60,35 +60,44 @@ def connected_components(
         .localCheckpoint()  # truncate lineage: round N must not replay 1..N-1
     )
     for it in range(max_iter):
-        # neighborhood min: every node sees its neighbors' labels
+        # neighborhood min: every node sees its neighbors' labels. The
+        # self branch carries the node's PREVIOUS label in a separate
+        # column (null on neighbor rows; max() ignores nulls) so the
+        # convergence check below never needs to join this round's
+        # output back against ``labels`` — the old spelling paid a full
+        # jumped-vs-labels equi-join job per round just to count changes
+        # (r14, guide §2.4: the count now rides the round's own
+        # materialization).
         neigh = (
             sym.join(labels, sym.b == labels.node)
-            .select(F.col("a").alias("node"), "label")
-            .union(labels.select("node", "label"))
+            .select(
+                F.col("a").alias("node"),
+                "label",
+                F.lit(None).cast(labels.schema["label"].dataType).alias("old"),
+            )
+            .union(labels.select("node", "label", F.col("label").alias("old")))
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
         )
         # pointer jump: label <- label(label)  (path halving)
         lab2 = neigh.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
         jumped = (
             neigh.join(lab2, neigh.label == lab2.pnode, "left")
-            .select("node", F.coalesce("plabel", "label").alias("label"))
+            .select(
+                "node",
+                F.coalesce("plabel", "label").alias("label"),
+                (F.coalesce("plabel", "label") != F.col("old")).alias("chg"),
+            )
             .localCheckpoint()
         )
+        labels = jumped.select("node", "label")
         if it == 0:
             # round 0 always changes labels on any non-trivial graph —
             # skip the convergence action (localCheckpoint above already
             # materialized the round)
-            labels = jumped
             continue
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
+        # count over the checkpointed round itself — no join, no shuffle
+        if jumped.filter(F.col("chg")).count() == 0:
             break
     sym.unpersist()
     return labels.select("node", F.col("label").alias("component"))
