@@ -452,7 +452,16 @@ def emit_results(timings, sf, streaming, streaming_jvm, streaming_floor) -> None
     official record of the metric was a front-truncated string
     (BENCH_r08.json "parsed": null). The final line is therefore kept
     compact and bounded (~300 bytes regardless of query count) while
-    the per-query map lives one line earlier and in bench_detail.json.
+    the per-query map lives one line earlier and in the sidecars.
+
+    Sidecars: the per-query map is written BOTH to bench_detail.json
+    (historical path, last-run-wins) and to a run-keyed
+    bench_detail_c{cpus}.json — the driver benches the same tree at two
+    core counts back to back, and round 14's single sidecar was
+    clobbered by whichever run went last (the 8-core control overwrote
+    the official 32-core record; PERF_r14 adjudication had to be
+    reconstructed from stdout tails). scripts/bench_compare.py diffs two
+    run-keyed sidecars into the PERF-shaped per-query table.
     """
     full = {
         "metric": "headline_queries_total_wall",
@@ -460,15 +469,18 @@ def emit_results(timings, sf, streaming, streaming_jvm, streaming_floor) -> None
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "streaming_cdc": streaming,
         "streaming_cdc_jvm": streaming_jvm,
         "streaming_cdc_floor": streaming_floor,
     }
     detail_path = os.path.join(REPO_DIR, "bench_detail.json")
+    keyed_path = os.path.join(REPO_DIR, f"bench_detail_c{full['cpus']}.json")
     try:
-        with open(detail_path, "w") as f:
-            json.dump(full, f, indent=1, sort_keys=True)
-            f.write("\n")
+        for path in (detail_path, keyed_path):
+            with open(path, "w") as f:
+                json.dump(full, f, indent=1, sort_keys=True)
+                f.write("\n")
     except OSError:
         detail_path = None
     print(json.dumps(full))
