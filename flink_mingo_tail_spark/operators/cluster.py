@@ -20,11 +20,12 @@ shuffles.
 
 Scale notes (100 TB): state per round is one (node,label) table —
 O(V) rows, hash-partitioned; each round is two shuffles (neighborhood
-min + pointer jump). Convergence is checked with a count of changed
-labels per round — a driver-side scalar action per iteration, inherent
-to iterative fixpoints (Pregel supersteps do the same); each action is
-a count over the diffed table, not a collect. Persist + unpersist
-bound the lineage so round N does not recompute rounds 1..N-1.
+min + pointer jump). Convergence is a flag count over the round's
+own localCheckpoint (each row carries a ``chg`` bit comparing its new
+label to the previous one riding the same aggregate) — a driver-side
+scalar action per iteration, inherent to iterative fixpoints (Pregel
+supersteps do the same), but no join and no extra shuffle. Persist +
+unpersist bound the lineage so round N does not recompute rounds 1..N-1.
 """
 
 from __future__ import annotations
@@ -86,7 +87,11 @@ def connected_components(
             .select(
                 "node",
                 F.coalesce("plabel", "label").alias("label"),
-                (F.coalesce("plabel", "label") != F.col("old")).alias("chg"),
+                # null-safe: labels are non-null by construction (null
+                # endpoints are filtered by a != b), but a null-unsafe !=
+                # would silently yield null → filtered out → spurious
+                # early convergence if that invariant ever broke
+                (~F.coalesce("plabel", "label").eqNullSafe(F.col("old"))).alias("chg"),
             )
             .localCheckpoint()
         )

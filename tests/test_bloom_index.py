@@ -36,6 +36,40 @@ def test_bloom_never_misses_a_member(spark):
     assert got.filter(~F.col("bloom_hit")).count() == 0
 
 
+def test_bloom_probe_one_key_per_id_contract(spark):
+    """bloom_probe's documented contract: exactly one key per id. An id
+    carrying two distinct keys gets ONE bool_and verdict across both
+    (hit only if EVERY key's positions are set), not per-(id, key)
+    membership — callers probing multi-key ids must dedupe first."""
+    members = _keys(spark, F.col("doc_id") % 10 != 7)
+    m = bloom_m_bits(members.count())
+    bloom = bloom_bits(members.select("ch"), "ch", m)
+    one_id = members.limit(1).select(
+        F.lit(1).alias("pid"), F.col("ch")
+    )
+    # second key for the same probe id: a guaranteed non-member string
+    multi = one_id.union(
+        one_id.select("pid", F.md5(F.concat(F.col("ch"), F.lit("-not-a-member"))).alias("ch"))
+    )
+    got = bloom_probe(multi, bloom, id_col="pid", key_col="ch", m_bits=m).collect()
+    assert len(got) == 1  # one verdict per id, not per (id, key)
+    # the folded verdict is the AND of the per-key verdicts (probe each
+    # key under its own id to see them individually)
+    per_key = bloom_probe(
+        multi.select(F.monotonically_increasing_id().alias("pid"), "ch"),
+        bloom,
+        id_col="pid",
+        key_col="ch",
+        m_bits=m,
+    ).collect()
+    assert got[0].bloom_hit == all(r.bloom_hit for r in per_key)
+    # the member key IS set; the synthetic second key is a definite miss
+    # at this fill ratio on the deterministic fixture, so the fold masks
+    # the member — exactly the hazard the contract warns about
+    assert any(r.bloom_hit for r in per_key)
+    assert got[0].bloom_hit is False
+
+
 def test_bloom_m_bits_rule(spark):
     assert bloom_m_bits(1) == 4
     assert bloom_m_bits(100) == 512       # 4*100=400 -> 512
