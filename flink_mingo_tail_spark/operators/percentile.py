@@ -53,6 +53,15 @@ higherValue`` — so results are BITWISE equal to the built-in (asserted
 in tests/test_percentile.py) and hence inherit the built-in's DuckDB
 ``quantile_cont`` oracle parity.
 
+Construction cost (r15): every per-spec expression is rendered as ONE
+SQL string and parsed in a single JVM call (the r14 LSH/JL lever —
+guide §4's driver boundary). The nested-Column spelling built each
+spec's bracket decomposition and readout as hundreds of py4j
+round-trips; q125's 7-septile plan paid ~2/3 of a second of pure
+driver-side tree construction per bench invocation. The parsed trees
+are semantically identical (same operations, same order, same casts),
+so values stay bitwise equal — asserted by the same tests.
+
 Reference parity note: the reference engine has no percentile operator
 (SURVEY.md §2B aggregations list); this is part of the north-star
 analytics surface, engineered for the 100 TB target.
@@ -60,27 +69,26 @@ analytics surface, engineered for the 100 TB target.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _pick(alias: str, rank: Column) -> Column:
+def _pick_sql(alias: str, rank: str) -> str:
     """Order statistic at 0-based ``rank`` (among the group's non-null
-    values) read from the bracket decomposition: lo-run | interior | hi-run."""
-    lo = F.col(f"_lo_{alias}").cast("double")
-    hi = F.col(f"_hi_{alias}").cast("double")
-    idx = rank - F.col(f"_below_{alias}")
-    n_lo = F.col(f"_nlo_{alias}")
-    interior = F.col(f"_in_{alias}")
-    in_end = n_lo + F.size(interior)
+    values) read from the bracket decomposition: lo-run | interior | hi-run.
+    ``rank`` is an SQL sub-expression; returns an SQL sub-expression."""
+    idx = f"({rank}) - _below_{alias}"
+    # try_element_at: CaseWhen branches are not reliably lazy under
+    # whole-stage codegen (subexpression elimination), so the array
+    # probe must itself tolerate an out-of-range index.
     return (
-        # try_element_at: CaseWhen branches are not reliably lazy under
-        # whole-stage codegen (subexpression elimination), so the array
-        # probe must itself tolerate an out-of-range index.
-        F.when((idx >= 0) & (idx < n_lo), lo)
-        .when(idx < in_end, F.try_element_at(interior, (idx - n_lo + 1).cast("int")))
-        .when(idx < in_end + F.col(f"_nhi_{alias}"), hi)
-        .otherwise(F.raise_error(F.lit(f"percentile bracket missed target rank for {alias}")))
+        f"CASE WHEN ({idx}) >= 0 AND ({idx}) < _nlo_{alias}"
+        f" THEN CAST(_lo_{alias} AS DOUBLE)"
+        f" WHEN ({idx}) < _nlo_{alias} + size(_in_{alias})"
+        f" THEN try_element_at(_in_{alias}, CAST(({idx}) - _nlo_{alias} + 1 AS INT))"
+        f" WHEN ({idx}) < _nlo_{alias} + size(_in_{alias}) + _nhi_{alias}"
+        f" THEN CAST(_hi_{alias} AS DOUBLE)"
+        f" ELSE raise_error('percentile bracket missed target rank for {alias}') END"
     )
 
 
@@ -111,8 +119,8 @@ def exact_percentiles(
     for col, p, alias in specs:
         by_col.setdefault(col, []).append((p, alias))
 
-    stats_aggs = []
-    bracket_reads = []  # (alias, column-expr) projected after the agg
+    stats_aggs: list[str] = []
+    bracket_reads: list[str] = []  # projected after the agg
     for col, col_specs in by_col.items():
         ps: list[float] = []
         for p, alias in col_specs:
@@ -126,26 +134,28 @@ def exact_percentiles(
             # (Spark falls back to a sort-based aggregate: a full sort
             # of the fact rows, measured ~2.5 s of q125's wall).
             # Scalar keys keep the identical values hash-aggregable.
-            bracket_reads.append((f"_lo_{alias}", F.col(f"_brall_{col}")[idx]))
-            bracket_reads.append((f"_hi_{alias}", F.col(f"_brall_{col}")[idx + 1]))
-            stats_aggs.append(F.count(col).alias(f"_n_{alias}"))
+            # (Spark SQL array subscripts are 0-based, like getItem.)
+            bracket_reads.append(f"_brall_{col}[{idx}] AS _lo_{alias}")
+            bracket_reads.append(f"_brall_{col}[{idx + 1}] AS _hi_{alias}")
+            stats_aggs.append(f"count(`{col}`) AS _n_{alias}")
+        probe_array = ", ".join(f"CAST({p!r} AS DOUBLE)" for p in ps)
         stats_aggs.append(
-            F.percentile_approx(
-                F.col(col).cast("double"),
-                F.array(*[F.lit(p) for p in ps]),
-                F.lit(accuracy),
-            ).alias(f"_brall_{col}")
+            f"percentile_approx(CAST(`{col}` AS DOUBLE), array({probe_array}), {accuracy})"
+            f" AS _brall_{col}"
         )
-    stats = df.groupBy(*keys).agg(*stats_aggs)
-    stats = stats.select(
-        *keys,
-        *[F.col(f"_n_{a}") for _, _, a in specs],
-        *[expr.alias(name) for name, expr in bracket_reads],
+    stats = df.groupBy(*keys).agg(*[F.expr(s) for s in stats_aggs])
+    stats = stats.selectExpr(
+        *[f"`{k}`" for k in keys],
+        *[f"_n_{a}" for _, _, a in specs],
+        *bracket_reads,
     )
 
-    n_cols = [F.col(f"_n_{a}") for _, _, a in specs]
-    min_n = F.least(*n_cols) if len(n_cols) > 1 else n_cols[0]
-    is_large = min_n > F.lit(accuracy)
+    n_all = [f"_n_{a}" for _, _, a in specs]
+    is_large = (
+        f"least({', '.join(n_all)}) > {accuracy}"
+        if len(n_all) > 1
+        else f"{n_all[0]} > {accuracy}"
+    )
     joined = df.join(F.broadcast(stats), keys)
 
     # ONE select pass for both routes (a filtered small branch + a
@@ -158,19 +168,21 @@ def exact_percentiles(
     # one collect_list with a two-branch when() is ~7-10% SLOWER on the
     # 7-spec plan — the extra branch evaluates per row, while the
     # separate small-route list short-circuits on one boolean.
-    select_aggs = []
+    select_aggs: list[str] = []
     for col, p, alias in specs:
-        lo = F.col(f"_lo_{alias}").cast("double")
-        hi = F.col(f"_hi_{alias}").cast("double")
-        c = F.col(col).cast("double")
+        lo = f"CAST(_lo_{alias} AS DOUBLE)"
+        hi = f"CAST(_hi_{alias} AS DOUBLE)"
+        c = f"CAST(`{col}` AS DOUBLE)"
         select_aggs.extend(
             [
-                F.count(F.when(is_large & (c < lo), True)).alias(f"_below_{alias}"),
-                F.count(F.when(is_large & (c == lo), True)).alias(f"_nlo_{alias}"),
-                F.count(F.when(is_large & (c == hi) & (hi != lo), True)).alias(f"_nhi_{alias}"),
-                F.sort_array(
-                    F.collect_list(F.when(is_large & (c > lo) & (c < hi), c))
-                ).alias(f"_in_{alias}"),
+                f"count(CASE WHEN ({is_large}) AND {c} < {lo} THEN true END)"
+                f" AS _below_{alias}",
+                f"count(CASE WHEN ({is_large}) AND {c} = {lo} THEN true END)"
+                f" AS _nlo_{alias}",
+                f"count(CASE WHEN ({is_large}) AND {c} = {hi} AND {hi} != {lo} THEN true END)"
+                f" AS _nhi_{alias}",
+                f"sort_array(collect_list(CASE WHEN ({is_large}) AND {c} > {lo} AND {c} < {hi}"
+                f" THEN {c} END)) AS _in_{alias}",
             ]
         )
     # r14 optimization: the small-route complete-array list depends only
@@ -179,9 +191,8 @@ def exact_percentiles(
     # septiles shared one column and paid 7 identical list aggregates).
     for col in by_col:
         select_aggs.append(
-            F.sort_array(
-                F.collect_list(F.when(~is_large, F.col(col).cast("double")))
-            ).alias(f"_all_{col}")
+            f"sort_array(collect_list(CASE WHEN NOT ({is_large})"
+            f" THEN CAST(`{col}` AS DOUBLE) END)) AS _all_{col}"
         )
     # The readout needs the per-group n and bracket columns. They are
     # CONSTANT within a group (computed per group, broadcast-joined), so
@@ -199,36 +210,39 @@ def exact_percentiles(
         + [f"_hi_{a}" for _, _, a in specs]
         + [f"_n_{a}" for _, _, a in specs]
     )
-    picked = joined.groupBy(*keys, *carry).agg(*select_aggs)
+    picked = joined.groupBy(*keys, *carry).agg(*[F.expr(s) for s in select_aggs])
 
-    out_cols = [F.col(k) for k in keys]
+    out_cols: list[str] = [f"`{k}`" for k in keys]
     for col, p, alias in specs:
-        n = F.col(f"_n_{alias}")
+        n = f"_n_{alias}"
         # Spark Percentile.getPercentile: position = p * (n - 1).
-        pos = F.lit(p) * (n - F.lit(1)).cast("double")
-        lower = F.floor(pos)
-        higher = F.ceil(pos)
+        pos = f"CAST({p!r} AS DOUBLE) * CAST(({n} - 1) AS DOUBLE)"
+        lower = f"floor({pos})"
+        higher = f"ceil({pos})"
         # Large route: order statistics read from the bracket decomposition.
-        v_lower = _pick(alias, lower)
-        exact_large = F.when(higher == lower, v_lower).otherwise(
-            (higher.cast("double") - pos) * v_lower
-            + (pos - lower.cast("double")) * _pick(alias, higher)
+        v_lower = _pick_sql(alias, lower)
+        v_higher = _pick_sql(alias, higher)
+        exact_large = (
+            f"CASE WHEN ({higher}) = ({lower}) THEN {v_lower}"
+            f" ELSE (CAST({higher} AS DOUBLE) - ({pos})) * ({v_lower})"
+            f" + (({pos}) - CAST({lower} AS DOUBLE)) * ({v_higher}) END"
         )
         # Small route: the same interpolation formula (term-for-term the
         # built-in Percentile's) over the complete sorted array. Indexes
         # clamped + try_element_at: CaseWhen branches are not reliably
-        # lazy under codegen (see _pick), and n = 0 (all-null group)
+        # lazy under codegen (see _pick_sql), and n = 0 (all-null group)
         # must yield NULL, not an ANSI index error.
-        arr = F.col(f"_all_{col}")
-        at_lo = F.try_element_at(arr, F.greatest(lower + 1, F.lit(1)).cast("int"))
-        at_hi = F.try_element_at(arr, F.greatest(higher + 1, F.lit(1)).cast("int"))
-        exact_small = F.when(n == 0, F.lit(None).cast("double")).otherwise(
-            F.when(higher == lower, at_lo).otherwise(
-                (higher.cast("double") - pos) * at_lo + (pos - lower.cast("double")) * at_hi
-            )
+        at_lo = f"try_element_at(_all_{col}, CAST(greatest(({lower}) + 1, 1) AS INT))"
+        at_hi = f"try_element_at(_all_{col}, CAST(greatest(({higher}) + 1, 1) AS INT))"
+        exact_small = (
+            f"CASE WHEN {n} = 0 THEN CAST(NULL AS DOUBLE)"
+            f" WHEN ({higher}) = ({lower}) THEN {at_lo}"
+            f" ELSE (CAST({higher} AS DOUBLE) - ({pos})) * ({at_lo})"
+            f" + (({pos}) - CAST({lower} AS DOUBLE)) * ({at_hi}) END"
         )
         # Routing flag, recomputed from the carried counts.
-        n_all = [F.col(f"_n_{a}") for _, _, a in specs]
-        large_flag = (F.least(*n_all) if len(n_all) > 1 else n_all[0]) > F.lit(accuracy)
-        out_cols.append(F.when(large_flag, exact_large).otherwise(exact_small).alias(alias))
-    return picked.select(*out_cols)
+        out_cols.append(
+            f"CASE WHEN ({is_large}) THEN ({exact_large})"
+            f" ELSE ({exact_small}) END AS `{alias}`"
+        )
+    return picked.selectExpr(*out_cols)
