@@ -61,10 +61,11 @@ from flink_mingo_tail_spark.operators.dedup import (
 )
 from flink_mingo_tail_spark.operators.similarity import (
     auto_n_bits,
+    dot,
     hyperplane_tables,
+    l2_norm,
     lsh_keys,
     lsh_probe_keys,
-    rounded_cosine,
 )
 
 _SEM_MANIFEST_SCHEMA = (
@@ -230,7 +231,14 @@ def probe_semantic_index(
     )
 
     idx_buckets = spark.read.parquet(f"{path}/buckets")
-    idx_vectors = spark.read.parquet(f"{path}/vectors")
+    # r15 norm-carrying: each side's L2 norm once per VECTOR row before
+    # the candidate re-rank (the r14 pair-join lever) — the in-place
+    # rounded_cosine paid three folds per candidate; same l2_norm
+    # subtree, same operand order (l2(pv) * l2(v)) → bit-identical.
+    idx_vectors = spark.read.parquet(f"{path}/vectors").withColumn(
+        "_nv", l2_norm(F.col("v"))
+    )
+    srcn = src.withColumn("_np", l2_norm(F.col("pv")))
     if broadcast_side == "index":
         idx_buckets, idx_vectors = F.broadcast(idx_buckets), F.broadcast(idx_vectors)
     elif broadcast_side == "probe":
@@ -242,10 +250,15 @@ def probe_semantic_index(
         .distinct()
     )
     rerank = cand.join(idx_vectors, "vid").join(
-        F.broadcast(src) if broadcast_side == "probe" else src, "pid"
+        F.broadcast(srcn) if broadcast_side == "probe" else srcn, "pid"
     )
     hits = (
-        rerank.filter(rounded_cosine(F.col("pv"), F.col("v")) >= F.lit(tau))
+        rerank.filter(
+            F.round(
+                dot(F.col("pv"), F.col("v")) / (F.col("_np") * F.col("_nv")), 6
+            )
+            >= F.lit(tau)
+        )
         .select("pid")
         .distinct()
         .withColumn("__hit", F.lit(True))

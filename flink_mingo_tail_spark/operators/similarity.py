@@ -61,12 +61,24 @@ def knn_bruteforce(
 
     Plan shape: broadcast-nested-loop of a SMALL query set against the
     corpus scan, then TopK per query via window — one pass over the
-    corpus, no corpus-side shuffle of vectors."""
-    joined = corpus.crossJoin(F.broadcast(queries)).filter(F.col(corpus_id) != F.col(query_id))
+    corpus, no corpus-side shuffle of vectors.
+
+    r15 norm-carrying (the r14 pair-join lever): each side's L2 norm is
+    computed once per VECTOR before the pair join — the in-place
+    rounded_cosine evaluated three 64-dim folds per (query, corpus)
+    PAIR, two of which are per-vector constants. The carried norms are
+    the identical l2_norm subtree and the division keeps cosine()'s
+    operand order (nq * nc), so scores are bit-identical; the quadratic
+    pair term drops to one dot + one divide."""
+    qn = queries.withColumn("_nq", l2_norm(F.col(query_vec)))
+    cn = corpus.withColumn("_nc", l2_norm(F.col(corpus_vec)))
+    joined = cn.crossJoin(F.broadcast(qn)).filter(F.col(corpus_id) != F.col(query_id))
     scored = joined.select(
         query_id,
         corpus_id,
-        rounded_cosine(F.col(query_vec), F.col(corpus_vec)).alias("cos_sim"),
+        F.round(
+            dot(F.col(query_vec), F.col(corpus_vec)) / (F.col("_nq") * F.col("_nc")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
     return (
@@ -473,11 +485,17 @@ def knn_ivf(
     cell (``df.write.partitionBy("cell")``) and the probe join becomes
     partition-PRUNED reads — only nprobe/k_cells of the bytes are ever
     scanned, which bucket-keyed LSH cannot do with L keys per row."""
-    corpus_c = corpus.withColumn("cell", _nearest_cells(F.col(corpus_vec), centroids)[0]["cell"])
+    # r15 norm-carrying: per-vector norms computed once before the
+    # candidate join (same l2_norm subtree, same operand order as
+    # cosine() — bit-identical; one dot per candidate pair, not three).
+    corpus_c = corpus.withColumn(
+        "cell", _nearest_cells(F.col(corpus_vec), centroids)[0]["cell"]
+    ).withColumn("_nc", l2_norm(F.col(corpus_vec)))
     probes = F.slice(_nearest_cells(F.col(query_vec), centroids), 1, nprobe)
     q_probes = queries.select(
         F.col(query_id),
         F.col(query_vec),
+        l2_norm(F.col(query_vec)).alias("_nq"),
         F.explode(F.transform(probes, lambda s: s["cell"])).alias("cell"),
     )
     joined = corpus_c.join(F.broadcast(q_probes), "cell").filter(
@@ -486,7 +504,9 @@ def knn_ivf(
     scored = joined.select(
         query_id,
         corpus_id,
-        rounded_cosine(F.col(query_vec), F.col(corpus_vec)).alias("cos_sim"),
+        F.round(
+            dot(F.col(query_vec), F.col(corpus_vec)) / (F.col("_nq") * F.col("_nc")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
     return (
@@ -533,6 +553,9 @@ def knn_lsh(
             )
         ).alias("tb"),
     ).select(corpus_id, corpus_vec, "tb.table", "tb.bucket")
+    # r15 norm-carrying: one norm per corpus (table, bucket) row, reused
+    # across every colliding probe (bit-identical; see knn_bruteforce).
+    corpus_b = corpus_b.withColumn("_nc", l2_norm(F.col(corpus_vec)))
 
     # Two-step probe fan-out (SCALE.md round-11 codegen-floor fix):
     # materialize the base bucket per table, then explode the Hamming
@@ -558,7 +581,11 @@ def knn_lsh(
     if multiprobe:
         variants += [F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)]
     q_probes = q_base.select(
-        query_id, query_vec, "table", F.explode(F.array(*variants)).alias("bucket")
+        query_id,
+        query_vec,
+        l2_norm(F.col(query_vec)).alias("_nq"),
+        "table",
+        F.explode(F.array(*variants)).alias("bucket"),
     )
 
     joined = corpus_b.join(F.broadcast(q_probes), ["table", "bucket"]).filter(
@@ -567,7 +594,9 @@ def knn_lsh(
     scored = joined.select(
         query_id,
         corpus_id,
-        rounded_cosine(F.col(query_vec), F.col(corpus_vec)).alias("cos_sim"),
+        F.round(
+            dot(F.col(query_vec), F.col(corpus_vec)) / (F.col("_nq") * F.col("_nc")), 6
+        ).alias("cos_sim"),
     ).dropDuplicates([query_id, corpus_id])
     w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
     return (
@@ -685,13 +714,23 @@ def knn_pq_adc(
     break on the id column in both engines."""
     from pyspark.sql import Window
 
+    # r15: reconstruct (and take the norm) once per CORPUS ROW before
+    # the pair join — the post-join spelling re-ran pq_reconstruct (an
+    # m x dsub literal transform) and its norm once per (query, corpus)
+    # PAIR. Same expression over the same codes, projected earlier →
+    # values bit-identical; the query norm is likewise carried once per
+    # query (cosine()'s operand order kept: nq * nr).
     recon = pq_reconstruct(F.col("pq_codes"), books)
+    enc_r = encoded.withColumn("_rv", recon).withColumn("_nr", l2_norm(F.col("_rv")))
+    qn = queries.withColumn("_nq", l2_norm(F.col(query_vec)))
     adc = (
-        encoded.join(F.broadcast(queries), F.col(corpus_id) != F.col(query_id))
+        enc_r.join(F.broadcast(qn), F.col(corpus_id) != F.col(query_id))
         .select(
             query_id,
             corpus_id,
-            rounded_cosine(F.col(query_vec), recon).alias("adc_cos"),
+            F.round(
+                dot(F.col(query_vec), F.col("_rv")) / (F.col("_nq") * F.col("_nr")), 6
+            ).alias("adc_cos"),
         )
     )
     w1 = Window.partitionBy(query_id).orderBy(F.desc("adc_cos"), corpus_id)
@@ -699,11 +738,15 @@ def knn_pq_adc(
     rer = (
         cand.select(query_id, corpus_id)
         .join(corpus.select(corpus_id, corpus_vec), corpus_id)
-        .join(F.broadcast(queries), query_id)
+        .join(F.broadcast(qn), query_id)
         .select(
             query_id,
             corpus_id,
-            rounded_cosine(F.col(query_vec), F.col(corpus_vec)).alias("cos_sim"),
+            F.round(
+                dot(F.col(query_vec), F.col(corpus_vec))
+                / (F.col("_nq") * l2_norm(F.col(corpus_vec))),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w2 = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), corpus_id)
@@ -755,28 +798,39 @@ def knn_ivfpq(
     q_probes = queries.select(
         F.col(query_id),
         F.col(query_vec),
+        l2_norm(F.col(query_vec)).alias("_nq"),
         F.explode(F.transform(probes, lambda s: s["cell"])).alias("cell"),
     )
+    # r15: reconstruction + norm once per encoded row, query norm once
+    # per probe row (see knn_pq — bit-identical, one dot per pair).
     recon = pq_reconstruct(F.col("pq_codes"), books)
+    enc_r = encoded.withColumn("_rv", recon).withColumn("_nr", l2_norm(F.col("_rv")))
     adc = (
-        encoded.join(F.broadcast(q_probes), "cell")
+        enc_r.join(F.broadcast(q_probes), "cell")
         .filter(F.col(corpus_id) != F.col(query_id))
         .select(
             query_id,
             corpus_id,
-            rounded_cosine(F.col(query_vec), recon).alias("adc_cos"),
+            F.round(
+                dot(F.col(query_vec), F.col("_rv")) / (F.col("_nq") * F.col("_nr")), 6
+            ).alias("adc_cos"),
         )
     )
     w1 = Window.partitionBy(query_id).orderBy(F.desc("adc_cos"), corpus_id)
     cand = adc.withColumn("__r", F.row_number().over(w1)).filter(F.col("__r") <= shortlist)
+    qn = queries.withColumn("_nq", l2_norm(F.col(query_vec)))
     rer = (
         cand.select(query_id, corpus_id)
         .join(corpus.select(corpus_id, corpus_vec), corpus_id)
-        .join(F.broadcast(queries), query_id)
+        .join(F.broadcast(qn), query_id)
         .select(
             query_id,
             corpus_id,
-            rounded_cosine(F.col(query_vec), F.col(corpus_vec)).alias("cos_sim"),
+            F.round(
+                dot(F.col(query_vec), F.col(corpus_vec))
+                / (F.col("_nq") * l2_norm(F.col(corpus_vec))),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w2 = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), corpus_id)

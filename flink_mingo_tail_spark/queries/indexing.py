@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_mingo_tail_spark.operators.dedup import tokens
-from flink_mingo_tail_spark.operators.similarity import SQL_COSINE, cosine
+from flink_mingo_tail_spark.operators.similarity import SQL_COSINE, cosine, dot, l2_norm
 from flink_mingo_tail_spark.queries import query
 from flink_mingo_tail_spark.session import prepare_session
 from flink_mingo_tail_spark.tables import load_table, spread
@@ -255,12 +255,25 @@ def q104_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos0", "c"))), lambda s: s["c"]
         ).alias("cv")
     )
+    # r15: carry each centroid's L2 norm in the broadcast frame (the r14
+    # norm-carrying lever): the in-place cosine() evaluated THREE 64-dim
+    # folds per corpus row, two of which (norm of cv, and cv's dot with
+    # itself inside it) are per-LABEL constants. ncv is the identical
+    # l2_norm subtree over the same cv values, and the division tree
+    # round(dot/(ne*ncv), 5) matches cosine()'s operand order — values
+    # bit-identical, one dot + one per-row norm instead of three folds
+    # on the corpus-sized term.
+    cvn = cv.withColumn("ncv", l2_norm(F.col("cv")))
     return (
-        e.join(F.broadcast(cv), "label")
+        e.join(F.broadcast(cvn), "label")
         .select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("cv")), 5).alias("cos_to_centroid"),
+            F.round(
+                dot(F.col("embedding"), F.col("cv"))
+                / (l2_norm(F.col("embedding")) * F.col("ncv")),
+                5,
+            ).alias("cos_to_centroid"),
         )
         .orderBy("vec_id")
     )
@@ -1051,13 +1064,23 @@ def q184_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy(F.desc("score"), "doc_id")).alias("rl"),
     )
     e = _emb(spark, sf_dir)
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    # r15 norm-carrying (the q104/r14 lever): the query vector's norm is
+    # constant across the corpus — compute it once in the 1-row broadcast
+    # frame. Same l2_norm subtree, same operand order as cosine(qv, emb)
+    # → bit-identical, two 64-dim folds per corpus row instead of three.
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), l2_norm(F.col("embedding")).alias("nq")
+    )
     sem = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
             F.col("vec_id").alias("doc_id"),
-            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("embedding"))
+                / (F.col("nq") * l2_norm(F.col("embedding"))),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), "doc_id")
         .limit(_RRF_TOP)
