@@ -148,7 +148,14 @@ def run(name: str, cmd: list[str], env: dict | None = None) -> None:
 def main() -> None:
     fast = "--fast" in sys.argv
     run("schema pins", [sys.executable, "-m", "pytest", "tests/test_tables.py", "-q"])
-    run("full suite", [sys.executable, "-m", "pytest", "tests/", "-q"])
+    # SPARK_GRAFT_FULL_TESTS=1: a whole-suite run defaults to the DRIVER
+    # TIER (tests/conftest.py, round 15) so the external driver's ~10-min
+    # pytest window can complete; the round gate still requires all ~884.
+    run(
+        "full suite",
+        [sys.executable, "-m", "pytest", "tests/", "-q"],
+        env={"SPARK_GRAFT_FULL_TESTS": "1"},
+    )
     if not fast:
         run(
             "sf0.01 driver rehearsal",
