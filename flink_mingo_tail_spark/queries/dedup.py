@@ -670,12 +670,23 @@ def _ssj_impl(spark: SparkSession, sf_dir: str, tau_num: int, tau_den: int) -> D
     {lb-1, lb, lb+1} length-band explode lossless."""
     if 2 * tau_num < tau_den:
         raise ValueError("set-similarity join requires tau >= 0.5 for the length-band explode")
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(word_shingles(tokens(F.col("text")), 2)).alias("st")
-    )
     # single-token documents have EMPTY bigram sets; a pair of them would
-    # hit union = 0 (a 0/0 Jaccard) — exclude empty sets outright
-    docs = d.withColumn("sz", F.size("st")).filter(F.col("sz") > 0)
+    # hit union = 0 (a 0/0 Jaccard) — exclude empty sets outright. The
+    # filter is spelled on the RAW token count, not size(st): sz > 0 ⟺
+    # size(shingles) > 0 ⟺ size(tokens) >= 2 (word_shingles is empty iff
+    # the doc has < n tokens; array_distinct of a nonempty array is
+    # nonempty), and a filter on size(st) gets predicate-pushed BELOW the
+    # projection that computes st, re-evaluating the whole tokenize +
+    # shingle + distinct chain once in the filter and again in the
+    # project (measured: 2.75 s -> 0.72 s for the keyed chain at sf0.1).
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.size(tokens(F.col("text"))) >= 2)
+        .select(
+            "doc_id", F.array_distinct(word_shingles(tokens(F.col("text")), 2)).alias("st")
+        )
+    )
+    docs = d.withColumn("sz", F.size("st"))
     # DUPLICATE COLLAPSE: real corpora (and the id-shifted probe corpus,
     # SCALE.md) are exact-duplicate-heavy, and identical sets would
     # multiply every prefix bucket — candidates grow with the SQUARE of
@@ -1032,10 +1043,16 @@ def q197_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only cost time, never correctness — the oracle is the
     unblocked all-pairs spelling.
     """
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(word_shingles(tokens(F.col("text")), 2)).alias("st")
+    # raw-token-count filter, not size(st) — same pushdown-duplication
+    # avoidance as _ssj_impl (sz > 0 ⟺ size(tokens) >= 2, exact)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.size(tokens(F.col("text"))) >= 2)
+        .select(
+            "doc_id", F.array_distinct(word_shingles(tokens(F.col("text")), 2)).alias("st")
+        )
     )
-    docs = d.withColumn("sz", F.size("st")).filter(F.col("sz") > 0)
+    docs = d.withColumn("sz", F.size("st"))
     keyed = docs.withColumn(
         "skey", F.md5(F.concat_ws("\x1f", F.sort_array("st")))
     ).withColumn("rep", F.min("doc_id").over(Window.partitionBy("skey")))
