@@ -72,6 +72,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_mingo_tail_spark.tables import spread
+
 
 def _pick_sql(alias: str, rank: str) -> str:
     """Order statistic at 0-based ``rank`` (among the group's non-null
@@ -156,7 +158,16 @@ def exact_percentiles(
         if len(n_all) > 1
         else f"{n_all[0]} > {accuracy}"
     )
-    joined = df.join(F.broadcast(stats), keys)
+    # The two passes want OPPOSITE parallelism (r15, measured at sf0.1):
+    # the stats pass is a GK-sketch aggregate whose merge cost grows
+    # with partial count — spreading the single-file test scan made it
+    # 1.99 s -> 3.15 s — while the select pass is 29 per-row CASE
+    # aggregates that serialize on the narrow scan — spread() took the
+    # operator 6.06 s -> ~2.4 s combined. So: sketch from the raw scan,
+    # select pass from the spread scan. spread() is scale-gated (a
+    # many-file production scan is returned untouched), and both
+    # spellings aggregate the same rows — values are bitwise equal.
+    joined = spread(df).join(F.broadcast(stats), keys)
 
     # ONE select pass for both routes (a filtered small branch + a
     # filtered large branch would each rescan the full input — three

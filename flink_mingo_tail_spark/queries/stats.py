@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from flink_mingo_tail_spark.queries import query
 from flink_mingo_tail_spark.session import prepare_session
-from flink_mingo_tail_spark.tables import load_table
+from flink_mingo_tail_spark.tables import load_table, spread
 
 _US_DAY = 86_400_000_000
 
@@ -1227,8 +1227,13 @@ def q202_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CollapseProject keeps the split because a non-cheap expression
     # referenced 6x is not inlined — exactly the barrier we want.
     # Values are bit-identical: same expression, evaluated once.
+    # spread() before the explode: the single-file test scan yields ONE
+    # partition, so the B x n md5 evaluations (the query's dominant
+    # cost) serialize on one core — measured 3.22 s -> 0.92 s for the
+    # replicate stage at sf0.1. Scale-gated inside spread(): a
+    # many-file production scan is returned untouched.
     reps = (
-        t.select(
+        spread(t).select(
             "event_type",
             "v100",
             F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
