@@ -1773,7 +1773,11 @@ def curation_verdict(
 
     from flink_mingo_tail_spark.operators.quality import quality_reason
 
-    d = _t(spark, sf_dir, "documents")
+    # spread() the single-file test scan: all three map-heavy branches
+    # (quality/hash stage frame, MinHash signatures, 4-gram build) read
+    # it and serialize on its one partition otherwise — 4.48 s -> 3.24 s
+    # at sf0.1; scale-gated inside spread()
+    d = spread(_t(spark, sf_dir, "documents"))
     t = tokens(F.col("text"))
     # r14 optimization: the quality/hash stage frame (s1) feeds every
     # downstream branch — exact-dedup window, survivor semi-joins,

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from flink_mingo_tail_spark.queries import query
 from flink_mingo_tail_spark.session import prepare_session
-from flink_mingo_tail_spark.tables import load_table
+from flink_mingo_tail_spark.tables import load_table, spread
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,7 +532,10 @@ def q221_novelty_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     prepare_session(spark)
-    d = load_table(spark, sf_dir, "documents")
+    # spread() the single-file test scan (1 partition) before the
+    # shingle + md5 map work serializes on one core — 3.17 s -> 1.56 s
+    # at sf0.1, scale-gated inside spread()
+    d = spread(load_table(spark, sf_dir, "documents"))
     inc = d.filter(F.col("doc_id") % 10 == 7)
     idx = d.filter(F.col("doc_id") % 10 != 7)
     # r14 optimization: the index side only feeds a left-anti join,
