@@ -175,61 +175,70 @@ _MODULES = (
 #       round-7 refresh lead round 12 (freshness debt traded for driver
 #       rows on every new operator, front-load-new-first precedence).
 _NEEDS_DRIVER_ROW = (
-    # (a) round-14 newcomers, no driver row yet (front-load-new-first)
-    "q255_bloom_prefilter_probe",
-    "q256_duplicated_spans",
-    "q257_dup_span_rollup",
-    "q258_span_trim_plan",
-    "q259_span_index_probe",
-    "q260_span_streaming_curation",
-    "q261_span_index_audit",
-    "q262_span_trim_apply",
-    # (b) changed-code re-proofs (details in the round-14 block above)
-    "q225_perceptual_hash_near_dup",
-    "q228_perceptual_dup_components",
-    "q246_full_curation_ingest",
-    "q247_perceptual_index_probe",
-    "q248_perceptual_streaming_curation",
-    "q249_perceptual_occupancy_audit",
-    "q252_bloom_membership_audit",
-    "q254_bloom_load_audit",
-    "q244_index_compaction",
-    "q253_bloom_index_incremental",
-    "q234_streaming_curation",
-    "q241_semantic_streaming_curation",
-    # (c) round-8 drain completes — all 24 remaining names
-    "q123_salted_skew_join",
-    "q124_snapshot_diff",
-    "q126_token_cooccurrence",
-    "q127_pagerank_trade_graph",
-    "q128_bfs_reach",
-    "q129_token_length_entropy",
-    "q130_corr_profile",
-    "q131_asof_join_forward",
-    "q132_recursive_exposure",
-    "q133_variant_shredding",
-    "q134_hll_sketch_rollup",
-    "q135_stratified_hash_sample",
-    "q161_rfm_segments",
-    "q171_semdedup_end_to_end",
-    "q182_phrase_search",
-    "q190_token_budget_cut",
-    "q191_spearman_corr",
-    "q194_seasonal_dow_index",
-    "q195_zipf_slope",
-    "q196_logistic_irls_step",
+    # ROUND-15 ROTATION (verdict-r14 item 3: front-load every touched
+    # query before any drain/refresh name).
+    # (a) round-15 touched-code re-proofs — every query whose plan this
+    #     optimization round changed (token-count filter in the
+    #     set-similarity/containment family; spread() under q202/
+    #     percentile/novelty/curation/LM/DSIR map stages; norm- and
+    #     reconstruction-carrying through the kNN/PQ scoring paths;
+    #     parsed-SQL percentile construction; null-safe components
+    #     convergence):
+    "q154_set_similarity_join",
+    "q154b_set_similarity_tau07",
     "q197_containment_join",
-    "q198_pca_power_iteration",
-    "q199_heaps_law",
-    "q200_source_overlap_matrix",
-    # (d) round-9 cohort refresh — first 14 of 49, ascending query
-    #     order; the prefix-50 cut leaves the tail for round 15
-    "q136_unpivot_nation_metrics",
-    "q137_running_distinct_users",
-    "q138_week_over_week",
-    "q139_copurchase_triangles",
-    "q140_levenshtein_pairs",
-    "q141_interval_join_left_outer",
+    "q125_equidepth_histogram",
+    "q27b_percentile_rank_select",
+    "q202_poisson_bootstrap_ci",
+    "q221_novelty_vs_index",
+    "q226_curation_pipeline",
+    "q227_curation_report",
+    "q205_bigram_perplexity",
+    "q231_dsir_importance",
+    "q104_centroid_assign",
+    "q76_knn_bruteforce",
+    "q78_knn_lsh",
+    "q79_knn_ivf",
+    "q152_pq_adc_knn",
+    "q184_rrf_fusion",
+    "q217b_mutual_knn_blocked",
+    "q237_leakage_aware_split",
+    "q73b_dedup_components",
+    "q250_modality_dup_agreement",
+    # (b) round-14 heavily-rewritten queries whose rotation slot
+    #     predated the r14 target list (verdict-r14 correctness gap —
+    #     driver confirmation owed):
+    "q224_semantic_decontaminate",
+    "q245_lsh_occupancy_audit",
+    "q235_jl_projection_audit",
+    "q233_kcenter_coreset",
+    "q139b_triangles_colorful",
+    "q165_kmeans_lloyd_step",
+    "q164_bloom_membership",
+    "q170_semdedup_prune",
+    "q171_semdedup_end_to_end",
+    "q209_doc_novelty",
+    "q238_quality_terciles_by_source",
+    "q193_hashed_linear_scorer",
+    "q203_conditional_entropy",
+    "q232_bpe_fertility_by_source",
+    "q222_hard_negative_mining",
+    "q223_knn_label_eval",
+    "q229_temperature_mix_sample",
+    "q236_mix_plan_report",
+    "q180_ks_two_sample",
+    "q73_minhash_lsh_dedup",
+    "q196_logistic_irls_step",
+    "q192_acf_daily_mean",
+    # (c) round-9 cohort refresh continues — next ascending names after
+    #     round 14's q136–q141 slice
+    "q142_lateral_topk_per_region",
+    "q143_nullsafe_join",
+    "q144_try_arithmetic",
+    "q145_arrow_native_features",
+    "q146_theta_set_algebra",
+    "q147_kll_quantile_rollup",
+    "q148_distribution_windows",
 )
 
 
